@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Mirrors the role of the reference's session bootstrap (reference
+  * src/alertas/base.py:8-16 + alertas.sh:15-26) re-tuned for Spark 4:
+  *   - AQE on (runtime shuffle coalescing + skew-join splitting replace
+  *     the reference's hand-set parallelism / skew workarounds)
+  *   - shuffle partitions sized to the local core count (the reference
+  *     hardcoded 100 for its 75-core cluster; at 100 TB this would be
+  *     set ~2-3x total cores and AQE coalesces down)
+  *   - UTC session timezone so date/timestamp semantics are stable
+  *     across engines (oracle comparisons, cluster nodes)
+  *   - nanosAsLong so TIMESTAMP(NANOS) parquet (events.ts) is readable;
+  *     Tables.load rebuilds a proper timestamp column.
+  */
+object GraftSession {
+  def build(appName: String, cores: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Core count from the env the driver exports, default 32 (= local[32]). */
+  def envCores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+}
