@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story, per operator):
+  *  - exact: one hash-groupBy shuffle on a 16-byte digest, never on the
+  *    raw text — shuffle volume is O(#docs × 16B), not corpus size.
+  *  - minhash: per-doc signatures are computed with ONE explode and ONE
+  *    grouped aggregate holding k running mins (k columns, not k×rows —
+  *    no seed fan-out blowup). LSH banding then generates candidate
+  *    pairs with an equi-join on (band, signature), which Catalyst
+  *    shuffles by bucket key: O(n) candidates instead of O(n²) pairs.
+  *  - simhash: same single explode + 32 conditional sums; near-dup pairs
+  *    come from banding the signature bytes, again an equi-join.
+  *  - ngram jaccard: inverted-index self-join on shingle with a
+  *    stop-shingle cutoff (df > maxDocFreq dropped) so hub shingles
+  *    can't quadratically explode the join — the standard skew guard.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the min id as canonical.
+    * Output: one row per distinct content with its representative id and
+    * multiplicity. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature: k seeded min-hashes over the distinct
+    * word set, as k columns (seed i → column `mh_i`). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .distinct()
+    val mins = (0 until k).map(i => min(seeded(col("w"), i)).as(s"mh_$i"))
+    words.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the k-wide signature into `bands` groups
+    * of k/bands rows, bucket on (band, concatenated band signature),
+    * emit distinct (id_a < id_b) pairs sharing ≥1 bucket. */
+  def minhashCandidatePairs(sigs: DataFrame, idCol: String, k: Int,
+                            bands: Int): DataFrame = {
+    val rows = k / bands
+    val banded = Relational.unpivot(
+      sigs.select(col(idCol) +: (0 until bands).map { b =>
+        concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
+          .as(s"band_$b")
+      }: _*),
+      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
+      nameCol = "band", valueCol = "sig")
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 32-bit SimHash signature over the distinct word set: bit j of the
+    * signature is set iff the sum over words of ±1 (word-hash bit j) is
+    * positive. Single explode + one aggregate with 32 sums. */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .distinct()
+      .withColumn("h", hash32(col("w")))
+    val bitSums = (0 until 32).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s_$j")
+    }
+    val agg = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { j =>
+      shiftleft(when(col(s"s_$j") > 0, 1L).otherwise(0L), j)
+    }.reduce(_ + _)
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 32-bit signature into four 8-bit
+    * chunks; docs sharing any chunk are candidates; keep pairs with
+    * Hamming distance ≤ maxHamming. */
+  def simhashPairs(sigs: DataFrame, idCol: String,
+                   maxHamming: Int): DataFrame = {
+    val chunked = sigs.select(
+      col(idCol) +: col("simhash") +:
+        (0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255).as(s"c_$c")): _*)
+    val banded = Relational.unpivot(chunked, Seq(idCol, "simhash"),
+      (0 until 4).map(c => s"$c" -> s"c_$c"), nameCol = "chunk", valueCol = "v")
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+      col("chunk"), col("v"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+      col("chunk"), col("v"))
+    a.join(b, Seq("chunk", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word n-gram Jaccard similarity over candidate pairs from an
+    * inverted shingle index. Shingles occurring in more than
+    * `maxDocFreq` docs are dropped (stop-shingle skew guard). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, maxDocFreq: Int, minJaccard: Double): DataFrame = {
+    val shingles = df
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(ws, i + $j)").mkString(", ")}))"))
+        .as("g"))
+      .distinct()
+    val perDoc = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_g"))
+    val filtered = shingles.join(
+      shingles.groupBy("g").agg(count(lit(1)).as("df_g"))
+        .filter(col("df_g") <= maxDocFreq).select("g"),
+      Seq("g"))
+    val a = filtered.select(col(idCol).as("id_a"), col("g"))
+    val b = filtered.select(col(idCol).as("id_b"), col("g"))
+    val shared = a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(perDoc.select(col(idCol).as("id_a"), col("n_g").as("n_a")), Seq("id_a"))
+      .join(perDoc.select(col(idCol).as("id_b"), col("n_g").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

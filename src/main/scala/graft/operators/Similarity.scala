@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design:
+  *  - [[cosine]] is a pure scalar expression (zip_with + aggregate) —
+  *    codegen'd, no UDF, no shuffle of its own.
+  *  - [[bruteForceTopK]] is the exact baseline: queries × corpus via a
+  *    broadcast of the (small) query set, so the big side streams —
+  *    never a shuffle of the corpus. Cost O(|Q|·n·d) FLOPs.
+  *  - [[ivfTopK]] is the scale path: partition the corpus into cells
+  *    (here the pre-assigned `label`; in production, k-means iterations
+  *    of the same groupBy-avg shape), probe only the nProbe nearest
+  *    cells per query. The corpus join is an equi-join on the cell id,
+  *    so Catalyst shuffles by cell instead of brute-forcing all pairs —
+  *    the classic IVF pruning, expressed as two broadcast joins.
+  *  - [[nearDupPairs]] bounds the O(n²) blow-up the same way IVF does:
+  *    only intra-cell pairs are scored. (At 100 TB you'd use the LSH
+  *    band-join from [[Dedup]] on sign-random-projection bits instead.)
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns, sequential-sum
+    * semantics (portable: same order as DuckDB's list functions). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Queries chosen by predicate; the query set is broadcast. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     isQuery: Column, k: Int): DataFrame = {
+    val q = df.filter(isQuery)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = df.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+  }
+
+  /** IVF-style ANN: centroid per cell (rounded for determinism), probe
+    * the nProbe nearest cells per query, exact search within them. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              isQuery: Column, k: Int, nProbe: Int): DataFrame = {
+    val dim = 64
+    // centroid = element-wise mean, rounded to 6 decimals so the result
+    // is independent of distributed summation order
+    val centAggs = (0 until dim).map(i =>
+      round(avg(element_at(asDouble(col(vecCol)), i + 1)), 6).as(s"c_$i"))
+    val cents = df.groupBy(col(cellCol).as("cell"))
+      .agg(centAggs.head, centAggs.tail: _*)
+      .select(col("cell"), array((0 until dim).map(i => col(s"c_$i")): _*).as("centroid"))
+    val q = df.filter(isQuery)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // nearest nProbe cells per query (tiny: |Q| × #cells, both broadcast)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        round(cosine(col("qv"), col("centroid")), 6).as("cell_sim"))
+      .withColumn("cell_rn", row_number().over(wc)).filter(col("cell_rn") <= nProbe)
+      .select("query_id", "qv", "cell")
+    // exact search within probed cells: equi-join on the cell id
+    val c = df.select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rn")
+  }
+
+  /** Embedding near-duplicate pairs: intra-cell pairs with cosine above
+    * threshold. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   cellCol: String, minCos: Double): DataFrame = {
+    val a = df.select(col(cellCol).as("cell"), col(idCol).as("id_a"),
+      asDouble(col(vecCol)).as("va"))
+    val b = df.select(col(cellCol).as("cell"), col(idCol).as("id_b"),
+      asDouble(col(vecCol)).as("vb"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, tokenization stats, fingerprinting.
+  *
+  * All are single-pass narrow transforms (no shuffle): every score is a
+  * scalar expression over the text column, so at 100 TB each document is
+  * touched exactly once by whole-stage-codegen'd expressions and the
+  * operators scale linearly with input splits. No UDFs anywhere.
+  */
+object TextAnalysis {
+
+  /** Fixed per-language marker-word lists for the n-gram/stopword
+    * language-ID heuristic. Deliberately tiny and deterministic —
+    * the operator shape (explode → per-language conditional sums →
+    * argmax) is what a real fastText-style scorer would use.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "fast"),
+    "es" -> Seq("el", "la", "de", "query", "data"),
+    "de" -> Seq("der", "die", "und", "table", "row"),
+    "fr" -> Seq("le", "la", "et", "join", "merge"),
+    "zh" -> Seq("spark", "batch", "window", "big", "scan"))
+
+  /** Language order for deterministic argmax tie-breaking. */
+  val langOrder: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+
+  /** Per-doc language scores + argmax prediction. One explode + one
+    * grouped aggregate (single shuffle on the doc id). */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val scores = langOrder.map { lang =>
+      sum(when(col("w").isin(langMarkers(lang): _*), 1).otherwise(0))
+        .as(s"score_$lang")
+    }
+    val agg = words.groupBy(col(idCol)).agg(scores.head, scores.tail: _*)
+    // strict-> argmax with langOrder precedence on ties
+    val pred = langOrder.zipWithIndex.foldRight(lit("und")) { case ((lang, _), acc) =>
+      val isMax = langOrder.filter(_ != lang).foldLeft(lit(true)) { (c, other) =>
+        val cmp = if (langOrder.indexOf(other) < langOrder.indexOf(lang))
+          col(s"score_$lang") > col(s"score_$other")
+        else col(s"score_$lang") >= col(s"score_$other")
+        c && cmp
+      }
+      when(isMax, lang).otherwise(acc)
+    }
+    agg.withColumn("pred_lang", pred)
+  }
+
+  /** Argmax CASE chain as DuckDB SQL (same precedence semantics). */
+  def languageIdPredSql: String = {
+    val branches = langOrder.map { lang =>
+      val conds = langOrder.filter(_ != lang).map { other =>
+        if (langOrder.indexOf(other) < langOrder.indexOf(lang))
+          s"score_$lang > score_$other"
+        else s"score_$lang >= score_$other"
+      }.mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE 'und' END"
+  }
+
+  /** Quality metrics: counts, type-token ratio, a composite score.
+    * Pure scalar expressions — no shuffle at all. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_distinct_words"),
+      round(size(array_distinct(words)).cast("double") / size(words), 6).as("ttr"),
+      round(length(regexp_replace(t, " ", "")).cast("double") / size(words), 6)
+        .as("avg_word_len"),
+      round(least(size(words).cast("double") / 100.0, lit(1.0)) *
+        (size(array_distinct(words)).cast("double") / size(words)), 6).as("quality_score"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single non-alnum). */
+  val tokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(split(col(textCol), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(tokenRegex), lit(0))).as("re_tokens"))
+
+  /** Document fingerprints: whole-doc md5 plus a winnowing-style
+    * min-hash over character 8-grams (rolling-hash family). The 8-gram
+    * scan is a per-row array expression — no explode, no shuffle. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = textCol
+    df.select(
+      col(idCol),
+      md5(col(t)).as("fp_md5"),
+      expr(
+        s"""array_min(transform(sequence(1, greatest(length($t) - 7, 1)),
+           |  i -> CAST(conv(substr(md5(substr($t, i, 8)), 1, 15), 16, 10) AS BIGINT)))""".stripMargin)
+        .as("fp_min_8gram"))
+  }
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.functions.PortableHash
+
+/** Training-data-pipeline operator inventory (dedup / similarity /
+  * text analysis) over the `documents` and `embeddings` tables, each
+  * with a DuckDB oracle generated from the same parameters so the
+  * Spark plan and the oracle can't drift apart.
+  */
+object PipelineQueries {
+
+  // shared parameters (also baked into the generated oracle SQL)
+  val MinhashK = 16
+  val MinhashBands = 2
+  val NgramN = 3
+  val NgramMaxDocFreq = 20
+  val NgramMinJaccard = 0.1
+  val SimhashMaxHamming = 4
+  val TopK = 5
+  val IvfProbes = 2
+  val NearDupMinCos = 0.25
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q31_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    "q32_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK)),
+
+    "q33_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
+        "doc_id", MinhashK, MinhashBands)),
+
+    "q34_simhash" -> ((s, dir) =>
+      Dedup.simhash32(docs(s, dir), "doc_id", "text")),
+
+    "q35_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhash32(docs(s, dir), "doc_id", "text"),
+        "doc_id", SimhashMaxHamming)),
+
+    "q36_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
+        NgramN, NgramMaxDocFreq, NgramMinJaccard)),
+
+    "q37_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
+        col("vec_id") < 10, TopK)),
+
+    "q38_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding", "label",
+        col("vec_id") < 10, TopK, IvfProbes)),
+
+    "q43_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", "label",
+        NearDupMinCos)),
+
+    "q39_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+
+    "q40_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
+
+    "q41_tokenize" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")),
+
+    "q42_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text"))
+  )
+
+  // ---------- generated oracle SQL ----------
+
+  private def h60(e: String): String = PortableHash.hash60Sql(e)
+  private def h32(e: String): String = PortableHash.hash32Sql(e)
+
+  /** distinct (doc_id, word) pairs */
+  private val wordsCte =
+    "words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
+
+  private val minhashSigsSelect: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"min(${PortableHash.seededSql("w", i)}) AS mh_$i").mkString(", ")
+    s"SELECT doc_id, $mins FROM words GROUP BY doc_id"
+  }
+
+  private val minhashLshSql: String = {
+    val rows = MinhashK / MinhashBands
+    val bandBranches = (0 until MinhashBands).map { b =>
+      val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
+      s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH $wordsCte, sigs AS ($minhashSigsSelect), bands AS ($bandBranches)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private val simhashSigsSelect: String = {
+    val sums = (0 until 32)
+      .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s_$j").mkString(", ")
+    val sig = (0 until 32)
+      .map(j => s"(CASE WHEN s_$j > 0 THEN 1 ELSE 0 END * ${1L << j})").mkString(" + ")
+    s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM (
+       |SELECT doc_id, $sums FROM (SELECT doc_id, ${h32("w")} AS h FROM words) GROUP BY doc_id)""".stripMargin
+  }
+
+  private val simhashPairsSql: String = {
+    val chunkBranches = (0 until 4).map { c =>
+      s"SELECT doc_id, simhash, '$c' AS chunk, (simhash >> ${c * 8}) & 255 AS v FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH $wordsCte, sigs AS ($simhashSigsSelect), chunks AS ($chunkBranches)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
+       |WHERE hamming <= $SimhashMaxHamming""".stripMargin
+  }
+
+  private val ngramJaccardSql: String = {
+    val gramExpr = {
+      val parts = (0 until NgramN).map(j => s"ws[i + $j]").mkString(", ")
+      s"list_transform(generate_series(1, len(ws) - ${NgramN - 1}), i -> concat_ws(' ', $parts))"
+    }
+    s"""WITH g0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |grams AS (SELECT DISTINCT doc_id, unnest($gramExpr) AS g FROM g0 WHERE len(ws) >= $NgramN),
+       |perdoc AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id),
+       |keep AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= $NgramMaxDocFreq),
+       |f AS (SELECT grams.doc_id, grams.g FROM grams JOIN keep USING (g)),
+       |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT id_a, id_b,
+       |    round(CAST(shared AS DOUBLE) / (pa.n_g + pb.n_g - shared), 6) AS jaccard
+       |  FROM shared JOIN perdoc pa ON pa.doc_id = id_a JOIN perdoc pb ON pb.doc_id = id_b)
+       |WHERE jaccard >= $NgramMinJaccard""".stripMargin
+  }
+
+  /** Cosine written as dot/norms (sequential list_dot_product) rather
+    * than list_cosine_similarity, to mirror Spark's zip_with+aggregate
+    * summation order exactly. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val cosineTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+       |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+       |  SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, neighbor_id) AS rn
+       |  FROM q, c WHERE query_id != neighbor_id)
+       |WHERE rn <= $TopK""".stripMargin
+
+  private val annIvfSql: String = {
+    val dim = 64
+    val centCols = (0 until dim)
+      .map(i => s"round(avg(CAST(embedding[${i + 1}] AS DOUBLE)), 6) AS c_$i").mkString(", ")
+    val centList = (0 until dim).map(i => s"c_$i").mkString(", ")
+    s"""WITH cents AS (SELECT label AS cell, [$centList] AS centroid FROM (
+       |    SELECT label, $centCols FROM embeddings GROUP BY label)),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |  SELECT query_id, qv, cell,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(${cosSql("qv", "centroid")}, 6) DESC, cell) AS cell_rn
+       |  FROM q, cents) WHERE cell_rn <= $IvfProbes),
+       |c AS (SELECT vec_id AS neighbor_id, label AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+       |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+       |  SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, neighbor_id) AS rn
+       |  FROM c JOIN probes USING (cell) WHERE query_id != neighbor_id)
+       |WHERE rn <= $TopK""".stripMargin
+  }
+
+  private val embedNearDupSql: String =
+    s"""SELECT * FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) AS cos_sim
+       |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cos_sim >= $NearDupMinCos""".stripMargin
+
+  private val langidSql: String = {
+    val scoreCols = TextAnalysis.langOrder.map { lang =>
+      val set = TextAnalysis.langMarkers(lang).map(w => s"'$w'").mkString(", ")
+      s"CAST(sum(CASE WHEN w IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |s AS (SELECT doc_id, $scoreCols FROM words GROUP BY doc_id)
+       |SELECT doc_id, ${TextAnalysis.langOrder.map(l => s"score_$l").mkString(", ")},
+       |  ${TextAnalysis.languageIdPredSql} AS pred_lang FROM s""".stripMargin
+  }
+
+  private val qualitySql: String =
+    s"""SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_words,
+       |len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       |round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS ttr,
+       |round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
+       |round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
+       |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))), 6) AS quality_score
+       |FROM documents""".stripMargin
+
+  private val tokenizeSql: String =
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+       |len(regexp_extract_all(text, '${TextAnalysis.tokenRegex}')) AS re_tokens
+       |FROM documents""".stripMargin
+
+  private val fingerprintSql: String =
+    s"""SELECT doc_id, fp_md5, fp_min_8gram FROM (
+       |  SELECT doc_id, md5(text) AS fp_md5,
+       |    min(${h60("substr(text, i, 8)")}) AS fp_min_8gram
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+       |        FROM documents)
+       |  GROUP BY doc_id, text)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q31_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q32_minhash_sig" -> s"WITH $wordsCte $minhashSigsSelect",
+    "q33_minhash_lsh_pairs" -> minhashLshSql,
+    "q34_simhash" -> s"WITH $wordsCte $simhashSigsSelect",
+    "q35_simhash_pairs" -> simhashPairsSql,
+    "q36_ngram_jaccard" -> ngramJaccardSql,
+    "q37_cosine_topk" -> cosineTopkSql,
+    "q38_ann_ivf" -> annIvfSql,
+    "q43_embed_neardup" -> embedNearDupSql,
+    "q39_langid" -> langidSql,
+    "q40_text_quality" -> qualitySql,
+    "q41_tokenize" -> tokenizeSql,
+    "q42_fingerprint" -> fingerprintSql
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content, keeps min id") {
+    val df = docsDf(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L && out(0).getAs[Long]("n_copies") == 2L)
+    assert(out(1).getAs[Long]("keep_id") == 3L && out(1).getAs[Long]("n_copies") == 1L)
+  }
+
+  test("identical docs always become minhash LSH candidates; disjoint never") {
+    val df = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta", // identical → all bands match
+      3L -> "one two three four five six")         // disjoint vocab
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 16)
+    val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", 16, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash of identical texts is identical; permuted word order too (set semantics)") {
+    val df = docsDf(1L -> "a b c d", 2L -> "d c b a", 3L -> "q r s t")
+    val sigs = Dedup.simhash32(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("ngram jaccard of identical docs is 1.0") {
+    val df = docsDf(1L -> "a b c d e", 2L -> "a b c d e")
+    val out = Dedup.ngramJaccard(df, "doc_id", "text", 3, 100, 0.0).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 2.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      round(Similarity.cosine(col("a"), col("b")), 9).as("same"),
+      round(Similarity.cosine(col("a"), col("c")), 9).as("orth")).head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK finds the planted nearest neighbor first") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // nearest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        col("vec_id") === 0, 2).collect()
+      .sortBy(_.getAs[Int]("rn"))
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+  }
+}
