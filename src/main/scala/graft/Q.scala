@@ -6,10 +6,10 @@ import graft.queries._
 /** Central query registry: merges every per-domain inventory. */
 object Q {
   val registry: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.registry ++ PipelineQueries.registry
+    RelationalQueries.registry ++ PipelineQueries.registry ++ HarnessQueries.registry
 
   val oracles: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++ HarnessQueries.oracles
 
   def q01_agg(spark: SparkSession, dir: String): DataFrame =
     registry("q01_agg")(spark, dir)

@@ -36,6 +36,12 @@ object AlertKey {
   def uuidsha(cols: Column*): Column =
     sha1(to_binary(concat(cols.map(c => limpa(render(c))): _*), lit("utf-8")))
 
+  /** Single-column hash variants for the harness key builder. sha1 is
+    * the reference digest (utils.py:42); sha256 exists in DuckDB too,
+    * so oracle-checked harness queries use it. */
+  def limpaSha1(c: Column): Column = sha1(to_binary(limpa(c), lit("utf-8")))
+  def limpaSha256(c: Column): Column = sha2(limpa(c), 256)
+
   /** Composite key `sigla.rowKey.orgao` (reference jobs.py:266-271). */
   def alrtKey(sigla: Column, rowKey: Column, orgao: Column): Column =
     concat(render(sigla), lit("."), render(rowKey), lit("."), render(orgao))

@@ -1,0 +1,85 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.SchemaConform
+import graft.harness.{Alert, AlertHarness, RunClock}
+
+/** End-to-end lifecycle: conform → temp append → final overwrite →
+  * month-partitioned history merge (reference jobs.py:258-320 flow). */
+class AlertHarnessSpec extends SparkTestBase {
+
+  private def mkAlert(rows: Seq[(Int, Int)], siglaV: String = "TST") = new Alert {
+    val sigla = siglaV
+    val family = SchemaConform.Mgp
+    val keyCols = Seq("alrt_docu_dk")
+    def build(s: SparkSession): DataFrame = {
+      import s.implicits._
+      rows.toDF("alrt_docu_dk", "alrt_orgi_orga_dk")
+    }
+  }
+
+  test("conform pads family columns, builds composite key, orders columns") {
+    val h = new AlertHarness(spark, "t_conform",
+      RunClock(LocalDateTime.of(2026, 8, 12, 10, 0)))
+    val out = h.conformAlert(mkAlert(Seq((7, 400))))
+    assert(out.columns.toSeq == SchemaConform.Mgp.fieldNames.toSeq)
+    val r = out.head
+    // sha1("7") = 902ba3cda1883801594b6e1b452790cc53948fda
+    assert(r.getString(0) == "TST.902ba3cda1883801594b6e1b452790cc53948fda.400")
+    assert(r.getString(1) == "TST")
+    assert(r.isNullAt(out.columns.indexOf("alrt_info_adicional")))
+  }
+
+  test("full lifecycle: final overwrite, hist month-merge, same-day replace") {
+    spark.sql("DROP DATABASE IF EXISTS t_life CASCADE")
+    val day1 = new AlertHarness(spark, "t_life",
+      RunClock(LocalDateTime.of(2026, 8, 11, 9, 0)))
+    day1.dropTemps(Seq("alerts"))
+    day1.appendTemp(mkAlert(Seq((1, 10), (2, 20))), "alerts")
+    day1.finalize("alerts")
+    assert(spark.table("t_life.alerts").count() == 2)
+    assert(spark.table("t_life.hist_alerts").count() == 2)
+
+    // day 2 same month: history accumulates both days
+    val day2 = new AlertHarness(spark, "t_life",
+      RunClock(LocalDateTime.of(2026, 8, 12, 9, 0)))
+    day2.appendTemp(mkAlert(Seq((3, 30))), "alerts")
+    day2.finalize("alerts")
+    assert(spark.table("t_life.alerts").count() == 1)
+    val hist = spark.table("t_life.hist_alerts")
+    assert(hist.count() == 3)
+    assert(hist.select("dt_calculo").distinct().count() == 2)
+
+    // re-run day 2: that day's rows replaced, day 1 untouched
+    val day2b = new AlertHarness(spark, "t_life",
+      RunClock(LocalDateTime.of(2026, 8, 12, 18, 0)))
+    day2b.appendTemp(mkAlert(Seq((4, 40), (5, 50))), "alerts")
+    day2b.finalize("alerts")
+    val hist2 = spark.table("t_life.hist_alerts")
+    assert(hist2.count() == 4) // 2 (day1) + 2 (day2 re-run)
+    assert(hist2.filter(col("dt_calculo") === "20260811").count() == 2)
+    assert(hist2.filter(col("dt_calculo") === "20260812").count() == 2)
+  }
+
+  test("per-row sigla override is preserved (PRCR1-4 pattern)") {
+    val h = new AlertHarness(spark, "t_sigla",
+      RunClock(LocalDateTime.of(2026, 8, 12, 10, 0)))
+    val alert = new Alert {
+      val sigla = "PRCR"
+      val family = SchemaConform.Mgp
+      val keyCols = Seq("alrt_docu_dk")
+      def build(s: SparkSession): DataFrame = {
+        import s.implicits._
+        Seq((1, 10, "PRCR1"), (2, 20, "PRCR4"))
+          .toDF("alrt_docu_dk", "alrt_orgi_orga_dk", "alrt_sigla")
+      }
+    }
+    val keys = h.conformAlert(alert).select("alrt_key", "alrt_sigla")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(keys.values.toSet == Set("PRCR1", "PRCR4"))
+    assert(keys.keys.forall(k => k.startsWith("PRCR1.") || k.startsWith("PRCR4.")))
+  }
+}
