@@ -6,10 +6,12 @@ import graft.queries._
 /** Central query registry: merges every per-domain inventory. */
 object Q {
   val registry: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.registry ++ PipelineQueries.registry ++ HarnessQueries.registry
+    RelationalQueries.registry ++ PipelineQueries.registry ++
+      HarnessQueries.registry ++ ExtensionQueries.registry
 
   val oracles: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles ++ HarnessQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++
+      HarnessQueries.oracles ++ ExtensionQueries.oracles
 
   def q01_agg(spark: SparkSession, dir: String): DataFrame =
     registry("q01_agg")(spark, dir)

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sources.Multimodal
+import graft.streaming.EventStream
+
+/** Engine-extension queries: multimodal binary plumbing and Structured
+  * Streaming, both oracle-checked where the computation is
+  * SQL-expressible (the stub decode is deterministic, so even the
+  * mapPartitions path has an exact DuckDB oracle).
+  */
+object ExtensionQueries {
+
+  val FrameEveryMs = 250
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // mapPartitions batched "decode" over binary media columns
+    "q45_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.synthesize(Tables.load(s, dir, "documents"))).toDF()),
+
+    // metadata-driven frame sampling (generator over video rows);
+    // frame payload surfaced as its length so the oracle is exact
+    "q46_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.synthesize(Tables.load(s, dir, "documents")), FrameEveryMs)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          length(col("frame_bytes")).as("n_frame_bytes"))),
+
+    // Structured Streaming hourly windowed aggregation, drained via
+    // Trigger.AvailableNow — must equal the batch GROUP BY
+    "q47_stream_hourly" -> ((s, dir) => EventStream.hourlyCounts(s, dir)),
+
+    // flatMapGroupsWithState keyed session state, drained to memory
+    "q48_stream_sessions" -> ((s, dir) => EventStream.userSessions(s, dir))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q45_multimodal_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ord(substr(text, i, 1)) AS b
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |        FROM documents)),
+        |m AS (SELECT doc_id, count(*) AS n, CAST(sum(b) AS DOUBLE) / count(*) AS mean
+        |      FROM chars GROUP BY doc_id),
+        |v AS (SELECT chars.doc_id, round(sum(pow(b - mean, 2)) / n, 6) AS variance
+        |      FROM chars JOIN m ON chars.doc_id = m.doc_id GROUP BY chars.doc_id, n),
+        |d AS (SELECT doc_id, ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+        |             CAST(n_chars % 64 + 16 AS DOUBLE) AS w, CAST(n_chars % 48 + 16 AS DOUBLE) AS h
+        |      FROM documents)
+        |SELECT d.doc_id AS media_id, modality, CAST(n AS INTEGER) AS n_bytes,
+        |  [CAST(n AS DOUBLE), round(mean, 6), variance, w, h] AS features
+        |FROM d JOIN m ON d.doc_id = m.doc_id JOIN v ON d.doc_id = v.doc_id""".stripMargin,
+    "q46_frame_sample" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, length(text) AS len,
+         |    greatest((n_chars * 10) // $FrameEveryMs, 1) AS n_frames
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+         |  CAST(i * $FrameEveryMs AS INTEGER) AS ts_ms,
+         |  CAST(least((i + 1) * len // n_frames, len)
+         |    - least(i * len // n_frames, len) AS INTEGER) AS n_frame_bytes
+         |FROM (SELECT media_id, len, n_frames,
+         |        unnest(generate_series(0, n_frames - 1)) AS i
+         |      FROM media)""".stripMargin,
+    "q47_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q48_stream_sessions" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming over the `events` table (an engine extension —
+  * the reference is batch-only, SURVEY.md §2.9).
+  *
+  * Patterns covered:
+  *  - file-source `readStream` with explicit schema (streaming sources
+  *    cannot infer), watermarking on the event time
+  *  - hourly tumbling-window aggregation (`window()` + groupBy) — the
+  *    scale path for streaming rollups: state is bounded by watermark,
+  *    partial aggregation happens map-side exactly as in batch
+  *  - `flatMapGroupsWithState` sessionization — custom per-key state
+  *    with processing-time-independent logic
+  *
+  * `Trigger.AvailableNow` drains the source then stops, which makes
+  * the streaming path runnable (and oracle-checkable against a batch
+  * GROUP BY) inside the batch Verify harness.
+  */
+object EventStream {
+
+  /** Raw parquet schema of events (ts as nano-long via nanosAsLong). */
+  private def rawSchema(spark: SparkSession, dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
+
+  /** Streaming source with event-time timestamp rebuilt. The file
+    * source requires a directory or glob, so address the single
+    * parquet file via a glob with the table dir as basePath. */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema(spark, dir))
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Hourly tumbling-window counts per event type, drained to a memory
+    * sink. Complete output mode so every window is emitted on drain. */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_stream_hourly"
+    val agg = source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("total"))
+    val q = agg.writeStream
+      .format("memory").queryName(qName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qName)
+  }
+
+  case class SessionState(nEvents: Long, total: Double, lastTsMicros: Long)
+  case class SessionOut(user_id: Long, n_events: Long, total: Double)
+
+  /** Per-user running session via flatMapGroupsWithState: emits one
+    * summary row per user per drain. Demonstrates custom keyed state;
+    * state size is O(#users), partitioned by key across executors. */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = source(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    val qName = "graft_stream_sessions"
+    val q = events.as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val (n, tot, maxTs) = rows.foldLeft((prev.nEvents, prev.total, prev.lastTsMicros)) {
+            case ((cn, ct, mt), (_, ts, v)) =>
+              (cn + 1, ct + v, math.max(mt, ts.getTime * 1000))
+          }
+          state.update(SessionState(n, tot, maxTs))
+          // rounded at emission so the result is independent of the
+          // (shuffle-order-dependent) fold order of the double sum
+          Iterator(SessionOut(user, n,
+            BigDecimal(tot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      .writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qName)
+  }
+}

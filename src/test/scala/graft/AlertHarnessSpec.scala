@@ -34,7 +34,11 @@ class AlertHarnessSpec extends SparkTestBase {
   }
 
   test("full lifecycle: final overwrite, hist month-merge, same-day replace") {
+    // fresh physical location every run: leftover managed-table dirs
+    // from a previous JVM would otherwise fail saveAsTable
     spark.sql("DROP DATABASE IF EXISTS t_life CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("graft_t_life")
+    spark.sql(s"CREATE DATABASE t_life LOCATION '$loc'")
     val day1 = new AlertHarness(spark, "t_life",
       RunClock(LocalDateTime.of(2026, 8, 11, 9, 0)))
     day1.dropTemps(Seq("alerts"))
