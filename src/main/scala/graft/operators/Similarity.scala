@@ -25,8 +25,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two double-array columns, sequential-sum
-    * semantics (portable: same order as DuckDB's list functions). */
-  def cosine(a: Column, b: Column): Column = {
+    * semantics (portable: same order as DuckDB's list functions).
+    * Backed by the custom codegen'd [[graft.functions.CosineSim]]
+    * expression — one fused loop instead of three interpreted
+    * higher-order-function chains (see [[cosineComposable]]). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.GraftColumns.cosineSim(a, b)
+
+  /** The built-ins-only formulation (preference-order step (a)):
+    * identical semantics, kept as the cross-check for the custom
+    * expression and as the fallback if extensions are unavailable. */
+  def cosineComposable(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
