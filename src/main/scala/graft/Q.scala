@@ -7,11 +7,13 @@ import graft.queries._
 object Q {
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.registry ++ PipelineQueries.registry ++
-      HarnessQueries.registry ++ ExtensionQueries.registry
+      HarnessQueries.registry ++ ExtensionQueries.registry ++
+      ScaleQueries.registry
 
   val oracles: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
-      HarnessQueries.oracles ++ ExtensionQueries.oracles
+      HarnessQueries.oracles ++ ExtensionQueries.oracles ++
+      ScaleQueries.oracles
 
   def q01_agg(spark: SparkSession, dir: String): DataFrame =
     registry("q01_agg")(spark, dir)

@@ -47,13 +47,17 @@ object Dedup {
   def minhashCandidatePairs(sigs: DataFrame, idCol: String, k: Int,
                             bands: Int): DataFrame = {
     val rows = k / bands
+    // cache: the banded frame feeds both sides of the self-join — the
+    // explicit materialization barrier (Catalyst does not dedupe
+    // common subtrees, so without it the signature aggregation runs
+    // twice; same pattern as the reference's cached spine)
     val banded = Relational.unpivot(
       sigs.select(col(idCol) +: (0 until bands).map { b =>
         concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
           .as(s"band_$b")
       }: _*),
       Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
-      nameCol = "band", valueCol = "sig")
+      nameCol = "band", valueCol = "sig").cache()
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
@@ -89,6 +93,7 @@ object Dedup {
         (0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255).as(s"c_$c")): _*)
     val banded = Relational.unpivot(chunked, Seq(idCol, "simhash"),
       (0 until 4).map(c => s"$c" -> s"c_$c"), nameCol = "chunk", valueCol = "v")
+      .cache() // feeds both self-join sides (see minhashCandidatePairs)
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
       col("chunk"), col("v"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
@@ -114,11 +119,13 @@ object Dedup {
           s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(ws, i + $j)").mkString(", ")}))"))
         .as("g"))
       .distinct()
+      .cache() // referenced 4x below (per-doc counts, df filter, both join sides)
     val perDoc = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_g"))
     val filtered = shingles.join(
       shingles.groupBy("g").agg(count(lit(1)).as("df_g"))
         .filter(col("df_g") <= maxDocFreq).select("g"),
       Seq("g"))
+      .cache() // both sides of the pair join
     val a = filtered.select(col(idCol).as("id_a"), col("g"))
     val b = filtered.select(col(idCol).as("id_b"), col("g"))
     val shared = a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))

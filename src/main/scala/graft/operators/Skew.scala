@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join patterns for the 100 TB path.
+  *
+  * AQE's skew-join splitting handles most cases at runtime; explicit
+  * salting remains the tool when one build-side key is so hot that even
+  * split shuffle partitions overwhelm a task (the classic power-law
+  * key). Semantics are identical to the plain join — provable, so the
+  * salted form carries the plain join's oracle.
+  */
+object Skew {
+
+  /** Salted inner equi-join of a skewed fact against a dimension:
+    * fact rows get a random-ish (here: deterministic modulo) salt in
+    * [0, buckets); the dimension is replicated `buckets` times; the
+    * join key becomes (key, salt), spreading each hot key over
+    * `buckets` shuffle partitions.
+    *
+    * The salt MUST be deterministic here for oracle comparability —
+    * production would use `pmod(hash(monotonically_increasing_id), n)`
+    * or `rand()`; the topology (explode dim × salt, join on key+salt)
+    * is identical.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, saltSource: Column, buckets: Int): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(saltSource, lit(buckets)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated,
+        salted(factKey) === replicated(dimKey) &&
+          salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+}

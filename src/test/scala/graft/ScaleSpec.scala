@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.core.Tables
+import graft.operators.Skew
+
+/** Scale-path invariants: salting preserves semantics, sketches stay
+  * within tolerance, bucketed co-located joins eliminate the shuffle. */
+class ScaleSpec extends SparkTestBase {
+
+  test("salted join result == plain join result") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val p = Tables.load(spark, sfDir, "part")
+    val plain = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"))
+    val salted = Skew.saltedJoin(li, p, "l_partkey", "p_partkey",
+        col("l_orderkey"), 8)
+      .groupBy("p_brand").agg(sum("l_quantity").as("q"))
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val r = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+      countDistinct(col("l_orderkey")).as("exact")).head
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle in the plan") {
+    // fresh physical location every run (stale managed dirs from a
+    // previous JVM would fail saveAsTable)
+    spark.sql("DROP DATABASE IF EXISTS b_test CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("graft_bucketed")
+    spark.sql(s"CREATE DATABASE b_test LOCATION '$loc'")
+    Tables.load(spark, sfDir, "lineitem")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_test.b_lineitem")
+    Tables.load(spark, sfDir, "orders")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_test.b_orders")
+    val joined = spark.table("b_test.b_lineitem")
+      .join(spark.table("b_test.b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"expected shuffle-free co-located join, found ${shuffles.size} exchanges")
+    assert(joined.count() > 0)
+  }
+}
