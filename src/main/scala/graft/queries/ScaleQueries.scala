@@ -33,14 +33,34 @@ object ScaleQueries {
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          count(lit(1)).as("n_rows")))
+          count(lit(1)).as("n_rows"))),
+
+    // as-of join: attribute each click to the latest prior-or-equal
+    // view by the same user (single-shuffle union+window composition)
+    "q51_asof_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.Relational
+        .asofJoin(clicks, views, "user_id", "ts", Seq("event_id", "value"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("r_event_id").as("view_id"), col("r_value").as("view_value"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
     "q49_salted_join" ->
       """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE p_type = 'ECONOMY' GROUP BY p_brand""".stripMargin
+        |WHERE p_type = 'ECONOMY' GROUP BY p_brand""".stripMargin,
     // q50 intentionally has no oracle: approximate result
+    "q51_asof_join" ->
+      """SELECT l.event_id AS click_id, l.user_id,
+        |  r.event_id AS view_id, r.value AS view_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Relational
+
+/** Property-based equivalences from SURVEY.md §5.4: the reference's
+  * emulated operators must agree with the native Spark forms on
+  * arbitrary generated inputs (scalacheck Gen, fixed seeds). */
+class PropertySpec extends SparkTestBase {
+
+  private val rowsGen = Gen.listOfN(40,
+    Gen.zip(Gen.choose(0, 8), Gen.choose(0, 20), Gen.choose(0, 5)))
+
+  private val params = Gen.Parameters.default
+
+  private def sample(seed: Long): List[(Int, Int, Int)] =
+    rowsGen.pureApply(params, Seed(seed))
+
+  test("left_anti == LEFT JOIN + right-key IS NULL (J4 emulation)") {
+    import spark.implicits._
+    (1L to 5L).foreach { seed =>
+      val l = sample(seed).toDF("k", "v", "x")
+      val r = sample(seed + 100).map(t => (t._1, t._2)).toDF("rk", "rv")
+      val native = l.join(r.select("rk").distinct(),
+        l("k") === col("rk"), "left_anti")
+      val emulated = l.join(r.select("rk").distinct(),
+        l("k") === col("rk"), "left")
+        .filter(col("rk").isNull).drop("rk")
+      assert(native.exceptAll(emulated).isEmpty &&
+        emulated.exceptAll(native).isEmpty, s"seed $seed")
+    }
+  }
+
+  test("groupBy+join-back == window row_number on tie-free data (J7)") {
+    import spark.implicits._
+    (1L to 5L).foreach { seed =>
+      // make (k, v) tie-free: one row per (k, v)
+      val df = sample(seed).toDF("k", "v", "x")
+        .groupBy("k", "v").agg(max("x").as("x"))
+      val joinBack = Relational.maxPerGroupJoinBack(df, "k", "v")
+        .select("k", "v", "x")
+      val windowed = Relational.latestPerGroup(df, Seq("k"),
+          Seq(col("v").desc))
+        .select("k", "v", "x")
+      assert(joinBack.exceptAll(windowed).isEmpty &&
+        windowed.exceptAll(joinBack).isEmpty, s"seed $seed")
+    }
+  }
+
+  test("unpivot == union-all of per-measure selects (U2)") {
+    import spark.implicits._
+    (1L to 5L).foreach { seed =>
+      val df = sample(seed).toDF("id", "m1", "m2")
+      val stacked = Relational.unpivot(df, Seq("id"),
+        Seq("a" -> "m1", "b" -> "m2"))
+      val unioned = df.select(col("id"), lit("a").as("measure"), col("m1").as("val"))
+        .union(df.select(col("id"), lit("b").as("measure"), col("m2").as("val")))
+      assert(stacked.exceptAll(unioned).isEmpty &&
+        unioned.exceptAll(stacked).isEmpty, s"seed $seed")
+    }
+  }
+}

@@ -33,6 +33,20 @@ class RelationalSpec extends SparkTestBase {
       (2, "one", 30.0), (2, "two", 40.0)))
   }
 
+  test("asofJoin attaches latest right row at or before left ts") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 50L))
+      .toDF("event_id", "key", "t")
+    val right = Seq(("u1", 100L, "a"), ("u1", 200L, "b"), ("u2", 300L, "c"))
+      .toDF("key", "t", "payload")
+    val out = Relational.asofJoin(left, right, "key", "t", Seq("payload"))
+      .select("event_id", "r_payload").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L).contains("a"))  // tie: right at same ts is inclusive
+    assert(out(2L).contains("b"))  // latest of the two earlier rights
+    assert(out(3L).isEmpty)        // no right row at or before → null
+  }
+
   test("every registered query runs on sf0.001 and keeps its column names") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
