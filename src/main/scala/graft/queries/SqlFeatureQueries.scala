@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SQL-surface completeness: multi-level aggregation (ROLLUP), pivot,
+  * semi-structured JSON columns, and exact interpolated percentiles —
+  * capabilities a user migrating from any SQL-on-files engine expects,
+  * each with a DuckDB oracle.
+  */
+object SqlFeatureQueries {
+
+  val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ROLLUP: grand total + per-status + per-(status, priority) in one
+    // pass (partial aggregation handles all grouping sets map-side)
+    "q52_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
+
+    // pivot with an explicit value list (no extra distinct pass; the
+    // pivot becomes conditional aggregation, one shuffle)
+    "q53_pivot" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderpriority", Priorities)
+        .agg(count(lit(1)))
+    }),
+
+    // JSON column extraction (events.props) — codegen'd path walker,
+    // no UDF; the 100 TB pattern for semi-structured sidecars
+    "q54_json_extract" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .groupBy(col("k_val"))
+        .agg(count(lit(1)).as("n"))),
+
+    // exact interpolated percentiles (linear / type-7, same as
+    // DuckDB's quantile_cont)
+    "q55_percentile" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q52_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q53_pivot" -> {
+      val cols = Priorities.map(p =>
+        s"""sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS "$p"""").mkString(", ")
+      s"""SELECT c_mktsegment, $cols
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin
+    },
+    "q54_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |count(*) AS n FROM events GROUP BY 1""".stripMargin,
+    "q55_percentile" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin
+  )
+}
