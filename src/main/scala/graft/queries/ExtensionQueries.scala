@@ -36,7 +36,10 @@ object ExtensionQueries {
     "q47_stream_hourly" -> ((s, dir) => EventStream.hourlyCounts(s, dir)),
 
     // flatMapGroupsWithState keyed session state, drained to memory
-    "q48_stream_sessions" -> ((s, dir) => EventStream.userSessions(s, dir))
+    "q48_stream_sessions" -> ((s, dir) => EventStream.userSessions(s, dir)),
+
+    // stream-static broadcast enrichment (stateless per micro-batch)
+    "q56_stream_enrich" -> ((s, dir) => EventStream.enriched(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,6 +76,10 @@ object ExtensionQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q48_stream_sessions" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q56_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

@@ -57,6 +57,26 @@ object EventStream {
     spark.table(qName)
   }
 
+  /** Stream-static enrichment: the streaming micro-batches probe the
+    * static dimension as an ordinary broadcast join per batch — the
+    * canonical pattern for dimension lookups in a 100 TB streaming
+    * ingest (no state store involved; stateless append mode). */
+  def enriched(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.core.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val qName = "graft_stream_enriched"
+    val q = source(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qName)
+  }
+
   case class SessionState(nEvents: Long, total: Double, lastTsMicros: Long)
   case class SessionOut(user_id: Long, n_events: Long, total: Double)
 
