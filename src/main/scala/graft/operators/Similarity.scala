@@ -94,6 +94,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rn")
   }
 
+  /** Deterministic ±1 random-hyperplane signs (md5 parity of a fixed
+    * seed string) — reproducible across engines and runs. */
+  def planeSigns(nPlanes: Int, dim: Int): Seq[Array[Int]] =
+    (0 until nPlanes).map { j =>
+      Array.tabulate(dim) { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"p$j-$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if ((Integer.parseInt(hex.takeRight(1), 16) & 1) == 1) 1 else -1
+      }
+    }
+
+  /** Sign-random-projection LSH bucket id: bit j of the bucket is the
+    * sign of the dot product with hyperplane j. The dot products are
+    * static ±element sums (no higher-order functions — plain codegen'd
+    * Add chains), so this is a narrow, shuffle-free projection. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    planeSigns(nPlanes, dim).zipWithIndex.map { case (signs, j) =>
+      val dot = signs.zipWithIndex.map { case (s, i) =>
+        element_at(vec, i + 1) * lit(s.toDouble)
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-dup pairs — the scale path for all-pairs
+    * similarity: candidates share an LSH bucket (equi-join on the
+    * bucket id; expected bucket size n/2^planes), then exact cosine
+    * filters. Complements [[nearDupPairs]] (pre-assigned cells) and
+    * [[ivfTopK]] (centroid probing). */
+  def lshNearDup(df: DataFrame, idCol: String, vecCol: String,
+                 nPlanes: Int, dim: Int, minCos: Double): DataFrame = {
+    val withBucket = df.select(col(idCol),
+      asDouble(col(vecCol)).as("v"),
+      lshBucket(asDouble(col(vecCol)), nPlanes, dim).as("bucket"))
+      .cache() // feeds both self-join sides
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+    // no distinct needed: each vector is in exactly one bucket
+  }
+
   /** Embedding near-duplicate pairs: intra-cell pairs with cosine above
     * threshold. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,

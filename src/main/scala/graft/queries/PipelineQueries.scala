@@ -23,6 +23,8 @@ object PipelineQueries {
   val TopK = 5
   val IvfProbes = 2
   val NearDupMinCos = 0.25
+  val LshPlanes = 6
+  val EmbeddingDim = 64
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -65,6 +67,10 @@ object PipelineQueries {
     "q43_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", "label",
         NearDupMinCos)),
+
+    "q57_ann_lsh" -> ((s, dir) =>
+      Similarity.lshNearDup(embs(s, dir), "vec_id", "embedding",
+        LshPlanes, EmbeddingDim, NearDupMinCos)),
 
     "q39_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
@@ -190,6 +196,24 @@ object PipelineQueries {
        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= $NearDupMinCos""".stripMargin
 
+  /** LSH bucket as SQL: the same ±1 plane signs baked as literal
+    * coefficient sums, identical term order to the Spark expression. */
+  private val annLshSql: String = {
+    val signs = Similarity.planeSigns(LshPlanes, EmbeddingDim)
+    val bucket = signs.zipWithIndex.map { case (row, j) =>
+      val dot = row.zipWithIndex.map { case (s, i) =>
+        s"(CAST(embedding[${i + 1}] AS DOUBLE) * ${s.toDouble})"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ($bucket) AS bucket FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |    round(${cosSql("a.v", "b2.v")}, 6) AS cos_sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |WHERE cos_sim >= $NearDupMinCos""".stripMargin
+  }
+
   private val langidSql: String = {
     val scoreCols = TextAnalysis.langOrder.map { lang =>
       val set = TextAnalysis.langMarkers(lang).map(w => s"'$w'").mkString(", ")
@@ -236,6 +260,7 @@ object PipelineQueries {
     "q37_cosine_topk" -> cosineTopkSql,
     "q38_ann_ivf" -> annIvfSql,
     "q43_embed_neardup" -> embedNearDupSql,
+    "q57_ann_lsh" -> annLshSql,
     "q39_langid" -> langidSql,
     "q40_text_quality" -> qualitySql,
     "q41_tokenize" -> tokenizeSql,
