@@ -39,7 +39,18 @@ object ExtensionQueries {
     "q48_stream_sessions" -> ((s, dir) => EventStream.userSessions(s, dir)),
 
     // stream-static broadcast enrichment (stateless per micro-batch)
-    "q56_stream_enrich" -> ((s, dir) => EventStream.enriched(s, dir))
+    "q56_stream_enrich" -> ((s, dir) => EventStream.enriched(s, dir)),
+
+    // sliding event-time windows (2h length, 1h slide): each event
+    // lands in two overlapping windows — the same window() operator
+    // drives the streaming path; verified here in batch form
+    "q58_sliding_window" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,6 +91,14 @@ object ExtensionQueries {
     "q56_stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n
         |FROM events LEFT JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q58_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM (SELECT event_type, value,
+        |        unnest([date_trunc('hour', ts),
+        |                date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        |      FROM events)
+        |GROUP BY 1, 2""".stripMargin
   )
 }
