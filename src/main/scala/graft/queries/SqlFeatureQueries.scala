@@ -50,7 +50,22 @@ object SqlFeatureQueries {
         .agg(
           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // set operations beyond union: INTERSECT / EXCEPT (set semantics)
+    "q59_intersect" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      urgent.intersect(open)
+    }),
+    "q60_except" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").select(col("c_custkey"))
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      c.except(urgent)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -71,6 +86,15 @@ object SqlFeatureQueries {
     "q55_percentile" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n
-        |FROM orders GROUP BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q59_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q60_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin
   )
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.Slugify
+
+/** Vectors for the slugify expression (reference F2 semantics:
+  * NFD-decompose, strip non-ascii, whitespace runs to '-', lowercase). */
+class SlugifySpec extends SparkTestBase {
+
+  private def slug(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("s").select(Slugify.slugify(col("s"))).head.getString(0)
+  }
+
+  test("accents decompose to base letters") {
+    assert(slug("Ação Penal") == "acao-penal")
+    assert(slug("José María") == "jose-maria")
+  }
+
+  test("whitespace runs collapse to single dash, case lowers") {
+    assert(slug("  Grupo   DE \t Atuação ") == "grupo-de-atuacao")
+  }
+
+  test("registered SQL function works") {
+    Slugify.register(spark)
+    val r = spark.sql("SELECT slugify('São Paulo  MPRJ') AS s").head.getString(0)
+    assert(r == "sao-paulo-mprj")
+  }
+
+  test("null propagates") {
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("s")
+      .select(Slugify.slugify(col("s"))).head
+    assert(r.isNullAt(0))
+  }
+}
