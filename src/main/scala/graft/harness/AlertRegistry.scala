@@ -22,7 +22,8 @@ object AlertRegistry {
     * PRCR's detail table and ABR1/ISPS aux tables are wired by
     * [[runAll]] into the target schema like the reference's options
     * injection (jobs.py:128-130). */
-  def enabled(clock: RunClock, schema: String): Seq[(Alert, String)] = Seq(
+  def enabled(clock: RunClock, schema: String,
+              prescricaoLimiar: Int = 90): Seq[(Alert, String)] = Seq(
     new GateAlert(clock) -> MgpTable,
     new BdpaAlert(clock) -> MgpTable,
     new Ic1aAlert(clock) -> MgpTable,
@@ -30,7 +31,8 @@ object AlertRegistry {
     new OuviAlert -> MgpTable,
     new Pa1aAlert(clock) -> MgpTable,
     new PpfpAlert(clock) -> MgpTable,
-    new PrcrAlert(clock, auxTable = Some(s"$schema.mmps_alerta_detalhe_prcr")) -> MgpTable,
+    new PrcrAlert(clock, limiar = prescricaoLimiar,
+      auxTable = Some(s"$schema.mmps_alerta_detalhe_prcr")) -> MgpTable,
     VadfAlert -> MgpTable,
     new Nf30Alert(clock) -> MgpTable,
     new Dt2iAlert(clock) -> MgpTable,
@@ -92,9 +94,10 @@ object AlertRegistry {
     * cached documentos_ativos spine, per-alert conform+append, then
     * the final/hist writer per family table. */
   def runAll(spark: SparkSession, schema: String, clock: RunClock,
-             includeDisabled: Boolean = false): Unit = {
+             includeDisabled: Boolean = false,
+             prescricaoLimiar: Int = 90): Unit = {
     val harness = new AlertHarness(spark, schema, clock)
-    val alerts = enabled(clock, schema) ++
+    val alerts = enabled(clock, schema, prescricaoLimiar) ++
       (if (includeDisabled) disabled(clock) else Seq.empty)
     val tables = alerts.map(_._2).distinct
     harness.dropTemps(tables)
