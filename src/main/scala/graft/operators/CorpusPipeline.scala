@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning — the composition a training-data
+  * pipeline actually runs, as one operator: language gate + quality
+  * gate (narrow, zero-shuffle scalar metrics) → exact dedup (one
+  * shuffle on a 16-byte digest) → MinHash-LSH near-dup removal (bucket
+  * equi-join, greedy keep-lowest-id). Built from the same primitives
+  * as the standalone operators ([[TextAnalysis]], [[Dedup]]) so every
+  * stage keeps its individual oracle, and the composition gets its own.
+  *
+  * Scale shape: two shuffles on doc_id (language scores, signatures),
+  * one on content hash, one on LSH bucket — all key-partitioned
+  * equi-joins, no all-pairs stage anywhere; the survivor set is cached
+  * once where it fans out into the signature and anti-join branches.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+    keepLangs: Seq[String],
+    minWords: Int,
+    minQualityScore: Double,
+    minhashK: Int,
+    minhashBands: Int)
+
+  /** Clean `df` down to surviving documents, with the metrics that
+    * drove the decisions: (id, pred_lang, n_words, quality_score). */
+  def clean(df: DataFrame, idCol: String, textCol: String,
+            cfg: Config): DataFrame = {
+    // narrow per-doc metrics + language argmax (one shuffle on id)
+    val quality = TextAnalysis.quality(df, idCol, textCol)
+      .select(col(idCol), col("n_words"), col("quality_score"))
+    val lang = TextAnalysis.languageId(df, idCol, textCol)
+      .select(col(idCol), col("pred_lang"))
+    val kept = df.select(col(idCol), col(textCol))
+      .join(quality, Seq(idCol))
+      .join(lang, Seq(idCol))
+      .filter(col("pred_lang").isin(cfg.keepLangs: _*) &&
+        col("n_words") >= cfg.minWords &&
+        col("quality_score") >= cfg.minQualityScore)
+
+    // exact dedup: canonical row = min id per content digest
+    val hashed = kept.withColumn("content_hash", md5(col(textCol)))
+    val exact = hashed.join(
+      hashed.groupBy(col("content_hash")).agg(min(col(idCol)).as(idCol)),
+      Seq("content_hash", idCol), "left_semi")
+      .drop("content_hash")
+      .cache() // fans out: LSH signature branch + final anti-join probe
+
+    // near-dup removal: any candidate partner with a smaller id wins
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(exact, idCol, textCol, cfg.minhashK),
+      idCol, cfg.minhashK, cfg.minhashBands)
+    exact
+      .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .select(col(idCol), col("pred_lang"), col("n_words"), col("quality_score"))
+  }
+}

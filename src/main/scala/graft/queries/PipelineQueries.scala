@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Similarity, TextAnalysis}
 import graft.functions.PortableHash
 
 /** Training-data-pipeline operator inventory (dedup / similarity /
@@ -25,6 +25,9 @@ object PipelineQueries {
   val NearDupMinCos = 0.25
   val LshPlanes = 6
   val EmbeddingDim = 64
+  val CorpusLangs = Seq("en", "es")
+  val CorpusMinWords = 5
+  val CorpusMinQuality = 0.05
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -82,7 +85,12 @@ object PipelineQueries {
       TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")),
 
     "q42_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text"))
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
+
+    "q61_corpus_clean" -> ((s, dir) =>
+      CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
+        CorpusPipeline.Config(CorpusLangs, CorpusMinWords, CorpusMinQuality,
+          MinhashK, MinhashBands)))
   )
 
   // ---------- generated oracle SQL ----------
@@ -248,6 +256,42 @@ object PipelineQueries {
        |        FROM documents)
        |  GROUP BY doc_id, text)""".stripMargin
 
+  /** The whole cleaning composition as one generated oracle: the same
+    * language/quality/minhash constants, the survivor `words` CTE
+    * feeding the shared signature SELECT. */
+  private val corpusCleanSql: String = {
+    val scoreCols = TextAnalysis.langOrder.map { lang =>
+      val set = TextAnalysis.langMarkers(lang).map(w => s"'$w'").mkString(", ")
+      s"CAST(sum(CASE WHEN w IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS score_$lang"
+    }.mkString(", ")
+    val langsIn = CorpusLangs.map(l => s"'$l'").mkString(", ")
+    val rows = MinhashK / MinhashBands
+    val bandBranches = (0 until MinhashBands).map { b =>
+      val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
+      s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH lw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |ls AS (SELECT doc_id, $scoreCols FROM lw GROUP BY doc_id),
+       |lang AS (SELECT doc_id, ${TextAnalysis.languageIdPredSql} AS pred_lang FROM ls),
+       |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
+       |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+       |     len(string_split(text, ' '))), 6) AS quality_score FROM documents),
+       |kept AS (SELECT d.doc_id, d.text, lang.pred_lang, q.n_words, q.quality_score
+       |  FROM documents d JOIN lang USING (doc_id) JOIN q USING (doc_id)
+       |  WHERE pred_lang IN ($langsIn) AND n_words >= $CorpusMinWords
+       |    AND quality_score >= $CorpusMinQuality),
+       |exact AS (SELECT * FROM kept WHERE doc_id IN (
+       |  SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+       |words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM exact),
+       |sigs AS ($minhashSigsSelect),
+       |bands AS ($bandBranches),
+       |dropped AS (SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT doc_id, pred_lang, n_words, quality_score FROM exact
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q31_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -264,6 +308,7 @@ object PipelineQueries {
     "q39_langid" -> langidSql,
     "q40_text_quality" -> qualitySql,
     "q41_tokenize" -> tokenizeSql,
-    "q42_fingerprint" -> fingerprintSql
+    "q42_fingerprint" -> fingerprintSql,
+    "q61_corpus_clean" -> corpusCleanSql
   )
 }

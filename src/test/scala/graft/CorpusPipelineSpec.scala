@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.CorpusPipeline
+
+/** Planted-case semantics for the end-to-end corpus cleaner: each
+  * gate (language, length, quality, exact-dup, near-dup) removes
+  * exactly its planted document. */
+class CorpusPipelineSpec extends SparkTestBase {
+
+  private val cfg = CorpusPipeline.Config(
+    keepLangs = Seq("en"), minWords = 4, minQualityScore = 0.01,
+    minhashK = 16, minhashBands = 2)
+
+  test("each gate drops its planted doc; near-dup keeps the lowest id") {
+    import spark.implicits._
+    val en = "the quick fast query scans a wide table of rows"
+    val docs = Seq(
+      (1, en),                                        // survives
+      (2, en),                                        // exact dup of 1 -> dropped
+      (3, en + " extra"),                             // near dup of 1 -> dropped
+      (4, "el la de el la de query data el la"),      // es -> dropped
+      (5, "the a and"),                               // too short -> dropped
+      (6, "the of and a fast unique words here now")  // survives
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, "doc_id", "text", cfg)
+    val ids = out.select("doc_id").collect().map(_.getInt(0)).toSet
+    assert(ids == Set(1, 6))
+    // survivors carry the metrics that drove the decisions
+    assert(out.columns.toSet ==
+      Set("doc_id", "pred_lang", "n_words", "quality_score"))
+    assert(out.filter($"pred_lang" =!= "en").isEmpty)
+  }
+
+  test("near-dup removal is off-able via bands beyond signature width") {
+    import spark.implicits._
+    val en = "the quick fast query scans a wide table of rows"
+    val docs = Seq((1, en), (3, en + " extra")).toDF("doc_id", "text")
+    // k/bands rows per band: full-width single band only merges exact
+    // signature matches; doc 3's extra word shifts some of the 16 mins
+    val strict = CorpusPipeline.clean(docs, "doc_id", "text",
+      cfg.copy(minhashBands = 1))
+    assert(strict.count() == 2)
+  }
+}
