@@ -41,6 +41,9 @@ object ExtensionQueries {
     // stream-static broadcast enrichment (stateless per micro-batch)
     "q56_stream_enrich" -> ((s, dir) => EventStream.enriched(s, dir)),
 
+    // watermark-bounded streaming dedup on the retry-duplicate key
+    "q62_stream_dedup" -> ((s, dir) => EventStream.dedupedCounts(s, dir)),
+
     // sliding event-time windows (2h length, 1h slide): each event
     // lands in two overlapping windows — the same window() operator
     // drives the streaming path; verified here in batch form
@@ -92,6 +95,10 @@ object ExtensionQueries {
       """SELECT c_mktsegment, count(*) AS n
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q62_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_unique
+        |FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+        |GROUP BY event_type""".stripMargin,
     "q58_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

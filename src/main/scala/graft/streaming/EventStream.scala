@@ -77,6 +77,27 @@ object EventStream {
     spark.table(qName)
   }
 
+  /** Streaming idempotency-key dedup: `dropDuplicatesWithinWatermark`
+    * on (user_id, event_type, value) — the retry-duplicate key — keeps
+    * dedup state only until the event-time watermark expires it, which
+    * is the scale-safe form of streaming dedup (unbounded-state
+    * `dropDuplicates` would grow with the corpus). Survivors drain
+    * append-mode to the sink; unique counts fold per type in batch. */
+  def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val qName = "graft_stream_dedup"
+    val q = source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qName).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
   case class SessionState(nEvents: Long, total: Double, lastTsMicros: Long)
   case class SessionOut(user_id: Long, n_events: Long, total: Double)
 
