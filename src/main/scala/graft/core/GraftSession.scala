@@ -24,6 +24,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // deliberate scale choice (not left to version defaults): inject
+      // a bloom filter built from the small side of a shuffle join to
+      // prune the probe side's scan/shuffle — the runtime complement
+      // to static predicate pushdown for selective joins on big facts
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

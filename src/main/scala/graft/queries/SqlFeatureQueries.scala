@@ -42,6 +42,29 @@ object SqlFeatureQueries {
         .groupBy(col("k_val"))
         .agg(count(lit(1)).as("n"))),
 
+    // classic 3-table analytic shape (TPC-H Q3 family): selective dim
+    // filter -> two shuffle joins -> grouped aggregate. Money math in
+    // DecimalType: exact AND order-independent, so the sum is stable
+    // across any shuffle/merge order (doubles would drift at the ulp)
+    "q63_tpch_q3" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < "1997-01-01")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > "1996-01-01")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .as("disc_price"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("disc_price")).as("revenue"))
+        .select(col("l_orderkey"), col("o_orderdate").cast("string").as("o_orderdate"),
+          col("revenue").cast("string").as("revenue"))
+    }),
+
     // exact interpolated percentiles (linear / type-7, same as
     // DuckDB's quantile_cont)
     "q55_percentile" -> ((s, dir) =>
@@ -95,6 +118,19 @@ object SqlFeatureQueries {
       """SELECT c_custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders
-        |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q63_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+        |  CAST(revenue AS VARCHAR) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < '1997-01-01' AND l_shipdate > '1996-01-01'
+        |  GROUP BY 1, 2)""".stripMargin
   )
 }
