@@ -90,6 +90,23 @@ object TextAnalysis {
       size(split(col(textCol), " ")).as("ws_tokens"),
       size(regexp_extract_all(col(textCol), lit(tokenRegex), lit(0))).as("re_tokens"))
 
+  /** PII scrubbing for training corpora: emails then long digit runs
+    * (phone/account-number shaped) replaced by typed placeholders.
+    * Pure regexp_replace scalar chain — codegen'd, no shuffle, and the
+    * patterns avoid backreferences/lookaround so they run identically
+    * on RE2-based engines (the oracle) and Java regex (Spark). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val numberPattern = "[0-9]{4,}"
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+      numberPattern, "<NUM>")
+    df.select(
+      col(idCol),
+      scrubbed.as("clean_text"),
+      (length(col(textCol)) - length(scrubbed)).as("n_chars_removed"))
+  }
+
   /** Document fingerprints: whole-doc md5 plus a winnowing-style
     * min-hash over character 8-grams (rolling-hash family). The 8-gram
     * scan is a per-row array expression — no explode, no shuffle. */

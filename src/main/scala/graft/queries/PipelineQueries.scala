@@ -87,6 +87,9 @@ object PipelineQueries {
     "q42_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
 
+    "q64_redact_pii" -> ((s, dir) =>
+      TextAnalysis.redactPii(docs(s, dir), "doc_id", "text")),
+
     "q61_corpus_clean" -> ((s, dir) =>
       CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
         CorpusPipeline.Config(CorpusLangs, CorpusMinWords, CorpusMinQuality,
@@ -309,6 +312,17 @@ object PipelineQueries {
     "q40_text_quality" -> qualitySql,
     "q41_tokenize" -> tokenizeSql,
     "q42_fingerprint" -> fingerprintSql,
+    // NB: DuckDB standard strings keep backslashes literal, so the
+    // Java-regex pattern strings drop in unchanged; 'g' = replace all
+    // (Spark's regexp_replace default)
+    "q64_redact_pii" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.numberPattern}', '<NUM>', 'g') AS clean_text,
+         |  length(text) - length(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.numberPattern}', '<NUM>', 'g')) AS n_chars_removed
+         |FROM documents""".stripMargin,
     "q61_corpus_clean" -> corpusCleanSql
   )
 }

@@ -31,6 +31,20 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.filter($"pred_lang" =!= "en").isEmpty)
   }
 
+  test("PII redaction scrubs emails and long digit runs, leaves prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "contact me at jane.doe+spam@ex-mail.co.uk or call 5551234567 now"),
+      (2, "pin 123 is short but 1234 is not"),
+      (3, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "contact me at <EMAIL> or call <NUM> now")
+    assert(out(2) == "pin 123 is short but <NUM> is not")
+    assert(out(3) == "no pii here at all")
+  }
+
   test("near-dup removal is off-able via bands beyond signature width") {
     import spark.implicits._
     val en = "the quick fast query scans a wide table of rows"
