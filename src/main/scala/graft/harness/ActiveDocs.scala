@@ -108,15 +108,22 @@ object VadfAlert extends Alert {
   val sigla = "VADF"
   val family = SchemaConform.Mgp
   val keyCols = Seq("alrt_docu_dk", "alrt_dk_referencia")
-  def build(spark: SparkSession): DataFrame =
-    spark.table("documento")
-      .join(spark.table("vista"), col("vist_docu_dk") === col("docu_dk"))
+
+  /** The detection core over explicit frames: stateless join + filter
+    * + project, so the same plan runs batch (build) or with a
+    * streaming `vista` side (streaming/IncrementalAlerts). */
+  def detect(documento: DataFrame, vista: DataFrame): DataFrame =
+    documento
       .filter(col("docu_fsdc_dk") =!= 1)
       .filter(col("docu_tpst_dk") =!= 11)
-      .filter(col("vist_dt_fechamento_vista").isNull)
+      .join(vista.filter(col("vist_dt_fechamento_vista").isNull),
+        col("vist_docu_dk") === col("docu_dk"))
       .select(
         col("docu_dk").as("alrt_docu_dk"),
         col("docu_nr_mp").as("alrt_docu_nr_mp"),
         col("vist_orgi_orga_dk").cast("int").as("alrt_orgi_orga_dk"),
         col("vist_dk").as("alrt_dk_referencia"))
+
+  def build(spark: SparkSession): DataFrame =
+    detect(spark.table("documento"), spark.table("vista"))
 }

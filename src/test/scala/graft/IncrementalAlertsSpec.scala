@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.harness.VadfAlert
+import graft.streaming.IncrementalAlerts
+
+/** The streaming fast path must emit exactly what the batch detector
+  * computes over the same data — arrival order must not matter. */
+class IncrementalAlertsSpec extends SparkTestBase {
+
+  test("streaming VADF over a vista changelog equals the batch detector") {
+    DomainFixtures.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vista_log").toString
+
+    // the changelog arrives as two file slices (two micro-batches)
+    val vista = spark.table("vista")
+    vista.filter(col("vist_dk") < 1400).coalesce(1)
+      .write.mode("append").parquet(dir)
+    vista.filter(col("vist_dk") >= 1400).coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    val streamed = IncrementalAlerts
+      .vadfStream(spark, dir, spark.table("documento"))
+    val batch = VadfAlert.build(spark)
+
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("alrt_docu_dk", "alrt_dk_referencia").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(key(streamed) == key(batch))
+    assert(key(streamed) == Set((99, 9900))) // the planted closed-doc vista
+  }
+}
