@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{CorpusPipeline, Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Sampling, Similarity, TextAnalysis}
 import graft.functions.PortableHash
 
 /** Training-data-pipeline operator inventory (dedup / similarity /
@@ -28,6 +28,8 @@ object PipelineQueries {
   val CorpusLangs = Seq("en", "es")
   val CorpusMinWords = 5
   val CorpusMinQuality = 0.05
+  val SamplePct = 10
+  val Splits = Seq("train" -> 90, "valid" -> 5, "test" -> 5)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -89,6 +91,13 @@ object PipelineQueries {
 
     "q64_redact_pii" -> ((s, dir) =>
       TextAnalysis.redactPii(docs(s, dir), "doc_id", "text")),
+
+    "q65_hash_split" -> ((s, dir) =>
+      Sampling.hashSplit(
+          Sampling.hashSample(docs(s, dir), "doc_id", SamplePct),
+          "doc_id", Splits)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
 
     "q61_corpus_clean" -> ((s, dir) =>
       CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
@@ -323,6 +332,12 @@ object PipelineQueries {
          |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
          |    '${TextAnalysis.numberPattern}', '<NUM>', 'g')) AS n_chars_removed
          |FROM documents""".stripMargin,
-    "q61_corpus_clean" -> corpusCleanSql
+    "q61_corpus_clean" -> corpusCleanSql,
+    "q65_hash_split" ->
+      s"""SELECT ${Sampling.hashSplitSql("doc_id", Splits)} AS split,
+         |  count(*) AS n, min(doc_id) AS min_id
+         |FROM documents
+         |WHERE ${Sampling.hashSampleSql("doc_id", SamplePct)}
+         |GROUP BY 1""".stripMargin
   )
 }

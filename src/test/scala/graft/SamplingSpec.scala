@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Determinism contracts for hash sampling/splitting — the properties
+  * Dataset.sample (per-partition RNG) cannot give. */
+class SamplingSpec extends SparkTestBase {
+
+  private def ids = {
+    import spark.implicits._
+    (1 to 2000).toDF("id")
+  }
+
+  test("sample is stable under repartitioning and is a strict subset") {
+    val s1 = Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
+    val s2 = Sampling.hashSample(ids.repartition(13), "id", 10)
+      .collect().map(_.getInt(0)).toSet
+    assert(s1 == s2)
+    assert(s1.nonEmpty && s1.size < 2000)
+    // ~10% within loose tolerance (hash uniformity, not RNG)
+    assert(s1.size > 100 && s1.size < 300)
+    // growing the pct only ever adds rows (nested samples)
+    val s20 = Sampling.hashSample(ids, "id", 20).collect().map(_.getInt(0)).toSet
+    assert(s1.subsetOf(s20))
+  }
+
+  test("split assigns every row exactly once, stable across partitioning") {
+    val splits = Seq("train" -> 90, "valid" -> 5, "test" -> 5)
+    val out = Sampling.hashSplit(ids, "id", splits)
+    assert(out.filter(col("split").isNull).count() == 0)
+    assert(out.count() == 2000)
+    val m1 = out.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val m2 = Sampling.hashSplit(ids.repartition(7), "id", splits)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m1 == m2)
+    val byName = m1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName("train") > 1600 && byName("valid") > 50 && byName("test") > 50)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "id", Seq("a" -> 50, "b" -> 49))
+    }
+  }
+
+  test("a different salt draws a different sample") {
+    val a = Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
+    val b = Sampling.hashSample(ids, "id", 10, salt = "run2")
+      .collect().map(_.getInt(0)).toSet
+    assert(a != b)
+  }
+}
