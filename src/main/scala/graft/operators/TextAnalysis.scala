@@ -107,6 +107,25 @@ object TextAnalysis {
       (length(col(textCol)) - length(scrubbed)).as("n_chars_removed"))
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * fixed-token-budget chunks (stride = maxTokens - overlap), the
+    * shape LLM pretraining data takes before packing. One generator
+    * expression + posexplode — rows fan out per chunk but the text is
+    * sliced from the one parsed array, no shuffle, no re-tokenizing
+    * per chunk. The final chunk keeps the tail (may be short); docs
+    * within budget yield exactly one chunk. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= maxTokens, "need 0 < stride <= maxTokens")
+    val chunks = expr(
+      s"""transform(
+         |  sequence(0, greatest(CAST(ceil((size(ws) - $maxTokens) / CAST($stride AS DOUBLE)) AS INT), 0)),
+         |  i -> concat_ws(' ', slice(ws, i * $stride + 1, $maxTokens)))""".stripMargin)
+    df.select(col(idCol), split(col(textCol), " ").as("ws"))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+  }
+
   /** Document fingerprints: whole-doc md5 plus a winnowing-style
     * min-hash over character 8-grams (rolling-hash family). The 8-gram
     * scan is a per-row array expression — no explode, no shuffle. */

@@ -30,6 +30,8 @@ object PipelineQueries {
   val CorpusMinQuality = 0.05
   val SamplePct = 10
   val Splits = Seq("train" -> 90, "valid" -> 5, "test" -> 5)
+  val ChunkMaxTokens = 24
+  val ChunkStride = 16
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -98,6 +100,10 @@ object PipelineQueries {
           "doc_id", Splits)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
+
+    "q66_chunk_tokens" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
+        ChunkMaxTokens, ChunkStride)),
 
     "q61_corpus_clean" -> ((s, dir) =>
       CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
@@ -333,6 +339,16 @@ object PipelineQueries {
          |    '${TextAnalysis.numberPattern}', '<NUM>', 'g')) AS n_chars_removed
          |FROM documents""".stripMargin,
     "q61_corpus_clean" -> corpusCleanSql,
+    "q66_chunk_tokens" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id,
+         |  unnest(generate_series(0, greatest(
+         |    CAST(ceil((len(ws) - $ChunkMaxTokens) / CAST($ChunkStride AS DOUBLE)) AS INTEGER), 0))) AS chunk_idx,
+         |  ws FROM d)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  array_to_string(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens], ' ') AS chunk_text,
+         |  len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens]) AS n_tokens
+         |FROM c""".stripMargin,
     "q65_hash_split" ->
       s"""SELECT ${Sampling.hashSplitSql("doc_id", Splits)} AS split,
          |  count(*) AS n, min(doc_id) AS min_id

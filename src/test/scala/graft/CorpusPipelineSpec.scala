@@ -45,6 +45,22 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out(3) == "no pii here at all")
   }
 
+  test("chunking: stride windows cover the doc; tail kept; short docs = 1 chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words, 2 chunks
+      (2, "a b c")                                   // within budget
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .chunkByTokens(docs, "doc_id", "text", maxTokens = 6, stride = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getString(2), r.getInt(3)))
+      .toMap
+    assert(out((1, 0)) == ("w1 w2 w3 w4 w5 w6", 6))
+    assert(out((1, 1)) == ("w5 w6 w7 w8 w9 w10", 6)) // overlap of 2
+    assert(out((2, 0)) == ("a b c", 3))
+    assert(out.size == 3)
+  }
+
   test("near-dup removal is off-able via bands beyond signature width") {
     import spark.implicits._
     val en = "the quick fast query scans a wide table of rows"
