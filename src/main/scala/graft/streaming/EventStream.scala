@@ -22,6 +22,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Stateful operators pin their partition count from
+    * `spark.sql.shuffle.partitions` at query start (AQE cannot
+    * coalesce state stores), so the right number tracks STATE SIZE,
+    * not core count: a handful here, scaled up with key cardinality
+    * at 100 TB. Scopes the conf to one query start and restores it. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
+  /** State-store partition count for these micro-batch drains. */
+  val StatePartitions = 8
+
   /** Raw parquet schema of events (ts as nano-long via nanosAsLong). */
   private def rawSchema(spark: SparkSession, dir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,11 +63,13 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("total"))
-    val q = agg.writeStream
-      .format("memory").queryName(qName)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, StatePartitions) {
+      agg.writeStream
+        .format("memory").queryName(qName)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(qName)
   }
@@ -65,14 +82,16 @@ object EventStream {
     val dim = graft.core.Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val qName = "graft_stream_enriched"
-    val q = source(spark, dir)
-      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName(qName)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, StatePartitions) {
+      source(spark, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qName)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(qName)
   }
@@ -85,14 +104,16 @@ object EventStream {
     * append-mode to the sink; unique counts fold per type in batch. */
   def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
     val qName = "graft_stream_dedup"
-    val q = source(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
-      .select(col("user_id"), col("event_type"), col("value"))
-      .writeStream.format("memory").queryName(qName)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, StatePartitions) {
+      source(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+        .select(col("user_id"), col("event_type"), col("value"))
+        .writeStream.format("memory").queryName(qName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(qName).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
@@ -109,7 +130,7 @@ object EventStream {
     val events = source(spark, dir)
       .select(col("user_id"), col("ts"), col("value"))
     val qName = "graft_stream_sessions"
-    val q = events.as[(Long, java.sql.Timestamp, Double)]
+    val writer = events.as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -128,7 +149,7 @@ object EventStream {
       .writeStream.format("memory").queryName(qName)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(spark, StatePartitions) { writer.start() }
     q.awaitTermination()
     spark.table(qName)
   }
