@@ -66,7 +66,9 @@ object AlertConform {
   */
 class AlertHarness(spark: SparkSession, schema: String, clock: RunClock,
                    keyHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                     graft.core.AlertKey.limpaSha1) {
+                     graft.core.AlertKey.limpaSha1,
+                   metadataHook: graft.sources.MetadataHook =
+                     graft.sources.MetadataHook.Noop) {
 
   def tempName(table: String) = s"$schema.temp_$table"
   def histName(table: String) = s"$schema.hist_$table"
@@ -117,6 +119,10 @@ class AlertHarness(spark: SparkSession, schema: String, clock: RunClock,
         .format("parquet").saveAsTable(hist)
     }
     spark.sql(s"DROP TABLE ${tempName(table)}")
+    // external metadata caches (S12): tell downstream engines both
+    // rewritten tables exist anew (reference utils.py:8-24 seam)
+    metadataHook.tableWritten(finalName(table))
+    metadataHook.tableWritten(hist)
   }
 
   /** Drop leftover temp tables (reference jobs.py:140-141 hygiene). */

@@ -68,6 +68,33 @@ class AlertHarnessSpec extends SparkTestBase {
     assert(hist2.filter(col("dt_calculo") === "20260812").count() == 2)
   }
 
+  test("metadata hook fires per rewritten table; hist reads prune by month") {
+    val db = "t_hook"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("graft_t_hook")
+    spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    val hook = new graft.sources.MetadataHook.Recording
+    def run(clock: RunClock): Unit = {
+      val h = new AlertHarness(spark, db, clock, metadataHook = hook)
+      h.dropTemps(Seq("alerts"))
+      h.appendTemp(mkAlert(Seq((1, 10))), "alerts")
+      h.finalize("alerts")
+    }
+    run(RunClock(LocalDateTime.of(2026, 7, 15, 10, 0)))
+    run(RunClock(LocalDateTime.of(2026, 8, 12, 10, 0)))
+    assert(hook.written.toSeq ==
+      Seq(s"$db.alerts", s"$db.hist_alerts", s"$db.alerts", s"$db.hist_alerts"))
+
+    // the month filter must reach the scan as a partition filter (at
+    // 100 TB this is what keeps hist reads from touching all history)
+    val plan = spark.table(s"$db.hist_alerts")
+      .filter(col("dt_partition") === "202608")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt_partition"),
+      s"month filter did not prune partitions:\n$plan")
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
   test("per-row sigla override is preserved (PRCR1-4 pattern)") {
     val h = new AlertHarness(spark, "t_sigla",
       RunClock(LocalDateTime.of(2026, 8, 12, 10, 0)))
