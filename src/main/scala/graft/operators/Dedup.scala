@@ -106,6 +106,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over candidate pairs: every doc in a
+    * duplicate cluster gets the cluster's minimum id as its component
+    * (the canonical representative), so "keep one per cluster" is
+    * `component = doc_id`. Iterative min-label propagation — each
+    * round, a node adopts the smallest component seen among its
+    * neighbors; converges in O(diameter) rounds (LSH dup clusters are
+    * shallow).
+    *
+    * The Spark iterative-algorithm essentials, applied: edges cached
+    * once and reused every round; each round's labels
+    * `localCheckpoint`ed to truncate lineage (without it the plan
+    * doubles per iteration and the job dies on driver planning time
+    * long before data size matters); convergence detected by counting
+    * changed labels, one action per round. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, col("node") === col("src"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"not converged after $maxIter rounds")
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+  }
+
   /** Word n-gram Jaccard similarity over candidate pairs from an
     * inverted shingle index. Shingles occurring in more than
     * `maxDocFreq` docs are dropped (stop-shingle skew guard). */

@@ -51,6 +51,13 @@ object PipelineQueries {
         Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
         "doc_id", MinhashK, MinhashBands)),
 
+    "q67_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(
+          Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
+          "doc_id", MinhashK, MinhashBands),
+        "id_a", "id_b")),
+
     "q34_simhash" -> ((s, dir) =>
       Dedup.simhash32(docs(s, dir), "doc_id", "text")),
 
@@ -316,6 +323,24 @@ object PipelineQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "q32_minhash_sig" -> s"WITH $wordsCte $minhashSigsSelect",
     "q33_minhash_lsh_pairs" -> minhashLshSql,
+    // connected components as a recursive reachability CTE over the
+    // same generated LSH-pair pipeline (min reachable id = component)
+    "q67_dedup_clusters" -> {
+      val rows = MinhashK / MinhashBands
+      val bandBranches = (0 until MinhashBands).map { b =>
+        val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
+        s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $wordsCte, sigs AS ($minhashSigsSelect),
+         |bands AS ($bandBranches),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT src AS node, src AS comp FROM edges
+         |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node""".stripMargin
+    },
     "q34_simhash" -> s"WITH $wordsCte $simhashSigsSelect",
     "q35_simhash_pairs" -> simhashPairsSql,
     "q36_ngram_jaccard" -> ngramJaccardSql,

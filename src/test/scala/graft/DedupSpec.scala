@@ -4,6 +4,16 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
 
 class DedupSpec extends SparkTestBase {
+
+  test("connected components: chains merge, minimum id labels the cluster") {
+    import spark.implicits._
+    // components {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; pair list
+    // never links the two clusters
+    val pairs = Seq((1, 2), (2, 3), (3, 7), (10, 11)).toDF("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(comp == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 1, 10 -> 10, 11 -> 10))
+  }
   import scala.jdk.CollectionConverters._
 
   private def docsDf(rows: (Long, String)*) = {
