@@ -21,6 +21,8 @@ object GraftSession {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
+      // library SQL surface: slugify / cosine_sim as native functions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

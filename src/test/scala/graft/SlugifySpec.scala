@@ -7,6 +7,18 @@ import org.apache.spark.sql.graftext.Slugify
   * NFD-decompose, strip non-ascii, whitespace runs to '-', lowercase). */
 class SlugifySpec extends SparkTestBase {
 
+  test("GraftExtensions injects slugify/cosine_sim as native SQL functions") {
+    // no per-session register() call — the extensions conf on the
+    // session factory must be enough for SQL-only clients
+    val slug = spark.sql("SELECT slugify('  Ação  Política  ') AS s")
+      .head.getString(0)
+    assert(slug == "acao-politica")
+    val cos = spark.sql(
+      "SELECT round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c")
+      .head.getDouble(0)
+    assert(cos == 1.0)
+  }
+
   private def slug(s: String): String = {
     import spark.implicits._
     Seq(s).toDF("s").select(Slugify.slugify(col("s"))).head.getString(0)
