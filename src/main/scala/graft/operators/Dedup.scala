@@ -106,6 +106,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate components straight from banded signatures: all docs
+    * sharing an LSH bucket are mutually candidates, so a per-bucket
+    * STAR to the bucket-minimum doc has exactly the connected
+    * components of the full candidate-pair graph — with O(#docs ×
+    * bands) edges instead of O(bucket²). Near-duplicate corpora
+    * produce near-clique buckets (measured here: 2.7M pairs over 4.6k
+    * docs at sf0.1), where materializing the pair list is the scale
+    * killer; the star skips it entirely. Use
+    * [[minhashCandidatePairs]] when the downstream step needs the
+    * pairs themselves (e.g. to score each pair). */
+  def minhashComponents(sigs: DataFrame, idCol: String, k: Int,
+                        bands: Int): DataFrame = {
+    val rows = k / bands
+    val banded = Relational.unpivot(
+      sigs.select(col(idCol) +: (0 until bands).map { b =>
+        concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
+          .as(s"band_$b")
+      }: _*),
+      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
+      nameCol = "band", valueCol = "sig").cache()
+    banded.count() // populate before TWO consumers scan it in one job
+    val centers = banded.groupBy(col("band"), col("sig"))
+      .agg(min(col(idCol)).as("center"))
+    val starEdges = banded.join(centers, Seq("band", "sig"))
+      .filter(col(idCol) =!= col("center")) // size-1 buckets drop out
+      .select(col(idCol).as("id_a"), col("center").as("id_b"))
+    try connectedComponents(starEdges, "id_a", "id_b")
+    finally banded.unpersist()
+  }
+
   /** Connected components over candidate pairs: every doc in a
     * duplicate cluster gets the cluster's minimum id as its component
     * (the canonical representative), so "keep one per cluster" is
@@ -122,9 +152,26 @@ object Dedup {
     * changed labels, one action per round. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair input ONCE before the union reads it twice:
+    // two union branches scanning an unmaterialized lineage in one job
+    // each recompute it (the cache races its own second reader)
+    val p = pairs.select(col(aCol).as("src0"), col(bCol).as("dst0")).cache()
+    p.count()
+    val allEdges = p.select(col("src0").as("src"), col("dst0").as("dst"))
+      .union(p.select(col("dst0").as("src"), col("src0").as("dst")))
       .distinct().cache()
+    // iteration parallelism tracks GRAPH size, not cluster default:
+    // the dup graph is orders of magnitude smaller than the corpus,
+    // and per-round job overhead at full parallelism would dominate
+    val nParts = math.max(1, math.min(200, allEdges.count() / 500000L)).toInt
+    val edges = allEdges.repartition(nParts, col("src")).cache()
+    edges.count()
+    allEdges.unpersist()
+    val spark = pairs.sparkSession
+    val shufKey = "spark.sql.shuffle.partitions"
+    val oldShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, nParts.toString)
+    try {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
     var iter = 0
@@ -132,18 +179,28 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, col("node") === col("src"))
         .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(neighborMin, col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      val stepped = labels
+        .join(neighborMin, col("node") === col("dst"), "left")
+        .select(col("node"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("mid"))
+        .localCheckpoint() // feeds both sides of the jump self-join
+      // pointer jumping: follow comp -> comp(comp), halving chain depth
+      // per round — O(log diameter) rounds instead of O(diameter)
+      val parents = stepped
+        .select(col("node").as("p_node"), col("mid").as("p_comp"))
+      val next = stepped.join(parents, col("mid") === col("p_node"), "left")
+        .select(col("node"), col("prev"),
+          least(col("mid"), coalesce(col("p_comp"), col("mid"))).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("comp"))
       iter += 1
     }
     require(converged, s"not converged after $maxIter rounds")
     edges.unpersist()
+    p.unpersist()
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
+    } finally spark.conf.set(shufKey, oldShuf)
   }
 
   /** Word n-gram Jaccard similarity over candidate pairs from an

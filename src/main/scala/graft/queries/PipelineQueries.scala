@@ -51,12 +51,12 @@ object PipelineQueries {
         Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
         "doc_id", MinhashK, MinhashBands)),
 
+    // same components as CC over minhashCandidatePairs, via per-bucket
+    // star edges — O(#docs x bands) edges, never the quadratic pairs
     "q67_dedup_clusters" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.minhashCandidatePairs(
-          Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
-          "doc_id", MinhashK, MinhashBands),
-        "id_a", "id_b")),
+      Dedup.minhashComponents(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
+        "doc_id", MinhashK, MinhashBands)),
 
     "q34_simhash" -> ((s, dir) =>
       Dedup.simhash32(docs(s, dir), "doc_id", "text")),
