@@ -123,8 +123,9 @@ class DomainAlertsSpec extends SparkTestBase {
         .map(r => r.getInt(0) -> r.getString(1)).toMap
       // 221: single prescribed crime; 223: multiplier-factored crime also
       // prescribed (3y * 1.5 -> 12y band from 2012); 222: 20y crime far
-      // from prescription -> status 0 -> no sigla
-      assert(bySigla == Map(221 -> "PRCR1", 223 -> "PRCR1"))
+      // from prescription -> status 0 -> no sigla; 224: same 20y crime
+      // prescribed ONLY because the under-21 suspect halves it to 10y
+      assert(bySigla == Map(221 -> "PRCR1", 223 -> "PRCR1", 224 -> "PRCR1"))
     }
   }
 
@@ -197,7 +198,7 @@ class DomainAlertsSpec extends SparkTestBase {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(siglas == Map(
         "GATE" -> 2L, "IC1A" -> 1L, "MVVD" -> 1L, "OUVI" -> 1L,
-        "PA1A" -> 1L, "PPFP" -> 1L, "PPPV" -> 1L, "PRCR1" -> 2L,
+        "PA1A" -> 1L, "PPFP" -> 1L, "PPPV" -> 1L, "PRCR1" -> 3L,
         "VADF" -> 1L, "NF30" -> 1L, "NF120" -> 1L, "DT2I" -> 1L,
         "DCTJ" -> 1L, "DNTJ" -> 1L, "DORD" -> 1L, "OFFP" -> 1L))
 

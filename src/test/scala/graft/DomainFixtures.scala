@@ -69,10 +69,13 @@ object DomainFixtures {
       (203, "MP-203", 100, 393, 1, 1, ts("2025-01-01"), noTs, 0, 0, 0),
       // ABR1: 211 >1y-old tutela IC (carga 950 keeps it out of IC1A)
       (211, "MP-211", 310, 392, 1, 1, ts("2024-01-10"), noTs, 0, 0, 950),
-      // PRCR: 221 prescribed; 222 far future; 223 multiplier case
+      // PRCR: 221 prescribed; 222 far future; 223 multiplier case;
+      // 224 prescribes ONLY via the under-21-suspect halving (20y
+      // crime from 2012 -> 2032 unprescribed, halved 10y -> 2022)
       (221, "MP-221", 300, 500, 1, 1, ts("2015-01-10"), Some(ts("2012-01-10")), 0, 0, 0),
       (222, "MP-222", 300, 500, 1, 1, ts("2015-01-10"), Some(ts("2012-01-10")), 0, 0, 0),
-      (223, "MP-223", 300, 500, 1, 1, ts("2015-01-10"), Some(ts("2012-01-10")), 0, 0, 0))
+      (223, "MP-223", 300, 500, 1, 1, ts("2015-01-10"), Some(ts("2012-01-10")), 0, 0, 0),
+      (224, "MP-224", 300, 500, 1, 1, ts("2015-01-10"), Some(ts("2012-01-10")), 0, 0, 0))
       .toDF("docu_dk", "docu_nr_mp", "docu_orgi_orga_dk_responsavel",
         "docu_cldc_dk", "docu_tpst_dk", "docu_fsdc_dk", "docu_dt_cadastro",
         "docu_dt_fato", "docu_mate_dk", "docu_tpdc_dk", "docu_orgi_orga_dk_carga")
@@ -173,7 +176,10 @@ object DomainFixtures {
       (3, 163, 7001, 7001, 7),
       (4, 151, 8001, 8001, 3),
       (5, 152, 8001, 8001, 3),
-      (6, 152, 8002, 8002, 3))
+      (6, 152, 8002, 8002, 3),
+      // PRCR 224: CLARA (born 1995) was 16 at the 2012 fact date ->
+      // suspect type 21 triggers the 0.5 prescription factor
+      (7, 224, 8002, 8002, 21))
       .toDF("pers_dk", "pers_docu_dk", "pers_pess_dk", "pers_pesf_dk", "pers_tppe_dk")
       .createOrReplaceTempView("mcpr_personagem")
 
@@ -221,7 +227,7 @@ object DomainFixtures {
       .createOrReplaceTempView("atualizacao_pj_pacote")
 
     // PRCR: subjects + penalty table
-    Seq((221, 1), (222, 2), (223, 3), (223, 4))
+    Seq((221, 1), (222, 2), (223, 3), (223, 4), (224, 2))
       .toDF("asdo_docu_dk", "asdo_assu_dk")
       .withColumn("asdo_dt_fim", lit(null).cast("timestamp"))
       .createOrReplaceTempView("mcpr_assunto_documento")

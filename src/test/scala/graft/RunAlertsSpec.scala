@@ -54,7 +54,7 @@ class RunAlertsSpec extends SparkTestBase {
       schemaCompras = "compras",
       clock = graft.harness.RunClock(LocalDateTime.of(2026, 8, 12, 12, 0))))
 
-    assert(spark.table("alertas_out.mmps_alertas_mgp").count() == 14)
+    assert(spark.table("alertas_out.mmps_alertas_mgp").count() == 15)
     assert(spark.table("alertas_out.mmps_alertas_ro").count() == 2)
     assert(spark.table("alertas_out.mmps_alertas_tipos").count() == 25)
     (schemaOf.keys.toSeq :+ "alertas_out")
