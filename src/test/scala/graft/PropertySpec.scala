@@ -61,4 +61,27 @@ class PropertySpec extends SparkTestBase {
         unioned.exceptAll(stacked).isEmpty, s"seed $seed")
     }
   }
+
+  test("per-bucket star edges yield the same components as all bucket pairs") {
+    import spark.implicits._
+    // random (doc, bucket) memberships — docs sharing any bucket are
+    // candidates; the star replaces the quadratic per-bucket pair list
+    (1L to 5L).foreach { seed =>
+      val memb = sample(seed).map(t => (t._2, t._1)).distinct // (doc, bucket)
+        .toDF("doc", "bucket")
+      val pairs = memb.as("a").join(memb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
+      val centers = memb.groupBy("bucket").agg(min(col("doc")).as("center"))
+      val stars = memb.join(centers, "bucket")
+        .filter(col("doc") =!= col("center"))
+        .select(col("doc").as("id_a"), col("center").as("id_b"))
+      val viaPairs = graft.operators.Dedup
+        .connectedComponents(pairs, "id_a", "id_b")
+      val viaStars = graft.operators.Dedup
+        .connectedComponents(stars, "id_a", "id_b")
+      assert(viaPairs.exceptAll(viaStars).isEmpty &&
+        viaStars.exceptAll(viaPairs).isEmpty, s"seed $seed")
+    }
+  }
 }
