@@ -25,6 +25,30 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   */
 object IncrementalAlerts {
 
+  /** Run ANY stateless detector incrementally: the changelog stream is
+    * registered under the entity view name the detector already reads,
+    * and `build` produces the same plan with a streaming side — no
+    * detector code changes. Works for detectors whose plan is
+    * join + filter + project (VADF, OUVI); detectors with unwatermarked
+    * aggregates (max-per-group families) stay batch-only and surface
+    * through the reconciliation run. The original view is restored
+    * after the drain. */
+  def detectorStream(spark: SparkSession, alert: graft.harness.Alert,
+                     streamView: String, stream: org.apache.spark.sql.DataFrame,
+                     queryName: String): DataFrame = {
+    val original = spark.table(streamView)
+    stream.createOrReplaceTempView(streamView)
+    try {
+      val q = alert.build(spark)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally original.createOrReplaceTempView(streamView)
+  }
+
   /** Streaming VADF over a vista changelog directory: every arriving
     * open-vista row probes the (broadcast) closed-document dimension;
     * survivors are VADF alerts, drained append-mode to a memory sink.

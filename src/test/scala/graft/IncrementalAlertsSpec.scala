@@ -29,4 +29,20 @@ class IncrementalAlertsSpec extends SparkTestBase {
     assert(key(streamed) == key(batch))
     assert(key(streamed) == Set((99, 9900))) // the planted closed-doc vista
   }
+
+  test("generic detectorStream: OUVI runs unchanged over a routing stream") {
+    DomainFixtures.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_item_log").toString
+    spark.table("mcpr_item_movimentacao").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val alert = new graft.harness.OuviAlert
+    val streamed = IncrementalAlerts.detectorStream(spark, alert,
+      "mcpr_item_movimentacao",
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir),
+      "graft_incr_ouvi")
+    val ids = streamed.select("alrt_docu_dk").collect().map(_.getInt(0)).toSet
+    assert(ids == Set(111)) // same planted positive as the batch golden test
+    // the original batch view is restored after the drain
+    assert(!spark.table("mcpr_item_movimentacao").isStreaming)
+  }
 }
