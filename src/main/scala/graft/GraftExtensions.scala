@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Concat,
+  Encode, Expression, ExpressionInfo, Literal, RegExpReplace, Sha1}
+import org.apache.spark.sql.types.StringType
 
 import org.apache.spark.sql.graftext.{CosineSim, Slugify}
 
@@ -23,5 +25,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       exprs => CosineSim(exprs(0), exprs(1))))
+    // the reference's per-row key UDF (its spark.udf.register surface);
+    // here a composition of codegen'd built-ins, not a UDF. Built as a
+    // native expression tree (a Column-node bridge would not resolve
+    // through the registry path): sha1(utf8(concat(asciiClean(args))))
+    // with the same render/limpa semantics as core.AlertKey.uuidsha
+    // (AlertKeySpec pins their agreement).
+    ext.injectFunction((
+      new FunctionIdentifier("uuidsha"),
+      new ExpressionInfo(graft.core.AlertKey.getClass.getName, "uuidsha"),
+      exprs => {
+        val cleaned: Seq[Expression] = exprs.map { e =>
+          RegExpReplace(Coalesce(Seq(Cast(e, StringType), Literal(""))),
+            Literal("[^\\x00-\\x7F]"), Literal(""))
+        }
+        Sha1(Encode(Concat(cleaned), Literal("UTF-8")))
+      }))
   }
 }

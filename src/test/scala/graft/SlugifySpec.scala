@@ -17,6 +17,20 @@ class SlugifySpec extends SparkTestBase {
       "SELECT round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c")
       .head.getDouble(0)
     assert(cos == 1.0)
+    // the reference's uuidsha UDF surface, SQL-callable:
+    // sha1 of the ascii-cleaned concatenation "123" ++ "Ao Penal"
+    val key = spark.sql("SELECT uuidsha(123, 'Ação Penal') AS k").head.getString(0)
+    val expect = java.security.MessageDigest.getInstance("SHA-1")
+      .digest("123Ao Penal".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(key == expect)
+    // and it agrees with the Column-level builder the harness uses
+    import spark.implicits._
+    val viaColumn = Seq((123, "Ação Penal")).toDF("a", "b")
+      .select(graft.core.AlertKey.uuidsha(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+      .head.getString(0)
+    assert(key == viaColumn)
   }
 
   private def slug(s: String): String = {
