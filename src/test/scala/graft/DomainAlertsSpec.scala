@@ -73,7 +73,9 @@ class DomainAlertsSpec extends SparkTestBase {
   test("DCTJ fires on criminal docs at court past 60 days; returns clear it") {
     withWorld {
       val out = new CourtReturnAlert(clock, criminal = true).build(spark)
-      assert(docs(out) == Set(161)) // 162 returned to the responsible organ
+      // 162 returned to the responsible organ; 164 dispatched 23 days
+      // ago, still inside the 60-day window
+      assert(docs(out) == Set(161))
     }
   }
 

@@ -48,9 +48,11 @@ object DomainFixtures {
       // MVVD: 151 past DV case; 152 new DV case w/ recurring victim
       (151, "MP-151", 100, 500, 1, 1, ts("2020-01-10"), noTs, 43, 0, 0),
       (152, "MP-152", 100, 500, 1, 1, ts("2026-08-01"), noTs, 43, 0, 0),
-      // DCTJ: 161 sent to court, no return; 162 returned; DNTJ: 163
+      // DCTJ: 161 sent to court, no return; 162 returned; 164 sent
+      // too recently (inside the 60-day window); DNTJ: 163
       (161, "MP-161", 100, 400, 1, 1, ts("2020-01-10"), noTs, 0, 0, 0),
       (162, "MP-162", 100, 400, 1, 1, ts("2020-01-10"), noTs, 0, 0, 0),
+      (164, "MP-164", 100, 400, 1, 1, ts("2020-01-10"), noTs, 0, 0, 0),
       (163, "MP-163", 100, 401, 1, 1, ts("2020-01-10"), noTs, 0, 0, 0),
       // IC1A: 171 stale; 172 recently extended; 173 grupo carga; 174 corr
       (171, "MP-171", 100, 392, 1, 1, ts("2024-01-10"), noTs, 0, 0, 0),
@@ -141,7 +143,8 @@ object DomainFixtures {
       (161, 91610, 8161), // DCTJ out
       (162, 91621, 8162), // DCTJ out
       (162, 91622, 8163), // DCTJ return
-      (163, 91630, 8164)) // DNTJ out
+      (163, 91630, 8164), // DNTJ out
+      (164, 91640, 8165)) // DCTJ out, deadline not reached
       .toDF("item_docu_dk", "item_movi_dk", "item_dk")
       .withColumn("item_in_recebimento", lit(null).cast("string"))
       .createOrReplaceTempView("mcpr_item_movimentacao")
@@ -153,7 +156,8 @@ object DomainFixtures {
       (91610, 900, 960, 1, Some(ts("2026-01-10")), noTs), // DCTJ to court
       (91621, 900, 960, 1, Some(ts("2026-01-10")), noTs), // DCTJ to court
       (91622, 960, 100, 1, Some(ts("2026-02-01")), noTs), // DCTJ returned
-      (91630, 900, 960, 1, Some(ts("2026-01-10")), noTs)) // DNTJ to court
+      (91630, 900, 960, 1, Some(ts("2026-01-10")), noTs), // DNTJ to court
+      (91640, 900, 960, 1, Some(ts("2026-07-20")), noTs)) // 23d ago < 60d prazo
       .toDF("movi_dk", "movi_orga_dk_origem", "movi_orga_dk_destino",
         "movi_tpgu_dk", "movi_dt_recebimento_guia", "movi_dt_criacao_guia")
       .withColumn("movi_dt_envio_guia", lit(null).cast("timestamp"))
@@ -174,6 +178,7 @@ object DomainFixtures {
       (1, 161, 7001, 7001, 7),
       (2, 162, 7001, 7001, 7),
       (3, 163, 7001, 7001, 7),
+      (8, 164, 7001, 7001, 7),
       (4, 151, 8001, 8001, 3),
       (5, 152, 8001, 8001, 3),
       (6, 152, 8002, 8002, 3),
