@@ -35,6 +35,18 @@ object ScaleQueries {
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           count(lit(1)).as("n_rows"))),
 
+    // sketch-based percentiles — the scale twin of exact q55 (exact
+    // percentile holds all values per group; the sketch is one pass,
+    // bounded memory, mergeable). Rows-only check like q50; accuracy
+    // vs the exact quantile asserted in ScaleSpec
+    "q68_approx_percentile" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"),
+          count(lit(1)).as("n"))),
+
     // as-of join: attribute each click to the latest prior-or-equal
     // view by the same user (single-shuffle union+window composition)
     "q51_asof_join" -> ((s, dir) => {

@@ -29,6 +29,15 @@ class ScaleSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("approx_percentile within 2% of the exact interpolated quantile") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val r = o.agg(
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx"),
+      expr("percentile(o_totalprice, 0.5)").as("exact")).head
+    val (approx, exact) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02)
+  }
+
   test("bucketed tables co-locate the join: no shuffle in the plan") {
     // fresh physical location every run (stale managed dirs from a
     // previous JVM would fail saveAsTable)
