@@ -44,6 +44,9 @@ object ExtensionQueries {
     // watermark-bounded streaming dedup on the retry-duplicate key
     "q62_stream_dedup" -> ((s, dir) => EventStream.dedupedCounts(s, dir)),
 
+    // stream-stream interval join (watermarks both sides bound state)
+    "q69_stream_join" -> ((s, dir) => EventStream.clickViewJoin(s, dir)),
+
     // sliding event-time windows (2h length, 1h slide): each event
     // lands in two overlapping windows — the same window() operator
     // drives the streaming path; verified here in batch form
@@ -99,6 +102,12 @@ object ExtensionQueries {
       """SELECT event_type, count(*) AS n_unique
         |FROM (SELECT DISTINCT user_id, event_type, value FROM events)
         |GROUP BY event_type""".stripMargin,
+    "q69_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE""".stripMargin,
     "q58_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

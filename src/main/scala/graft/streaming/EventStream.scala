@@ -119,6 +119,37 @@ object EventStream {
       .agg(count(lit(1)).as("n_unique"))
   }
 
+  /** Stream-stream interval join: clicks join views by the same user
+    * within the preceding 10 minutes. BOTH sides are watermarked and
+    * the join carries event-time bounds — that pair is what lets the
+    * state store EVICT rows once they can no longer match (an
+    * unbounded stream-stream join would buffer both streams forever).
+    * State per side is O(events within watermark + interval). */
+  def clickViewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = source(spark, dir).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = source(spark, dir).filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val qName = "graft_stream_join"
+    val q = withStatePartitions(spark, StatePartitions) {
+      clicks.join(views,
+          col("c_user") === col("v_user") &&
+            col("view_ts") <= col("click_ts") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"))
+        .select(col("click_id"), col("view_id"))
+        .writeStream.format("memory").queryName(qName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.table(qName)
+  }
+
   case class SessionState(nEvents: Long, total: Double, lastTsMicros: Long)
   case class SessionOut(user_id: Long, n_events: Long, total: Double)
 
