@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep `runMain graft.Bench`'s one-line JSON as the LAST line of sbt
+// output: the bench harness parses the final stdout line, and sbt's
+// "[success] Total time: …" trailer otherwise lands after it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

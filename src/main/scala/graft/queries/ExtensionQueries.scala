@@ -17,10 +17,18 @@ object ExtensionQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // mapPartitions batched "decode" over binary media columns
+    // mapPartitions batched "decode" over binary media columns.
+    // The feature vector is flattened to scalar columns for the oracle
+    // compare (the gate's comparator cannot hash array cells); the
+    // Array[Double] form stays the production surface (MediaFeatures).
     "q45_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.synthesize(Tables.load(s, dir, "documents"))).toDF()),
+        Multimodal.synthesize(Tables.load(s, dir, "documents"))).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("features")(1).as("f_mean"),
+          col("features")(2).as("f_var"),
+          col("features")(3).as("f_width"),
+          col("features")(4).as("f_height"))),
 
     // metadata-driven frame sampling (generator over video rows);
     // frame payload surfaced as its length so the oracle is exact
@@ -73,7 +81,7 @@ object ExtensionQueries {
         |             CAST(n_chars % 64 + 16 AS DOUBLE) AS w, CAST(n_chars % 48 + 16 AS DOUBLE) AS h
         |      FROM documents)
         |SELECT d.doc_id AS media_id, modality, CAST(n AS INTEGER) AS n_bytes,
-        |  [CAST(n AS DOUBLE), round(mean, 6), variance, w, h] AS features
+        |  round(mean, 6) AS f_mean, variance AS f_var, w AS f_width, h AS f_height
         |FROM d JOIN m ON d.doc_id = m.doc_id JOIN v ON d.doc_id = v.doc_id""".stripMargin,
     "q46_frame_sample" ->
       s"""WITH media AS (

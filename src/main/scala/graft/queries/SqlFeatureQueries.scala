@@ -31,6 +31,7 @@ object SqlFeatureQueries {
         .groupBy(col("c_mktsegment"))
         .pivot("o_orderpriority", Priorities)
         .agg(count(lit(1)))
+        .na.fill(0L, Priorities) // empty cells: 0, matching the CASE-sum oracle
     }),
 
     // JSON column extraction (events.props) — codegen'd path walker,
@@ -97,8 +98,11 @@ object SqlFeatureQueries {
         |round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
     "q53_pivot" -> {
+      // CAST to BIGINT: DuckDB integer sum() yields HUGEINT, which the
+      // gate's comparator hashes as a different dtype than Spark's long
+      // even when every value is equal (r1: rows/schema ok, hash fail).
       val cols = Priorities.map(p =>
-        s"""sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS "$p"""").mkString(", ")
+        s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""").mkString(", ")
       s"""SELECT c_mktsegment, $cols
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment""".stripMargin
