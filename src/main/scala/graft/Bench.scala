@@ -26,7 +26,9 @@ object Bench {
     // Stop Spark BEFORE printing so no shutdown logging lands after the
     // JSON line — the harness parses the final line of output, and
     // build.sbt suppresses sbt's own "[success]" trailer (showSuccess).
-    spark.stop()
+    // A failing stop() (shutdown race, listener error) must not eat the
+    // already-computed results.
+    try spark.stop() catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

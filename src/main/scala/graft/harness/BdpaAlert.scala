@@ -6,36 +6,67 @@ import graft.core.SchemaConform
 import graft.operators.Relational
 
 /** BDPA — delayed return from police ("baixa à delegacia sem
-  * retorno"): documents whose latest case-file routing to a police
-  * organ has exceeded the deadline set by the latest "baixa"
-  * sub-andamento (reference src/alertas/alerta_bdpa.py:24-97,
+  * retorno"): open status-3 documents whose latest (post-2013)
+  * andamento is a "baixa" sub-andamento with a deadline, and whose
+  * latest case-file routing went to a police organ longer ago than
+  * that deadline allows (reference src/alertas/alerta_bdpa.py:24-97,
   * SURVEY.md §3.2 — the double max-per-group chain).
   *
   * Shape preserved Spark-first:
+  *  - reads raw `documento` (status 3, open — alerta_bdpa.py:25), NOT
+  *    the documentos_ativos spine: BDPA alerts even on documents the
+  *    shared spine excludes (routed/archived);
+  *  - `nm_delegacia` comes from a left join of `mprj_orgao_ext` on the
+  *    document's originating police station
+  *    (docu_orge_orga_dk_deleg_origem, alerta_bdpa.py:27-32) and is
+  *    emitted as `alrt_info_adicional`;
+  *  - andamentos are floored at 2013-01-01 (alerta_bdpa.py:38) — both
+  *    a semantic bound and a scan-pruning predicate at scale;
   *  - latest andamento per document and latest movimentação per
   *    document are both the reference's J7 groupBy+join-back (ties
-  *    keep all rows, as the reference does);
+  *    keep all rows, as the reference does); the final `distinct()`
+  *    (alerta_bdpa.py:97) collapses tie-duplicated alert rows;
+  *  - the `mmps_tp_andamento` join (alerta_bdpa.py:55-57) is a pure
+  *    filter on its 10-id baixa set, expressed as a direct `isin`;
+  *  - the reference also left-joins the class-hierarchy dim
+  *    (alerta_bdpa.py:33-34) but never consumes its columns — a
+  *    row-preserving no-op on a unique-keyed dim, omitted here;
   *  - `movi_dt_guia = coalesce(recebimento, envio, criação)` (P9);
   *  - deadline arithmetic `date_add` + `datediff` against the
   *    injectable run clock (no current_date drift, §7.3 risk 2);
-  *  - police-organ filter on the external-organ type.
+  *  - police-organ filter on the external-organ type
+  *    (alerta_bdpa.py:85-90).
+  *
+  * Scale: the movimentação max-per-group runs AFTER the join to the
+  * baixa candidates (the reference's own order, alerta_bdpa.py:60-74),
+  * so the aggregate shuffles only the candidate documents' routing
+  * rows, never the full movimentação table.
   */
 class BdpaAlert(clock: RunClock,
-                baixaCodes: Seq[Int] = Seq(6032, 6034),
+                baixaCodes: Seq[Int] =
+                  Seq(6006, 6010, 6363, 6494, 6495, 6519, 6520, 6521, 6522, 6523),
                 policeOrganTypes: Seq[Int] = Seq(60, 61, 68)) extends Alert {
   val sigla = "BDPA"
   val family = SchemaConform.Mgp
   val keyCols = Seq("alrt_docu_dk", "alrt_date_referencia")
 
   def build(spark: SparkSession): DataFrame = {
-    val docs = spark.table("documentos_ativos")
-      .filter(col("docu_tpst_dk") === 3)
-      .select("docu_dk", "docu_nr_mp")
+    val orgaoExt = spark.table("mprj_orgao_ext")
 
-    // latest andamento per document (J7 #1)
+    val docs = spark.table("documento")
+      .filter(col("docu_tpst_dk") === 3 && col("docu_fsdc_dk") === 1)
+      .join(orgaoExt.select(col("orge_orga_dk"),
+          col("orge_nm_orgao").as("nm_delegacia")),
+        col("docu_orge_orga_dk_deleg_origem") === col("orge_orga_dk"), "left")
+      .select("docu_dk", "docu_nr_mp", "docu_orgi_orga_dk_responsavel",
+        "nm_delegacia")
+
+    // latest post-2013 andamento per document (J7 #1)
     val andamentos = docs
       .join(spark.table("vista"), col("vist_docu_dk") === col("docu_dk"))
-      .join(spark.table("mcpr_andamento"), col("pcao_vist_dk") === col("vist_dk"))
+      .join(spark.table("mcpr_andamento")
+          .filter(col("pcao_dt_andamento") >= lit("2013-01-01").cast("date")),
+        col("pcao_vist_dk") === col("vist_dk"))
     val lastAnd = Relational.maxPerGroupJoinBack(
       andamentos, "docu_dk", "pcao_dt_andamento")
 
@@ -45,19 +76,22 @@ class BdpaAlert(clock: RunClock,
       .filter(col("stao_tppr_dk").isin(baixaCodes: _*) &&
         col("stao_nr_dias_prazo").isNotNull)
 
-    // latest routing per document (J7 #2), guia date by coalesce (P9)
-    val movs = spark.table("mcpr_item_movimentacao")
+    // candidate docs' routings only, then latest per document (J7 #2);
+    // guia date by coalesce (P9)
+    val movs = withPrazo
+      .join(spark.table("mcpr_item_movimentacao"),
+        col("item_docu_dk") === col("docu_dk"))
       .join(spark.table("mcpr_movimentacao"), col("item_movi_dk") === col("movi_dk"))
       .withColumn("movi_dt_guia", coalesce(
         col("movi_dt_recebimento_guia"), col("movi_dt_envio_guia"),
         col("movi_dt_criacao_guia")))
-    val lastMov = Relational.maxPerGroupJoinBack(movs, "item_docu_dk", "movi_dt_guia")
-      .join(spark.table("mprj_orgao_ext"),
-        col("orge_orga_dk") === col("movi_orga_dk_destino"))
-      .filter(col("orge_tpoe_dk").isin(policeOrganTypes: _*))
+    val lastMov = Relational.maxPerGroupJoinBack(movs, "docu_dk", "movi_dt_guia")
+      .join(orgaoExt
+          .filter(col("orge_tpoe_dk").isin(policeOrganTypes: _*))
+          .select(col("orge_orga_dk").as("orge_orga_dk_policia")),
+        col("movi_orga_dk_destino") === col("orge_orga_dk_policia"))
 
-    withPrazo
-      .join(lastMov, col("item_docu_dk") === col("docu_dk"))
+    lastMov
       .withColumn("dt_fim_prazo",
         date_add(col("movi_dt_guia"), col("stao_nr_dias_prazo")))
       .withColumn("elapsed", datediff(lit(clock.ts).cast("date"), col("dt_fim_prazo")))
@@ -65,8 +99,10 @@ class BdpaAlert(clock: RunClock,
       .select(
         col("docu_dk").as("alrt_docu_dk"),
         col("docu_nr_mp").as("alrt_docu_nr_mp"),
-        col("vist_orgi_orga_dk").cast("int").as("alrt_orgi_orga_dk"),
+        col("docu_orgi_orga_dk_responsavel").cast("int").as("alrt_orgi_orga_dk"),
         col("dt_fim_prazo").cast("timestamp").as("alrt_date_referencia"),
-        col("elapsed").as("alrt_dias_referencia"))
+        col("elapsed").as("alrt_dias_referencia"),
+        col("nm_delegacia").as("alrt_info_adicional"))
+      .distinct()
   }
 }

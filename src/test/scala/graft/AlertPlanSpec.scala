@@ -13,7 +13,21 @@ class AlertPlanSpec extends SparkTestBase {
 
   private val clock = RunClock(LocalDateTime.of(2026, 8, 12, 12, 0))
 
-  private def planOf(a: Alert): String = {
+  /** Local-relation fixtures would let the optimizer eagerly evaluate
+    * filters and collapse empty subtrees (ConvertToLocalRelation →
+    * PropagateEmptyRelation), making structural assertions vacuous for
+    * detectors with no planted rows — exclude both so the plan shape
+    * is the one a parquet-backed table would produce. */
+  private val structuralRules =
+    "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation," +
+      "org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation"
+
+  private def withStructuralPlans[T](body: => T): T = {
+    spark.conf.set("spark.sql.optimizer.excludedRules", structuralRules)
+    try body finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  private def planOf(a: Alert): String = withStructuralPlans {
     DomainFixtures.registerAll(spark)
     ActiveDocs.registerCached(spark)
     try a.build(spark).queryExecution.executedPlan.toString
@@ -47,6 +61,31 @@ class AlertPlanSpec extends SparkTestBase {
     val plan = planOf(new CompAlert)
     assert(plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("BDPA's movimentação max-per-group aggregates only candidate docs") {
+    // the reference restricts routing rows to baixa candidates BEFORE
+    // the max(movi_dt_guia) aggregate (alerta_bdpa.py:60-74); at 100 TB
+    // the other order shuffles the whole movimentação table for nothing
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    DomainFixtures.registerAll(spark)
+    val plan = withStructuralPlans {
+      new BdpaAlert(clock).build(spark).queryExecution.optimizedPlan
+    }
+    // the optimizer collapses the movi_dt_guia alias into
+    // max(coalesce(movi_dt_recebimento_guia, ...)) — match the source cols
+    val movAggs = plan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.toString.contains("movi_dt")) => a
+    }
+    assert(movAggs.nonEmpty, "movimentação max-per-group aggregate not found")
+    movAggs.foreach { a =>
+      // the candidate restriction shows as the baixa id-list filter
+      // somewhere below the aggregate (the attribute may carry its
+      // pre-projection name, so match the ids, not the column)
+      assert(a.child.toString.contains("6006"),
+        "movimentação aggregate is not restricted to baixa candidates")
+    }
   }
 
   test("reference-placed broadcast hints survive to the physical plan") {

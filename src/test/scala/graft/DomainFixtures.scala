@@ -84,6 +84,11 @@ object DomainFixtures {
       .withColumn("docu_dt_cancelamento", lit(null).cast("timestamp"))
       .withColumn("docu_nr_externo", concat(lit("ext-"), col("docu_dk")))
       .withColumn("docu_tx_etiqueta", concat(lit("tag-"), col("docu_dk")))
+      // data-dependent, not lit(null): a constant-NULL key would let the
+      // optimizer fold BDPA's deleg-origem equi-join condition away and
+      // turn the plan-shape guards vacuous (AlertPlanSpec)
+      .withColumn("docu_orge_orga_dk_deleg_origem",
+        when(col("docu_dk") === 99, lit(970)).cast("int"))
     docs.createOrReplaceTempView("documento")
 
     // (vist_dk, docu, organ, abertura)
@@ -133,7 +138,10 @@ object DomainFixtures {
       (91720, 17200, 6291), // IC1A prorrogação
       (92020, 20200, 6011)) // NF30 conversão
       .toDF("stao_dk", "stao_pcao_dk", "stao_tppr_dk")
-      .withColumn("stao_nr_dias_prazo", lit(null).cast("int"))
+      // data-dependent for the same reason: constant NULL would fold
+      // BDPA's isNotNull filter to false and empty the subtree
+      .withColumn("stao_nr_dias_prazo",
+        when(col("stao_dk") === -1, lit(30)).cast("int"))
       .createOrReplaceTempView("mcpr_sub_andamento")
 
     // routing: OUVI pending-receipt items + DCTJ/DNTJ court round-trips
@@ -203,7 +211,8 @@ object DomainFixtures {
       (950, "GRUPO DE ATUAÇÃO ESPECIALIZADA", 2))
       .toDF("orgi_dk", "orgi_nm_orgao", "orgi_tpor_dk")
       .createOrReplaceTempView("orgi_orgao")
-    Seq((960, 63), (970, 60)).toDF("orge_orga_dk", "orge_tpoe_dk")
+    Seq((960, 63, "TJ VARA 1"), (970, 60, "DP CENTRO"))
+      .toDF("orge_orga_dk", "orge_tpoe_dk", "orge_nm_orgao")
       .createOrReplaceTempView("mprj_orgao_ext")
 
     Seq((174, 2)).toDF("corr_docu_dk2", "corr_tpco_dk")
