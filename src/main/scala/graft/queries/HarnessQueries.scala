@@ -13,7 +13,51 @@ import graft.harness.AlertConform
   */
 object HarnessQueries {
 
+  /** q70 constants — single source for the Spark plan AND the generated
+    * DuckDB oracle, so the two can never drift. */
+  private val SpineRoutedPriority = "1-URGENT"
+  private val SpinePkgRegionMax = 3
+  private val SpineBranchARegions = Seq(0, 1)
+  private val SpineBranchAFlag = "R"
+  private val SpineBranchBMin = 2
+  private val SpineBranchBFlag = "A"
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The documentos_ativos spine shape (reference jobs.py:202-248 /
+    // harness/ActiveDocs.scala): an open-rows filter, a routing
+    // exclusion and an archival exclusion — each a native left_anti —
+    // where the archival flag is a CASE consulting a LEFT-joined
+    // package dim, so rows whose dim key is absent get NULL and fall
+    // through every branch (never archived). Re-cast over TPC-H:
+    // customer=documento, orders+lineitem=the routing/andamento chains,
+    // nation(region<3)=the organ-package map.
+    "q70_active_spine" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val pkg = Tables.load(s, dir, "nation")
+        .filter(col("n_regionkey") < SpinePkgRegionMax)
+        .select(col("n_nationkey"), col("n_regionkey").as("cod_pct"))
+      val routedAway = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority") === SpineRoutedPriority)
+        .select(col("o_custkey").as("routed_key"))
+      val archived = cust
+        .join(pkg, col("n_nationkey") === col("c_nationkey"), "left")
+        .join(orders, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_arq",
+          when(col("cod_pct").isin(SpineBranchARegions: _*) &&
+            col("l_returnflag") === SpineBranchAFlag, 1)
+            .when(col("cod_pct") >= SpineBranchBMin &&
+              col("l_returnflag") === SpineBranchBFlag, 1)
+            .otherwise(lit(null).cast("int")))
+        .filter(col("is_arq").isNotNull)
+        .select(col("c_custkey").as("arch_key"))
+      cust.filter(col("c_acctbal") > 0)
+        .join(routedAway, col("c_custkey") === col("routed_key"), "left_anti")
+        .join(archived, col("c_custkey") === col("arch_key"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
     "q44_alert_conform" -> ((s, dir) => {
       val built = Tables.load(s, dir, "orders")
         .filter(col("o_orderstatus") === "O")
@@ -29,6 +73,30 @@ object HarnessQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the reference's own formulation of both exclusions is
+    // LEFT JOIN + IS NULL ≡ NOT EXISTS (jobs.py:203-245)
+    "q70_active_spine" ->
+      s"""WITH routed AS (
+         |  SELECT DISTINCT o_custkey
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_orderpriority = '$SpineRoutedPriority'),
+         |archived AS (
+         |  SELECT DISTINCT c2.c_custkey
+         |  FROM customer c2
+         |  LEFT JOIN (SELECT n_nationkey, n_regionkey AS cod_pct FROM nation
+         |             WHERE n_regionkey < $SpinePkgRegionMax) p
+         |    ON p.n_nationkey = c2.c_nationkey
+         |  JOIN orders o ON o.o_custkey = c2.c_custkey
+         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  WHERE (CASE WHEN p.cod_pct IN (${SpineBranchARegions.mkString(",")})
+         |                   AND l.l_returnflag = '$SpineBranchAFlag' THEN 1
+         |              WHEN p.cod_pct >= $SpineBranchBMin
+         |                   AND l.l_returnflag = '$SpineBranchBFlag' THEN 1
+         |         END) IS NOT NULL)
+         |SELECT c_custkey, c_name FROM customer c
+         |WHERE c_acctbal > 0
+         |  AND NOT EXISTS (SELECT 1 FROM routed r WHERE r.o_custkey = c.c_custkey)
+         |  AND NOT EXISTS (SELECT 1 FROM archived a WHERE a.c_custkey = c.c_custkey)""".stripMargin,
     "q44_alert_conform" ->
       """SELECT concat('OVRD', '.', sha256(CAST(CAST(o_orderkey AS INTEGER) AS VARCHAR)),
         |         '.', CAST(CAST(o_custkey AS INTEGER) AS VARCHAR)) AS alrt_key,
