@@ -17,8 +17,13 @@ import org.apache.spark.sql.SparkSession
   *     Tables.load rebuilds a proper timestamp column.
   */
 object GraftSession {
-  def build(appName: String, cores: Int): SparkSession = {
-    val spark = SparkSession.builder()
+  /** `hive = true` mirrors the reference's Hive-enabled bootstrap
+    * (base.py:10-14): persistent metastore catalog for the entity
+    * tables. Default off — the library itself is catalog-agnostic and
+    * tests run against the in-memory catalog. Only honored by the
+    * first session built in a JVM (catalog choice is a static conf). */
+  def build(appName: String, cores: Int, hive: Boolean = false): SparkSession = {
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
       // library SQL surface: slugify / cosine_sim as native functions
@@ -35,7 +40,7 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
-      .getOrCreate()
+    val spark = (if (hive) builder.enableHiveSupport() else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
