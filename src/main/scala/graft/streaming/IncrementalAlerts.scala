@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** Incremental alert detection — the architectural inversion of the
@@ -29,9 +29,9 @@ object IncrementalAlerts {
     * registered under the entity view name the detector already reads,
     * and `build` produces the same plan with a streaming side — no
     * detector code changes. Works for detectors whose plan is
-    * join + filter + project (VADF, OUVI); detectors with unwatermarked
-    * aggregates (max-per-group families) stay batch-only and surface
-    * through the reconciliation run. The original view is restored
+    * join + filter + project (VADF, OUVI); detectors with a
+    * max-per-group core need their aggregate maintained as streaming
+    * state instead — see [[gateStream]]. The original view is restored
     * after the drain. */
   def detectorStream(spark: SparkSession, alert: graft.harness.Alert,
                      streamView: String, stream: org.apache.spark.sql.DataFrame,
@@ -66,5 +66,89 @@ object IncrementalAlerts {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Incremental GATE — a detector with a MAX-PER-GROUP core
+    * (latest vista per document, reference alerta_gate.py:29-38) run
+    * as incremental view maintenance instead of a nightly rescan:
+    *
+    *  - the per-document max(vist_dt_abertura_vista) is a streaming
+    *    aggregation over the vista changelog — Spark's state store
+    *    holds exactly one (docu, max) row per document, and Update
+    *    mode emits only the keys whose max changed in a micro-batch;
+    *  - the static candidate dim (documento × its GATE technical
+    *    reports) is seeded as ALL-firing — with no vista known, every
+    *    IT is "newer than the last vista" (the reference's
+    *    DT_MAX_VISTA IS NULL branch);
+    *  - each micro-batch re-evaluates ONLY the changed documents
+    *    (stream-static join against the candidate dim) and upserts:
+    *    per-batch cost is proportional to the changed-key count, not
+    *    the table size.
+    *
+    * The upsert here is a staged overwrite of the (small) alert table —
+    * the local stand-in for a keyed MERGE sink at scale; the state
+    * store, not the sink, is what makes the aggregate incremental. */
+  def gateStream(spark: SparkSession, vistaDir: String, resultTable: String,
+                 clock: graft.harness.RunClock, checkpointDir: String,
+                 maxFilesPerTrigger: Int = 1): DataFrame = {
+    val candidates = spark.table("documento")
+      .join(broadcast(spark.table("mmps_classe_hierarquia")),
+        col("docu_cldc_dk") === col("cldc_dk"), "left")
+      .join(broadcast(spark.table("gate_info_tecnica")),
+        col("docu_dk") === col("itcn_docu_dk"))
+      .select(col("docu_dk"), col("docu_nr_mp"),
+        col("docu_orgi_orga_dk_responsavel"), col("itcn_dk"),
+        col("itcn_dt_cadastro"))
+      .cache()
+
+    def alertRows(df: DataFrame): DataFrame =
+      df.withColumn("elapsed",
+        datediff(lit(clock.ts).cast("date"), col("itcn_dt_cadastro")).cast("int"))
+        .select(
+          col("itcn_dk").as("alrt_dk_referencia"),
+          col("docu_dk").as("alrt_docu_dk"),
+          col("docu_nr_mp").as("alrt_docu_nr_mp"),
+          col("itcn_dt_cadastro").as("alrt_date_referencia"),
+          col("docu_orgi_orga_dk_responsavel").as("alrt_orgi_orga_dk"),
+          col("elapsed").as("alrt_dias_referencia"))
+
+    // seed: no vista known yet -> every technical report fires
+    alertRows(candidates).write.mode("overwrite").format("parquet")
+      .saveAsTable(resultTable)
+
+    val schema = spark.read.parquet(vistaDir).schema
+    val vistaMax = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(vistaDir)
+      .groupBy(col("vist_docu_dk"))
+      .agg(max(col("vist_dt_abertura_vista")).as("dt_max_vista"))
+
+    val q = vistaMax.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val changed = batch.cache()
+        try {
+          // re-fire the changed docs' ITs that are still newer than the
+          // latest vista (reference's ITCN_DT_CADASTRO > DT_MAX_VISTA)
+          val refreshed = alertRows(
+            candidates.join(changed, col("docu_dk") === col("vist_docu_dk"))
+              .filter(col("itcn_dt_cadastro") > col("dt_max_vista")))
+          val untouched = spark.table(resultTable)
+            .join(changed.select(col("vist_docu_dk")),
+              col("alrt_docu_dk") === col("vist_docu_dk"), "left_anti")
+          untouched.unionByName(refreshed)
+            .write.mode("overwrite").format("parquet")
+            .saveAsTable(resultTable + "_stage")
+          spark.table(resultTable + "_stage")
+            .write.mode("overwrite").format("parquet").saveAsTable(resultTable)
+          spark.sql(s"DROP TABLE ${resultTable}_stage")
+        } finally changed.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    candidates.unpersist()
+    spark.table(resultTable)
   }
 }
