@@ -179,19 +179,23 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, col("node") === col("src"))
         .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
-      val stepped = labels
+      // pointer jumping fused into the relabel round: follow the new
+      // label through the PREVIOUS round's (already checkpointed)
+      // node->comp mapping. A stale parent is still a node id inside
+      // the same component, so min-label safety holds, the chain still
+      // shortens every round — and the mid-round checkpoint the
+      // self-join needed (one full shuffle job per round) disappears.
+      val parents = labels
+        .select(col("node").as("p_node"), col("comp").as("p_comp"))
+      val next = labels
         .join(neighborMin, col("node") === col("dst"), "left")
         .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("mid"))
-        .localCheckpoint() // feeds both sides of the jump self-join
-      // pointer jumping: follow comp -> comp(comp), halving chain depth
-      // per round — O(log diameter) rounds instead of O(diameter)
-      val parents = stepped
-        .select(col("node").as("p_node"), col("mid").as("p_comp"))
-      val next = stepped.join(parents, col("mid") === col("p_node"), "left")
+        .join(parents, col("mid") === col("p_node"), "left")
         .select(col("node"), col("prev"),
           least(col("mid"), coalesce(col("p_comp"), col("mid"))).as("comp"))
         .localCheckpoint()
+      // convergence probe scans the checkpointed blocks, not a lineage
       converged = next.filter(col("comp") =!= col("prev")).isEmpty
       labels = next.select(col("node"), col("comp"))
       iter += 1
