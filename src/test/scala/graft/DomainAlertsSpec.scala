@@ -184,6 +184,97 @@ class DomainAlertsSpec extends SparkTestBase {
     }
   }
 
+  test("RO boundary: serial gaps in a prior year never fire (year rollover)") {
+    withWorld {
+      import spark.implicits._
+      // station 40's gap exists only among LAST year's serials (the
+      // reference scopes expected counts to year(now()), alerta_ro.py:
+      // 37-38 — serials restart each year); station 50 is complete in
+      // the clock year. Nothing may fire.
+      Seq(
+        ("040-00001/2025", DomainFixtures.ts("2025-08-01")),
+        ("040-00005/2025", DomainFixtures.ts("2025-08-01")),
+        ("050-00001/2026", DomainFixtures.ts("2026-08-01")),
+        ("050-00002/2026", DomainFixtures.ts("2026-08-01")))
+        .toDF("proc_numero", "data_liberacao")
+        .createOrReplaceTempView("seg_pub_in_pol_procedimento")
+      Seq((40, 504, "DP 40"), (50, 505, "DP 50"))
+        .toDF("cisp_codigo", "pip_codigo", "cisp_nome_apresentacao")
+        .createOrReplaceTempView("tb_pip_cisp")
+      assert(new RoAlert(clock).build(spark).isEmpty)
+    }
+  }
+
+  test("FEBT boundary: exactly 30 days silent does not fire; 31 days does") {
+    withWorld {
+      import spark.implicits._
+      // clock 2026-08-12; the reference's predicate is STRICTLY > 30
+      // (alerta_febt.py:38): station 10 released exactly 30 days ago,
+      // station 20 released 31 days ago
+      Seq(
+        ("010-00001/2026", DomainFixtures.ts("2026-07-13")),
+        ("020-00001/2026", DomainFixtures.ts("2026-07-12")))
+        .toDF("proc_numero", "data_liberacao")
+        .createOrReplaceTempView("seg_pub_in_pol_procedimento")
+      val out = new FebtAlert(clock).build(spark)
+      assert(out.select("ro_nr_delegacia").collect().map(_.getString(0)).toSet ==
+        Set("20"))
+    }
+  }
+
+  test("ABR1 boundary: April fires by default; Nov-2020 carve-out fires; Dec-2020 does not") {
+    withWorld {
+      // the default gate is month 4 (alerta_abr1.py:23-25)
+      val april = RunClock(LocalDateTime.of(2026, 4, 15, 12, 0))
+      val aprilOut = new Abr1Alert(april).build(spark).collect()
+      assert(aprilOut.length == 1)
+      assert(aprilOut.head.getAs[Int]("alrt_orgi_orga_dk") == 310)
+      // November 2020 is hardcoded into the gate even though 11 is not
+      // a configured month (alerta_abr1.py:36-38); plant a procedure
+      // old enough relative to that clock
+      import spark.implicits._
+      Seq((900, "MP-900", 310, 392, 1, DomainFixtures.ts("2019-01-10")))
+        .toDF("docu_dk", "docu_nr_mp", "docu_orgi_orga_dk_responsavel",
+          "docu_cldc_dk", "docu_tpst_dk", "docu_dt_cadastro")
+        .withColumn("docu_dt_cancelamento", lit(null).cast("timestamp"))
+        .createOrReplaceTempView("documentos_ativos")
+      val nov2020 = RunClock(LocalDateTime.of(2020, 11, 15, 12, 0))
+      val novOut = new Abr1Alert(nov2020).build(spark).collect()
+      assert(novOut.length == 1)
+      assert(novOut.head.getAs[String]("abr1_ano_mes") == "202011")
+      // one month later the carve-out no longer applies
+      val dec2020 = RunClock(LocalDateTime.of(2020, 12, 15, 12, 0))
+      assert(new Abr1Alert(dec2020).build(spark).isEmpty)
+    }
+  }
+
+  test("ISPS boundary: a new reference year invalidates the memo and recomputes") {
+    withWorld {
+      val db = "t_ispsyear"
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val loc = java.nio.file.Files.createTempDirectory("graft_ispsyear")
+      spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+      val aux = s"$db.memo"
+      // first run computes and memoizes the 2024 rows
+      assert(new IspsAlert(Some(aux)).build(spark).count() == 1)
+      spark.catalog.clearCache()
+      // 2025 data lands: the memo's 2024 rows must NOT satisfy the new
+      // year's lookup (isps.py:44-60 keys the memo on the max year)
+      import spark.implicits._
+      Seq(
+        (33, "ESTADO", 2025, None: Option[String], 20.0, 10.0, 90.0, 10.0),
+        (1, "NITERÓI", 2025, None: Option[String], 10.0, 10.0, 90.0, 10.0))
+        .toDF("cod_mun", "municipio", "ano_referencia", "cod_prest",
+          "in009", "in013", "in023", "in049")
+        .createOrReplaceTempView("plataforma_amb_saneamento_snis_info_indic_agua")
+      val out = new IspsAlert(Some(aux)).build(spark).collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Int]("isps_ano_referencia") == 2025)
+      assert(out.head.getAs[String]("isps_indicador") == "Índice de Hidrometação")
+      spark.sql(s"DROP DATABASE $db CASCADE")
+    }
+  }
+
   test("full lifecycle runAll: every family lands in final + hist tables") {
     withWorld {
       val db = "t_runall"
