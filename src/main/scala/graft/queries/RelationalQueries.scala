@@ -291,6 +291,37 @@ object RelationalQueries {
           col("l_suppkey"), round(col("l_quantity") / col("ps_qty"), 6).as("qty_share"))
     }),
 
+    // The BDPA detector's full chain topology (reference
+    // alerta_bdpa.py:40-97 / harness/BdpaAlert.scala): double
+    // tie-keeping max-per-group where the SECOND aggregate runs only
+    // over the first chain's candidates, then deadline arithmetic
+    // (date_add by a column) and the tie-collapsing final distinct.
+    // Recast over TPC-H: latest order per customer -> its 'N'-flag
+    // lines carry a deadline (l_quantity days after l_shipdate) ->
+    // latest such line per customer -> overdue vs a pinned clock.
+    "q71_bdpa_chain" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val lastOrder = graft.operators.Relational
+        .maxPerGroupJoinBack(orders, "o_custkey", "o_orderdate")
+      val withPrazo = lastOrder
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "N" && col("l_quantity").isNotNull)
+        .withColumn("prazo", col("l_quantity").cast("int"))
+      val lastLine = graft.operators.Relational
+        .maxPerGroupJoinBack(withPrazo, "o_custkey", "l_shipdate")
+      lastLine
+        .withColumn("dt_fim_prazo", date_add(col("l_shipdate"), col("prazo")))
+        .withColumn("elapsed",
+          datediff(lit("2002-06-01").cast("date"), col("dt_fim_prazo")))
+        .filter(col("elapsed") > 0)
+        .select(
+          col("o_custkey").as("cust"),
+          date_format(col("dt_fim_prazo"), "yyyy-MM-dd").as("dt_fim"),
+          col("elapsed"))
+        .distinct()
+    }),
+
     // §2.5 extension — window rank / lag / running agg over events
     // (absent from the reference; required for the 100 TB pipeline).
     "q30_window_funcs" -> ((s, dir) => {
@@ -422,6 +453,23 @@ object RelationalQueries {
         |round(l_quantity / ps_qty, 6) AS qty_share
         |FROM lineitem JOIN (SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS ps_qty
         |  FROM lineitem GROUP BY 1, 2) ps ON l_partkey = ps.pk AND l_suppkey = ps.sk""".stripMargin,
+    "q71_bdpa_chain" ->
+      """WITH last_o AS (
+        |  SELECT o_custkey AS k, max(o_orderdate) AS d FROM orders GROUP BY 1),
+        |cand AS (
+        |  SELECT o.o_custkey, l.l_shipdate, CAST(l.l_quantity AS INTEGER) AS prazo
+        |  FROM orders o
+        |  JOIN last_o ON o.o_custkey = last_o.k AND o.o_orderdate = last_o.d
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'N' AND l.l_quantity IS NOT NULL),
+        |last_s AS (SELECT o_custkey AS k2, max(l_shipdate) AS s FROM cand GROUP BY 1)
+        |SELECT DISTINCT
+        |  c.o_custkey AS cust,
+        |  strftime(CAST(c.l_shipdate AS DATE) + c.prazo, '%Y-%m-%d') AS dt_fim,
+        |  date_diff('day', CAST(c.l_shipdate AS DATE) + c.prazo, DATE '2002-06-01') AS elapsed
+        |FROM cand c
+        |JOIN last_s ON c.o_custkey = last_s.k2 AND c.l_shipdate = last_s.s
+        |WHERE date_diff('day', CAST(c.l_shipdate AS DATE) + c.prazo, DATE '2002-06-01') > 0""".stripMargin,
     "q30_window_funcs" ->
       """SELECT event_id, user_id,
         |rank() OVER (PARTITION BY user_id ORDER BY event_type, event_id) AS type_rank,
