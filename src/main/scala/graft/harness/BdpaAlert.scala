@@ -19,7 +19,12 @@ import graft.operators.Relational
   *  - `nm_delegacia` comes from a left join of `mprj_orgao_ext` on the
   *    document's originating police station
   *    (docu_orge_orga_dk_deleg_origem, alerta_bdpa.py:27-32) and is
-  *    emitted as `alrt_info_adicional`;
+  *    emitted as `alrt_info_adicional`. The reference joins the name in
+  *    FIRST and carries the string through the whole chain; since the
+  *    name is functionally dependent on the (unique-keyed) origin
+  *    organ, this plan carries only the int key through both
+  *    max-per-group shuffles and resolves the name against the
+  *    broadcast dim at the end — same rows, narrower shuffles;
   *  - andamentos are floored at 2013-01-01 (alerta_bdpa.py:38) — both
   *    a semantic bound and a scan-pruning predicate at scale;
   *  - latest andamento per document and latest movimentação per
@@ -55,11 +60,8 @@ class BdpaAlert(clock: RunClock,
 
     val docs = spark.table("documento")
       .filter(col("docu_tpst_dk") === 3 && col("docu_fsdc_dk") === 1)
-      .join(orgaoExt.select(col("orge_orga_dk"),
-          col("orge_nm_orgao").as("nm_delegacia")),
-        col("docu_orge_orga_dk_deleg_origem") === col("orge_orga_dk"), "left")
       .select("docu_dk", "docu_nr_mp", "docu_orgi_orga_dk_responsavel",
-        "nm_delegacia")
+        "docu_orge_orga_dk_deleg_origem")
 
     // latest post-2013 andamento per document (J7 #1)
     val andamentos = docs
@@ -102,7 +104,12 @@ class BdpaAlert(clock: RunClock,
         col("docu_orgi_orga_dk_responsavel").cast("int").as("alrt_orgi_orga_dk"),
         col("dt_fim_prazo").cast("timestamp").as("alrt_date_referencia"),
         col("elapsed").as("alrt_dias_referencia"),
-        col("nm_delegacia").as("alrt_info_adicional"))
+        col("docu_orge_orga_dk_deleg_origem"))
       .distinct()
+      // resolve the station name on the reduced alert set only
+      .join(broadcast(orgaoExt.select(col("orge_orga_dk"),
+          col("orge_nm_orgao").as("alrt_info_adicional"))),
+        col("docu_orge_orga_dk_deleg_origem") === col("orge_orga_dk"), "left")
+      .drop("docu_orge_orga_dk_deleg_origem", "orge_orga_dk")
   }
 }
