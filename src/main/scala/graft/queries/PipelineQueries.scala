@@ -25,6 +25,7 @@ object PipelineQueries {
   val NearDupMinCos = 0.25
   val LshPlanes = 6
   val EmbeddingDim = 64
+  val CentroidClusters = 5
   val CorpusLangs = Seq("en", "es")
   val CorpusMinWords = 5
   val CorpusMinQuality = 0.05
@@ -81,6 +82,18 @@ object PipelineQueries {
     "q43_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", "label",
         NearDupMinCos)),
+
+    // typed-Aggregator UDAF (functions/Centroid.scala): per-cluster
+    // embedding centroid — IVF coarse-quantizer training; partial
+    // buffers are (sum-vector, count), so the shuffle never carries
+    // raw embeddings
+    "q72_embed_centroid" -> ((s, dir) =>
+      embs(s, dir)
+        .groupBy((col("vec_id") % CentroidClusters).cast("int").as("cluster"))
+        .agg(graft.functions.Centroid(col("embedding")).as("c"))
+        .select(col("cluster"), posexplode(col("c")).as(Seq("dim0", "raw")))
+        .select(col("cluster"), (col("dim0") + 1).as("dim"),
+          round(col("raw"), 6).as("mean_val"))),
 
     "q57_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearDup(embs(s, dir), "vec_id", "embedding",
@@ -347,6 +360,15 @@ object PipelineQueries {
     "q37_cosine_topk" -> cosineTopkSql,
     "q38_ann_ivf" -> annIvfSql,
     "q43_embed_neardup" -> embedNearDupSql,
+    "q72_embed_centroid" ->
+      s"""SELECT cluster, CAST(dim AS INTEGER) AS dim,
+         |  round(avg(val), 6) AS mean_val
+         |FROM (
+         |  SELECT CAST(vec_id % $CentroidClusters AS INTEGER) AS cluster,
+         |         generate_subscripts(embedding, 1) AS dim,
+         |         unnest(embedding) AS val
+         |  FROM embeddings)
+         |GROUP BY 1, 2""".stripMargin,
     "q57_ann_lsh" -> annLshSql,
     "q39_langid" -> langidSql,
     "q40_text_quality" -> qualitySql,

@@ -30,4 +30,31 @@ class VectorExprSpec extends SparkTestBase {
     val expected = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
     assert(math.abs(v - expected) < 1e-15)
   }
+
+  test("Centroid UDAF: per-dim mean, null rows skipped, partition-invariant") {
+    import spark.implicits._
+    val rows = Seq(
+      (1, Array(1.0f, 2.0f)), (1, Array(3.0f, 6.0f)),
+      (1, null.asInstanceOf[Array[Float]]), (2, Array(5.0f, 5.0f)))
+    def centroids(parts: Int): Map[Int, Seq[Double]] =
+      rows.toDF("k", "v").repartition(parts)
+        .groupBy(col("k")).agg(graft.functions.Centroid(col("v")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val one = centroids(1)
+    assert(one(1) == Seq(2.0, 4.0)) // null row contributes nothing
+    assert(one(2) == Seq(5.0, 5.0))
+    assert(centroids(7) == one) // merge order cannot change the result
+  }
+
+  test("Centroid UDAF registers for SQL use") {
+    import spark.implicits._
+    graft.functions.Centroid.register(spark)
+    Seq((1, Array(2.0f, 4.0f)), (1, Array(4.0f, 8.0f)))
+      .toDF("k", "v").createOrReplaceTempView("centroid_in")
+    val r = spark.sql(
+      "SELECT centroid(v) AS c FROM centroid_in GROUP BY k")
+      .head.getSeq[Double](0)
+    assert(r == Seq(3.0, 6.0))
+  }
 }
