@@ -94,6 +94,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rn")
   }
 
+  /** Train IVF cells with Lloyd iterations (k-means, cosine
+    * objective): deterministic seed assignment (`id mod k`), then per
+    * iteration (a) cell centroids via the [[graft.functions.Centroid]]
+    * typed Aggregator — partial (sum, count) buffers, never raw
+    * vectors, in the shuffle — and (b) nearest-centroid reassignment
+    * as a broadcast of the k centroids against the streaming corpus
+    * (|n|·k scoring, no corpus shuffle). Centroids and scores are
+    * rounded so assignment is independent of distributed sum order;
+    * per-iteration `localCheckpoint` truncates the growing lineage
+    * (same discipline as [[Dedup.connectedComponents]]).
+    *
+    * Returns (idCol, cell) — feed to [[ivfTopK]] as its `cellCol`. */
+  def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("kid"),
+      col(vecCol).cast("array<float>").as("kvf"),
+      asDouble(col(vecCol)).as("kv"))
+    var assigned = vecs
+      .withColumn("cell", pmod(col("kid"), lit(k)).cast("int"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val cents = assigned.groupBy(col("cell"))
+        .agg(graft.functions.Centroid(col("kvf")).as("raw"))
+        .select(col("cell").as("c_cell"),
+          transform(col("raw"), v => round(v, 6)).as("centroid"))
+      val w = Window.partitionBy(col("kid"))
+        .orderBy(col("sim").desc, col("c_cell").asc)
+      assigned = assigned.drop("cell")
+        .crossJoin(broadcast(cents))
+        .withColumn("sim", round(cosine(col("kv"), col("centroid")), 6))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("kid"), col("kvf"), col("kv"), col("c_cell").as("cell"))
+        .localCheckpoint()
+    }
+    assigned.select(col("kid").as(idCol), col("cell"))
+  }
+
   /** Deterministic ±1 random-hyperplane signs (md5 parity of a fixed
     * seed string) — reproducible across engines and runs. */
   def planeSigns(nPlanes: Int, dim: Int): Seq[Array[Int]] =

@@ -47,6 +47,35 @@ class VectorExprSpec extends SparkTestBase {
     assert(centroids(7) == one) // merge order cannot change the result
   }
 
+  test("kmeansCells: Lloyd iterations separate planted clusters from a mixed seed") {
+    import spark.implicits._
+    // three orthogonal-direction clusters; ids are aligned with the
+    // id%3 seed for 27 points, and 3 points are planted in the WRONG
+    // seed cell — one Lloyd iteration must move them to their true
+    // cluster's cell
+    def vec(cluster: Int, jitter: Float): Array[Float] = {
+      val v = Array.fill(6)(0.01f * jitter)
+      v(cluster) = 10.0f + jitter; v
+    }
+    val aligned = (0 until 27).map(i => (i.toLong, vec(i % 3, (i % 5).toFloat)))
+    val planted = Seq( // id%3 != true cluster
+      (27L, vec(1, 1.0f)), (28L, vec(2, 2.0f)), (29L, vec(0, 3.0f)))
+    val df = (aligned ++ planted).toDF("vid", "emb")
+    val cells = Similarity.kmeansCells(df, "vid", "emb", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def trueCluster(id: Long): Int =
+      if (id < 27) (id % 3).toInt else Seq(1, 2, 0)((id - 27).toInt)
+    // every ground-truth cluster maps to exactly one distinct cell
+    val byCluster = cells.groupBy { case (id, _) => trueCluster(id) }
+      .view.mapValues(_.values.toSet).toMap
+    assert(byCluster.values.forall(_.size == 1), s"mixed cells: $byCluster")
+    assert(byCluster.values.flatten.toSet.size == 3)
+    // deterministic under repartitioning
+    val again = Similarity.kmeansCells(df.repartition(7), "vid", "emb", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == cells)
+  }
+
   test("Centroid UDAF registers for SQL use") {
     import spark.implicits._
     graft.functions.Centroid.register(spark)
