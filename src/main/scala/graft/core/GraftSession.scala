@@ -42,6 +42,10 @@ object GraftSession {
       .config("spark.driver.host", "127.0.0.1")
     val spark = (if (hive) builder.enableHiveSupport() else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // UDAFs can't ride the SparkSessionExtensions function injector
+    // (it takes expression builders), so the centroid aggregate is
+    // registered per-session here; idempotent under getOrCreate reuse
+    graft.functions.Centroid.register(spark)
     spark
   }
 

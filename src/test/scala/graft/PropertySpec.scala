@@ -62,6 +62,32 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents == brute-force union-find on random graphs") {
+    import spark.implicits._
+    // ground truth from a driver-side union-find with path compression
+    def unionFind(edges: Seq[(Int, Int)]): Map[Int, Int] = {
+      val parent = scala.collection.mutable.Map[Int, Int]()
+      def find(x: Int): Int = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(n => n -> find(n)).toMap
+    }
+    (1L to 5L).foreach { seed =>
+      val edges = sample(seed).map(t => (t._1, t._2 + 3)).distinct
+        .filter(e => e._1 != e._2)
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val expected = unionFind(edges)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("per-bucket star edges yield the same components as all bucket pairs") {
     import spark.implicits._
     // random (doc, bucket) memberships — docs sharing any bucket are
