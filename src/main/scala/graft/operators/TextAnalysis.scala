@@ -126,6 +126,26 @@ object TextAnalysis {
       .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
   }
 
+  /** TF-IDF per (document, term): one explode, a (doc, term) count, a
+    * term document-frequency aggregate, and the corpus size as a
+    * broadcast 1-row aggregate (never a driver-side collect). The
+    * score joins back on the term — a 1:N equi-join on the
+    * term-partitioned counts, the standard inverted-index shuffle
+    * topology; hub terms (stopwords) fan out rows but never keys, so
+    * no skew-salting is needed. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = tokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_t")), 6)
+          .as("tfidf"))
+  }
+
   /** Document fingerprints: whole-doc md5 plus a winnowing-style
     * min-hash over character 8-grams (rolling-hash family). The 8-gram
     * scan is a per-row array expression — no explode, no shuffle. */

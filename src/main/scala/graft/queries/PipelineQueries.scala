@@ -83,6 +83,12 @@ object PipelineQueries {
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", "label",
         NearDupMinCos)),
 
+    // TF-IDF over the documents table (operators/TextAnalysis.tfidf):
+    // inverted-index shuffle topology, corpus size as a broadcast
+    // 1-row aggregate
+    "q73_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(docs(s, dir), "doc_id", "text")),
+
     // typed-Aggregator UDAF (functions/Centroid.scala): per-cluster
     // embedding centroid — IVF coarse-quantizer training; partial
     // buffers are (sum-vector, count), so the shuffle never carries
@@ -374,6 +380,17 @@ object PipelineQueries {
     "q40_text_quality" -> qualitySql,
     "q41_tokenize" -> tokenizeSql,
     "q42_fingerprint" -> fingerprintSql,
+    "q73_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf,
+        |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df_t), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n""".stripMargin,
     // NB: DuckDB standard strings keep backslashes literal, so the
     // Java-regex pattern strings drop in unchanged; 'g' = replace all
     // (Spark's regexp_replace default)

@@ -61,6 +61,22 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.size == 3)
   }
 
+  test("tfidf: shared terms score 0, distinctive terms score tf*ln(N/df)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "cat cat dog"), (2, "cat fish"), (3, "cat bird")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // 'cat' appears in every doc -> idf = ln(3/3) = 0
+    assert(out((1, "cat")) == (2L, 0.0))
+    // 'dog' in 1 of 3 docs, tf 1 -> ln(3) rounded to 6
+    assert(out((1, "dog")) ==
+      (1L, BigDecimal(math.log(3.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out.size == 6) // (1,cat),(1,dog),(2,cat),(2,fish),(3,cat),(3,bird)
+  }
+
   test("near-dup removal is off-able via bands beyond signature width") {
     import spark.implicits._
     val en = "the quick fast query scans a wide table of rows"
