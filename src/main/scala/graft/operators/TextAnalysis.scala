@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
 
@@ -124,6 +125,34 @@ object TextAnalysis {
     df.select(col(idCol), split(col(textCol), " ").as("ws"))
       .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+  }
+
+  /** Sequence packing: assign chunk rows to fixed-token-budget packs —
+    * the step pretraining data takes after [[chunkByTokens]].
+    *
+    * A strictly-capped global packing is inherently sequential; the
+    * scale-correct form is shard-parallel contiguous fill: rows shard
+    * by a portable content hash of the document id (so packing is
+    * embarrassingly parallel and reproducible on any partitioning),
+    * and within a shard each row's pack is `floor(startOffset /
+    * budget)` of the running token count in (doc, chunk) order. One
+    * shuffle on the shard key, no global sort; each shard wastes at
+    * most one partial pack, and a pack may overrun the budget by at
+    * most one chunk's tokens (contiguous fill does not split rows). */
+  def packSequences(chunks: DataFrame, docCol: String, idxCol: String,
+                    tokenCol: String, budget: Int, shards: Int,
+                    salt: String = ""): DataFrame = {
+    val shard = pmod(PortableHash.hash60(
+      concat(col(docCol).cast("string"), lit(salt))), lit(shards))
+    val w = Window.partitionBy(col("pack_shard"))
+      .orderBy(col(docCol).asc, col(idxCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    chunks
+      .withColumn("pack_shard", shard.cast("int"))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id", floor(
+        (col("cum_tokens") - col(tokenCol)) /
+          lit(budget).cast("double")).cast("int"))
   }
 
   /** TF-IDF per (document, term): one explode, a (doc, term) count, a

@@ -33,6 +33,8 @@ object PipelineQueries {
   val Splits = Seq("train" -> 90, "valid" -> 5, "test" -> 5)
   val ChunkMaxTokens = 24
   val ChunkStride = 16
+  val PackBudget = 64
+  val PackShards = 8
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -131,6 +133,15 @@ object PipelineQueries {
       TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
         ChunkMaxTokens, ChunkStride)),
 
+    // sequence packing after chunking (operators/TextAnalysis
+    // .packSequences): shard-parallel contiguous fill, one shuffle on
+    // the portable-hash shard key
+    "q74_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(
+        TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
+          ChunkMaxTokens, ChunkStride).drop("chunk_text"),
+        "doc_id", "chunk_idx", "n_tokens", PackBudget, PackShards)),
+
     "q61_corpus_clean" -> ((s, dir) =>
       CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
         CorpusPipeline.Config(CorpusLangs, CorpusMinWords, CorpusMinQuality,
@@ -140,6 +151,17 @@ object PipelineQueries {
   // ---------- generated oracle SQL ----------
 
   private def h60(e: String): String = PortableHash.hash60Sql(e)
+
+  private val chunkSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id,
+       |  unnest(generate_series(0, greatest(
+       |    CAST(ceil((len(ws) - $ChunkMaxTokens) / CAST($ChunkStride AS DOUBLE)) AS INTEGER), 0))) AS chunk_idx,
+       |  ws FROM d)
+       |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |  array_to_string(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens], ' ') AS chunk_text,
+       |  len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens]) AS n_tokens
+       |FROM c""".stripMargin
   private def h32(e: String): String = PortableHash.hash32Sql(e)
 
   /** distinct (doc_id, word) pairs */
@@ -403,16 +425,22 @@ object PipelineQueries {
          |    '${TextAnalysis.numberPattern}', '<NUM>', 'g')) AS n_chars_removed
          |FROM documents""".stripMargin,
     "q61_corpus_clean" -> corpusCleanSql,
-    "q66_chunk_tokens" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |c AS (SELECT doc_id,
-         |  unnest(generate_series(0, greatest(
-         |    CAST(ceil((len(ws) - $ChunkMaxTokens) / CAST($ChunkStride AS DOUBLE)) AS INTEGER), 0))) AS chunk_idx,
-         |  ws FROM d)
-         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
-         |  array_to_string(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens], ' ') AS chunk_text,
-         |  len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens]) AS n_tokens
-         |FROM c""".stripMargin,
+    "q66_chunk_tokens" -> chunkSql,
+    "q74_pack_sequences" ->
+      s"""WITH chunks AS ($chunkSql),
+         |sharded AS (
+         |  SELECT doc_id, chunk_idx, n_tokens,
+         |    CAST(${PortableHash.hash60Sql("concat(CAST(doc_id AS VARCHAR), '')")} % $PackShards AS INTEGER) AS pack_shard
+         |  FROM chunks),
+         |cum AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_shard
+         |    ORDER BY doc_id, chunk_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM sharded)
+         |SELECT doc_id, chunk_idx, n_tokens, pack_shard,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |  CAST(floor((cum_tokens - n_tokens) / CAST($PackBudget AS DOUBLE)) AS INTEGER) AS pack_id
+         |FROM cum""".stripMargin,
     "q65_hash_split" ->
       s"""SELECT ${Sampling.hashSplitSql("doc_id", Splits)} AS split,
          |  count(*) AS n, min(doc_id) AS min_id

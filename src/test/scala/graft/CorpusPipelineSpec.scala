@@ -77,6 +77,33 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.size == 6) // (1,cat),(1,dog),(2,cat),(2,fish),(3,cat),(3,bird)
   }
 
+  test("packSequences: contiguous fill respects start offsets; repartition-stable") {
+    import spark.implicits._
+    val chunks = (0 until 10).flatMap(d =>
+      (0 until 4).map(i => (d.toLong, i, 10 + (d + i) % 7)))
+      .toDF("doc_id", "chunk_idx", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis
+        .packSequences(df, "doc_id", "chunk_idx", "n_tokens",
+          budget = 32, shards = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getInt(3), r.getLong(4), r.getInt(5))).toMap
+    val out = run(chunks)
+    // every row's START offset lies in its pack's budget window
+    out.foreach { case ((d, i), (shard, cum, pack)) =>
+      val nTokens = 10 + (d + i) % 7
+      val start = cum - nTokens
+      assert(start / 32 == pack, s"row ($d,$i): start $start pack $pack")
+    }
+    // shard-local packs start at 0 and are contiguous
+    out.values.groupBy(_._1).foreach { case (_, rows) =>
+      val packs = rows.map(_._3).toSet
+      assert(packs == (0 until packs.size).toSet)
+    }
+    assert(run(chunks.repartition(7)) == out) // partitioning-invariant
+  }
+
   test("near-dup removal is off-able via bands beyond signature width") {
     import spark.implicits._
     val en = "the quick fast query scans a wide table of rows"
