@@ -54,4 +54,29 @@ object Sampling {
       .map { case ((name, _), cum) => s"WHEN ($b) < $cum THEN '$name'" }
     s"CASE ${branches.mkString(" ")} END"
   }
+
+  /** Per-stratum sampling rates — the corpus-balancing op (e.g.
+    * downsample over-represented languages or sources): the keep
+    * decision is the same content-hash bucket as [[hashSample]], but
+    * compared against a per-stratum percentage from a literal CASE
+    * chain. Still a narrow codegen'd filter — the stratum column is
+    * already on the row, so no join, no shuffle, and the same row is
+    * kept or dropped identically on any partitioning. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Seq[(String, Int)], defaultPct: Int,
+                       salt: String = ""): DataFrame = {
+    val rate = rates.foldRight(lit(defaultPct)) { case ((s, p), acc) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), 100, salt) < rate)
+  }
+
+  def stratifiedSampleSql(idExpr: String, stratumExpr: String,
+                          rates: Seq[(String, Int)], defaultPct: Int,
+                          salt: String = ""): String = {
+    val branches = rates
+      .map { case (s, p) => s"WHEN $stratumExpr = '$s' THEN $p" }
+    s"${bucketSql(idExpr, 100, salt)} < " +
+      s"(CASE ${branches.mkString(" ")} ELSE $defaultPct END)"
+  }
 }

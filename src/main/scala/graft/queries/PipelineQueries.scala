@@ -35,6 +35,8 @@ object PipelineQueries {
   val ChunkStride = 16
   val PackBudget = 64
   val PackShards = 8
+  val StratRates = Seq("en" -> 30, "es" -> 60)
+  val StratDefaultPct = 90
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -132,6 +134,14 @@ object PipelineQueries {
     "q66_chunk_tokens" -> ((s, dir) =>
       TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
         ChunkMaxTokens, ChunkStride)),
+
+    // per-stratum sampling rates (operators/Sampling.stratifiedSample):
+    // language-balanced downsampling, still a narrow codegen'd filter
+    "q75_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          StratRates, StratDefaultPct)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
 
     // sequence packing after chunking (operators/TextAnalysis
     // .packSequences): shard-parallel contiguous fill, one shuffle on
@@ -441,6 +451,11 @@ object PipelineQueries {
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
          |  CAST(floor((cum_tokens - n_tokens) / CAST($PackBudget AS DOUBLE)) AS INTEGER) AS pack_id
          |FROM cum""".stripMargin,
+    "q75_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n, min(doc_id) AS min_id
+         |FROM documents
+         |WHERE ${Sampling.stratifiedSampleSql("doc_id", "lang", StratRates, StratDefaultPct)}
+         |GROUP BY 1""".stripMargin,
     "q65_hash_split" ->
       s"""SELECT ${Sampling.hashSplitSql("doc_id", Splits)} AS split,
          |  count(*) AS n, min(doc_id) AS min_id

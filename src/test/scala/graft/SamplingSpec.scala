@@ -41,6 +41,31 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("stratified sample applies per-stratum rates, stable and nested") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => (i, Seq("en", "es", "fr")(i % 3)))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(rows, "id", "lang",
+      Seq("en" -> 10, "es" -> 50), defaultPct = 100)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("fr") == 1000) // default 100% keeps every fr row
+    assert(byLang("en") > 50 && byLang("en") < 200) // ~10% of 1000
+    assert(byLang("es") > 400 && byLang("es") < 600) // ~50% of 1000
+    // stable under repartitioning
+    val ids1 = out.select("id").collect().map(_.getInt(0)).toSet
+    val ids2 = Sampling.stratifiedSample(rows.repartition(11), "id", "lang",
+        Seq("en" -> 10, "es" -> 50), defaultPct = 100)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(ids1 == ids2)
+    // a stratum's sample nests inside the plain hashSample at the same pct
+    val en10 = out.filter(col("lang") === "en")
+      .select("id").collect().map(_.getInt(0)).toSet
+    val all10 = Sampling.hashSample(rows, "id", 10)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(en10.subsetOf(all10))
+  }
+
   test("a different salt draws a different sample") {
     val a = Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
     val b = Sampling.hashSample(ids, "id", 10, salt = "run2")
