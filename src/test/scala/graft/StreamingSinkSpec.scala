@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Durable-sink + watermark semantics for the streaming layer: the
+  * memory-sink drains in EventStream are oracle-checked for values;
+  * these pin the operational contracts — exactly-once file output
+  * under checkpoint resume, and late-data eviction under watermark. */
+class StreamingSinkSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("parquet file sink is exactly-once across a checkpoint resume") {
+    import spark.implicits._
+    val src = tmp("graft_sink_src")
+    val out = tmp("graft_sink_out")
+    val ckpt = tmp("graft_sink_ckpt")
+    val rows = (1 to 100).map(i => (i.toLong, ts(f"2026-01-01 ${i % 24}%02d:00:00")))
+    rows.take(50).toDF("id", "ts").coalesce(1).write.mode("append").parquet(src)
+    rows.drop(50).toDF("id", "ts").coalesce(1).write.mode("append").parquet(src)
+
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 100)
+    // resume against the same checkpoint: nothing new -> no duplicates
+    drain()
+    assert(spark.read.parquet(out).count() == 100)
+    // new data after resume is appended exactly once
+    Seq((101L, ts("2026-01-01 05:00:00"))).toDF("id", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val ids = spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 101L))
+  }
+
+  test("watermark drops late rows from an append-mode windowed aggregate") {
+    import spark.implicits._
+    val src = tmp("graft_wm_src")
+    val ckpt = tmp("graft_wm_ckpt")
+    // drain 1 advances the persisted watermark to 11:00 (max 12:00 -
+    // 1h); drain 2's 10:30 row is then LATE for the [10:00, 11:00)
+    // window and must be dropped, not re-counted. Two separate drains
+    // against one checkpoint make the batch boundary (and therefore
+    // the watermark hand-off) deterministic.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val out = tmp("graft_wm_out")
+    def drain(): Map[String, Long] = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    Seq((1L, ts("2026-01-01 10:00:00")), (2L, ts("2026-01-01 12:00:00")))
+      .toDF("id", "ts").coalesce(1).write.mode("append").parquet(src)
+    drain()
+    Seq((3L, ts("2026-01-01 10:30:00")), (4L, ts("2026-01-01 12:30:00")))
+      .toDF("id", "ts").coalesce(1).write.mode("append").parquet(src)
+    val emitted = drain()
+    // only the closed 10:00 window is emitted, WITHOUT the late row 3;
+    // the 12:00 window never closes under the final watermark (11:30)
+    assert(emitted == Map("10:00" -> 1L))
+  }
+}
