@@ -22,6 +22,21 @@ object SqlFeatureQueries {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
 
+    // argmax/argmin aggregates (max_by/min_by): latest-row-per-group
+    // folded INTO the aggregate — one shuffle, no join-back, no window
+    // sort; the ordering key composes (cents, orderkey) into one
+    // exactly-representable double so ties break identically on any
+    // engine and partitioning
+    "q76_arg_max" -> ((s, dir) => {
+      val key = round(col("o_totalprice") * 100) * lit(100000000L) + col("o_orderkey")
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").cast("int").as("cust"))
+        .agg(
+          max_by(col("o_orderkey"), key).as("best_order"),
+          min_by(col("o_orderkey"), key).as("worst_order"),
+          round(max(col("o_totalprice")), 2).as("best_price"))
+    }),
+
     // pivot with an explicit value list (no extra distinct pass; the
     // pivot becomes conditional aggregation, one shuffle)
     "q53_pivot" -> ((s, dir) => {
@@ -93,6 +108,12 @@ object SqlFeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_arg_max" ->
+      """SELECT CAST(o_custkey AS INTEGER) AS cust,
+        |  arg_max(o_orderkey, round(o_totalprice*100)*100000000 + o_orderkey) AS best_order,
+        |  arg_min(o_orderkey, round(o_totalprice*100)*100000000 + o_orderkey) AS worst_order,
+        |  round(max(o_totalprice), 2) AS best_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q52_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |round(sum(o_totalprice), 2) AS total
