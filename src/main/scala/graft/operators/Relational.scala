@@ -78,6 +78,64 @@ object Relational {
         rightCols.map(c => col(s"__r.$c").as(s"r_$c")): _*)
   }
 
+  /** Gap-based batch sessionization: rows for the same key belong to
+    * the same session while consecutive event times are within
+    * `gapSeconds`; a larger gap starts a new session.
+    *
+    * Classic composition — `lag` to detect gap starts, then a running
+    * sum of the start flags numbers sessions within each key. Both
+    * windows share one partitioning and ordering, so Catalyst plans a
+    * single shuffle + single sort; per-key state is a scan, never a
+    * materialized group. At 100 TB this is the scale-safe batch twin
+    * of the streaming `flatMapGroupsWithState` sessionizer
+    * ([[graft.streaming.EventStream.userSessions]]).
+    *
+    * `tieBreak` must make the per-key ordering total (e.g. an event
+    * id) or session numbering is nondeterministic under ties.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol).asc +: tieBreak.map(col(_).asc))
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    // integer microsecond arithmetic: exact on sub-second timestamps
+    // (a double epoch would round, a second-truncating diff would
+    // misclassify gaps that straddle a second boundary)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(prev.isNull ||
+      unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L, 1)
+      .otherwise(0)
+    df.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+  }
+
+  /** Type-2 slowly-changing-dimension build from a change log: collapse
+    * per-key history to rows where any tracked attribute actually
+    * changed, stamped with `[valid_from, valid_to)` effective ranges
+    * (`valid_to` NULL on the current row).
+    *
+    * Two window passes over the same (key, ts) partitioning — change
+    * detection via `lag` before the filter, range closing via `lead`
+    * after it — which Catalyst plans as one shuffle; the sort is reused.
+    * No self-join, no collect: the standard warehouse dimension-build
+    * at any scale. `tieBreak` totalizes ordering for same-timestamp
+    * changes (last writer wins deterministically).
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String,
+           attrCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol).asc +: tieBreak.map(col(_).asc))
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val changed = attrCols.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val flagged = df.withColumn("__chg",
+      lag(col(tsCol), 1).over(w).isNull || changed)
+    val wAfter = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    flagged.filter(col("__chg"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wAfter))
+      .withColumn("is_current", lead(col(tsCol), 1).over(wAfter).isNull)
+      .drop("__chg")
+  }
+
   /** Unpivot n (name, value) measure pairs into rows — the reference's
     * U2 UNION-ALL unpivot (reference src/alertas/alerta_isps.py:78-92)
     * as a single-pass `stack`: no repeated scans of the input.

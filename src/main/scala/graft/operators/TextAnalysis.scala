@@ -175,6 +175,57 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Repetition-quality signals (the Gopher-rules family adapted to
+    * whitespace corpora): duplicate-word fraction, duplicate-bigram
+    * fraction, and the frequency share of the single most repeated
+    * word. High values mark boilerplate/spam documents that LLM
+    * corpus filters drop before training.
+    *
+    * All three are per-row array expressions over one split — no
+    * explode, no shuffle, codegen'd end to end. The bigram build uses
+    * an indexed `transform` over a length-guarded slice (never a
+    * descending `sequence`), and denominators clamp at 1 so one-word
+    * docs yield 0, not NULL, on every engine.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val prep = df.select(col(idCol), split(col(textCol), " ").as("ws"))
+      .withColumn("bg", expr(
+        """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |  (w, i) -> concat(w, ' ', element_at(ws, i + 2)))""".stripMargin))
+    def dupFrac(arr: Column): Column =
+      round((size(arr) - size(array_distinct(arr))).cast("double") /
+        greatest(size(arr), lit(1)), 6)
+    prep.select(
+      col(idCol),
+      dupFrac(col("ws")).as("dup_word_frac"),
+      dupFrac(col("bg")).as("dup_bigram_frac"),
+      round(expr(
+        """array_max(transform(array_distinct(ws),
+          |  w -> size(filter(ws, x -> x = w))))""".stripMargin).cast("double") /
+        greatest(size(col("ws")), lit(1)), 6).as("top_word_frac"))
+  }
+
+  /** Corpus-wide n-gram counts with a minimum-frequency floor — the LM
+    * corpus statistic behind contamination checks and tokenizer
+    * training. One indexed-transform n-gram build per row (no
+    * re-split per gram), one explode, one hash aggregate with map-side
+    * combine; the frequency floor keeps the result bounded while the
+    * full count table stays distributed. At 100 TB the only shuffle
+    * carries (gram, partial count) pairs.
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int,
+                  minCount: Long): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val grams = expr(
+      s"""transform(slice(ws, 1, greatest(size(ws) - ${n - 1}, 0)),
+         |  (w, i) -> concat_ws(' ', slice(ws, i + 1, $n)))""".stripMargin)
+    df.select(split(col(textCol), " ").as("ws"))
+      .select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Document fingerprints: whole-doc md5 plus a winnowing-style
     * min-hash over character 8-grams (rolling-hash family). The 8-gram
     * scan is a per-row array expression — no explode, no shuffle. */

@@ -37,6 +37,8 @@ object PipelineQueries {
   val PackShards = 8
   val StratRates = Seq("en" -> 30, "es" -> 60)
   val StratDefaultPct = 90
+  val NgramCountN = 2
+  val NgramCountMin = 35L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -86,6 +88,16 @@ object PipelineQueries {
     "q43_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", "label",
         NearDupMinCos)),
+
+    // Gopher-family repetition signals (TextAnalysis.repetitionSignals):
+    // per-row array expressions, no explode, no shuffle
+    "q78_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")),
+
+    // corpus-wide n-gram counts with a frequency floor
+    // (TextAnalysis.ngramCounts): one explode + one hash aggregate
+    "q79_ngram_counts" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(docs(s, dir), "text", NgramCountN, NgramCountMin)),
 
     // TF-IDF over the documents table (operators/TextAnalysis.tfidf):
     // inverted-index shuffle topology, corpus size as a broadcast
@@ -434,6 +446,27 @@ object PipelineQueries {
          |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
          |    '${TextAnalysis.numberPattern}', '<NUM>', 'g')) AS n_chars_removed
          |FROM documents""".stripMargin,
+    "q78_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, ws,
+        |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+        |  FROM d)
+        |SELECT doc_id,
+        |  round(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / greatest(len(ws), 1), 6) AS dup_word_frac,
+        |  round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / greatest(len(bg), 1), 6) AS dup_bigram_frac,
+        |  round(CAST(list_max(list_transform(list_distinct(ws),
+        |    w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / greatest(len(ws), 1), 6) AS top_word_frac
+        |FROM b""".stripMargin,
+    "q79_ngram_counts" -> {
+      val parts = (0 until NgramCountN).map(j => s"ws[i + $j]").mkString(", ")
+      s"""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT unnest(list_transform(
+         |    generate_series(1, len(ws) - ${NgramCountN - 1}),
+         |    i -> concat_ws(' ', $parts))) AS ngram
+         |  FROM d WHERE len(ws) >= $NgramCountN)
+         |SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
+         |HAVING count(*) >= $NgramCountMin""".stripMargin
+    },
     "q61_corpus_clean" -> corpusCleanSql,
     "q66_chunk_tokens" -> chunkSql,
     "q74_pack_sequences" ->

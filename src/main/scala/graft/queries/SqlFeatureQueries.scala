@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.operators.Relational
 
 /** SQL-surface completeness: multi-level aggregation (ROLLUP), pivot,
   * semi-structured JSON columns, and exact interpolated percentiles —
@@ -12,6 +13,9 @@ import graft.core.Tables
 object SqlFeatureQueries {
 
   val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Session gap for q77 (seconds). */
+  val SessionGapSecs = 1800L
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -91,6 +95,28 @@ object SqlFeatureQueries {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))),
 
+    // gap-based batch sessionization (operators/Relational.sessionize):
+    // lag + running-sum windows sharing one shuffle, then session-level
+    // rollup; epoch-micros outputs keep the oracle integer-exact
+    "q77_sessionize" -> ((s, dir) =>
+      Relational.sessionize(Tables.load(s, dir, "events"), "user_id", "ts",
+          SessionGapSecs, Seq("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("duration_us"))),
+
+    // SCD2 dimension build (operators/Relational.scd2): change-row
+    // collapse + effective ranges, two windows on one shuffle
+    "q80_scd2" -> ((s, dir) =>
+      Relational.scd2(Tables.load(s, dir, "orders"),
+          "o_custkey", "o_orderdate", Seq("o_orderstatus"), Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
     // set operations beyond union: INTERSECT / EXCEPT (set semantics)
     "q59_intersect" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
@@ -108,6 +134,36 @@ object SqlFeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q77_sessionize" ->
+      s"""WITH x AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (SELECT user_id, event_id, ts, us,
+         |    CASE WHEN prev_us IS NULL OR us - prev_us > ${SessionGapSecs}000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM x),
+         |s AS (SELECT user_id, us,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+         |  FROM f)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(us) AS start_us, max(us) AS end_us,
+         |  max(us) - min(us) AS duration_us
+         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q80_scd2" ->
+      """WITH x AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER w AS prev_status,
+        |    lag(o_orderdate) OVER w AS prev_ts
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chg AS (SELECT * FROM x
+        |  WHERE prev_ts IS NULL OR o_orderstatus IS DISTINCT FROM prev_status),
+        |r AS (SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM chg)
+        |SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM r""".stripMargin,
     "q76_arg_max" ->
       """SELECT CAST(o_custkey AS INTEGER) AS cust,
         |  arg_max(o_orderkey, round(o_totalprice*100)*100000000 + o_orderkey) AS best_order,

@@ -31,6 +31,31 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.filter($"pred_lang" =!= "en").isEmpty)
   }
 
+  test("repetition signals: planted fractions; one-word doc yields zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "a b a b"),   // words: 4 total / 2 distinct; bigrams: a b, b a, a b
+      (2, "x y z w"),   // all unique
+      (3, "solo")       // one word, no bigrams: guard path
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1) == ((0.5, 0.333333, 0.5)))  // 2 dup words; 1 dup bigram of 3 (rounded); 'a' 2/4
+    assert(out(2) == ((0.0, 0.0, 0.25)))
+    assert(out(3) == ((0.0, 0.0, 1.0)))
+  }
+
+  test("ngramCounts: corpus-wide bigram counts honor the frequency floor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "a b c"), (2, "a b d"), (3, "a b e"))  // 'a b' x3, others x1
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.ngramCounts(docs, "text", 2, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a b" -> 3L))
+  }
+
   test("PII redaction scrubs emails and long digit runs, leaves prose") {
     import spark.implicits._
     val docs = Seq(

@@ -47,6 +47,67 @@ class RelationalSpec extends SparkTestBase {
     assert(out(3L).isEmpty)        // no right row at or before → null
   }
 
+  test("sessionize: gap starts a new session, within-gap rows share one") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", "2024-01-01 00:00:00", 1L),
+      ("u1", "2024-01-01 00:10:00", 2L), // within 30 min → session 1
+      ("u1", "2024-01-01 01:00:00", 3L), // 50 min gap → session 2
+      ("u2", "2024-01-01 00:00:00", 4L)) // separate key → own session 1
+      .toDF("uid", "ts_s", "eid")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = Relational.sessionize(df, "uid", "ts", 1800L, Seq("eid"))
+      .select("eid", "session_seq").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 1))
+  }
+
+  test("sessionize gap compare is microsecond-exact across a second edge") {
+    import spark.implicits._
+    // gap of exactly 2.000001s vs 1.999999s around a 2s threshold: a
+    // second-truncating diff would classify both as equal
+    val df = Seq(
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00.500"), 1L),
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 00:00:02.499"), 2L), // 1.999s → same
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 00:00:04.500"), 3L)) // 2.001s → new
+      .toDF("uid", "ts", "eid")
+    val out = Relational.sessionize(df, "uid", "ts", 2L, Seq("eid"))
+      .select("eid", "session_seq").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 2))
+  }
+
+  test("scd2 collapses no-change rows and chains effective ranges") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "2024-01-01", 10, "A"),
+      (1, "2024-02-01", 11, "A"), // no change → collapsed
+      (1, "2024-03-01", 12, "B"), // change → new version
+      (1, "2024-04-01", 13, "B"), // no change → collapsed
+      (2, "2024-01-15", 20, "X"))
+      .toDF("k", "d_s", "seq", "status")
+      .withColumn("d", col("d_s").cast("date"))
+    val out = Relational.scd2(df, "k", "d", Seq("status"), Seq("seq"))
+      .select("k", "status", "valid_from", "valid_to", "is_current")
+      .as[(Int, String, java.sql.Date, Option[java.sql.Date], Boolean)]
+      .collect().toSet
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(out == Set(
+      (1, "A", d("2024-01-01"), Some(d("2024-03-01")), false),
+      (1, "B", d("2024-03-01"), None, true),
+      (2, "X", d("2024-01-15"), None, true)))
+  }
+
+  test("scd2 treats consecutive NULL attributes as unchanged") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "2024-01-01", 1, Some("A")),
+      (1, "2024-02-01", 2, None), // A → NULL: change
+      (1, "2024-03-01", 3, None)) // NULL → NULL: no change
+      .toDF("k", "d_s", "seq", "status")
+      .withColumn("d", col("d_s").cast("date"))
+    val out = Relational.scd2(df, "k", "d", Seq("status"), Seq("seq"))
+    assert(out.count() == 2)
+  }
+
   test("every registered query runs on sf0.001 and keeps its column names") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
