@@ -34,4 +34,30 @@ object Skew {
           salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Semi join with an explicit Bloom-filter pre-pass — the manual
+    * form of Spark's runtime row-level filter (InjectRuntimeFilter),
+    * for when the dimension is too big to broadcast but its KEY SET
+    * compresses into a sketch: build a Bloom filter over the dim keys
+    * (a tree-aggregated fixed-size sketch, never the rows), embed it
+    * in a codegen'd scan-side predicate, and shuffle only the fact
+    * rows that might match. The exact semi join afterwards removes
+    * the sketch's false positives, so the result is provably equal to
+    * the plain semi join — which is therefore its oracle.
+    *
+    * At 100 TB this turns "shuffle every fact row" into "shuffle the
+    * ~selectivity fraction that survives two hash probes"; the sketch
+    * costs one scan of the dimension keys and O(MB) of driver/task
+    * memory regardless of dim row count.
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+                    dim: DataFrame, dimKey: String,
+                    expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bytes = org.apache.spark.sql.graftext.BloomColumns.serialize(bloom)
+    fact
+      .filter(org.apache.spark.sql.graftext.BloomColumns.mightContain(
+        col(factKey).cast("long"), bytes))
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+  }
 }

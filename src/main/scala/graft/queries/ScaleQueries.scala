@@ -13,6 +13,8 @@ import graft.operators.Skew
 object ScaleQueries {
 
   val SaltBuckets = 8
+  val BloomExpectedItems = 100000L
+  val BloomFpp = 0.03
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -47,6 +49,21 @@ object ScaleQueries {
           expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"),
           count(lit(1)).as("n"))),
 
+    // Bloom-prefiltered semi join (Skew.bloomSemiJoin): the sketch
+    // probe drops non-matching fact rows before the join shuffle; the
+    // exact semi join removes false positives, so the plain semi join
+    // is the oracle
+    "q81_bloom_semi" -> ((s, dir) => {
+      val dim = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"))
+      Skew.bloomSemiJoin(Tables.load(s, dir, "orders"), "o_custkey",
+          dim, "c_custkey", BloomExpectedItems, BloomFpp)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
     // as-of join: attribute each click to the latest prior-or-equal
     // view by the same user (single-shuffle union+window composition)
     "q51_asof_join" -> ((s, dir) => {
@@ -67,6 +84,13 @@ object ScaleQueries {
       """SELECT p_brand, sum(l_quantity) AS sum_qty, count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_type = 'ECONOMY' GROUP BY p_brand""".stripMargin,
+    "q81_bloom_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'MACHINERY')
+        |GROUP BY o_orderpriority""".stripMargin,
     // q50 intentionally has no oracle: approximate result
     "q51_asof_join" ->
       """SELECT l.event_id AS click_id, l.user_id,

@@ -20,6 +20,29 @@ class ScaleSpec extends SparkTestBase {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("bloom semi join == exact semi join; probe sits before the join") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val dim = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+    val bloomed = Skew.bloomSemiJoin(o, "o_custkey", dim, "c_custkey",
+      expectedItems = 10000L, fpp = 0.03)
+    val exact = o.join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+    assert(bloomed.exceptAll(exact).isEmpty && exact.exceptAll(bloomed).isEmpty)
+    // the sketch probe must survive optimization as a fact-side filter
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom probe missing from physical plan:\n$plan")
+  }
+
+  test("bloom probe never rejects a true member (planted keys)") {
+    import spark.implicits._
+    val dim = (1L to 500L).filter(_ % 7 == 0).toDF("k")
+    val fact = (1L to 500L).toDF("fk")
+    val out = Skew.bloomSemiJoin(fact, "fk", dim, "k", 100L, 0.01)
+      .select("fk").as[Long].collect().toSet
+    assert(out == (1L to 500L).filter(_ % 7 == 0).toSet)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val r = li.agg(
