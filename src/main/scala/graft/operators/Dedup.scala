@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash._
 
@@ -205,6 +206,28 @@ object Dedup {
     p.unpersist()
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
     } finally spark.conf.set(shufKey, oldShuf)
+  }
+
+  /** Canonical-document selection after clustering: for each duplicate
+    * cluster, keep the single best member by the caller's preference
+    * order (e.g. longest text, then lowest id) and report the cluster
+    * size. The final step of the dedup pipeline — [[minhashComponents]]
+    * labels the clusters, this picks the survivor.
+    *
+    * One equi-join of the (small) cluster assignments against the doc
+    * attributes, then rank + size as two window functions over the SAME
+    * component partitioning — Catalyst plans one shuffle and stacks the
+    * windows on one sort. Never a groupBy+join-back, never a collect.
+    */
+  def canonicalPerCluster(components: DataFrame, docs: DataFrame,
+                          idCol: String, prefer: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("component")).orderBy(prefer: _*)
+    val wAll = Window.partitionBy(col("component"))
+    components.join(docs, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Word n-gram Jaccard similarity over candidate pairs from an

@@ -65,6 +65,20 @@ object PipelineQueries {
         Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
         "doc_id", MinhashK, MinhashBands)),
 
+    // canonical survivor per duplicate cluster (Dedup.canonicalPerCluster):
+    // the last dedup stage — clusters from CC, one winner each by
+    // (longest text, lowest id), cluster size carried along
+    "q82_canonical_docs" -> ((s, dir) => {
+      val comps = Dedup.minhashComponents(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
+        "doc_id", MinhashK, MinhashBands)
+      Dedup.canonicalPerCluster(comps,
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id",
+          Seq(length(col("text")).desc, col("doc_id").asc))
+        .select(col("component"), col("doc_id").as("keep_id"),
+          col("n_members"), length(col("text")).as("keep_len"))
+    }),
+
     "q34_simhash" -> ((s, dir) =>
       Dedup.simhash32(docs(s, dir), "doc_id", "text")),
 
@@ -205,6 +219,25 @@ object PipelineQueries {
     s"""WITH $wordsCte, sigs AS ($minhashSigsSelect), bands AS ($bandBranches)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** Shared recursive-CTE prelude computing duplicate-cluster
+    * reachability (`reach(node, comp)`) over the generated LSH-pair
+    * pipeline — the oracle twin of [[Dedup.minhashComponents]]. */
+  private val componentsCtes: String = {
+    val rows = MinhashK / MinhashBands
+    val bandBranches = (0 until MinhashBands).map { b =>
+      val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
+      s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $wordsCte, sigs AS ($minhashSigsSelect),
+       |bands AS ($bandBranches),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT src AS node, src AS comp FROM edges
+       |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
   }
 
   private val simhashSigsSelect: String = {
@@ -388,22 +421,23 @@ object PipelineQueries {
     "q33_minhash_lsh_pairs" -> minhashLshSql,
     // connected components as a recursive reachability CTE over the
     // same generated LSH-pair pipeline (min reachable id = component)
-    "q67_dedup_clusters" -> {
-      val rows = MinhashK / MinhashBands
-      val bandBranches = (0 until MinhashBands).map { b =>
-        val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
-        s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM sigs"
-      }.mkString(" UNION ALL ")
-      s"""WITH RECURSIVE $wordsCte, sigs AS ($minhashSigsSelect),
-         |bands AS ($bandBranches),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (SELECT src AS node, src AS comp FROM edges
-         |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
-         |SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node""".stripMargin
-    },
+    "q67_dedup_clusters" ->
+      s"""$componentsCtes
+         |SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node""".stripMargin,
+    // canonical survivor per cluster: the same component CTE joined
+    // back to the docs, ranked (longest text, lowest id) per component
+    "q82_canonical_docs" ->
+      s"""$componentsCtes,
+         |comp AS (SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node),
+         |m AS (SELECT component, doc_id,
+         |    CAST(length(d.text) AS INTEGER) AS keep_len,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY length(d.text) DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY component) AS n_members
+         |  FROM comp JOIN documents d USING (doc_id))
+         |SELECT component, doc_id AS keep_id,
+         |  CAST(n_members AS BIGINT) AS n_members, keep_len
+         |FROM m WHERE rn = 1""".stripMargin,
     "q34_simhash" -> s"WITH $wordsCte $simhashSigsSelect",
     "q35_simhash_pairs" -> simhashPairsSql,
     "q36_ngram_jaccard" -> ngramJaccardSql,

@@ -67,6 +67,21 @@ class DedupSpec extends SparkTestBase {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("canonicalPerCluster keeps longest-then-lowest-id per component") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "component")
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest text here"), (3L, "mid length"),
+      (7L, "same size"), (8L, "same size")) // tie → lowest id wins
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalPerCluster(comps, docs, "doc_id",
+        Seq(length(col("text")).desc, col("doc_id").asc))
+      .select("component", "doc_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 3L), (7L, 7L, 2L)))
+  }
+
   test("bruteForceTopK finds the planted nearest neighbor first") {
     import spark.implicits._
     val df = Seq(
