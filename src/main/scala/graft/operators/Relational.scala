@@ -136,6 +136,44 @@ object Relational {
       .drop("__chg")
   }
 
+  /** Snapshot diff — derive a changelog between two snapshots of the
+    * same keyed table: `insert` (key only in new), `delete` (key only
+    * in old), `update` (key in both, any tracked attribute differs).
+    * Unchanged rows are dropped. The batch CDC primitive behind
+    * incremental reprocessing: the reference's daily full recompute
+    * becomes "diff today's snapshot against yesterday's, reprocess
+    * only the changed keys" (see [[graft.streaming.IncrementalAlerts]]
+    * for the streaming consumption side).
+    *
+    * One full outer join on the key — a single co-partitioned shuffle
+    * pair, no window, no collect; NULL-safe attribute compare so NULL
+    * → value and value → NULL both count as updates. Emits the new
+    * side's attributes for insert/update and the old side's for
+    * delete.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+                   attrCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("__k_old") +:
+      attrCols.map(c => col(c).as(s"__old_$c")): _*)
+    val n = newSnap.select(col(keyCol).as("__k_new") +:
+      attrCols.map(c => col(c).as(s"__new_$c")): _*)
+    val changed = attrCols
+      .map(c => !(col(s"__old_$c") <=> col(s"__new_$c")))
+      .reduce(_ || _)
+    o.join(n, col("__k_old") === col("__k_new"), "full_outer")
+      .withColumn("change_type",
+        when(col("__k_old").isNull, "insert")
+          .when(col("__k_new").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(
+        coalesce(col("__k_new"), col("__k_old")).as(keyCol) +:
+          col("change_type") +:
+          attrCols.map(c =>
+            when(col("change_type") === "delete", col(s"__old_$c"))
+              .otherwise(col(s"__new_$c")).as(c)): _*)
+  }
+
   /** Unpivot n (name, value) measure pairs into rows — the reference's
     * U2 UNION-ALL unpivot (reference src/alertas/alerta_isps.py:78-92)
     * as a single-pass `stack`: no repeated scans of the input.

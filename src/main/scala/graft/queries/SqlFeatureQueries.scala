@@ -117,6 +117,22 @@ object SqlFeatureQueries {
         .select(col("o_custkey"), col("o_orderstatus"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // snapshot diff / batch CDC (operators/Relational.snapshotDiff):
+    // two deterministic snapshot views of orders, one full outer join
+    // → insert/update/delete changelog
+    "q83_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+      val oldSnap = base.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, "X")
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          col("o_totalprice"))
+      Relational.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
+
     // set operations beyond union: INTERSECT / EXCEPT (set semantics)
     "q59_intersect" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
@@ -164,6 +180,26 @@ object SqlFeatureQueries {
         |SELECT o_custkey, o_orderstatus, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
         |FROM r""".stripMargin,
+    "q83_snapshot_diff" ->
+      """WITH oldd AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 != 0),
+        |newd AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 != 0)
+        |SELECT * FROM (
+        |  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice) THEN 'update'
+        |    END AS change_type,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+        |         ELSE n.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+        |         ELSE n.o_totalprice END AS o_totalprice
+        |  FROM oldd o FULL OUTER JOIN newd n ON o.o_orderkey = n.o_orderkey)
+        |WHERE change_type IS NOT NULL""".stripMargin,
     "q76_arg_max" ->
       """SELECT CAST(o_custkey AS INTEGER) AS cust,
         |  arg_max(o_orderkey, round(o_totalprice*100)*100000000 + o_orderkey) AS best_order,

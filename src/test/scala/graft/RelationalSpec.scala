@@ -108,6 +108,27 @@ class RelationalSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("snapshotDiff classifies insert/update/delete; drops unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0), (4, null.asInstanceOf[String], 40.0))
+      .toDF("k", "status", "amt")
+    val newSnap = Seq(
+      (1, "A", 10.0),   // unchanged → dropped
+      (2, "B2", 20.0),  // update (attr change)
+      (4, "D", 40.0),   // update (NULL → value)
+      (5, "E", 50.0))   // insert; 3 deleted
+      .toDF("k", "status", "amt")
+    val out = Relational.snapshotDiff(oldSnap, newSnap, "k", Seq("status", "amt"))
+      .select("k", "change_type", "status")
+      .as[(Int, String, String)].collect().toSet
+    assert(out == Set(
+      (2, "update", "B2"),
+      (3, "delete", "C"),   // delete carries the OLD attributes
+      (4, "update", "D"),
+      (5, "insert", "E")))
+  }
+
   test("every registered query runs on sf0.001 and keeps its column names") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
