@@ -30,4 +30,47 @@ object Layout {
     df.repartitionByRange(numFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
   }
+
+  /** Z-order clustering for MULTI-dimensional pruning: [[clusteredBy]]
+    * on (a, b) prunes perfectly on `a` but barely on `b` (lexicographic
+    * ranges leave b's per-file span at full width). Interleaving the
+    * bits of both keys into one Morton code and range-writing on THAT
+    * gives every file a narrow span on EVERY key — selective filters
+    * on either dimension skip most files via parquet min/max stats
+    * (the layout behind Delta/Iceberg OPTIMIZE ZORDER).
+    *
+    * Numeric keys are affinely scaled onto `bits`-bit grid cells using
+    * a one-row min/max aggregate (driver scalars, same budget class as
+    * a Bloom sketch — never the rows). The interleave itself is a pure
+    * shift/mask expression chain, codegen'd; the z column is dropped
+    * after the repartition+sort so the written schema is unchanged.
+    */
+  def zorderBy(df: DataFrame, numFiles: Int, bits: Int, keys: String*): DataFrame = {
+    require(keys.nonEmpty && bits * keys.length <= 62,
+      "need keys and bits*keys <= 62")
+    import org.apache.spark.sql.functions._
+    val aggs = keys.flatMap(k => Seq(
+      min(col(k)).cast("double").as(s"mn_$k"),
+      max(col(k)).cast("double").as(s"mx_$k")))
+    val statRow = df.agg(aggs.head, aggs.tail: _*).head()
+    val cells = (1L << bits) - 1
+    val scaled = keys.map { k =>
+      val mn = statRow.getAs[Double](s"mn_$k")
+      val mx = statRow.getAs[Double](s"mx_$k")
+      val span = math.max(mx - mn, java.lang.Double.MIN_VALUE)
+      least(greatest(
+        ((col(k).cast("double") - lit(mn)) / lit(span) * cells).cast("long"),
+        lit(0L)), lit(cells))
+    }
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (s, i)) =>
+        a.bitwiseOR(shiftleft(s.bitwiseAND(lit(1L << b)).cast("long"),
+          b * (keys.length - 1) + i).cast("long"))
+      }
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
 }

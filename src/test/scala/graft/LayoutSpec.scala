@@ -31,4 +31,35 @@ class LayoutSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,25000)]"), plan)
   }
+
+  test("zorderBy narrows per-file spans on BOTH keys; lex clustering does not") {
+    import spark.implicits._
+    // two independent uniform keys: lexicographic clustering on (a, b)
+    // leaves b's per-file span at full width; z-order narrows both
+    val n = 65536
+    val rnd = new scala.util.Random(42)
+    val df = (1 to n).map(_ => (rnd.nextInt(1024), rnd.nextInt(1024)))
+      .toDF("a", "b").repartition(16)
+
+    def fileSpans(dir: String, key: String): Seq[Long] =
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col(key))
+        .groupBy("f").agg((max(key) - min(key)).cast("long").as("span"))
+        .collect().map(_.getAs[Long]("span")).toSeq
+
+    val lexDir = java.nio.file.Files.createTempDirectory("graft_lex").toString
+    Layout.clusteredBy(df, 16, "a", "b").write.mode("overwrite").parquet(lexDir)
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Layout.zorderBy(df, 16, 8, "a", "b").write.mode("overwrite").parquet(zDir)
+
+    def avg(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    // lex: a is tightly clustered, b spans ~the full 1024 range per file
+    assert(avg(fileSpans(lexDir, "b")) > 900.0)
+    // z-order: 16 files over an 8-bit x 8-bit grid → each file covers
+    // about a quarter of each dimension; both spans must shrink
+    assert(avg(fileSpans(zDir, "a")) < 600.0)
+    assert(avg(fileSpans(zDir, "b")) < 600.0)
+    // written schema is unchanged (the z column is internal)
+    assert(spark.read.parquet(zDir).columns.toSet == Set("a", "b"))
+  }
 }
