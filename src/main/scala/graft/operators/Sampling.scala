@@ -79,4 +79,58 @@ object Sampling {
     s"${bucketSql(idExpr, 100, salt)} < " +
       s"(CASE ${branches.mkString(" ")} ELSE $defaultPct END)"
   }
+
+  /** Domain mixing: downsample each source so the output corpus hits
+    * the caller's target proportions — the corpus-assembly step that
+    * turns raw per-source dumps into a training mix (e.g. 50% web /
+    * 30% code / 20% books). Never upsamples: the feasible corpus size
+    * is set by the binding source (`min n_s / w_s`), every other
+    * source is thinned to match.
+    *
+    * One partial-aggregated count job reduces to O(#sources) driver
+    * scalars (the same budget class as a Bloom sketch or z-order
+    * min/max — never rows); the keep decision is then the usual
+    * content-hash threshold, a narrow codegen'd filter with
+    * million-bucket resolution, reproducible on any partitioning.
+    * Rates are drawn i.i.d. per row, so realized counts vary ~√n
+    * around the targets — exact-count assembly would need a global
+    * sort and is deliberately not this operator.
+    */
+  def mixToTarget(df: DataFrame, idCol: String, sourceCol: String,
+                  weights: Seq[(String, Double)],
+                  salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val inMix = df.filter(col(sourceCol).isin(weights.map(_._1): _*))
+    val counts = inMix.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.map { case (s, w) => counts.getOrElse(s, 0L) / w }.min
+    val thr = weights.map { case (s, w) =>
+      val n = counts.getOrElse(s, 0L)
+      s -> (if (n == 0L) 0L else math.floor(t * w / n * 1000000.0).toLong)
+    }
+    val thrCol = thr.foldRight(lit(0L)) { case ((s, v), acc) =>
+      when(col(sourceCol) === s, lit(v)).otherwise(acc)
+    }
+    inMix.filter(bucket(col(idCol), 1000000, salt) < thrCol)
+  }
+
+  /** Oracle twin of [[mixToTarget]]: the same threshold arithmetic
+    * (identical operation order, so IEEE doubles agree) computed in
+    * SQL over the same counts. */
+  def mixToTargetSql(table: String, idExpr: String, sourceExpr: String,
+                     weights: Seq[(String, Double)],
+                     salt: String = ""): String = {
+    val inList = weights.map(w => s"'${w._1}'").mkString(", ")
+    val values = weights.map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH c AS (SELECT $sourceExpr AS src, count(*) AS n FROM $table
+       |    WHERE $sourceExpr IN ($inList) GROUP BY 1),
+       |w AS (SELECT * FROM (VALUES $values) AS t(src, wt)),
+       |tv AS (SELECT min(n / wt) AS t FROM c JOIN w USING (src)),
+       |thr AS (SELECT c.src, CAST(floor(t * wt / n * 1000000.0) AS BIGINT) AS thr
+       |  FROM c JOIN w USING (src) CROSS JOIN tv)
+       |SELECT d.* FROM $table d JOIN thr ON d.$sourceExpr = thr.src
+       |WHERE ${bucketSql(idExpr, 1000000, salt)} < thr""".stripMargin
+  }
 }

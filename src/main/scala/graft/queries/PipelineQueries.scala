@@ -39,6 +39,7 @@ object PipelineQueries {
   val StratDefaultPct = 90
   val NgramCountN = 2
   val NgramCountMin = 35L
+  val MixWeights = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -160,6 +161,14 @@ object PipelineQueries {
     "q66_chunk_tokens" -> ((s, dir) =>
       TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
         ChunkMaxTokens, ChunkStride)),
+
+    // domain mixing to target proportions (operators/Sampling
+    // .mixToTarget): per-source counts reduce to driver scalars, the
+    // keep decision is a million-bucket content-hash threshold
+    "q84_domain_mix" -> ((s, dir) =>
+      Sampling.mixToTarget(docs(s, dir), "doc_id", "source", MixWeights)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
 
     // per-stratum sampling rates (operators/Sampling.stratifiedSample):
     // language-balanced downsampling, still a narrow codegen'd filter
@@ -528,6 +537,10 @@ object PipelineQueries {
          |  count(*) AS n, min(doc_id) AS min_id
          |FROM documents
          |WHERE ${Sampling.hashSampleSql("doc_id", SamplePct)}
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+    "q84_domain_mix" ->
+      s"""SELECT source, count(*) AS n, min(doc_id) AS min_id FROM (
+         |${Sampling.mixToTargetSql("documents", "doc_id", "source", MixWeights)}
+         |) GROUP BY 1""".stripMargin
   )
 }

@@ -66,6 +66,27 @@ class SamplingSpec extends SparkTestBase {
     assert(en10.subsetOf(all10))
   }
 
+  test("mixToTarget hits target proportions; binding source kept whole") {
+    import spark.implicits._
+    // 4000 web / 900 code / 2000 other: targets 50/30/20 → code binds
+    // (900/0.3 = 3000 feasible), web thins to 1500, other to 600
+    val rows = ((1 to 4000).map(i => (i, "web")) ++
+      (4001 to 4900).map(i => (i, "code")) ++
+      (4901 to 6900).map(i => (i, "other"))).toDF("id", "src")
+    val out = Sampling.mixToTarget(rows, "id", "src",
+      Seq("web" -> 0.5, "code" -> 0.3, "other" -> 0.2))
+    val n = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("code") == 900L) // binding source: kept in full, never upsampled
+    assert(math.abs(n("web") - 1500.0) / 1500.0 < 0.1)
+    assert(math.abs(n("other") - 600.0) / 600.0 < 0.1)
+    // decision is partitioning-invariant
+    val re = Sampling.mixToTarget(rows.repartition(17), "id", "src",
+      Seq("web" -> 0.5, "code" -> 0.3, "other" -> 0.2))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(re == out.select("id").collect().map(_.getInt(0)).toSet)
+  }
+
   test("a different salt draws a different sample") {
     val a = Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
     val b = Sampling.hashSample(ids, "id", 10, salt = "run2")
