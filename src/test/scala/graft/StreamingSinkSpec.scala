@@ -48,6 +48,58 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(ids.toSeq == (1L to 101L))
   }
 
+  test("upsert sink: replay-idempotent, event-time wins over arrival order") {
+    import spark.implicits._
+    import graft.streaming.UpsertSink
+    spark.sql("DROP TABLE IF EXISTS upsert_t")
+    val b1 = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "v1"),
+      (2L, ts("2026-01-01 10:00:00"), "v1"),
+      (2L, ts("2026-01-01 11:00:00"), "v2")) // within-batch dup: later wins
+      .toDF("k", "ts", "payload")
+    UpsertSink.upsertBatch(b1, "upsert_t", "k", "ts")
+    def snap() = spark.table("upsert_t").select("k", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap() == Map(1L -> "v1", 2L -> "v2"))
+    // replaying the SAME batch changes nothing (at-least-once safe)
+    UpsertSink.upsertBatch(b1, "upsert_t", "k", "ts")
+    assert(snap() == Map(1L -> "v1", 2L -> "v2"))
+    // a LATE arrival (older event time) never regresses the winner;
+    // a newer event time replaces it
+    val b2 = Seq(
+      (2L, ts("2026-01-01 09:00:00"), "stale"),
+      (1L, ts("2026-01-01 12:00:00"), "v9"),
+      (3L, ts("2026-01-01 08:00:00"), "new"))
+      .toDF("k", "ts", "payload")
+    UpsertSink.upsertBatch(b2, "upsert_t", "k", "ts")
+    assert(snap() == Map(1L -> "v9", 2L -> "v2", 3L -> "new"))
+  }
+
+  test("upsert sink end-to-end: streamed backlog equals batch latest-per-key") {
+    import spark.implicits._
+    import graft.streaming.UpsertSink
+    spark.sql("DROP TABLE IF EXISTS upsert_e2e")
+    val src = tmp("graft_upsert_src")
+    val ckpt = tmp("graft_upsert_ckpt")
+    val rows = (1 to 300).map(i =>
+      (i % 37L, ts(f"2026-01-01 ${i % 24}%02d:${i % 60}%02d:00"), s"p$i"))
+    rows.grouped(100).foreach(g =>
+      g.toDF("k", "ts", "payload").coalesce(1).write.mode("append").parquet(src))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    UpsertSink.run(stream, "upsert_e2e", "k", "ts", ckpt,
+      tieBreak = Seq("payload")).awaitTermination()
+    val expected = graft.operators.Relational.latestPerGroup(
+        spark.read.parquet(src), Seq("k"),
+        Seq(col("ts").desc, col("payload").desc))
+      .select("k", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = spark.table("upsert_e2e").select("k", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+  }
+
   test("watermark drops late rows from an append-mode windowed aggregate") {
     import spark.implicits._
     val src = tmp("graft_wm_src")
