@@ -95,6 +95,35 @@ object SqlFeatureQueries {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))),
 
+    // quantile binning: ntile buckets per partition — equal-frequency
+    // binning for feature engineering (one shuffle on the partition key)
+    "q85_quantile_bins" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("bin", ntile(4).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderstatus"))
+            .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+        .groupBy(col("o_orderstatus"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))),
+
+    // trailing event-time range window (RANGE BETWEEN): per-user
+    // 1-hour trailing event count/sum — the time-series rolling
+    // aggregate, one shuffle on the user key, scan per partition
+    "q86_range_window" -> ((s, dir) => {
+      // integer epoch-micros ordering: exact on sub-second timestamps,
+      // no truncation divergence vs the oracle
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.load(s, dir, "events")
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", round(sum(col("value")).over(w), 6))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+    }),
+
     // gap-based batch sessionization (operators/Relational.sessionize):
     // lag + running-sum windows sharing one shuffle, then session-level
     // rollup; epoch-micros outputs keep the oracle integer-exact
@@ -150,6 +179,22 @@ object SqlFeatureQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_quantile_bins" ->
+      """SELECT o_orderstatus, CAST(bin AS INTEGER) AS bin, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS bin
+        |  FROM orders)
+        |GROUP BY 1, 2""".stripMargin,
+    "q86_range_window" ->
+      """SELECT event_id, user_id, n_1h, sum_1h FROM (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER w AS n_1h,
+        |    round(sum(value) OVER w, 6) AS sum_1h
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))""".stripMargin,
     "q77_sessionize" ->
       s"""WITH x AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

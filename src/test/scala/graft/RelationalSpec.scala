@@ -108,6 +108,20 @@ class RelationalSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("latestPerGroup plans map-side WindowGroupLimit before the shuffle") {
+    // Spark's rank-limit pushdown must keep firing on this pattern: each
+    // input partition pre-prunes to rank<=1 BEFORE the exchange, so the
+    // shuffle carries ~one row per (group x input partition), not the
+    // full table — the property that makes window top-k viable at 100 TB
+    val df = Relational.latestPerGroup(
+      graft.core.Tables.load(spark, sfDir, "orders"), Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").asc))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val hits = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(hits >= 2, s"expected partial+final WindowGroupLimit, got $hits:\n$plan")
+  }
+
   test("snapshotDiff classifies insert/update/delete; drops unchanged") {
     import spark.implicits._
     val oldSnap = Seq(
