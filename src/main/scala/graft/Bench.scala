@@ -30,5 +30,9 @@ object Bench {
     // already-computed results.
     try spark.stop() catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // forked JVM: exit deterministically once the JSON line is out —
+    // leftover non-daemon threads from streaming drains otherwise keep
+    // the process alive long after the harness has its result
+    sys.exit(0)
   }
 }

@@ -35,6 +35,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () }
+    // forked JVM (run/fork := true): exit deterministically — leftover
+    // non-daemon threads from streaming drains otherwise keep the
+    // process alive for minutes after all outputs are written
+    sys.exit(0)
   }
 }

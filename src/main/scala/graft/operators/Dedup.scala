@@ -208,6 +208,44 @@ object Dedup {
     } finally spark.conf.set(shufKey, oldShuf)
   }
 
+  /** Benchmark-contamination check: for every training document, the
+    * fraction of its word n-grams that appear anywhere in a benchmark
+    * corpus — the decontamination gate run before an LLM training mix
+    * ships. Distinct from [[ngramJaccard]] (pairwise within one
+    * corpus): this is a two-corpus containment test, and the benchmark
+    * side collapses to its DISTINCT n-gram set.
+    *
+    * Topology: train explodes to distinct (doc, gram) pairs; the
+    * benchmark's distinct grams form the build side of a left SEMI
+    * join keyed on the gram (at 100 TB the benchmark gram set is tiny
+    * vs the corpus — typically broadcastable; Spark picks that when
+    * stats allow). One aggregate per doc computes matched/total. Docs
+    * shorter than `n` words have no grams and are absent from the
+    * result (nothing to test).
+    */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame =
+      // indexed transform over a length-guarded slice (never a
+      // descending sequence on docs shorter than n)
+      df.select(cols :+ split(col(textCol), " ").as("ws"): _*)
+        .select(cols :+ explode(expr(
+          s"""transform(slice(ws, 1, greatest(size(ws) - ${n - 1}, 0)),
+             |  (w, i) -> concat_ws(' ', slice(ws, i + 1, $n)))""".stripMargin))
+          .as("g"): _*)
+    val trainGrams = grams(train, Seq(col(idCol))).distinct()
+    val benchGrams = grams(bench, Nil).distinct()
+    val matched = trainGrams
+      .join(benchGrams, trainGrams("g") === benchGrams("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
+    trainGrams.groupBy(col(idCol)).agg(count(lit(1)).as("total"))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("total"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        round(coalesce(col("matched"), lit(0L)).cast("double") /
+          col("total"), 6).as("overlap"))
+  }
+
   /** Canonical-document selection after clustering: for each duplicate
     * cluster, keep the single best member by the caller's preference
     * order (e.g. longest text, then lowest id) and report the cluster

@@ -40,6 +40,7 @@ object PipelineQueries {
   val NgramCountN = 2
   val NgramCountMin = 35L
   val MixWeights = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+  val ContamN = 5
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -161,6 +162,17 @@ object PipelineQueries {
     "q66_chunk_tokens" -> ((s, dir) =>
       TextAnalysis.chunkByTokens(docs(s, dir), "doc_id", "text",
         ChunkMaxTokens, ChunkStride)),
+
+    // benchmark-contamination gate (Dedup.contamination): per-train-doc
+    // n-gram containment vs a held-out benchmark slice; the benchmark
+    // side collapses to its distinct gram set (semi-join build side)
+    "q87_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", ContamN)
+    }),
 
     // domain mixing to target proportions (operators/Sampling
     // .mixToTarget): per-source counts reduce to driver scalars, the
@@ -541,6 +553,22 @@ object PipelineQueries {
     "q84_domain_mix" ->
       s"""SELECT source, count(*) AS n, min(doc_id) AS min_id FROM (
          |${Sampling.mixToTargetSql("documents", "doc_id", "source", MixWeights)}
-         |) GROUP BY 1""".stripMargin
+         |) GROUP BY 1""".stripMargin,
+    "q87_contamination" -> {
+      val gram = {
+        val parts = (0 until ContamN).map(j => s"ws[i + $j]").mkString(", ")
+        s"list_transform(generate_series(1, len(ws) - ${ContamN - 1}), i -> concat_ws(' ', $parts))"
+      }
+      s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 10 != 0),
+         |tg AS (SELECT DISTINCT doc_id, unnest($gram) AS g FROM tw WHERE len(ws) >= $ContamN),
+         |bw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 10 = 0),
+         |bg AS (SELECT DISTINCT unnest($gram) AS g FROM bw WHERE len(ws) >= $ContamN),
+         |m AS (SELECT doc_id, count(*) AS matched FROM tg
+         |  WHERE g IN (SELECT g FROM bg) GROUP BY 1),
+         |t AS (SELECT doc_id, count(*) AS total FROM tg GROUP BY 1)
+         |SELECT t.doc_id, total, coalesce(matched, 0) AS matched,
+         |  round(CAST(coalesce(matched, 0) AS DOUBLE) / total, 6) AS overlap
+         |FROM t LEFT JOIN m USING (doc_id)""".stripMargin
+    }
   )
 }

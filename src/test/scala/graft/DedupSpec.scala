@@ -67,6 +67,25 @@ class DedupSpec extends SparkTestBase {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("contamination: exact containment fraction of train n-grams in bench") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e"),       // grams: "a b c","b c d","c d e" — 2 of 3 in bench
+      (2L, "x y z w q"),       // none in bench
+      (3L, "a b"))             // shorter than n → absent from result
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d zz"),    // contributes "a b c","b c d","c d zz"
+      (101L, "unrelated words here entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(train, bench, "doc_id", "text", 3)
+      .select("doc_id", "total", "matched", "overlap")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, 0.666667)))
+    assert(out(2L) == ((2L, 3L, 0L, 0.0)))
+    assert(!out.contains(3L))
+  }
+
   test("canonicalPerCluster keeps longest-then-lowest-id per component") {
     import spark.implicits._
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
