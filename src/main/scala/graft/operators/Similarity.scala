@@ -43,6 +43,29 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * form a 100 TB vector corpus actually ships (4x smaller than
+    * float32, 8x smaller than float64; recall loss is bounded by the
+    * reconstruction error this emits). Per-vector scale = max |x|, so
+    * codes span the full [-127, 127] range regardless of vector norm.
+    *
+    * Pure per-row array expressions (two transforms + a max), no
+    * shuffle, codegen'd; the caller keeps `q_vec` + `scale_max` as the
+    * stored form and `recon_err` as the quality audit column.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val withScale = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("scale_max", expr("array_max(transform(v, x -> abs(x)))"))
+    withScale.select(
+      col(idCol),
+      col("scale_max"),
+      expr("transform(v, x -> CAST(round(x * 127.0 / scale_max) AS INT))")
+        .as("q_vec"),
+      expr("""array_max(transform(v,
+        |  x -> abs(CAST(round(x * 127.0 / scale_max) AS INT) * scale_max / 127.0 - x)))""".stripMargin)
+        .as("recon_err"))
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self).
     * Queries chosen by predicate; the query set is broadcast. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,

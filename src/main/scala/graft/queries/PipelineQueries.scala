@@ -133,6 +133,16 @@ object PipelineQueries {
         .select(col("cluster"), (col("dim0") + 1).as("dim"),
           round(col("raw"), 6).as("mean_val"))),
 
+    // int8 embedding quantization (Similarity.quantizeInt8): checksum
+    // projection (code sum + scale + max reconstruction error) keeps
+    // the oracle exact while the full q_vec stays the stored form
+    "q88_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(embs(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"),
+          round(col("scale_max"), 6).as("scale_max"),
+          expr("aggregate(q_vec, 0L, (a, x) -> a + x)").as("q_sum"),
+          round(col("recon_err"), 6).as("recon_err"))),
+
     "q57_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearDup(embs(s, dir), "vec_id", "embedding",
         LshPlanes, EmbeddingDim, NearDupMinCos)),
@@ -554,6 +564,15 @@ object PipelineQueries {
       s"""SELECT source, count(*) AS n, min(doc_id) AS min_id FROM (
          |${Sampling.mixToTargetSql("documents", "doc_id", "source", MixWeights)}
          |) GROUP BY 1""".stripMargin,
+    "q88_quantize_int8" ->
+      """SELECT vec_id, round(mx, 6) AS scale_max,
+        |  CAST(list_sum(list_transform(v,
+        |    x -> CAST(round(x * 127.0 / mx) AS INTEGER))) AS BIGINT) AS q_sum,
+        |  round(list_max(list_transform(v,
+        |    x -> abs(CAST(round(x * 127.0 / mx) AS INTEGER) * mx / 127.0 - x))), 6) AS recon_err
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+        |  FROM embeddings)""".stripMargin,
     "q87_contamination" -> {
       val gram = {
         val parts = (0 until ContamN).map(j => s"ws[i + $j]").mkString(", ")

@@ -76,6 +76,18 @@ class VectorExprSpec extends SparkTestBase {
     assert(again == cells)
   }
 
+  test("quantizeInt8: codes span the range, error within half a step") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -0.25f, 0.125f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df, "vec_id", "embedding").head
+    assert(r.getAs[Double]("scale_max") == 0.5)
+    assert(r.getAs[scala.collection.Seq[Int]]("q_vec").toList ==
+      List(127, -64, 32, 0)) // max |x| -> ±127
+    // symmetric quantization error bound: half a code step
+    assert(r.getAs[Double]("recon_err") <= 0.5 / 127.0 / 2.0 + 1e-12)
+  }
+
   test("Centroid UDAF registers for SQL use") {
     import spark.implicits._
     graft.functions.Centroid.register(spark)
