@@ -14,6 +14,20 @@ class StreamingSinkSpec extends SparkTestBase {
   private def tmp(p: String) =
     java.nio.file.Files.createTempDirectory(p).toString
 
+  /** Drop a managed table AND its warehouse directory: the in-memory
+    * catalog forgets tables between JVMs but the directory survives,
+    * and saveAsTable refuses a dangling location. */
+  private def dropManaged(names: String*): Unit = names.foreach { name =>
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   test("parquet file sink is exactly-once across a checkpoint resume") {
     import spark.implicits._
     val src = tmp("graft_sink_src")
@@ -51,7 +65,7 @@ class StreamingSinkSpec extends SparkTestBase {
   test("upsert sink: replay-idempotent, event-time wins over arrival order") {
     import spark.implicits._
     import graft.streaming.UpsertSink
-    spark.sql("DROP TABLE IF EXISTS upsert_t")
+    dropManaged("upsert_t", "upsert_t_stage")
     val b1 = Seq(
       (1L, ts("2026-01-01 10:00:00"), "v1"),
       (2L, ts("2026-01-01 10:00:00"), "v1"),
@@ -78,7 +92,7 @@ class StreamingSinkSpec extends SparkTestBase {
   test("upsert sink end-to-end: streamed backlog equals batch latest-per-key") {
     import spark.implicits._
     import graft.streaming.UpsertSink
-    spark.sql("DROP TABLE IF EXISTS upsert_e2e")
+    dropManaged("upsert_e2e", "upsert_e2e_stage")
     val src = tmp("graft_upsert_src")
     val ckpt = tmp("graft_upsert_ckpt")
     val rows = (1 to 300).map(i =>
