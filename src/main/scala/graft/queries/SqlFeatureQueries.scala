@@ -17,6 +17,17 @@ object SqlFeatureQueries {
   /** Session gap for q77 (seconds). */
   val SessionGapSecs = 1800L
 
+  /** Constraint set for the q89 quality audit (shared with its
+    * generated oracle so the two can't drift). */
+  val AuditChecks: Seq[graft.operators.QualityChecks.Check] = {
+    import graft.operators.QualityChecks._
+    Seq(
+      Complete("o_custkey"),
+      Unique("o_orderkey"),
+      InRange("o_totalprice", 0.0, 400000.0, threshold = 0.9),
+      InSet("o_orderstatus", Seq("O", "F"), threshold = 0.5))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ROLLUP: grand total + per-status + per-(status, priority) in one
@@ -94,6 +105,12 @@ object SqlFeatureQueries {
           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))),
+
+    // one-pass data-quality audit (operators/QualityChecks): N
+    // constraints -> one aggregation -> skinny pass/fail table
+    "q89_quality_audit" -> ((s, dir) =>
+      graft.operators.QualityChecks.audit(
+        Tables.load(s, dir, "orders"), AuditChecks)),
 
     // quantile binning: ntile buckets per partition — equal-frequency
     // binning for feature engineering (one shuffle on the partition key)
@@ -178,7 +195,38 @@ object SqlFeatureQueries {
     })
   )
 
+  /** Oracle metric for one audit check — same arithmetic as the Spark
+    * expressions in QualityChecks. */
+  private def checkMetricSql(c: graft.operators.QualityChecks.Check): String = {
+    import graft.operators.QualityChecks._
+    val m = c match {
+      case Complete(cn, _) =>
+        s"CAST(sum(CASE WHEN $cn IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+      case Unique(cn, _) =>
+        s"CAST(count(DISTINCT $cn) AS DOUBLE) / count(*)"
+      case InRange(cn, lo, hi, _) =>
+        s"CAST(sum(CASE WHEN $cn IS NULL OR ($cn >= $lo AND $cn <= $hi) THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+      case InSet(cn, allowed, _) =>
+        val set = allowed.map(a => s"'$a'").mkString(", ")
+        s"CAST(sum(CASE WHEN $cn IS NULL OR $cn IN ($set) THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+    }
+    s"round($m, 6)"
+  }
+
+  private val auditSql: String = {
+    val metrics = AuditChecks.zipWithIndex
+      .map { case (c, i) => s"${checkMetricSql(c)} AS m_$i" }.mkString(", ")
+    val branches = AuditChecks.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '${c.name}' AS "constraint", m_$i AS metric,
+         |  CAST(${c.threshold} AS DOUBLE) AS threshold,
+         |  m_$i >= CAST(${c.threshold} AS DOUBLE) AS passed FROM m""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH m AS (SELECT $metrics FROM orders)
+       |$branches""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q89_quality_audit" -> auditSql,
     "q85_quantile_bins" ->
       """SELECT o_orderstatus, CAST(bin AS INTEGER) AS bin, count(*) AS n,
         |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi

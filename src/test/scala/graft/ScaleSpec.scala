@@ -43,6 +43,24 @@ class ScaleSpec extends SparkTestBase {
     assert(out == (1L to 500L).filter(_ % 7 == 0).toSet)
   }
 
+  test("quality audit: violated constraints fail, satisfied ones pass") {
+    import spark.implicits._
+    import graft.operators.QualityChecks._
+    val df = Seq(
+      (1, Some("a"), 10.0), (2, Some("b"), 20.0),
+      (2, None, 500.0), (3, Some("z"), 30.0)) // dup key, null, out-of-range, off-set
+      .toDF("k", "cat", "amt")
+    val out = graft.operators.QualityChecks.audit(df, Seq(
+        Complete("cat"),                          // 3/4 -> fail at 1.0
+        Unique("k"),                              // 3/4 -> fail at 1.0
+        InRange("amt", 0.0, 100.0, 0.7),          // 3/4 -> pass at 0.7
+        InSet("cat", Seq("a", "b"), 0.5)))        // 3/4 (null ok, z not) -> pass
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(
+      "complete(cat)" -> false, "unique(k)" -> false,
+      "in_range(amt)" -> true, "in_set(cat)" -> true))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val r = li.agg(
