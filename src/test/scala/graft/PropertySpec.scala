@@ -62,6 +62,66 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("snapshotDiff changelog applied to old reconstructs new exactly") {
+    import spark.implicits._
+    (1L to 5L).foreach { seed =>
+      // keyed snapshots: last write wins within each generated list
+      val oldSnap = sample(seed).toDF("k", "a", "b")
+        .groupBy("k").agg(max("a").as("a"), max("b").as("b"))
+      val newSnap = sample(seed + 50).toDF("k", "a", "b")
+        .groupBy("k").agg(max("a").as("a"), max("b").as("b"))
+      val diff = Relational.snapshotDiff(oldSnap, newSnap, "k", Seq("a", "b"))
+      // apply: drop deleted+updated keys from old, add insert+update rows
+      val changedKeys = diff.filter(col("change_type").isin("delete", "update"))
+        .select(col("k"))
+      val applied = oldSnap
+        .join(changedKeys, Seq("k"), "left_anti")
+        .unionByName(diff.filter(col("change_type").isin("insert", "update"))
+          .select("k", "a", "b"))
+      assert(applied.exceptAll(newSnap).isEmpty &&
+        newSnap.exceptAll(applied).isEmpty, s"seed $seed")
+    }
+  }
+
+  test("scd2 ranges tile each key's change history without gaps/overlap") {
+    import spark.implicits._
+    (1L to 5L).foreach { seed =>
+      val df = sample(seed).map(t => (t._1, t._2, t._3))
+        .distinct.toDF("k", "ts", "status")
+      val out = Relational.scd2(df, "k", "ts", Seq("status"), Seq("status"))
+        .select("k", "valid_from", "valid_to").collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          Option(r.get(2)).map(_.asInstanceOf[Int])))
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._2)
+        // exactly one open (current) range per key, and it is the last
+        assert(sorted.count(_._3.isEmpty) == 1 && sorted.last._3.isEmpty)
+        // each range closes exactly where the next opens
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3.contains(b._2))
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("int8 quantization preserves cosine similarity to 3 decimal places") {
+    import spark.implicits._
+    val dims = 32
+    val vecs = (1L to 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val q = graft.operators.Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select(col("vec_id"),
+        expr("transform(q_vec, x -> x * scale_max / 127.0)").as("deq"))
+    val joined = vecs.join(q, "vec_id")
+      .select(graft.operators.Similarity.cosine(
+        col("embedding").cast("array<double>"), col("deq")).as("cos"))
+    val worst = joined.agg(min(col("cos"))).head.getDouble(0)
+    assert(worst > 0.999, s"quantization degraded cosine to $worst")
+  }
+
   test("connectedComponents == brute-force union-find on random graphs") {
     import spark.implicits._
     // ground truth from a driver-side union-find with path compression
