@@ -48,6 +48,11 @@ object CorpusPipeline {
       Seq("content_hash", idCol), "left_semi")
       .drop("content_hash")
       .cache() // fans out: LSH signature branch + final anti-join probe
+    // materialize BEFORE the fan-out: the banded signature branches and
+    // the anti-join probe otherwise race the unmaterialized cache in one
+    // job and each recomputes the full gate+dedup subtree (same pitfall
+    // as documented at Dedup.connectedComponents' cache sites)
+    exact.count()
 
     // near-dup removal: any candidate partner with a smaller id wins
     val pairs = Dedup.minhashCandidatePairs(
