@@ -59,6 +59,9 @@ object Dedup {
       }: _*),
       Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
       nameCol = "band", valueCol = "sig").cache()
+    // two-consumer fan-out: the self-join sides may race the cache fill,
+    // but the waste is bounded by ONE subtree compute — the same as an
+    // explicit materialization job, without its scheduling overhead
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
@@ -282,6 +285,7 @@ object Dedup {
         .as("g"))
       .distinct()
       .cache() // referenced 4x below (per-doc counts, df filter, both join sides)
+    shingles.count() // materialize before the four consumers scan it
     val perDoc = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_g"))
     val filtered = shingles.join(
       shingles.groupBy("g").agg(count(lit(1)).as("df_g"))
