@@ -80,6 +80,25 @@ object Sampling {
       s"(CASE ${branches.mkString(" ")} ELSE $defaultPct END)"
   }
 
+  /** Weighted (soft) sampling: keep each row with probability equal to
+    * a per-row weight column in [0, 1] — the "soft filter" form of
+    * quality filtering (a doc scoring 0.9 survives 9x more often than
+    * one scoring 0.1, instead of a hard threshold discarding tails).
+    * The draw is the same million-bucket content hash as everywhere
+    * else, so it is deterministic, partitioning-invariant, and
+    * SQL-oracle-able; still one narrow codegen'd filter. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     salt: String = ""): DataFrame =
+    // explicit floor on both engines: a bare CAST truncates in Spark
+    // but rounds in DuckDB
+    df.filter(bucket(col(idCol), 1000000, salt) <
+      floor(least(greatest(weightCol, lit(0.0)), lit(1.0)) * 1000000.0))
+
+  def weightedSampleSql(idExpr: String, weightExpr: String,
+                        salt: String = ""): String =
+    s"${bucketSql(idExpr, 1000000, salt)} < " +
+      s"CAST(floor(least(greatest($weightExpr, 0.0), 1.0) * 1000000.0) AS BIGINT)"
+
   /** Domain mixing: downsample each source so the output corpus hits
     * the caller's target proportions — the corpus-assembly step that
     * turns raw per-source dumps into a training mix (e.g. 50% web /

@@ -192,6 +192,15 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
 
+    // quality-weighted soft sampling (operators/Sampling
+    // .weightedSample): keep probability proportional to a per-row
+    // score — the soft-filter form of corpus quality filtering
+    "q90_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "doc_id",
+          col("n_chars") / 300.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
+
     // per-stratum sampling rates (operators/Sampling.stratifiedSample):
     // language-balanced downsampling, still a narrow codegen'd filter
     "q75_stratified_sample" -> ((s, dir) =>
@@ -573,6 +582,11 @@ object PipelineQueries {
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
         |  FROM embeddings)""".stripMargin,
+    "q90_weighted_sample" ->
+      s"""SELECT lang, count(*) AS n, min(doc_id) AS min_id
+         |FROM documents
+         |WHERE ${Sampling.weightedSampleSql("doc_id", "n_chars / 300.0")}
+         |GROUP BY 1""".stripMargin,
     "q87_contamination" -> {
       val gram = {
         val parts = (0 until ContamN).map(j => s"ws[i + $j]").mkString(", ")

@@ -87,6 +87,21 @@ class SamplingSpec extends SparkTestBase {
     assert(re == out.select("id").collect().map(_.getInt(0)).toSet)
   }
 
+  test("weightedSample keeps ~w fraction per weight level; clips outside [0,1]") {
+    import spark.implicits._
+    val rows = (1 to 9000).map(i => (i, (i % 3) match {
+      case 0 => 0.1; case 1 => 0.9; case _ => 7.0 // 7.0 clips to 1.0
+    })).toDF("id", "w")
+    val kept = Sampling.weightedSample(rows, "id", col("w"))
+      .groupBy("w").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept(0.1) - 300.0) < 60)   // 3000 rows x 0.1
+    assert(math.abs(kept(0.9) - 2700.0) < 90)  // 3000 rows x 0.9
+    assert(kept(7.0) == 3000L)                 // clipped to certainty
+    // negative weights keep nothing
+    assert(Sampling.weightedSample(rows.withColumn("w", lit(-1.0)), "id", col("w"))
+      .isEmpty)
+  }
+
   test("a different salt draws a different sample") {
     val a = Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
     val b = Sampling.hashSample(ids, "id", 10, salt = "run2")
