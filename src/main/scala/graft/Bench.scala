@@ -4,32 +4,54 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.build("graft-bench", graft.core.GraftSession.envCores)
+    // Several operators cache internal fan-out frames that escape into
+    // the returned plan (documented caller-must-unpersist: Dedup
+    // minhash/simhash/ngram candidates, Similarity.lshNearDup,
+    // CorpusPipeline.clean). Over 91 queries × 3 passes in one JVM those
+    // blocks would accumulate and squeeze execution memory for every
+    // later query (the round-3 bench-inflation aggravator), so the
+    // harness clears ALL cached data between queries — same discipline
+    // as the reference's per-run sqlCtx.clearCache (jobs.py:285).
+    def clean(): Unit = { spark.catalog.clearCache() }
     // Warmup pass: JIT + Janino codegen + parquet footer caches, so the
     // timed pass measures steady-state query time, not JVM warmup.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      clean()
     }
     // min of two timed passes per query: steady-state time, robust to
     // the multi-second noise spikes this shared VM lands on random
-    // queries (observed 20x outliers on otherwise-sub-second queries)
+    // queries (observed 20x outliers on otherwise-sub-second queries).
+    // Cache state is cleared BEFORE each query (not between its two
+    // passes): every query starts from the same clean slate, and pass 2
+    // measures the warm-internal-cache steady state.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      clean()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query JSON to a file as well: the driver keeps only the
+    // last 2000 chars of stdout, which truncates ~25 of the 90+ query
+    // timings — the file makes round-over-round comparison possible on
+    // the complete registry.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")), line)
+    catch { case _: Throwable => () }
     // Stop Spark BEFORE printing so no shutdown logging lands after the
     // JSON line — the harness parses the final line of output, and
     // build.sbt suppresses sbt's own "[success]" trailer (showSuccess).
     // A failing stop() (shutdown race, listener error) must not eat the
     // already-computed results.
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(line)
     // forked JVM: exit deterministically once the JSON line is out —
     // leftover non-daemon threads from streaming drains otherwise keep
     // the process alive long after the harness has its result

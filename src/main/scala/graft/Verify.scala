@@ -19,6 +19,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release operator-internal caches (caller-must-unpersist
+      // contract; see Bench.scala) so 91 dumps in one JVM don't
+      // accumulate storage blocks against execution memory
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -15,10 +15,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * once, broadcast it inside the expression tree, and drop
   * non-matching fact rows BEFORE they reach the join shuffle.
   *
-  * The filter travels as serialized bytes (stable equality, compact
-  * task binary) and is deserialized once per JVM lazily; the codegen
-  * path references the deserialized sketch directly, so the per-row
-  * cost is two hash probes on a long — no boxing, no UDF.
+  * The filter travels as serialized bytes (compact task binary) and is
+  * deserialized once per JVM lazily; the codegen path references the
+  * deserialized sketch directly, so the per-row cost is two hash
+  * probes on a long — no boxing, no UDF. `Array[Byte]` has
+  * reference-based equals, so equality/hashCode are overridden to
+  * compare sketch CONTENT — without this, semantically identical
+  * probes would never canonicalize equal and Catalyst's
+  * common-expression reuse would always miss.
   *
   * Lives in a subpackage of org.apache.spark.sql because
   * `AbstractDataType`/`ExpressionUtils` are `private[sql]`; the
@@ -46,6 +50,14 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }
 
 object BloomColumns {

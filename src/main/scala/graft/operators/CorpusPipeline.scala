@@ -47,7 +47,9 @@ object CorpusPipeline {
       hashed.groupBy(col("content_hash")).agg(min(col(idCol)).as(idCol)),
       Seq("content_hash", idCol), "left_semi")
       .drop("content_hash")
-      .cache() // fans out: LSH signature branch + final anti-join probe
+      .cache() // fans out: LSH signature branch + final anti-join probe.
+                // Escapes into the returned plan → caller releases after
+                // its action (see Dedup.minhashCandidatePairs note)
     // materialize BEFORE the fan-out: the banded signature branches and
     // the anti-join probe otherwise race the unmaterialized cache in one
     // job and each recomputes the full gate+dedup subtree (same pitfall

@@ -44,7 +44,14 @@ object Dedup {
 
   /** LSH candidate pairs: band the k-wide signature into `bands` groups
     * of k/bands rows, bucket on (band, concatenated band signature),
-    * emit distinct (id_a < id_b) pairs sharing ≥1 bucket. */
+    * emit distinct (id_a < id_b) pairs sharing ≥1 bucket.
+    *
+    * Cache lifecycle: the banded frame is cached because it escapes
+    * into BOTH sides of the returned self-join plan, so the operator
+    * cannot unpersist it before the caller's action. In a long-lived
+    * session, release it after consuming the result
+    * (`spark.catalog.clearCache()` or unpersist by plan) — the bench
+    * and verify harnesses do this between queries. */
   def minhashCandidatePairs(sigs: DataFrame, idCol: String, k: Int,
                             bands: Int): DataFrame = {
     val rows = k / bands
@@ -97,7 +104,8 @@ object Dedup {
         (0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255).as(s"c_$c")): _*)
     val banded = Relational.unpivot(chunked, Seq(idCol, "simhash"),
       (0 until 4).map(c => s"$c" -> s"c_$c"), nameCol = "chunk", valueCol = "v")
-      .cache() // feeds both self-join sides (see minhashCandidatePairs)
+      .cache() // feeds both self-join sides; escapes into the returned
+                // plan → caller-must-release (see minhashCandidatePairs)
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
       col("chunk"), col("v"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
@@ -273,7 +281,11 @@ object Dedup {
 
   /** Word n-gram Jaccard similarity over candidate pairs from an
     * inverted shingle index. Shingles occurring in more than
-    * `maxDocFreq` docs are dropped (stop-shingle skew guard). */
+    * `maxDocFreq` docs are dropped (stop-shingle skew guard).
+    *
+    * Cache lifecycle: `shingles` and `filtered` both escape into the
+    * returned plan (per-doc counts + both join sides), so release is
+    * the caller's job after its action (see [[minhashCandidatePairs]]). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int, maxDocFreq: Int, minJaccard: Double): DataFrame = {
     val shingles = df

@@ -71,11 +71,17 @@ object QualityChecks {
       round(c.metric, 6).as(s"m_$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = checks.zipWithIndex.map { case (c, i) =>
-      s"'${c.name}', m_$i, CAST(${c.threshold} AS DOUBLE)"
-    }.mkString(", ")
-    one.select(expr(
-        s"stack(${checks.size}, $pairs) AS (constraint, metric, threshold)"))
+    // typed-Column unpivot (explode over an array of structs) instead
+    // of a generated stack()/SQL string: check names embed raw column
+    // names and InSet carries caller values — interpolating either
+    // into SQL would break on a single quote
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("constraint"), col(s"m_$i").as("metric"),
+        lit(c.threshold).cast("double").as("threshold"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.constraint").as("constraint"), col("r.metric").as("metric"),
+        col("r.threshold").as("threshold"))
       .withColumn("passed", col("metric") >= col("threshold"))
   }
 }

@@ -136,7 +136,10 @@ object Sampling {
 
   /** Oracle twin of [[mixToTarget]]: the same threshold arithmetic
     * (identical operation order, so IEEE doubles agree) computed in
-    * SQL over the same counts. */
+    * SQL over the same counts. `w LEFT JOIN c` + coalesce(n, 0)
+    * mirrors the Scala `getOrElse(0L)`: a weighted source with zero
+    * rows forces t = 0 (empty output) in BOTH engines, instead of the
+    * inner join silently dropping the missing source from the min. */
   def mixToTargetSql(table: String, idExpr: String, sourceExpr: String,
                      weights: Seq[(String, Double)],
                      salt: String = ""): String = {
@@ -146,7 +149,8 @@ object Sampling {
     s"""WITH c AS (SELECT $sourceExpr AS src, count(*) AS n FROM $table
        |    WHERE $sourceExpr IN ($inList) GROUP BY 1),
        |w AS (SELECT * FROM (VALUES $values) AS t(src, wt)),
-       |tv AS (SELECT min(n / wt) AS t FROM c JOIN w USING (src)),
+       |tv AS (SELECT min(coalesce(n, 0) / wt) AS t
+       |  FROM w LEFT JOIN c USING (src)),
        |thr AS (SELECT c.src, CAST(floor(t * wt / n * 1000000.0) AS BIGINT) AS thr
        |  FROM c JOIN w USING (src) CROSS JOIN tv)
        |SELECT d.* FROM $table d JOIN thr ON d.$sourceExpr = thr.src

@@ -187,7 +187,9 @@ object Similarity {
     val withBucket = df.select(col(idCol),
       asDouble(col(vecCol)).as("v"),
       lshBucket(asDouble(col(vecCol)), nPlanes, dim).as("bucket"))
-      .cache() // feeds both self-join sides
+      .cache() // feeds both self-join sides; escapes into the returned
+                // plan → caller releases after its action (see
+                // Dedup.minhashCandidatePairs cache-lifecycle note)
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col("v").as("va"))
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col("v").as("vb"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -53,11 +53,19 @@ object Skew {
   def bloomSemiJoin(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,
                     expectedItems: Long, fpp: Double = 0.03): DataFrame = {
-    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    // Key-type-agnostic: both build and probe go through xxhash64 of
+    // the raw column (a bare cast-to-long would yield NULL for string
+    // keys, fail every sketch probe, and silently return an empty
+    // result). Equal values hash equally so no true match is ever
+    // dropped; hash collisions only add false positives, which the
+    // exact semi join below removes — so equality with the plain semi
+    // join holds for ANY key type.
+    val bloom = dim.select(xxhash64(col(dimKey)).as("__bk"))
+      .stat.bloomFilter("__bk", expectedItems, fpp)
     val bytes = org.apache.spark.sql.graftext.BloomColumns.serialize(bloom)
     fact
       .filter(org.apache.spark.sql.graftext.BloomColumns.mightContain(
-        col(factKey).cast("long"), bytes))
+        xxhash64(col(factKey)), bytes))
       .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
   }
 }

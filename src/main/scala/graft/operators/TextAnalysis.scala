@@ -185,7 +185,12 @@ object TextAnalysis {
     * explode, no shuffle, codegen'd end to end. The bigram build uses
     * an indexed `transform` over a length-guarded slice (never a
     * descending `sequence`), and denominators clamp at 1 so one-word
-    * docs yield 0, not NULL, on every engine.
+    * docs yield 0, not NULL, on every engine. The top-word count is
+    * the longest equal-run over the SORTED word array — one
+    * O(len·log len) sort + one linear aggregate pass per row, instead
+    * of counting every distinct word against the full array
+    * (O(distinct·len), quadratic on exactly the long web documents
+    * this filter exists to score).
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val prep = df.select(col(idCol), split(col(textCol), " ").as("ws"))
@@ -200,8 +205,16 @@ object TextAnalysis {
       dupFrac(col("ws")).as("dup_word_frac"),
       dupFrac(col("bg")).as("dup_bigram_frac"),
       round(expr(
-        """array_max(transform(array_distinct(ws),
-          |  w -> size(filter(ws, x -> x = w))))""".stripMargin).cast("double") /
+        """aggregate(array_sort(ws),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          |  (s, w) -> named_struct(
+          |    'prev', w,
+          |    'run',  CASE WHEN s.prev IS NOT NULL AND w = s.prev
+          |                 THEN s.run + 1 ELSE 1 END,
+          |    'best', greatest(s.best,
+          |      CASE WHEN s.prev IS NOT NULL AND w = s.prev
+          |           THEN s.run + 1 ELSE 1 END)),
+          |  s -> s.best)""".stripMargin).cast("double") /
         greatest(size(col("ws")), lit(1)), 6).as("top_word_frac"))
   }
 
