@@ -68,7 +68,8 @@ class AlertHarness(spark: SparkSession, schema: String, clock: RunClock,
                    keyHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
                      graft.core.AlertKey.limpaSha1,
                    metadataHook: graft.sources.MetadataHook =
-                     graft.sources.MetadataHook.Noop) {
+                     graft.sources.MetadataHook.Noop,
+                   timerSink: Timed.Sink = Timed.logSink) {
 
   def tempName(table: String) = s"$schema.temp_$table"
   def histName(table: String) = s"$schema.hist_$table"
@@ -85,11 +86,16 @@ class AlertHarness(spark: SparkSession, schema: String, clock: RunClock,
       alert.keyCols, keyHash)
 
   def appendTemp(alert: Alert, table: String): Unit =
-    conformAlert(alert).coalesce(4).write.mode(SaveMode.Append)
-      .format("parquet").saveAsTable(tempName(table))
+    // per-alert wall-clock, the reference's `with Timer():` around each
+    // alert build (jobs.py:189,260)
+    Timed.phase(s"alert ${alert.sigla}", timerSink) {
+      conformAlert(alert).coalesce(4).write.mode(SaveMode.Append)
+        .format("parquet").saveAsTable(tempName(table))
+    }
 
-  /** Final + history writer (reference write_dataframe, jobs.py:284-320). */
-  def finalize(table: String): Unit = {
+  /** Final + history writer (reference write_dataframe, jobs.py:284-320),
+    * timed like the reference's write stage (jobs.py:286). */
+  def finalize(table: String): Unit = Timed.phase(s"write $table", timerSink) {
     spark.catalog.clearCache()
     val temp = spark.table(tempName(table))
 

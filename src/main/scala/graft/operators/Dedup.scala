@@ -129,7 +129,8 @@ object Dedup {
     * [[minhashCandidatePairs]] when the downstream step needs the
     * pairs themselves (e.g. to score each pair). */
   def minhashComponents(sigs: DataFrame, idCol: String, k: Int,
-                        bands: Int): DataFrame = {
+                        bands: Int,
+                        checkpointDir: Option[String] = None): DataFrame = {
     val rows = k / bands
     val banded = Relational.unpivot(
       sigs.select(col(idCol) +: (0 until bands).map { b =>
@@ -144,7 +145,8 @@ object Dedup {
     val starEdges = banded.join(centers, Seq("band", "sig"))
       .filter(col(idCol) =!= col("center")) // size-1 buckets drop out
       .select(col(idCol).as("id_a"), col("center").as("id_b"))
-    try connectedComponents(starEdges, "id_a", "id_b")
+    try connectedComponents(starEdges, "id_a", "id_b",
+      checkpointDir = checkpointDir)
     finally banded.unpersist()
   }
 
@@ -157,13 +159,30 @@ object Dedup {
     * shallow).
     *
     * The Spark iterative-algorithm essentials, applied: edges cached
-    * once and reused every round; each round's labels
-    * `localCheckpoint`ed to truncate lineage (without it the plan
-    * doubles per iteration and the job dies on driver planning time
-    * long before data size matters); convergence detected by counting
-    * changed labels, one action per round. */
+    * once and reused every round; each round's labels checkpointed to
+    * truncate lineage (without it the plan doubles per iteration and
+    * the job dies on driver planning time long before data size
+    * matters); convergence detected by counting changed labels, one
+    * action per round.
+    *
+    * Failure domains: by default each round uses `localCheckpoint` —
+    * blocks live on executors only, which is fast and fine in local
+    * mode but on a real cluster one lost executor kills the whole
+    * iteration (no lineage left to recompute from). Pass
+    * `checkpointDir` (a fault-tolerant FS path, e.g. HDFS/S3) to use
+    * reliable `checkpoint()` instead: each round's labels persist to
+    * stable storage and the iteration survives executor loss — the
+    * production setting for a 100 TB run.
+    *
+    * Thread-safe: per-round parallelism comes from AQE's runtime
+    * partition coalescing (the dup graph is orders of magnitude
+    * smaller than the corpus, so each round's shuffles coalesce to
+    * graph-sized partition counts automatically) — no session-global
+    * conf is mutated, so concurrent queries on the same session are
+    * unaffected. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     // materialize the pair input ONCE before the union reads it twice:
     // two union branches scanning an unmaterialized lineage in one job
     // each recompute it (the cache races its own second reader)
@@ -174,18 +193,26 @@ object Dedup {
       .distinct().cache()
     // iteration parallelism tracks GRAPH size, not cluster default:
     // the dup graph is orders of magnitude smaller than the corpus,
-    // and per-round job overhead at full parallelism would dominate
+    // and per-round job overhead at full parallelism would dominate.
+    // Only the EDGES frame is explicitly graph-size-partitioned; the
+    // per-round shuffles coalesce to matching sizes at runtime via AQE
+    // (no session-global shuffle-partition mutation — thread-safe for
+    // concurrent queries on the same session)
     val nParts = math.max(1, math.min(200, allEdges.count() / 500000L)).toInt
     val edges = allEdges.repartition(nParts, col("src")).cache()
     edges.count()
     allEdges.unpersist()
     val spark = pairs.sparkSession
-    val shufKey = "spark.sql.shuffle.partitions"
-    val oldShuf = spark.conf.get(shufKey)
-    spark.conf.set(shufKey, nParts.toString)
-    try {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+    checkpointDir.foreach { dir =>
+      if (!spark.sparkContext.getCheckpointDir.contains(dir))
+        spark.sparkContext.setCheckpointDir(dir)
+    }
+    // reliable checkpoint when a dir is given (survives executor loss);
+    // executor-local blocks otherwise (fast path, local mode / tests)
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var labels = barrier(edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -206,17 +233,16 @@ object Dedup {
         .join(parents, col("mid") === col("p_node"), "left")
         .select(col("node"), col("prev"),
           least(col("mid"), coalesce(col("p_comp"), col("mid"))).as("comp"))
-        .localCheckpoint()
+      val checked = barrier(next)
       // convergence probe scans the checkpointed blocks, not a lineage
-      converged = next.filter(col("comp") =!= col("prev")).isEmpty
-      labels = next.select(col("node"), col("comp"))
+      converged = checked.filter(col("comp") =!= col("prev")).isEmpty
+      labels = checked.select(col("node"), col("comp"))
       iter += 1
     }
     require(converged, s"not converged after $maxIter rounds")
     edges.unpersist()
     p.unpersist()
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
-    } finally spark.conf.set(shufKey, oldShuf)
   }
 
   /** Benchmark-contamination check: for every training document, the

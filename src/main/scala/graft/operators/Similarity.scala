@@ -125,18 +125,28 @@ object Similarity {
     * as a broadcast of the k centroids against the streaming corpus
     * (|n|·k scoring, no corpus shuffle). Centroids and scores are
     * rounded so assignment is independent of distributed sum order;
-    * per-iteration `localCheckpoint` truncates the growing lineage
-    * (same discipline as [[Dedup.connectedComponents]]).
+    * per-iteration checkpoint truncates the growing lineage (same
+    * discipline as [[Dedup.connectedComponents]]): `localCheckpoint`
+    * by default (executor-local blocks — fast, but an executor loss
+    * kills the iteration), or reliable `checkpoint()` to a
+    * fault-tolerant FS when `checkpointDir` is given — the production
+    * setting for a large cluster.
     *
     * Returns (idCol, cell) — feed to [[ivfTopK]] as its `cellCol`. */
   def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int): DataFrame = {
+                  k: Int, iters: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach { dir =>
+      if (!df.sparkSession.sparkContext.getCheckpointDir.contains(dir))
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+    }
+    def barrier(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
     val vecs = df.select(col(idCol).as("kid"),
       col(vecCol).cast("array<float>").as("kvf"),
       asDouble(col(vecCol)).as("kv"))
-    var assigned = vecs
-      .withColumn("cell", pmod(col("kid"), lit(k)).cast("int"))
-      .localCheckpoint()
+    var assigned = barrier(vecs
+      .withColumn("cell", pmod(col("kid"), lit(k)).cast("int")))
     for (_ <- 0 until iters) {
       val cents = assigned.groupBy(col("cell"))
         .agg(graft.functions.Centroid(col("kvf")).as("raw"))
@@ -149,7 +159,7 @@ object Similarity {
         .withColumn("sim", round(cosine(col("kv"), col("centroid")), 6))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("kid"), col("kvf"), col("kv"), col("c_cell").as("cell"))
-        .localCheckpoint()
+      assigned = barrier(assigned)
     }
     assigned.select(col("kid").as(idCol), col("cell"))
   }

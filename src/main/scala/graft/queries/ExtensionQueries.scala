@@ -55,6 +55,31 @@ object ExtensionQueries {
     // stream-stream interval join (watermarks both sides bound state)
     "q69_stream_join" -> ((s, dir) => EventStream.clickViewJoin(s, dir)),
 
+    // incremental anti-join maintenance (IncrementalAlerts
+    // .antiJoinIncrement): previous materialized result + a
+    // snapshotDiff changelog of the exclusion set, equivalence to the
+    // full recompute is exact — the plain anti join against the NEW
+    // exclusion snapshot is the oracle. The chosen snapshots are
+    // unrelated sets so the diff carries BOTH inserts (retraction
+    // path) and deletes (re-admission path).
+    "q92_incr_anti" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      val exclPrev = customer.filter(col("c_acctbal") < 0).select("c_custkey")
+      val exclNext = customer.filter(col("c_mktsegment") === "MACHINERY")
+        .select("c_custkey")
+      val prev = orders.join(exclPrev,
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val diff = graft.operators.Relational.snapshotDiff(
+        exclPrev.withColumn("__m", lit(1)), exclNext.withColumn("__m", lit(1)),
+        "c_custkey", Seq("__m"))
+      graft.streaming.IncrementalAlerts.antiJoinIncrement(
+          prev, orders, "o_custkey", diff, exclNext, "c_custkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
     // sliding event-time windows (2h length, 1h slide): each event
     // lands in two overlapping windows — the same window() operator
     // drives the streaming path; verified here in batch form
@@ -106,6 +131,13 @@ object ExtensionQueries {
       """SELECT c_mktsegment, count(*) AS n
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q92_incr_anti" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'MACHINERY')
+        |GROUP BY o_orderstatus""".stripMargin,
     "q62_stream_dedup" ->
       """SELECT event_type, count(*) AS n_unique
         |FROM (SELECT DISTINCT user_id, event_type, value FROM events)

@@ -68,6 +68,48 @@ object IncrementalAlerts {
     spark.table(queryName)
   }
 
+  /** Incremental maintenance of an ANTI-JOIN detector under a CHANGING
+    * exclusion set — the second stateful detector shape after
+    * [[gateStream]]'s max-per-group: the documentos_ativos spine and
+    * VADF-style detectors are `facts LEFT ANTI exclusion`, and when the
+    * exclusion set mutates (a doc archives, a baixa arrives) the nightly
+    * rescan recomputes everything. This applies a
+    * [[graft.operators.Relational.snapshotDiff]] changelog of the
+    * exclusion set to the previously materialized result instead:
+    *
+    *  - keys the diff INSERTED into the exclusion set retract their
+    *    alerts (one anti probe of the previous result against the
+    *    inserted keys);
+    *  - keys the diff DELETED re-admit their fact rows (semi join of
+    *    the facts against the deleted keys), guarded by an anti probe
+    *    against the NEW exclusion snapshot so a key deleted in one row
+    *    but still excluded via another is not wrongly re-admitted;
+    *  - `update` rows don't change membership and are ignored.
+    *
+    * Per-batch cost is proportional to the diff size, never the table:
+    * both diff sides are broadcast (a nightly changelog is tiny next to
+    * a 100 TB fact table), and the re-admission scan is the only
+    * fact-side work. Equivalence to the full recompute
+    * (`facts LEFT ANTI exclusionNext`) is exact — proven both ways
+    * (grow and shrink) in IncrementalAlertsSpec, and the registered
+    * query carries the plain anti join as its DuckDB oracle.
+    */
+  def antiJoinIncrement(prev: DataFrame, facts: DataFrame, factKey: String,
+                        exclDiff: DataFrame, exclNext: DataFrame,
+                        exclKey: String): DataFrame = {
+    val added = exclDiff.filter(col("change_type") === "insert")
+      .select(col(exclKey).as("__x")).distinct()
+    val removed = exclDiff.filter(col("change_type") === "delete")
+      .select(col(exclKey).as("__x")).distinct()
+    val retained = prev
+      .join(broadcast(added), col(factKey) === col("__x"), "left_anti")
+    val readmitted = facts
+      .join(broadcast(removed), col(factKey) === col("__x"), "left_semi")
+      .join(exclNext.select(col(exclKey).as("__x")).distinct(),
+        col(factKey) === col("__x"), "left_anti")
+    retained.unionByName(readmitted)
+  }
+
   /** Incremental GATE — a detector with a MAX-PER-GROUP core
     * (latest vista per document, reference alerta_gate.py:29-38) run
     * as incremental view maintenance instead of a nightly rescan:

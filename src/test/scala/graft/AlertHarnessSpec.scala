@@ -95,6 +95,24 @@ class AlertHarnessSpec extends SparkTestBase {
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
+  test("per-phase timer fires for every alert append and table write") {
+    val db = "t_timed"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("graft_t_timed")
+    spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val h = new AlertHarness(spark, db,
+      RunClock(LocalDateTime.of(2026, 8, 12, 10, 0)),
+      timerSink = (n, s) => phases.synchronized { phases += (n -> s) })
+    h.dropTemps(Seq("alerts"))
+    h.appendTemp(mkAlert(Seq((1, 10)), "AAA"), "alerts")
+    h.appendTemp(mkAlert(Seq((2, 20)), "BBB"), "alerts")
+    h.finalize("alerts")
+    assert(phases.map(_._1).toSeq == Seq("alert AAA", "alert BBB", "write alerts"))
+    assert(phases.forall(_._2 >= 0.0))
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
   test("per-row sigla override is preserved (PRCR1-4 pattern)") {
     val h = new AlertHarness(spark, "t_sigla",
       RunClock(LocalDateTime.of(2026, 8, 12, 10, 0)))

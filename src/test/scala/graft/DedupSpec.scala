@@ -14,6 +14,20 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(comp == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 1, 10 -> 10, 11 -> 10))
   }
+  test("connected components with a reliable checkpoint dir: same labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1, 2), (2, 3), (3, 7), (10, 11)).toDF("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(comp == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 1, 10 -> 10, 11 -> 10))
+    // the reliable path actually wrote checkpoint data to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "expected reliable checkpoint files under the dir")
+  }
+
   import scala.jdk.CollectionConverters._
 
   private def docsDf(rows: (Long, String)*) = {

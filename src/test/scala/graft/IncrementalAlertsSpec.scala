@@ -61,6 +61,46 @@ class IncrementalAlertsSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_incr_gate")
   }
 
+  test("incremental anti-join: changelog maintenance equals full recompute both ways") {
+    import spark.implicits._
+    // VADF-style exclusion shape: alerts on docs NOT in the exclusion
+    // set (archived docs). Two snapshots chosen so the diff carries
+    // BOTH directions: doc 2 becomes excluded (retraction), doc 4
+    // stops being excluded (re-admission), doc 5 stays excluded via a
+    // second row (must NOT be re-admitted), doc 1/3 untouched.
+    val facts = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"))
+      .toDF("doc_id", "payload")
+    val exclPrev = Seq((4, "arch"), (5, "arch"), (5, "baixa"))
+      .toDF("doc_id", "reason").select("doc_id").distinct()
+    val exclNext = Seq((2, "arch"), (5, "baixa"))
+      .toDF("doc_id", "reason").select("doc_id").distinct()
+
+    def anti(excl: org.apache.spark.sql.DataFrame) =
+      facts.join(excl.withColumnRenamed("doc_id", "x_id"),
+        col("doc_id") === col("x_id"), "left_anti")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getInt(0)).toSet
+
+    val diff = graft.operators.Relational.snapshotDiff(
+      exclPrev.withColumn("__m", lit(1)), exclNext.withColumn("__m", lit(1)),
+      "doc_id", Seq("__m"))
+    val incr = IncrementalAlerts.antiJoinIncrement(
+      anti(exclPrev), facts, "doc_id", diff, exclNext, "doc_id")
+    // forward: incremental == full recompute against the NEW snapshot
+    assert(keys(incr) == keys(anti(exclNext)))
+    assert(keys(incr) == Set(1, 3, 4)) // 2 retracted, 4 re-admitted, 5 still out
+
+    // reverse direction: applying the inverse diff to the NEW result
+    // restores the OLD result (shrink and grow both exact)
+    val diffBack = graft.operators.Relational.snapshotDiff(
+      exclNext.withColumn("__m", lit(1)), exclPrev.withColumn("__m", lit(1)),
+      "doc_id", Seq("__m"))
+    val back = IncrementalAlerts.antiJoinIncrement(
+      incr, facts, "doc_id", diffBack, exclPrev, "doc_id")
+    assert(keys(back) == keys(anti(exclPrev)))
+    assert(keys(back) == Set(1, 2, 3))
+  }
+
   test("generic detectorStream: OUVI runs unchanged over a routing stream") {
     DomainFixtures.registerAll(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_item_log").toString
