@@ -83,6 +83,49 @@ object ScaleQueries {
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // as-of join under HEAVY key skew: the same single-shuffle
+    // union+window composition with the key space collapsed to 4 hot
+    // keys (~events/4 rows per key) — the linear per-partition carry
+    // is what makes this survive skew where a range-join candidate
+    // blow-up would not. The right side is deduped per (key, ts) first
+    // (asofJoin's documented uniqueness precondition — and what keeps
+    // the tie-resolution deterministic for the cross-engine oracle).
+    // RelationalSpec pins the one-shuffle plan shape structurally.
+    "q91_asof_skew" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), pmod(col("user_id"), lit(4)).as("k"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(pmod(col("user_id"), lit(4)).as("k"), col("ts"),
+          col("event_id"), col("value"))
+      val uniqViews = graft.operators.Relational
+        .latestPerGroup(views, Seq("k", "ts"), Seq(col("event_id").desc))
+      graft.operators.Relational
+        .asofJoin(clicks, uniqViews, "k", "ts", Seq("event_id", "value"))
+        .select(col("event_id").as("click_id"), col("k"),
+          col("r_event_id").as("view_id"), col("r_value").as("view_value"))
+    }),
+
+    // z-order layout round-trip: write lineitem z-ordered on
+    // (l_orderkey, l_partkey), read it back through a selective 2-D
+    // filter. Content equality with the unclustered table is the
+    // DuckDB oracle (layout must never change results); the actual
+    // file-skipping on BOTH dimensions is asserted in LayoutSpec,
+    // which checks disjoint per-file ranges and pushed filters.
+    "q93_zorder_scan" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      graft.sources.Layout.zorderBy(li, 8, 8, "l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_orderkey").between(1000, 3000) &&
+          col("l_partkey").between(100, 400))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
     // as-of join: attribute each click to the latest prior-or-equal
     // view by the same user (single-shuffle union+window composition)
     "q51_asof_join" -> ((s, dir) => {
@@ -124,6 +167,24 @@ object ScaleQueries {
         |  count(*) AS n,
         |  TRUE AS p50_within_2pct, TRUE AS p90_within_2pct
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q91_asof_skew" ->
+      """WITH clicks AS (SELECT event_id, user_id % 4 AS k, ts
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id % 4 AS k, ts, event_id, value
+        |  FROM events WHERE event_type = 'view'),
+        |vd AS (SELECT k, ts, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k, ts
+        |    ORDER BY event_id DESC) AS rn FROM v) WHERE rn = 1)
+        |SELECT c.event_id AS click_id, c.k,
+        |  r.event_id AS view_id, r.value AS view_value
+        |FROM clicks c ASOF LEFT JOIN vd r
+        |  ON c.k = r.k AND c.ts >= r.ts""".stripMargin,
+    "q93_zorder_scan" ->
+      """SELECT l_partkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000
+        |  AND l_partkey BETWEEN 100 AND 400
+        |GROUP BY l_partkey""".stripMargin,
     "q51_asof_join" ->
       """SELECT l.event_id AS click_id, l.user_id,
         |  r.event_id AS view_id, r.value AS view_value

@@ -47,6 +47,26 @@ class RelationalSpec extends SparkTestBase {
     assert(out(3L).isEmpty)        // no right row at or before → null
   }
 
+  test("asofJoin plans exactly one shuffle, even under heavy key skew") {
+    import spark.implicits._
+    // 2 hot keys over 2000 left rows: the union+window carry is ONE
+    // hash shuffle on the key regardless of skew — a range-join
+    // formulation would instead blow up candidates per hot key. This
+    // pins the plan shape so a refactor can't silently reintroduce a
+    // join (q91_asof_skew carries the cross-engine oracle).
+    val left = (1 to 2000).map(i => (i.toLong, i % 2, i.toLong * 3))
+      .toDF("event_id", "k", "t")
+    val right = (1 to 500).map(i => (i % 2, i.toLong * 7, s"p$i"))
+      .toDF("k", "t", "payload")
+    val joined = Relational.asofJoin(left, right, "k", "t", Seq("payload"))
+    // string-match the tree: AQE wraps the plan, so a node collect on
+    // executedPlan would not descend into the adaptive subtree
+    val planStr = joined.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(shuffles == 1, s"expected 1 shuffle:\n$planStr")
+    assert(!planStr.contains("Join"), s"asofJoin must not plan a join:\n$planStr")
+  }
+
   test("sessionize: gap starts a new session, within-gap rows share one") {
     import spark.implicits._
     val df = Seq(
