@@ -239,6 +239,46 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
   }
 
+  /** N-gram language-model quality score — the CCNet-style perplexity
+    * proxy an LLM corpus filter runs when a neural LM is too expensive
+    * for a first pass: score each document by the average
+    * log-probability of its bigrams under the corpus's OWN bigram
+    * model, `P(w2|w1) = C(w1 w2) / C(w1 ·)` (counts over the same
+    * corpus, so every observed bigram has positive probability — no
+    * smoothing constant to tune). Repetitive/boilerplate text scores
+    * high, natural text sits in a band, gibberish scores low; filters
+    * cut both tails.
+    *
+    * Topology: one positional-bigram explode (duplicates kept — this
+    * is a frequency model, not a set), two hash aggregates over the
+    * exploded frame for the bigram and prefix count tables, then the
+    * standard inverted-index equi-joins back on (bg) and (w1) and one
+    * per-doc aggregate. All shuffles carry (gram, count) pairs or doc
+    * ids, never text; hub prefixes (stopwords) fan out rows but never
+    * keys. The exploded frame feeds three consumers, so it is cached —
+    * escapes into the returned plan, caller releases after its action
+    * (see [[graft.operators.Dedup.minhashCandidatePairs]]).
+    *
+    * Docs with fewer than two words have no bigrams and are absent
+    * from the result (nothing to score).
+    */
+  def ngramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bgs = df.select(col(idCol), split(col(textCol), " ").as("ws"))
+      .select(col(idCol), explode(expr(
+        """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |  (w, i) -> named_struct(
+          |    'bg', concat(w, ' ', element_at(ws, i + 2)), 'w1', w))""".stripMargin))
+        .as("b"))
+      .select(col(idCol), col("b.bg").as("bg"), col("b.w1").as("w1"))
+      .cache()
+    val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val cu = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bgs.join(cb, Seq("bg")).join(cu, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1"))), 6).as("lm_score"))
+  }
+
   /** Document fingerprints: whole-doc md5 plus a winnowing-style
     * min-hash over character 8-grams (rolling-hash family). The 8-gram
     * scan is a per-row array expression — no explode, no shuffle. */

@@ -115,6 +115,13 @@ object PipelineQueries {
     "q79_ngram_counts" -> ((s, dir) =>
       TextAnalysis.ngramCounts(docs(s, dir), "text", NgramCountN, NgramCountMin)),
 
+    // bigram-LM quality score (TextAnalysis.ngramLmScore): the
+    // CCNet-style perplexity proxy — avg log P(w2|w1) under the
+    // corpus's own bigram counts; inverted-index joins, counts only
+    // in the shuffle
+    "q94_ngram_lm" -> ((s, dir) =>
+      TextAnalysis.ngramLmScore(docs(s, dir), "doc_id", "text")),
+
     // TF-IDF over the documents table (operators/TextAnalysis.tfidf):
     // inverted-index shuffle topology, corpus size as a broadcast
     // 1-row aggregate
@@ -541,6 +548,17 @@ object PipelineQueries {
          |SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
          |HAVING count(*) >= $NgramCountMin""".stripMargin
     },
+    "q94_ngram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bgs AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, ws[i] AS w1
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM d WHERE len(ws) >= 2)),
+        |cb AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+        |cu AS (SELECT w1, count(*) AS c1 FROM bgs GROUP BY w1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 6) AS lm_score
+        |FROM bgs b JOIN cb USING (bg) JOIN cu USING (w1)
+        |GROUP BY b.doc_id""".stripMargin,
     "q61_corpus_clean" -> corpusCleanSql,
     "q66_chunk_tokens" -> chunkSql,
     "q74_pack_sequences" ->

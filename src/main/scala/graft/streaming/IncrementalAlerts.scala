@@ -89,7 +89,10 @@ object IncrementalAlerts {
     * Per-batch cost is proportional to the diff size, never the table:
     * both diff sides are broadcast (a nightly changelog is tiny next to
     * a 100 TB fact table), and the re-admission scan is the only
-    * fact-side work. Equivalence to the full recompute
+    * fact-side work. `exclDiff` is consumed twice (insert and delete
+    * branches) — cache it if deriving it is expensive (a snapshotDiff
+    * over large snapshots), per the usual fan-out discipline.
+    * Equivalence to the full recompute
     * (`facts LEFT ANTI exclusionNext`) is exact — proven both ways
     * (grow and shrink) in IncrementalAlertsSpec, and the registered
     * query carries the plain anti join as its DuckDB oracle.

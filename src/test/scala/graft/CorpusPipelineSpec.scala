@@ -56,6 +56,25 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out == Map("a b" -> 3L))
   }
 
+  test("ngramLmScore: corpus-bigram log-probs; sub-bigram docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "a b c"),   // bigrams: "a b", "b c"
+      (2, "a b"),     // bigram:  "a b"
+      (3, "a d"),     // bigram:  "a d"
+      (4, "solo")     // no bigrams → absent
+    ).toDF("doc_id", "text")
+    // counts: C("a b")=2, C("b c")=1, C("a d")=1; prefixes: C1(a)=3, C1(b)=1
+    // P(b|a)=2/3, P(c|b)=1/1, P(d|a)=1/3
+    val out = graft.operators.TextAnalysis.ngramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(d: Double) = math.round(d * 1e6) / 1e6
+    assert(out(1) == ((2L, r6((math.log(2.0 / 3) + math.log(1.0)) / 2))))
+    assert(out(2) == ((1L, r6(math.log(2.0 / 3)))))
+    assert(out(3) == ((1L, r6(math.log(1.0 / 3)))))
+    assert(!out.contains(4))
+  }
+
   test("PII redaction scrubs emails and long digit runs, leaves prose") {
     import spark.implicits._
     val docs = Seq(
