@@ -7,17 +7,18 @@ package graft.harness
   * a pluggable sink, so the slow detector in a 16-alert run is visible
   * from the logs without a profiler.
   *
-  * The default sink logs via slf4j (Spark's own logging backend); tests
-  * substitute a recording sink to assert the hook fires per phase.
+  * The default sink prints to driver stdout like the reference's
+  * `print("Elapsed ...")` — NOT slf4j INFO, which GraftSession's
+  * `setLogLevel("WARN")` would silently suppress in every session this
+  * engine builds. Tests substitute a recording sink to assert the hook
+  * fires per phase.
   */
 object Timed {
   /** (phase name, elapsed seconds) */
   type Sink = (String, Double) => Unit
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.harness.Timed")
-
   val logSink: Sink = (name, secs) =>
-    log.info(f"[timed] $name%s: $secs%.3f s")
+    println(f"[timed] $name%s: $secs%.3f s")
 
   /** Run `body`, reporting its wall-clock to `sink` even on failure
     * (a phase that dies after 40 minutes should still say so). */

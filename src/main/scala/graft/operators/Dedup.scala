@@ -172,14 +172,15 @@ object Dedup {
     * `checkpointDir` (a fault-tolerant FS path, e.g. HDFS/S3) to use
     * reliable `checkpoint()` instead: each round's labels persist to
     * stable storage and the iteration survives executor loss — the
-    * production setting for a 100 TB run.
+    * production setting for a 100 TB run. (Spark has ONE checkpoint
+    * dir per context; [[GraftCheckpoint.ensureDir]] sets it
+    * idempotently — use one reliable dir per session.)
     *
-    * Thread-safe: per-round parallelism comes from AQE's runtime
-    * partition coalescing (the dup graph is orders of magnitude
-    * smaller than the corpus, so each round's shuffles coalesce to
-    * graph-sized partition counts automatically) — no session-global
-    * conf is mutated, so concurrent queries on the same session are
-    * unaffected. */
+    * Thread-safe w.r.t. concurrent queries: per-round parallelism
+    * comes from AQE's runtime partition coalescing (the dup graph is
+    * orders of magnitude smaller than the corpus, so each round's
+    * shuffles coalesce to graph-sized partition counts automatically)
+    * — the session-global shuffle-partition conf is never mutated. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
@@ -203,10 +204,7 @@ object Dedup {
     edges.count()
     allEdges.unpersist()
     val spark = pairs.sparkSession
-    checkpointDir.foreach { dir =>
-      if (!spark.sparkContext.getCheckpointDir.contains(dir))
-        spark.sparkContext.setCheckpointDir(dir)
-    }
+    checkpointDir.foreach(d => GraftCheckpoint.ensureDir(spark, d))
     // reliable checkpoint when a dir is given (survives executor loss);
     // executor-local blocks otherwise (fast path, local mode / tests)
     def barrier(df: DataFrame): DataFrame =

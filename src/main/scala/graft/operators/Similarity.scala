@@ -136,10 +136,7 @@ object Similarity {
   def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int,
                   checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach { dir =>
-      if (!df.sparkSession.sparkContext.getCheckpointDir.contains(dir))
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-    }
+    checkpointDir.foreach(d => GraftCheckpoint.ensureDir(df.sparkSession, d))
     def barrier(d: DataFrame): DataFrame =
       if (checkpointDir.isDefined) d.checkpoint() else d.localCheckpoint()
     val vecs = df.select(col(idCol).as("kid"),

@@ -53,19 +53,23 @@ object Skew {
   def bloomSemiJoin(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,
                     expectedItems: Long, fpp: Double = 0.03): DataFrame = {
-    // Key-type-agnostic: both build and probe go through xxhash64 of
-    // the raw column (a bare cast-to-long would yield NULL for string
-    // keys, fail every sketch probe, and silently return an empty
-    // result). Equal values hash equally so no true match is ever
-    // dropped; hash collisions only add false positives, which the
-    // exact semi join below removes — so equality with the plain semi
-    // join holds for ANY key type.
-    val bloom = dim.select(xxhash64(col(dimKey)).as("__bk"))
+    // Key-type-agnostic: both build and probe hash the STRING form of
+    // the key (a bare cast-to-long would yield NULL for string keys,
+    // fail every sketch probe, and silently return an empty result —
+    // and hashing the raw column would break on mixed integral widths,
+    // since xxhash64 of the same value as int vs long differs). The
+    // string cast normalizes int/long/short/string keys to one
+    // representation, so equal-comparing keys hash equally and no true
+    // match is dropped; collisions only add false positives, which the
+    // exact semi join below removes. Caveat (documented contract): the
+    // two key columns must render equal values to equal strings —
+    // int-vs-double key pairs ("5" vs "5.0") are out of scope.
+    val bloom = dim.select(xxhash64(col(dimKey).cast("string")).as("__bk"))
       .stat.bloomFilter("__bk", expectedItems, fpp)
     val bytes = org.apache.spark.sql.graftext.BloomColumns.serialize(bloom)
     fact
       .filter(org.apache.spark.sql.graftext.BloomColumns.mightContain(
-        xxhash64(col(factKey)), bytes))
+        xxhash64(col(factKey).cast("string")), bytes))
       .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
   }
 }

@@ -115,7 +115,10 @@ object ScaleQueries {
     "q93_zorder_scan" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-      val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      // fixed per-process path + overwrite: a fresh temp dir per
+      // invocation would leak a full lineitem copy every bench pass
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_zorder_scan").getAbsolutePath
       graft.sources.Layout.zorderBy(li, 8, 8, "l_orderkey", "l_partkey")
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
@@ -168,9 +171,11 @@ object ScaleQueries {
         |  TRUE AS p50_within_2pct, TRUE AS p90_within_2pct
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q91_asof_skew" ->
-      """WITH clicks AS (SELECT event_id, user_id % 4 AS k, ts
+      // (x % 4 + 4) % 4 = Spark's pmod for negative ids (DuckDB's %
+      // follows the dividend's sign)
+      """WITH clicks AS (SELECT event_id, (user_id % 4 + 4) % 4 AS k, ts
         |  FROM events WHERE event_type = 'click'),
-        |v AS (SELECT user_id % 4 AS k, ts, event_id, value
+        |v AS (SELECT (user_id % 4 + 4) % 4 AS k, ts, event_id, value
         |  FROM events WHERE event_type = 'view'),
         |vd AS (SELECT k, ts, event_id, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY k, ts

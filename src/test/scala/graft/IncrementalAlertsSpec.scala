@@ -99,6 +99,17 @@ class IncrementalAlertsSpec extends SparkTestBase {
       incr, facts, "doc_id", diffBack, exclPrev, "doc_id")
     assert(keys(back) == keys(anti(exclPrev)))
     assert(keys(back) == Set(1, 2, 3))
+
+    // guard coverage: a ROW-level changelog (not a key-level
+    // snapshotDiff) can report `delete` for a key that is still
+    // excluded through another row — doc 5 loses its 'arch' row but
+    // keeps 'baixa'. The anti probe against the NEW snapshot must
+    // keep it out; dropping that guard would wrongly re-admit it.
+    val rowDiff = Seq((5, "delete"), (4, "delete"), (2, "insert"))
+      .toDF("doc_id", "change_type")
+    val incrRowLog = IncrementalAlerts.antiJoinIncrement(
+      anti(exclPrev), facts, "doc_id", rowDiff, exclNext, "doc_id")
+    assert(keys(incrRowLog) == Set(1, 3, 4)) // 5 NOT re-admitted
   }
 
   test("generic detectorStream: OUVI runs unchanged over a routing stream") {
