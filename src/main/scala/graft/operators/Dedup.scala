@@ -243,6 +243,61 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
   }
 
+  /** Build the compact cross-run dedup state for [[incrementalDedup]]:
+    * (content-digest table, LSH-band table) of a corpus. At 100 TB
+    * these are the MATERIALIZED tables a pipeline maintains between
+    * crawls — digests are 16 bytes/doc and bands k-ints/doc, so the
+    * state is orders of magnitude smaller than the corpus it
+    * summarizes, and each run appends the new batch's rows instead of
+    * rescanning history. */
+  def dedupState(df: DataFrame, idCol: String, textCol: String,
+                 k: Int, bands: Int): (DataFrame, DataFrame) = {
+    val digests = df.select(md5(col(textCol)).as("content_hash")).distinct()
+    val rows = k / bands
+    val banded = Relational.unpivot(
+      minhashSignatures(df, idCol, textCol, k)
+        .select(col(idCol) +: (0 until bands).map { b =>
+          concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
+            .as(s"band_$b")
+        }: _*),
+      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
+      nameCol = "band", valueCol = "sig")
+      .select(col("band"), col("sig")).distinct()
+    (digests, banded)
+  }
+
+  /** Cross-run incremental dedup — today's crawl against everything
+    * already kept, WITHOUT rescanning history: drop new-batch docs
+    * whose content digest is already in `seenDigests` (exact dups,
+    * one anti join on a 16-byte key), then docs sharing any LSH
+    * bucket with `seenBands` (near dups, one semi probe on the
+    * (band, sig) bucket key — the same O(n) candidate topology as
+    * [[minhashCandidatePairs]], probing a state table instead of
+    * self-joining). Per-run cost is new-batch-sized; the history
+    * contributes only its compact state tables (see [[dedupState]]).
+    * The batch-mode twin of
+    * [[graft.streaming.IncrementalAlerts.antiJoinIncrement]]'s
+    * exclusion maintenance. */
+  def incrementalDedup(newBatch: DataFrame, idCol: String, textCol: String,
+                       seenDigests: DataFrame, seenBands: DataFrame,
+                       k: Int, bands: Int): DataFrame = {
+    val fresh = newBatch.join(seenDigests,
+      md5(newBatch(textCol)) === seenDigests("content_hash"), "left_anti")
+    val rows = k / bands
+    val freshBands = Relational.unpivot(
+      minhashSignatures(fresh, idCol, textCol, k)
+        .select(col(idCol) +: (0 until bands).map { b =>
+          concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
+            .as(s"band_$b")
+        }: _*),
+      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
+      nameCol = "band", valueCol = "sig")
+    val nearSeen = freshBands
+      .join(seenBands, Seq("band", "sig"), "left_semi")
+      .select(col(idCol)).distinct()
+    fresh.join(nearSeen, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark-contamination check: for every training document, the
     * fraction of its word n-grams that appear anywhere in a benchmark
     * corpus — the decontamination gate run before an LLM training mix

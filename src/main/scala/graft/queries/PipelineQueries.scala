@@ -122,6 +122,22 @@ object PipelineQueries {
     "q94_ngram_lm" -> ((s, dir) =>
       TextAnalysis.ngramLmScore(docs(s, dir), "doc_id", "text")),
 
+    // cross-run incremental dedup (Dedup.incrementalDedup): new batch
+    // probed against the SEEN corpus's compact state tables (content
+    // digests + LSH bands) — exact and near dups dropped without
+    // rescanning history. Here the state is derived in-query from the
+    // deterministic doc_id%3 split so the oracle can replay it.
+    "q95_incr_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seen = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val newBatch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val (digests, bands) = Dedup.dedupState(seen, "doc_id", "text",
+        MinhashK, MinhashBands)
+      Dedup.incrementalDedup(newBatch, "doc_id", "text", digests, bands,
+          MinhashK, MinhashBands)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // TF-IDF over the documents table (operators/TextAnalysis.tfidf):
     // inverted-index shuffle topology, corpus size as a broadcast
     // 1-row aggregate
@@ -266,6 +282,32 @@ object PipelineQueries {
     s"""WITH $wordsCte, sigs AS ($minhashSigsSelect), bands AS ($bandBranches)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** Oracle twin of q95: same md5 exact-drop, same seeded-minhash band
+    * probe, over the same deterministic doc_id%3 corpus split. */
+  private val incrDedupSql: String = {
+    val rows = MinhashK / MinhashBands
+    val mins = (0 until MinhashK)
+      .map(i => s"min(${PortableHash.seededSql("w", i)}) AS mh_$i").mkString(", ")
+    def bandSel(src: String) = (0 until MinhashBands).map { b =>
+      val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
+      s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH seen AS (SELECT * FROM documents WHERE doc_id % 3 != 0),
+       |newb AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+       |fresh AS (SELECT n.* FROM newb n WHERE NOT EXISTS (
+       |  SELECT 1 FROM seen s WHERE md5(s.text) = md5(n.text))),
+       |sw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM seen),
+       |fw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM fresh),
+       |ss AS (SELECT doc_id, $mins FROM sw GROUP BY doc_id),
+       |fs AS (SELECT doc_id, $mins FROM fw GROUP BY doc_id),
+       |sb AS (${bandSel("ss")}),
+       |fb AS (${bandSel("fs")}),
+       |near AS (SELECT DISTINCT f.doc_id FROM fb f
+       |  JOIN sb s2 ON f.band = s2.band AND f.sig = s2.sig)
+       |SELECT doc_id, n_chars FROM fresh
+       |WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.doc_id = fresh.doc_id)""".stripMargin
   }
 
   /** Shared recursive-CTE prelude computing duplicate-cluster
@@ -559,6 +601,7 @@ object PipelineQueries {
         |  round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 6) AS lm_score
         |FROM bgs b JOIN cb USING (bg) JOIN cu USING (w1)
         |GROUP BY b.doc_id""".stripMargin,
+    "q95_incr_dedup" -> incrDedupSql,
     "q61_corpus_clean" -> corpusCleanSql,
     "q66_chunk_tokens" -> chunkSql,
     "q74_pack_sequences" ->

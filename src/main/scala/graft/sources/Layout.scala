@@ -31,6 +31,24 @@ object Layout {
       .sortWithinPartitions(cols: _*)
   }
 
+  /** Small-file compaction: coalesce to the partition count that puts
+    * each output file near `targetFileBytes`, sized from Catalyst's
+    * own statistics for the plan (an estimate of in-memory row bytes —
+    * parquet compresses further, so treat the target as an upper-bound
+    * knob, e.g. 512 MB for a 128 MB-file goal). `coalesce` (not
+    * `repartition`): compaction must not pay a shuffle — upstream
+    * partitions are merged in place, and a plan already below the
+    * target count is left unchanged. The operational fix for the
+    * many-small-files problem a long-running 100 TB ingest accretes:
+    * fewer files = fewer tasks, fewer namenode entries, bigger
+    * sequential reads. */
+  def compactTo(df: DataFrame, targetFileBytes: Long): DataFrame = {
+    require(targetFileBytes > 0, "targetFileBytes > 0")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes / targetFileBytes).toLong + (if (bytes % targetFileBytes == 0) 0 else 1)
+    df.coalesce(math.max(1L, n).min(Int.MaxValue.toLong).toInt)
+  }
+
   /** Z-order clustering for MULTI-dimensional pruning: [[clusteredBy]]
     * on (a, b) prunes perfectly on `a` but barely on `b` (lexicographic
     * ranges leave b's per-file span at full width). Interleaving the

@@ -71,6 +71,26 @@ class DedupSpec extends SparkTestBase {
     assert(out(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("incrementalDedup drops exact and near dups vs the seen state, keeps new") {
+    val seen = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six")
+    val newBatch = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta", // exact dup of 1
+      // permutation of 2's words: not an exact dup (different md5) but
+      // the identical distinct-word SET → identical signature, every
+      // band matches — the deterministic near-dup
+      11L -> "six five four three two one",
+      12L -> "totally different fresh content here now") // genuinely new
+    val (digests, bands) = Dedup.dedupState(seen, "doc_id", "text", 16, 2)
+    val out = Dedup.incrementalDedup(newBatch, "doc_id", "text",
+        digests, bands, 16, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(10L), "exact dup must be dropped")
+    assert(!out.contains(11L), "near dup sharing an LSH band must be dropped")
+    assert(out == Set(12L))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 2.0)))

@@ -62,4 +62,25 @@ class LayoutSpec extends SparkTestBase {
     // written schema is unchanged (the z column is internal)
     assert(spark.read.parquet(zDir).columns.toSet == Set("a", "b"))
   }
+
+  test("compactTo merges small files without a shuffle; content unchanged") {
+    import spark.implicits._
+    val smallDir = java.nio.file.Files.createTempDirectory("graft_small").toString
+    // 20 tiny files
+    (1 to 2000).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartition(20).write.mode("overwrite").parquet(smallDir)
+    // (Spark's file packing already merges tiny files into read splits,
+    // so the read has >1 but <20 partitions; compactTo takes it to 1)
+    val in = spark.read.parquet(smallDir)
+    val inParts = in.rdd.getNumPartitions
+    assert(inParts > 1)
+    val compact = graft.sources.Layout.compactTo(in, 1L << 20)
+    // fewer partitions than input; content identical
+    assert(compact.rdd.getNumPartitions < inParts)
+    assert(compact.count() == 2000)
+    assert(compact.agg(sum(col("id"))).head.getLong(0) == 2000L * 2001 / 2)
+    // coalesce, not repartition: no exchange in the plan
+    val planStr = compact.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Exchange"), s"compaction must not shuffle:\n$planStr")
+  }
 }
