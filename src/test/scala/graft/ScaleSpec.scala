@@ -20,6 +20,38 @@ class ScaleSpec extends SparkTestBase {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // one pathological key owning ~all rows: the shape AQE's
+    // OptimizeSkewedJoin exists for. Thresholds lowered so the tiny
+    // test partition qualifies as skewed; restored after. This is the
+    // runtime half of the skew story — Skew.saltedJoin covers the
+    // static half when even split partitions overwhelm a task.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = (1 to 200000).map(i => (if (i % 100 == 0) i.toLong % 50 else 0L, s"payload_$i"))
+        .toDF("k", "v") // key 0 carries ~99% of rows
+      val dim = (0L to 50L).map(k => (k, s"dim_$k")).toDF("k", "d")
+      val joined = fact.hint("merge").join(dim.hint("merge"), Seq("k"))
+      // materialize THIS QueryExecution (count() would build its own),
+      // so the inspected plan is AQE's finalized one
+      joined.collect()
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"),
+        s"expected AQE skew-split markers in the final plan:\n$planStr")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bloom semi join == exact semi join; probe sits before the join") {
     val o = Tables.load(spark, sfDir, "orders")
     val dim = Tables.load(spark, sfDir, "customer")
