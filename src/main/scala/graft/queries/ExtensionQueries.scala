@@ -80,6 +80,23 @@ object ExtensionQueries {
           round(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // streaming cross-run dedup gate (IncrementalAlerts.dedupStream):
+    // document stream deduped within-stream (keyed digest state) and
+    // against the seen-corpus digest table (broadcast stream-static
+    // anti). Output is content-keyed (digest + length), not
+    // doc_id-keyed, because which ARRIVAL survives is an ingest-order
+    // detail — content survivorship is the deterministic contract.
+    "q96_stream_dedup_docs" -> ((s, dir) => {
+      val seenDigests = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(md5(col("text")).as("content_hash")).distinct()
+      graft.streaming.IncrementalAlerts.dedupStream(
+          s, s"$dir/documents.parque*", seenDigests, "graft_q96_sink",
+          basePath = Some(dir))
+        .select(md5(col("text")).as("content_hash"),
+          length(col("text")).as("n"))
+    }),
+
     // sliding event-time windows (2h length, 1h slide): each event
     // lands in two overlapping windows — the same window() operator
     // drives the streaming path; verified here in batch form
@@ -148,6 +165,12 @@ object ExtensionQueries {
         |  ON c.user_id = v.user_id
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE""".stripMargin,
+    "q96_stream_dedup_docs" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 3 != 0)
+        |SELECT DISTINCT md5(text) AS content_hash, length(text) AS n
+        |FROM documents
+        |WHERE md5(text) NOT IN (SELECT h FROM seen)""".stripMargin,
     "q58_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

@@ -113,6 +113,41 @@ object IncrementalAlerts {
     retained.unionByName(readmitted)
   }
 
+  /** Streaming front of the cross-run dedup gate
+    * ([[graft.operators.Dedup.incrementalDedup]]'s exact stage): a
+    * document stream is probed per micro-batch against the seen-corpus
+    * digest table — stream-static left_anti on the 16-byte content
+    * hash, so the static side broadcasts and the stream never shuffles
+    * its text — after within-stream exact dedup via `dropDuplicates`
+    * on the digest (keyed state holds one 16-byte hash per distinct
+    * doc; production bounds it with `dropDuplicatesWithinWatermark`
+    * once docs carry event time — the drain here is AvailableNow, so
+    * state dies with the query). Ingest-time dedup instead of
+    * nightly: a duplicate crawl item is dropped the micro-batch it
+    * arrives. */
+  def dedupStream(spark: SparkSession, docsPath: String,
+                  seenDigests: DataFrame,
+                  queryName: String = "graft_incr_dedup",
+                  basePath: Option[String] = None): DataFrame = {
+    // the file source needs a directory or glob; a single-file table is
+    // addressed as a glob with its parent as basePath (same pattern as
+    // EventStream.source)
+    val schema = spark.read.parquet(docsPath).schema
+    val reader = spark.readStream.schema(schema)
+    basePath.foreach(p => reader.option("basePath", p))
+    val docs = reader.parquet(docsPath)
+    val q = docs.withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .join(broadcast(seenDigests), Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Incremental GATE — a detector with a MAX-PER-GROUP core
     * (latest vista per document, reference alerta_gate.py:29-38) run
     * as incremental view maintenance instead of a nightly rescan:

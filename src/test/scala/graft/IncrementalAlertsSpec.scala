@@ -112,6 +112,27 @@ class IncrementalAlertsSpec extends SparkTestBase {
     assert(keys(incrRowLog) == Set(1, 3, 4)) // 5 NOT re-admitted
   }
 
+  test("streaming dedup gate: within-stream, cross-batch, and history dups all drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_doc_log").toString
+    // history: one seen doc
+    val seen = Seq((1L, "already seen text")).toDF("doc_id", "text")
+    val seenDigests = seen.select(md5(col("text")).as("content_hash")).distinct()
+    // slice 1: fresh + history-dup + a doc duplicated within the slice
+    Seq((10L, "fresh one"), (11L, "already seen text"),
+      (12L, "twice in stream"), (13L, "twice in stream"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    // slice 2 (second micro-batch): cross-batch dup of slice 1 + fresh
+    Seq((20L, "twice in stream"), (21L, "fresh two"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+
+    val out = IncrementalAlerts.dedupStream(spark, dir, seenDigests)
+      .select("text").collect().map(_.getString(0)).toSet
+    // one survivor per distinct unseen content; 11 (history) dropped,
+    // 13/20 (stream dups of 12's content, same and later batch) dropped
+    assert(out == Set("fresh one", "twice in stream", "fresh two"))
+  }
+
   test("generic detectorStream: OUVI runs unchanged over a routing stream") {
     DomainFixtures.registerAll(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_item_log").toString
