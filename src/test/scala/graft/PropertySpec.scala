@@ -122,6 +122,22 @@ class PropertySpec extends SparkTestBase {
     assert(worst > 0.999, s"quantization degraded cosine to $worst")
   }
 
+  test("ngramLmScore is partition-invariant (rounded float aggregate is stable)") {
+    // the lm score is round(avg(ln(...)), 6) over distributed partial
+    // sums — this pins that the 1e-6 rounding boundary absorbs
+    // summation-order differences across partitionings, which is what
+    // keeps the DuckDB oracle comparable on any cluster layout
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.ngramLmScore(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val base = scores(docs)
+    val repart = scores(docs.repartition(7))
+    assert(base == repart)
+    assert(base.nonEmpty)
+  }
+
   test("connectedComponents == brute-force union-find on random graphs") {
     import spark.implicits._
     // ground truth from a driver-side union-find with path compression
