@@ -96,6 +96,39 @@ object SqlFeatureQueries {
           col("revenue").cast("string").as("revenue"))
     }),
 
+    // TPC-H Q5-style local-supplier-volume: the classic 6-table star —
+    // fact (lineitem) through orders/customer, the supplier
+    // same-nation co-location condition, then the tiny nation/region
+    // dims explicitly broadcast. Catalyst orders the join chain;
+    // DecimalType money math keeps the sum exact and
+    // shuffle-order-independent (same discipline as q63)
+    "q97_tpch_q5" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+            .as("disc_price"))
+      val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n = Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val r = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("disc_price")).as("revenue"))
+        .select(col("n_name"), col("revenue").cast("string").as("revenue"))
+    }),
+
     // exact interpolated percentiles (linear / type-7, same as
     // DuckDB's quantile_cont)
     "q55_percentile" -> ((s, dir) =>
@@ -341,6 +374,21 @@ object SqlFeatureQueries {
         |  JOIN customer ON o_custkey = c_custkey
         |  WHERE c_mktsegment = 'BUILDING'
         |    AND o_orderdate < '1997-01-01' AND l_shipdate > '1996-01-01'
-        |  GROUP BY 1, 2)""".stripMargin
+        |  GROUP BY 1, 2)""".stripMargin,
+    "q97_tpch_q5" ->
+      """SELECT n_name, CAST(revenue AS VARCHAR) AS revenue
+        |FROM (
+        |  SELECT n_name,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |  GROUP BY 1)""".stripMargin
   )
 }
