@@ -42,6 +42,22 @@ object Dedup {
     words.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Band a k-wide signature frame into (idCol, band, sig) bucket rows
+    * — the shared LSH banding used by the pair generator, the
+    * component builder, and the cross-run state builder (ONE place to
+    * change banding, or the three would silently disagree). */
+  def bandSignatures(sigs: DataFrame, idCol: String, k: Int,
+                     bands: Int): DataFrame = {
+    val rows = k / bands
+    Relational.unpivot(
+      sigs.select(col(idCol) +: (0 until bands).map { b =>
+        concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
+          .as(s"band_$b")
+      }: _*),
+      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
+      nameCol = "band", valueCol = "sig")
+  }
+
   /** LSH candidate pairs: band the k-wide signature into `bands` groups
     * of k/bands rows, bucket on (band, concatenated band signature),
     * emit distinct (id_a < id_b) pairs sharing ≥1 bucket.
@@ -54,18 +70,11 @@ object Dedup {
     * and verify harnesses do this between queries. */
   def minhashCandidatePairs(sigs: DataFrame, idCol: String, k: Int,
                             bands: Int): DataFrame = {
-    val rows = k / bands
     // cache: the banded frame feeds both sides of the self-join — the
     // explicit materialization barrier (Catalyst does not dedupe
     // common subtrees, so without it the signature aggregation runs
     // twice; same pattern as the reference's cached spine)
-    val banded = Relational.unpivot(
-      sigs.select(col(idCol) +: (0 until bands).map { b =>
-        concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
-          .as(s"band_$b")
-      }: _*),
-      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
-      nameCol = "band", valueCol = "sig").cache()
+    val banded = bandSignatures(sigs, idCol, k, bands).cache()
     // two-consumer fan-out: the self-join sides may race the cache fill,
     // but the waste is bounded by ONE subtree compute — the same as an
     // explicit materialization job, without its scheduling overhead
@@ -131,14 +140,7 @@ object Dedup {
   def minhashComponents(sigs: DataFrame, idCol: String, k: Int,
                         bands: Int,
                         checkpointDir: Option[String] = None): DataFrame = {
-    val rows = k / bands
-    val banded = Relational.unpivot(
-      sigs.select(col(idCol) +: (0 until bands).map { b =>
-        concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
-          .as(s"band_$b")
-      }: _*),
-      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
-      nameCol = "band", valueCol = "sig").cache()
+    val banded = bandSignatures(sigs, idCol, k, bands).cache()
     banded.count() // populate before TWO consumers scan it in one job
     val centers = banded.groupBy(col("band"), col("sig"))
       .agg(min(col(idCol)).as("center"))
@@ -253,45 +255,44 @@ object Dedup {
   def dedupState(df: DataFrame, idCol: String, textCol: String,
                  k: Int, bands: Int): (DataFrame, DataFrame) = {
     val digests = df.select(md5(col(textCol)).as("content_hash")).distinct()
-    val rows = k / bands
-    val banded = Relational.unpivot(
-      minhashSignatures(df, idCol, textCol, k)
-        .select(col(idCol) +: (0 until bands).map { b =>
-          concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
-            .as(s"band_$b")
-        }: _*),
-      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
-      nameCol = "band", valueCol = "sig")
+    val banded = bandSignatures(
+      minhashSignatures(df, idCol, textCol, k), idCol, k, bands)
       .select(col("band"), col("sig")).distinct()
     (digests, banded)
   }
 
   /** Cross-run incremental dedup — today's crawl against everything
-    * already kept, WITHOUT rescanning history: drop new-batch docs
-    * whose content digest is already in `seenDigests` (exact dups,
-    * one anti join on a 16-byte key), then docs sharing any LSH
-    * bucket with `seenBands` (near dups, one semi probe on the
+    * already kept, WITHOUT rescanning history: dedup the batch
+    * against ITSELF exactly (min id per content digest — a crawl
+    * batch routinely re-fetches the same page), drop docs whose
+    * digest is already in `seenDigests` (cross-run exact dups, one
+    * anti join on a 16-byte key), then docs sharing any LSH bucket
+    * with `seenBands` (cross-run near dups, one semi probe on the
     * (band, sig) bucket key — the same O(n) candidate topology as
     * [[minhashCandidatePairs]], probing a state table instead of
-    * self-joining). Per-run cost is new-batch-sized; the history
-    * contributes only its compact state tables (see [[dedupState]]).
-    * The batch-mode twin of
+    * self-joining). Within-batch NEAR dups are deliberately out of
+    * scope — that is the full pairwise pass
+    * ([[minhashComponents]]) over the survivors, whose output also
+    * feeds the state update. Per-run cost is new-batch-sized; the
+    * history contributes only its compact state tables (see
+    * [[dedupState]]). The batch-mode twin of
     * [[graft.streaming.IncrementalAlerts.antiJoinIncrement]]'s
-    * exclusion maintenance. */
+    * exclusion maintenance and of [[graft.streaming.IncrementalAlerts
+    * .dedupStream]]'s ingest gate. */
   def incrementalDedup(newBatch: DataFrame, idCol: String, textCol: String,
                        seenDigests: DataFrame, seenBands: DataFrame,
                        k: Int, bands: Int): DataFrame = {
-    val fresh = newBatch.join(seenDigests,
-      md5(newBatch(textCol)) === seenDigests("content_hash"), "left_anti")
-    val rows = k / bands
-    val freshBands = Relational.unpivot(
-      minhashSignatures(fresh, idCol, textCol, k)
-        .select(col(idCol) +: (0 until bands).map { b =>
-          concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
-            .as(s"band_$b")
-        }: _*),
-      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
-      nameCol = "band", valueCol = "sig")
+    val hashed = newBatch.withColumn("__ch", md5(col(textCol)))
+    // within-batch exact dedup: canonical row = min id per digest
+    // (same shape as [[exact]]'s keep rule)
+    val selfDeduped = hashed.join(
+      hashed.groupBy(col("__ch")).agg(min(col(idCol)).as(idCol)),
+      Seq("__ch", idCol), "left_semi")
+    val fresh = selfDeduped.join(seenDigests,
+      col("__ch") === seenDigests("content_hash"), "left_anti")
+      .drop("__ch")
+    val freshBands = bandSignatures(
+      minhashSignatures(fresh, idCol, textCol, k), idCol, k, bands)
     val nearSeen = freshBands
       .join(seenBands, Seq("band", "sig"), "left_semi")
       .select(col(idCol)).distinct()

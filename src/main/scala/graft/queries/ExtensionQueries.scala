@@ -166,11 +166,13 @@ object ExtensionQueries {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE""".stripMargin,
     "q96_stream_dedup_docs" ->
+      // NOT EXISTS, not NOT IN: a NULL text would make NOT IN drop the
+      // row while Spark's left_anti keeps it (null key never matches)
       """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents
         |  WHERE doc_id % 3 != 0)
         |SELECT DISTINCT md5(text) AS content_hash, length(text) AS n
-        |FROM documents
-        |WHERE md5(text) NOT IN (SELECT h FROM seen)""".stripMargin,
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = md5(d.text))""".stripMargin,
     "q58_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

@@ -296,7 +296,11 @@ object PipelineQueries {
     }.mkString(" UNION ALL ")
     s"""WITH seen AS (SELECT * FROM documents WHERE doc_id % 3 != 0),
        |newb AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
-       |fresh AS (SELECT n.* FROM newb n WHERE NOT EXISTS (
+       |selfd AS (SELECT doc_id, text, n_chars FROM (
+       |  SELECT doc_id, text, n_chars,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM newb) WHERE rn = 1),
+       |fresh AS (SELECT n.* FROM selfd n WHERE NOT EXISTS (
        |  SELECT 1 FROM seen s WHERE md5(s.text) = md5(n.text))),
        |sw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM seen),
        |fw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM fresh),

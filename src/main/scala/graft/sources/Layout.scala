@@ -44,9 +44,14 @@ object Layout {
     * sequential reads. */
   def compactTo(df: DataFrame, targetFileBytes: Long): DataFrame = {
     require(targetFileBytes > 0, "targetFileBytes > 0")
+    // stats.sizeInBytes is a BigInt and can be astronomically large
+    // (unknown-stats leaves default to Long.MaxValue and multiply
+    // through joins) — do the ceiling AND the cap in BigInt; a .toLong
+    // first would wrap and could silently coalesce a huge frame to 1
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val n = (bytes / targetFileBytes).toLong + (if (bytes % targetFileBytes == 0) 0 else 1)
-    df.coalesce(math.max(1L, n).min(Int.MaxValue.toLong).toInt)
+    val n = ((bytes + targetFileBytes - 1) / targetFileBytes)
+      .max(BigInt(1)).min(BigInt(Int.MaxValue)).toInt
+    df.coalesce(n)
   }
 
   /** Z-order clustering for MULTI-dimensional pruning: [[clusteredBy]]

@@ -128,12 +128,17 @@ object IncrementalAlerts {
   def dedupStream(spark: SparkSession, docsPath: String,
                   seenDigests: DataFrame,
                   queryName: String = "graft_incr_dedup",
-                  basePath: Option[String] = None): DataFrame = {
+                  basePath: Option[String] = None,
+                  maxFilesPerTrigger: Int = 1): DataFrame = {
     // the file source needs a directory or glob; a single-file table is
     // addressed as a glob with its parent as basePath (same pattern as
-    // EventStream.source)
+    // EventStream.source). maxFilesPerTrigger=1 makes each file slice
+    // its own micro-batch (like gateStream) so the keyed digest state
+    // genuinely carries ACROSS batches rather than one batch draining
+    // everything.
     val schema = spark.read.parquet(docsPath).schema
     val reader = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
     basePath.foreach(p => reader.option("basePath", p))
     val docs = reader.parquet(docsPath)
     val q = docs.withColumn("content_hash", md5(col("text")))

@@ -81,13 +81,15 @@ class DedupSpec extends SparkTestBase {
       // the identical distinct-word SET → identical signature, every
       // band matches — the deterministic near-dup
       11L -> "six five four three two one",
-      12L -> "totally different fresh content here now") // genuinely new
+      12L -> "totally different fresh content here now", // genuinely new
+      14L -> "totally different fresh content here now") // within-batch dup of 12
     val (digests, bands) = Dedup.dedupState(seen, "doc_id", "text", 16, 2)
     val out = Dedup.incrementalDedup(newBatch, "doc_id", "text",
         digests, bands, 16, 2)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!out.contains(10L), "exact dup must be dropped")
     assert(!out.contains(11L), "near dup sharing an LSH band must be dropped")
+    assert(!out.contains(14L), "within-batch dup must lose to the min id")
     assert(out == Set(12L))
   }
 

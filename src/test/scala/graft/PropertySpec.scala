@@ -134,8 +134,16 @@ class PropertySpec extends SparkTestBase {
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val base = scores(docs)
     val repart = scores(docs.repartition(7))
-    assert(base == repart)
+    assert(base.keySet == repart.keySet)
     assert(base.nonEmpty)
+    base.foreach { case (id, (n, score)) =>
+      val (n2, score2) = repart(id)
+      assert(n == n2)
+      // epsilon, not exact equality: a true average sitting within
+      // float error of a 0.5e-6 rounding boundary may legitimately
+      // round to a different 6th digit under a different sum order
+      assert(math.abs(score - score2) <= 1e-6, s"doc $id: $score vs $score2")
+    }
   }
 
   test("connectedComponents == brute-force union-find on random graphs") {

@@ -36,8 +36,12 @@ class ScaleSpec extends SparkTestBase {
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val fact = (1 to 200000).map(i => (if (i % 100 == 0) i.toLong % 50 else 0L, s"payload_$i"))
-        .toDF("k", "v") // key 0 carries ~99% of rows
+      // 99% of rows on key 0, the remaining 1% spread over keys 1..49
+      // ((i/100) % 49 + 1 — never 0, so the spread is really non-skew
+      // keys; a bare i % 50 would collapse back onto key 0)
+      val fact = (1 to 200000)
+        .map(i => (if (i % 100 == 0) (i / 100).toLong % 49 + 1 else 0L, s"payload_$i"))
+        .toDF("k", "v")
       val dim = (0L to 50L).map(k => (k, s"dim_$k")).toDF("k", "d")
       val joined = fact.hint("merge").join(dim.hint("merge"), Seq("k"))
       // materialize THIS QueryExecution (count() would build its own),
