@@ -48,6 +48,9 @@ object Dedup {
     * change banding, or the three would silently disagree). */
   def bandSignatures(sigs: DataFrame, idCol: String, k: Int,
                      bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"signature width $k must divide evenly into $bands bands " +
+        "(a truncated last band would silently weaken the LSH guarantee)")
     val rows = k / bands
     Relational.unpivot(
       sigs.select(col(idCol) +: (0 until bands).map { b =>
