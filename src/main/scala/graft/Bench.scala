@@ -28,10 +28,15 @@ object Bench {
     // Cache state is cleared BEFORE each query (not between its
     // passes): every query starts from the same clean slate, and later
     // passes measure the warm-internal-cache steady state.
+    // a FAILED query returns -1.0, not its elapsed-until-crash time —
+    // a breakage must read as a visibly negative entry in the JSON,
+    // never as a fake speedup in the round-over-round comparison
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
     val consecutive = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).map(_ => timeOnce(fn))

@@ -43,6 +43,10 @@ object AlertConform {
       if (keyCols.nonEmpty)
         keyHash(concat(keyCols.map(c => graft.core.AlertKey.render(col(c))): _*))
       else lit("KEYUNDEFINED")
+    // bare concat ON PURPOSE (not AlertKey.render): the reference's
+    // outer key concat (jobs.py:266-270) NULLs out when
+    // alrt_orgi_orga_dk is NULL, and dismissal keyed on alrt_key
+    // inherits that behavior — coalescing here would diverge from it
     val keyed = withSigla.withColumn("alrt_key",
       concat(col("alrt_sigla"), lit("."), rowKey, lit("."), col("alrt_orgi_orga_dk")))
     SchemaConform.conform(keyed, family)

@@ -133,6 +133,10 @@ class Abr1Alert(clock: RunClock, months: Seq[Int] = Seq(4),
       .select(
         col("docu_orgi_orga_dk_responsavel").cast("int").as("alrt_orgi_orga_dk"),
         col("nr_procedimentos").cast("int").as("abr1_nr_procedimentos"),
+        // UNPADDED month ON PURPOSE: the reference builds ano_mes as
+        // concat_ws('', year, month) (alerta_abr1.py:47), so April is
+        // "20264", not "202604" — faithful to the reference's own key
+        // format (the alert keys on this column)
         concat_ws("", lit(clock.now.getYear), lit(clock.now.getMonthValue))
           .as("abr1_ano_mes"))
   }

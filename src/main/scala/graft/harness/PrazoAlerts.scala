@@ -83,6 +83,11 @@ class Ic1aAlert(clock: RunClock) extends Alert {
       .groupBy(PrazoSkeleton.docKeys.map(col): _*)
       .agg(
         coalesce(max(col("pcao_dt_andamento")), col("docu_dt_cadastro")).as("dt_inicio"),
+        // max(stao_dk) INDEPENDENT of max(date) ON PURPOSE: the
+        // reference aggregates the two maxes in one GROUP BY
+        // (alerta_ic1a.py:42-43), so the referenced sub-andamento can
+        // come from a different row than the one defining dt_inicio —
+        // faithful quirk (max_by would diverge from the reference)
         max(col("stao_dk")).as("stao_dk"))
     grouped
       .filter(datediff(lit(clock.ts), col("dt_inicio")) > prazo)

@@ -123,7 +123,11 @@ class PrcrAlert(clock: RunClock, limiar: Int = 90,
           .otherwise(col("tempo_prescricao")))
       .withColumn("investigado_maior_70_menor_21", col("fator_prescricao").isNotNull)
 
-    // 4. ANPP rescissions (prcr.py:113-121)
+    // 4. ANPP rescissions (prcr.py:113-121). Deliberately NOT
+    // aggregated per doc: the reference's DOCS_ANPP view joins back
+    // unaggregated (prcr.py:154), so a doc with multiple 7920
+    // rescissions fans out one row per rescission date — that fan-out
+    // is reference behavior and the detail table inherits it
     val anpp = spark.table("vista")
       .join(spark.table("mcpr_andamento"), col("vist_dk") === col("pcao_vist_dk"))
       .join(spark.table("mcpr_sub_andamento"), col("stao_pcao_dk") === col("pcao_dk"))

@@ -180,8 +180,15 @@ object Relational {
     */
   def unpivot(df: DataFrame, idCols: Seq[String], measures: Seq[(String, String)],
               nameCol: String = "measure", valueCol: String = "val"): DataFrame = {
-    val pairs = measures.map { case (label, c) => s"'$label', $c" }.mkString(", ")
-    val stackExpr = s"stack(${measures.size}, $pairs) as ($nameCol, $valueCol)"
+    // labels are escaped and column names backquoted before they enter
+    // the generated stack() SQL — a quote in a caller-supplied label
+    // (or a column name needing quoting) must not break parsing (the
+    // same injection hazard QualityChecks.audit documents avoiding)
+    val pairs = measures.map { case (label, c) =>
+      s"'${label.replace("'", "''")}', `${c.replace("`", "``")}`"
+    }.mkString(", ")
+    val stackExpr = s"stack(${measures.size}, $pairs) as " +
+      s"(`${nameCol.replace("`", "``")}`, `${valueCol.replace("`", "``")}`)"
     df.select(idCols.map(col) :+ expr(stackExpr): _*)
   }
 }

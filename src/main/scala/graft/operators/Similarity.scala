@@ -54,15 +54,20 @@ object Similarity {
     * stored form and `recon_err` as the quality audit column.
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // scale_max = 0 (the all-zero vector) guard: without it the
+    // division yields NaN, which Spark's non-ANSI cast silently turns
+    // into 0 while DuckDB (and any ANSI session) errors on
+    // CAST(NaN AS INTEGER) — zero codes are emitted explicitly instead
     val withScale = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("scale_max", expr("array_max(transform(v, x -> abs(x)))"))
     withScale.select(
       col(idCol),
       col("scale_max"),
-      expr("transform(v, x -> CAST(round(x * 127.0 / scale_max) AS INT))")
+      expr("""transform(v, x -> CASE WHEN scale_max = 0.0 THEN 0
+        |  ELSE CAST(round(x * 127.0 / scale_max) AS INT) END)""".stripMargin)
         .as("q_vec"),
-      expr("""array_max(transform(v,
-        |  x -> abs(CAST(round(x * 127.0 / scale_max) AS INT) * scale_max / 127.0 - x)))""".stripMargin)
+      expr("""CASE WHEN scale_max = 0.0 THEN 0.0 ELSE array_max(transform(v,
+        |  x -> abs(CAST(round(x * 127.0 / scale_max) AS INT) * scale_max / 127.0 - x))) END""".stripMargin)
         .as("recon_err"))
   }
 

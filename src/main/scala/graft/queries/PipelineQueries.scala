@@ -639,11 +639,14 @@ object PipelineQueries {
          |${Sampling.mixToTargetSql("documents", "doc_id", "source", MixWeights)}
          |) GROUP BY 1""".stripMargin,
     "q88_quantize_int8" ->
+      // the mx = 0 CASE mirrors Similarity.quantizeInt8's all-zero
+      // guard (without it DuckDB would error on CAST(NaN AS INTEGER))
       """SELECT vec_id, round(mx, 6) AS scale_max,
         |  CAST(list_sum(list_transform(v,
-        |    x -> CAST(round(x * 127.0 / mx) AS INTEGER))) AS BIGINT) AS q_sum,
-        |  round(list_max(list_transform(v,
-        |    x -> abs(CAST(round(x * 127.0 / mx) AS INTEGER) * mx / 127.0 - x))), 6) AS recon_err
+        |    x -> CASE WHEN mx = 0.0 THEN 0
+        |         ELSE CAST(round(x * 127.0 / mx) AS INTEGER) END)) AS BIGINT) AS q_sum,
+        |  round(CASE WHEN mx = 0.0 THEN 0.0 ELSE list_max(list_transform(v,
+        |    x -> abs(CAST(round(x * 127.0 / mx) AS INTEGER) * mx / 127.0 - x))) END, 6) AS recon_err
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
         |  FROM embeddings)""".stripMargin,

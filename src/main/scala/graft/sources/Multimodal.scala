@@ -82,8 +82,12 @@ object Multimodal {
       .flatMap { r =>
         val nFrames = math.max(r.meta.durationMs / everyMs, 1)
         (0 until nFrames).map { i =>
-          val start = (i * r.content.length / nFrames).min(r.content.length)
-          val end = ((i + 1) * r.content.length / nFrames).min(r.content.length)
+          // Long arithmetic: i * payloadBytes overflows Int for
+          // realistic media (10 MB x frame index 215 wraps negative
+          // and slices garbage); narrow back only after the division
+          val len = r.content.length.toLong
+          val start = (i.toLong * len / nFrames).min(len).toInt
+          val end = ((i + 1).toLong * len / nFrames).min(len).toInt
           Frame(r.media_id, i, i * everyMs, r.content.slice(start, end))
         }
       }
