@@ -33,6 +33,30 @@ class AlertHarnessSpec extends SparkTestBase {
     assert(r.isNullAt(out.columns.indexOf("alrt_info_adicional")))
   }
 
+  test("quirk pin: NULL orgao NULLs the composite key, like the reference") {
+    // the reference's outer key concat (jobs.py:266-270) is a bare
+    // concat — NULL alrt_orgi_orga_dk makes the whole alrt_key NULL,
+    // and dismissal keyed on alrt_key inherits that. This pins the
+    // faithful behavior so a well-meaning coalesce can't sneak in.
+    val h = new AlertHarness(spark, "t_nullkey",
+      RunClock(LocalDateTime.of(2026, 8, 12, 10, 0)))
+    val alert = new Alert {
+      val sigla = "TST"
+      val family = SchemaConform.Mgp
+      val keyCols = Seq("alrt_docu_dk")
+      def build(s: SparkSession): DataFrame = {
+        import s.implicits._
+        Seq((7, Some(400)), (8, None))
+          .toDF("alrt_docu_dk", "alrt_orgi_orga_dk")
+      }
+    }
+    val keys = h.conformAlert(alert)
+      .select("alrt_docu_dk", "alrt_key").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(keys(7).exists(_.startsWith("TST.")))
+    assert(keys(8).isEmpty, "NULL orgao must NULL the key (reference behavior)")
+  }
+
   test("full lifecycle: final overwrite, hist month-merge, same-day replace") {
     // fresh physical location every run: leftover managed-table dirs
     // from a previous JVM would otherwise fail saveAsTable

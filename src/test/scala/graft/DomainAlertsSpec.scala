@@ -229,6 +229,11 @@ class DomainAlertsSpec extends SparkTestBase {
       val aprilOut = new Abr1Alert(april).build(spark).collect()
       assert(aprilOut.length == 1)
       assert(aprilOut.head.getAs[Int]("alrt_orgi_orga_dk") == 310)
+      // quirk pin: the reference builds ano_mes UNPADDED
+      // (concat_ws('', year, month), alerta_abr1.py:47) — April is
+      // "20264". Zero-padding it would diverge from the reference's
+      // own key format; this assertion keeps the quirk deliberate.
+      assert(aprilOut.head.getAs[String]("abr1_ano_mes") == "20264")
       // November 2020 is hardcoded into the gate even though 11 is not
       // a configured month (alerta_abr1.py:36-38); plant a procedure
       // old enough relative to that clock
