@@ -279,6 +279,37 @@ object TextAnalysis {
         round(avg(log(col("c2").cast("double") / col("c1"))), 6).as("lm_score"))
   }
 
+  /** Per-source corpus statistics — the "dataset card" numbers an LLM
+    * pipeline publishes with every corpus release: document count,
+    * total/median/p90 word lengths, and the Shannon entropy of the
+    * language distribution within each source (a low-entropy source is
+    * monolingual; a suspiciously high one is likely mislabeled).
+    *
+    * Two tiny aggregations over one narrow projection: word stats per
+    * source, then language counts per (source, lang) folded to entropy
+    * with the algebraic identity H = ln T − Σ n·ln n / T — so both
+    * shuffles carry counts, never text. The exact `percentile` holds
+    * one source's lengths in memory; at 100 TB swap in
+    * `approx_percentile` (same query shape — see q68's tolerance
+    * pattern). */
+  def corpusStats(df: DataFrame, sourceCol: String, textCol: String,
+                  langCol: String): DataFrame = {
+    val words = df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      size(split(col(textCol), " ")).as("n_words"))
+    val wordStats = words.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("total_words"),
+      round(expr("percentile(n_words, 0.5)"), 4).as("p50_words"),
+      round(expr("percentile(n_words, 0.9)"), 4).as("p90_words"))
+    val langCounts = words.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val entropy = langCounts.groupBy(col("source")).agg(
+      round(log(sum(col("n")).cast("double")) -
+        sum(col("n").cast("double") * log(col("n").cast("double"))) /
+          sum(col("n")).cast("double"), 6).as("lang_entropy"))
+    wordStats.join(entropy, Seq("source"))
+  }
+
   /** Document fingerprints: whole-doc md5 plus a winnowing-style
     * min-hash over character 8-grams (rolling-hash family). The 8-gram
     * scan is a per-row array expression — no explode, no shuffle. */

@@ -115,6 +115,12 @@ object PipelineQueries {
     "q79_ngram_counts" -> ((s, dir) =>
       TextAnalysis.ngramCounts(docs(s, dir), "text", NgramCountN, NgramCountMin)),
 
+    // per-source corpus statistics (TextAnalysis.corpusStats): the
+    // dataset-card numbers — doc counts, word-length quantiles, and
+    // language-distribution entropy per source; counts-only shuffles
+    "q98_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(docs(s, dir), "source", "text", "lang")),
+
     // bigram-LM quality score (TextAnalysis.ngramLmScore): the
     // CCNet-style perplexity proxy — avg log P(w2|w1) under the
     // corpus's own bigram counts; inverted-index joins, counts only
@@ -606,6 +612,24 @@ object PipelineQueries {
         |FROM bgs b JOIN cb USING (bg) JOIN cu USING (w1)
         |GROUP BY b.doc_id""".stripMargin,
     "q95_incr_dedup" -> incrDedupSql,
+    "q98_corpus_stats" ->
+      // CAST(sum AS BIGINT): DuckDB integer sums widen to HUGEINT,
+      // which the comparator can't hash against Spark's long
+      """WITH w AS (SELECT source, lang,
+        |    len(string_split(text, ' ')) AS n_words FROM documents),
+        |ws AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_words) AS BIGINT) AS total_words,
+        |    round(quantile_cont(n_words, 0.5), 4) AS p50_words,
+        |    round(quantile_cont(n_words, 0.9), 4) AS p90_words
+        |  FROM w GROUP BY source),
+        |lc AS (SELECT source, lang, count(*) AS n FROM w GROUP BY source, lang),
+        |e AS (SELECT source, round(ln(CAST(sum(n) AS DOUBLE)) -
+        |    sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) /
+        |      CAST(sum(n) AS DOUBLE), 6) AS lang_entropy
+        |  FROM lc GROUP BY source)
+        |SELECT ws.source, n_docs, total_words, p50_words, p90_words,
+        |  lang_entropy
+        |FROM ws JOIN e ON ws.source = e.source""".stripMargin,
     "q61_corpus_clean" -> corpusCleanSql,
     "q66_chunk_tokens" -> chunkSql,
     "q74_pack_sequences" ->

@@ -75,6 +75,26 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(!out.contains(4))
   }
 
+  test("corpusStats: per-source counts, word quantiles, language entropy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "a b c", "en", "web"),      // 3 words
+      (2, "a b c d e", "en", "web"),  // 5 words
+      (3, "x y", "de", "web"),        // 2 words
+      (4, "solo doc here", "en", "books")) // single-source, one lang
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.TextAnalysis
+      .corpusStats(docs, "source", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5))).toMap
+    // web: 3 docs, 10 words, median 3; langs {en:2, de:1} →
+    // H = ln3 − (2·ln2 + 1·ln1)/3
+    val hWeb = math.log(3.0) - 2 * math.log(2.0) / 3
+    assert(out("web") == ((3L, 10L, 3.0, math.round(hWeb * 1e6) / 1e6)))
+    // books: one doc, one lang → zero entropy
+    assert(out("books") == ((1L, 3L, 3.0, 0.0)))
+  }
+
   test("PII redaction scrubs emails and long digit runs, leaves prose") {
     import spark.implicits._
     val docs = Seq(
