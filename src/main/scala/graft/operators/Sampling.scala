@@ -99,6 +99,59 @@ object Sampling {
     s"${bucketSql(idExpr, 1000000, salt)} < " +
       s"CAST(floor(least(greatest($weightExpr, 0.0), 1.0) * 1000000.0) AS BIGINT)"
 
+  /** Token-budget corpus assembly — the form a training run actually
+    * orders: "N tokens total, mixed w_s per source", not row
+    * percentages. Each source admits documents in content-hash order
+    * (deterministic, partitioning-invariant — the same "random but
+    * reproducible" order as every sampler here) until its cumulative
+    * token count reaches `totalTokens · w_s / Σw`; the running sum is
+    * one window per source partition, codegen'd, so the only shuffle
+    * is the per-source repartition the window needs. Realized budgets
+    * undershoot by at most one document (the straddling doc is
+    * excluded, never split — chunk first if that matters).
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, sourceCol: String,
+                     tokensCol: Column, weights: Seq[(String, Double)],
+                     totalTokens: Long, salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val wSum = weights.map(_._2).sum
+    val budget = weights.foldRight(lit(null).cast("double")) {
+      case ((s, w), acc) =>
+        // Scala-side double arithmetic; the oracle replays the SAME
+        // expression in SQL (totalTokens * w / wSum, that op order)
+        when(col(sourceCol) === s, lit(totalTokens * w / wSum)).otherwise(acc)
+    }
+    val h = PortableHash.hash60(concat(col(idCol).cast("string"), lit(salt)))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.filter(col(sourceCol).isin(weights.map(_._1): _*))
+      .withColumn("__cum", sum(tokensCol).over(win))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
+  /** Oracle twin of [[tokenBudgetMix]]: identical hash order, window
+    * frame, and budget arithmetic in SQL. */
+  def tokenBudgetMixSql(table: String, idExpr: String, sourceExpr: String,
+                        tokensExpr: String, weights: Seq[(String, Double)],
+                        totalTokens: Long, salt: String = "",
+                        selectCols: String = "*"): String = {
+    val wSum = weights.map(_._2).sum
+    val inList = weights.map(w => s"'${w._1}'").mkString(", ")
+    val budget = weights.foldRight("CAST(NULL AS DOUBLE)") {
+      case ((s, w), acc) =>
+        s"CASE WHEN $sourceExpr = '$s' THEN $totalTokens * CAST($w AS DOUBLE) / CAST($wSum AS DOUBLE) ELSE $acc END"
+    }
+    val h = PortableHash.hash60Sql(s"concat(CAST($idExpr AS VARCHAR), '$salt')")
+    s"""SELECT $selectCols FROM (
+       |  SELECT *, sum($tokensExpr) OVER (PARTITION BY $sourceExpr
+       |    ORDER BY $h, $idExpr ROWS UNBOUNDED PRECEDING) AS __cum
+       |  FROM $table WHERE $sourceExpr IN ($inList))
+       |WHERE __cum <= $budget""".stripMargin
+  }
+
   /** Domain mixing: downsample each source so the output corpus hits
     * the caller's target proportions — the corpus-assembly step that
     * turns raw per-source dumps into a training mix (e.g. 50% web /

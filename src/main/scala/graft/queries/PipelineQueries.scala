@@ -33,6 +33,8 @@ object PipelineQueries {
   val Splits = Seq("train" -> 90, "valid" -> 5, "test" -> 5)
   val ChunkMaxTokens = 24
   val ChunkStride = 16
+  val TokenMixWeights = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+  val TokenMixTotal = 4000L
   val PackBudget = 64
   val PackShards = 8
   val StratRates = Seq("en" -> 30, "es" -> 60)
@@ -66,6 +68,25 @@ object PipelineQueries {
       Dedup.minhashComponents(
         Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
         "doc_id", MinhashK, MinhashBands)),
+
+    // leakage-safe train/valid/test split: the split decision is keyed
+    // on the duplicate-CLUSTER id, not the doc id, so two near-dup
+    // documents can never land on opposite sides of a train/test
+    // boundary (the classic eval-contamination mistake). Singleton
+    // docs (no cluster) key on their own id. Pure composition:
+    // minhashComponents + hashSplit over the component.
+    "q100_leak_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comps = Dedup.minhashComponents(
+        Dedup.minhashSignatures(d, "doc_id", "text", MinhashK),
+        "doc_id", MinhashK, MinhashBands)
+      Sampling.hashSplit(
+          d.select("doc_id").join(comps, Seq("doc_id"), "left")
+            .withColumn("component",
+              coalesce(col("component"), col("doc_id"))),
+          "component", Splits)
+        .select("doc_id", "component", "split")
+    }),
 
     // canonical survivor per duplicate cluster (Dedup.canonicalPerCluster):
     // the last dedup stage — clusters from CC, one winner each by
@@ -229,6 +250,15 @@ object PipelineQueries {
           col("n_chars") / 300.0)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
+
+    // token-budget corpus assembly (operators/Sampling.tokenBudgetMix):
+    // admit docs per source in content-hash order until the source's
+    // share of the total token budget is reached — the form a training
+    // run actually orders (N tokens at these mix weights)
+    "q99_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetMix(docs(s, dir), "doc_id", "source",
+          col("n_chars"), TokenMixWeights, TokenMixTotal)
+        .select("doc_id", "source", "n_chars")),
 
     // per-stratum sampling rates (operators/Sampling.stratifiedSample):
     // language-balanced downsampling, still a narrow codegen'd filter
@@ -523,6 +553,15 @@ object PipelineQueries {
     "q67_dedup_clusters" ->
       s"""$componentsCtes
          |SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node""".stripMargin,
+    // leakage-safe split: the same component CTE, split keyed on it
+    "q100_leak_safe_split" ->
+      s"""$componentsCtes,
+         |comp AS (SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node),
+         |f AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, component,
+         |  ${Sampling.hashSplitSql("component", Splits)} AS split
+         |FROM f""".stripMargin,
     // canonical survivor per cluster: the same component CTE joined
     // back to the docs, ranked (longest text, lowest id) per component
     "q82_canonical_docs" ->
@@ -612,6 +651,10 @@ object PipelineQueries {
         |FROM bgs b JOIN cb USING (bg) JOIN cu USING (w1)
         |GROUP BY b.doc_id""".stripMargin,
     "q95_incr_dedup" -> incrDedupSql,
+    "q99_token_budget" -> Sampling.tokenBudgetMixSql(
+      "documents", "doc_id", "source", "n_chars",
+      TokenMixWeights, TokenMixTotal,
+      selectCols = "doc_id, source, n_chars"),
     "q98_corpus_stats" ->
       // CAST(sum AS BIGINT): DuckDB integer sums widen to HUGEINT,
       // which the comparator can't hash against Spark's long

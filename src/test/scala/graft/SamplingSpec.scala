@@ -102,6 +102,26 @@ class SamplingSpec extends SparkTestBase {
       .isEmpty)
   }
 
+  test("tokenBudgetMix: per-source budgets honored, hash order, partition-stable") {
+    import spark.implicits._
+    val docs = (1 to 60).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 100)) // 30 docs x 100 tokens per source
+      .toDF("id", "src", "toks")
+    // budgets: a gets 1000*0.8=800 → 8 docs; b gets 200 → 2 docs
+    val out = Sampling.tokenBudgetMix(docs, "id", "src", col("toks"),
+      Seq("a" -> 0.8, "b" -> 0.2), 1000L)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 8L, "b" -> 2L))
+    // cumulative tokens never exceed the budget
+    assert(out.filter(col("src") === "a").agg(sum(col("toks"))).head.getLong(0) <= 800L)
+    // deterministic under repartitioning
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id").collect().map(_.getInt(0)).toSet
+    assert(ids(out) == ids(Sampling.tokenBudgetMix(docs.repartition(7), "id",
+      "src", col("toks"), Seq("a" -> 0.8, "b" -> 0.2), 1000L)))
+  }
+
   test("a different salt draws a different sample") {
     val a = Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
     val b = Sampling.hashSample(ids, "id", 10, salt = "run2")
