@@ -38,10 +38,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // -1.0 marks a FAILED pass; it must never win a min against a
+    // successful timed pass (one transient crash would otherwise
+    // report a working query as broken and drag the summed total
+    // negative). A query reads -1.0 only when EVERY pass failed.
+    def minOk(times: Seq[Double]): Double = {
+      val ok = times.filter(_ >= 0.0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
     val consecutive = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).map(_ => timeOnce(fn))
       clean()
-      name -> times.min
+      name -> minOk(times)
     }
     // one DECORRELATED sweep: the VM's stalls last multiple seconds, so
     // they can cover all three back-to-back passes of one query; a
@@ -50,7 +58,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t = timeOnce(fn)
       clean()
-      name -> math.min(consecutive(name), t)
+      name -> minOk(Seq(consecutive(name), t))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -17,12 +17,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftCheckpoint {
   def ensureDir(spark: SparkSession, dir: String): Unit = synchronized {
+    // Match on the slash-terminated prefix ONLY: a bare startsWith(dir)
+    // would let /data/ckpt-old satisfy a request for /data/ck (string
+    // prefix, different directory) and silently keep checkpoints in the
+    // wrong place. The stored dir is always <requested>/<uuid>, so the
+    // slash-terminated form is both necessary and sufficient.
     val want = dir.stripSuffix("/") + "/"
     val already = spark.sparkContext.getCheckpointDir.exists { q =>
       val plain = q.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "/")
         .replaceFirst("^/+", "/")
-      q.startsWith(want) || plain.startsWith(want) ||
-        q.startsWith(dir) || plain.startsWith(dir)
+      (q.stripSuffix("/") + "/").startsWith(want) ||
+        (plain.stripSuffix("/") + "/").startsWith(want)
     }
     if (!already) spark.sparkContext.setCheckpointDir(dir)
   }

@@ -21,8 +21,13 @@ object Sampling {
   private def bucket(idCol: Column, buckets: Int, salt: String): Column =
     pmod(PortableHash.hash60(concat(idCol.cast("string"), lit(salt))), lit(buckets))
 
+  // every caller-supplied string that lands inside a generated SQL
+  // literal (salt, source labels) goes through this — same hardening
+  // as Relational.unpivot's label escaping
+  private def sq(s: String): String = s.replace("'", "''")
+
   private def bucketSql(idExpr: String, buckets: Int, salt: String): String =
-    s"${PortableHash.hash60Sql(s"concat(CAST($idExpr AS VARCHAR), '$salt')")} % $buckets"
+    s"${PortableHash.hash60Sql(s"concat(CAST($idExpr AS VARCHAR), '${sq(salt)}')")} % $buckets"
 
   /** Keep a deterministic `pct`-percent sample keyed on the id. */
   def hashSample(df: DataFrame, idCol: String, pct: Int,
@@ -51,7 +56,7 @@ object Sampling {
     val b = bucketSql(idExpr, 100, salt)
     val cums = splits.scanLeft(0)(_ + _._2).tail
     val branches = splits.zip(cums)
-      .map { case ((name, _), cum) => s"WHEN ($b) < $cum THEN '$name'" }
+      .map { case ((name, _), cum) => s"WHEN ($b) < $cum THEN '${sq(name)}'" }
     s"CASE ${branches.mkString(" ")} END"
   }
 
@@ -75,7 +80,7 @@ object Sampling {
                           rates: Seq[(String, Int)], defaultPct: Int,
                           salt: String = ""): String = {
     val branches = rates
-      .map { case (s, p) => s"WHEN $stratumExpr = '$s' THEN $p" }
+      .map { case (s, p) => s"WHEN $stratumExpr = '${sq(s)}' THEN $p" }
     s"${bucketSql(idExpr, 100, salt)} < " +
       s"(CASE ${branches.mkString(" ")} ELSE $defaultPct END)"
   }
@@ -139,12 +144,12 @@ object Sampling {
                         totalTokens: Long, salt: String = "",
                         selectCols: String = "*"): String = {
     val wSum = weights.map(_._2).sum
-    val inList = weights.map(w => s"'${w._1}'").mkString(", ")
+    val inList = weights.map(w => s"'${sq(w._1)}'").mkString(", ")
     val budget = weights.foldRight("CAST(NULL AS DOUBLE)") {
       case ((s, w), acc) =>
-        s"CASE WHEN $sourceExpr = '$s' THEN $totalTokens * CAST($w AS DOUBLE) / CAST($wSum AS DOUBLE) ELSE $acc END"
+        s"CASE WHEN $sourceExpr = '${sq(s)}' THEN $totalTokens * CAST($w AS DOUBLE) / CAST($wSum AS DOUBLE) ELSE $acc END"
     }
-    val h = PortableHash.hash60Sql(s"concat(CAST($idExpr AS VARCHAR), '$salt')")
+    val h = PortableHash.hash60Sql(s"concat(CAST($idExpr AS VARCHAR), '${sq(salt)}')")
     s"""SELECT $selectCols FROM (
        |  SELECT *, sum($tokensExpr) OVER (PARTITION BY $sourceExpr
        |    ORDER BY $h, $idExpr ROWS UNBOUNDED PRECEDING) AS __cum
@@ -196,8 +201,8 @@ object Sampling {
   def mixToTargetSql(table: String, idExpr: String, sourceExpr: String,
                      weights: Seq[(String, Double)],
                      salt: String = ""): String = {
-    val inList = weights.map(w => s"'${w._1}'").mkString(", ")
-    val values = weights.map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }
+    val inList = weights.map(w => s"'${sq(w._1)}'").mkString(", ")
+    val values = weights.map { case (s, w) => s"('${sq(s)}', CAST($w AS DOUBLE))" }
       .mkString(", ")
     s"""WITH c AS (SELECT $sourceExpr AS src, count(*) AS n FROM $table
        |    WHERE $sourceExpr IN ($inList) GROUP BY 1),

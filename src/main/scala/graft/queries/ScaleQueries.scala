@@ -115,10 +115,13 @@ object ScaleQueries {
     "q93_zorder_scan" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-      // fixed per-process path + overwrite: a fresh temp dir per
-      // invocation would leak a full lineitem copy every bench pass
+      // per-PROCESS path + overwrite: stable within one JVM so repeated
+      // bench passes reuse/overwrite one copy (a fresh temp dir per
+      // invocation would leak a full lineitem copy every pass), but
+      // distinct across JVMs so concurrent bench+verify on one host
+      // can't race overwrite-vs-read on a shared file
       val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_zorder_scan").getAbsolutePath
+        s"graft_zorder_scan_${ProcessHandle.current().pid()}").getAbsolutePath
       graft.sources.Layout.zorderBy(li, 8, 8, "l_orderkey", "l_partkey")
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
