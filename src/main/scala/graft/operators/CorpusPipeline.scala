@@ -29,24 +29,31 @@ object CorpusPipeline {
     * drove the decisions: (id, pred_lang, n_words, quality_score). */
   def clean(df: DataFrame, idCol: String, textCol: String,
             cfg: Config): DataFrame = {
-    // narrow per-doc metrics + language argmax (one shuffle on id)
-    val quality = TextAnalysis.quality(df, idCol, textCol)
-      .select(col(idCol), col("n_words"), col("quality_score"))
+    // per-doc metrics INLINE (they are narrow scalar expressions — a
+    // join-back on id would pay two shuffles for columns a select
+    // carries for free) + language argmax (one shuffle on id)
     val lang = TextAnalysis.languageId(df, idCol, textCol)
       .select(col(idCol), col("pred_lang"))
-    val kept = df.select(col(idCol), col(textCol))
-      .join(quality, Seq(idCol))
+    val kept = df.select(col(idCol), col(textCol),
+        TextAnalysis.nWordsCol(col(textCol)).as("n_words"),
+        TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"))
       .join(lang, Seq(idCol))
       .filter(col("pred_lang").isin(cfg.keepLangs: _*) &&
         col("n_words") >= cfg.minWords &&
         col("quality_score") >= cfg.minQualityScore)
 
-    // exact dedup: canonical row = min id per content digest
-    val hashed = kept.withColumn("content_hash", md5(col(textCol)))
-    val exact = hashed.join(
-      hashed.groupBy(col("content_hash")).agg(min(col(idCol)).as(idCol)),
-      Seq("content_hash", idCol), "left_semi")
-      .drop("content_hash")
+    // exact dedup: canonical row = min id per content digest. A window
+    // (one shuffle on the digest, rank by id) — NOT a groupBy+self-join,
+    // which would put the whole gate subtree on BOTH sides of the join
+    // and double every upstream exchange (the round-4 q61 plan carried
+    // 205 exchanges largely from this duplication; ids are unique, so
+    // row_number()=1 keeps exactly the min-id row the self-join kept)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col(idCol).asc)
+    val exact = kept.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "content_hash")
       .cache() // fans out: LSH signature branch + final anti-join probe.
                 // Escapes into the returned plan → caller releases after
                 // its action (see Dedup.minhashCandidatePairs note)

@@ -15,30 +15,61 @@ import graft.functions.PortableHash
   */
 object TextAnalysis {
 
-  /** Fixed per-language marker-word lists for the n-gram/stopword
-    * language-ID heuristic. Deliberately tiny and deterministic —
-    * the operator shape (explode → per-language conditional sums →
-    * argmax) is what a real fastText-style scorer would use.
-    */
-  val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "and", "of", "fast"),
-    "es" -> Seq("el", "la", "de", "query", "data"),
-    "de" -> Seq("der", "die", "und", "table", "row"),
-    "fr" -> Seq("le", "la", "et", "join", "merge"),
-    "zh" -> Seq("spark", "batch", "window", "big", "scan"))
+  /** Character-trigram frequency table per language: the most frequent
+    * character trigrams of each language (space-padded word boundaries
+    * included) from published letter/trigram frequency data, with
+    * integer weights by frequency rank. Integer weights keep the
+    * scores exactly portable across engines (no float drift in the
+    * oracle compare). `zh` is scored on romanized (pinyin) trigram
+    * shapes, the printable-Latin stand-in this corpus uses. */
+  val langTrigrams: Map[String, Seq[(String, Int)]] = Map(
+    "en" -> Seq("the" -> 10, " th" -> 9, "he " -> 9, "and" -> 8, "ing" -> 8,
+      "nd " -> 7, "ent" -> 6, "ion" -> 6, " of" -> 5, "of " -> 5,
+      "is " -> 4, " to" -> 4, "tio" -> 4, "for" -> 3, "was" -> 3),
+    "es" -> Seq(" de" -> 10, "de " -> 9, "os " -> 8, "ión" -> 8, " la" -> 7,
+      "la " -> 7, "que" -> 6, " qu" -> 6, "ue " -> 5, "ado" -> 5,
+      "as " -> 4, "ar " -> 4, "aci" -> 4, " es" -> 3, "el " -> 3),
+    "de" -> Seq("der" -> 10, "ein" -> 9, "sch" -> 8, "ich" -> 8, "die" -> 7,
+      "und" -> 7, "nde" -> 6, "che" -> 6, "ung" -> 5, "gen" -> 5,
+      "en " -> 4, "er " -> 4, "cht" -> 4, " ge" -> 3, "ver" -> 3),
+    "fr" -> Seq("es " -> 10, " le" -> 9, "le " -> 8, "ent" -> 8, "de " -> 7,
+      " de" -> 7, "nt " -> 6, "les" -> 6, "our" -> 5, "ait" -> 5,
+      "eur" -> 4, "ans" -> 4, " pa" -> 4, "qui" -> 3, "une" -> 3),
+    "zh" -> Seq("ng " -> 10, "ang" -> 9, "eng" -> 8, "ong" -> 8, "ian" -> 7,
+      "zho" -> 7, "hon" -> 6, "sh " -> 6, "shi" -> 5, "xia" -> 5,
+      "ji " -> 4, "qi " -> 4, "uan" -> 4, "ao " -> 3, "ai " -> 3))
 
   /** Language order for deterministic argmax tie-breaking. */
   val langOrder: Seq[String] = Seq("en", "es", "de", "fr", "zh")
 
-  /** Per-doc language scores + argmax prediction. One explode + one
-    * grouped aggregate (single shuffle on the doc id). */
+  /** Per-doc language scores + argmax prediction, scored on character
+    * trigrams against [[langTrigrams]]: one generator explode of the
+    * lowercased text into its trigrams, a broadcast join against the
+    * literal trigram dim, and one grouped aggregate with per-language
+    * conditional weight sums (single shuffle on the doc id) — the
+    * fastText-style n-gram scorer shape, with real linguistic signal
+    * instead of a marker-word toy. Docs shorter than one trigram keep
+    * a row (explode_outer) with all-zero scores. */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val lt = df.select(col(idCol), lower(col(textCol)).as("__lt"))
+    // sequence() guard: sequence(1, n) infers a NEGATIVE step when
+    // n < 1 (it would yield [1, 0]), so short texts get an explicit
+    // empty array; explode_outer keeps their doc row
+    val grams = lt.select(col(idCol), explode_outer(
+      when(length(col("__lt")) >= 3,
+        expr("transform(sequence(1, length(__lt) - 2), i -> substring(__lt, i, 3))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val spark = df.sparkSession
+    val dim = spark.createDataFrame(
+      langTrigrams.toSeq.sortBy(_._1)
+        .flatMap { case (l, gs) => gs.map { case (g, wt) => (l, g, wt) } })
+      .toDF("__tg_lang", "g", "wt")
+    val joined = grams.join(broadcast(dim), Seq("g"), "left")
     val scores = langOrder.map { lang =>
-      sum(when(col("w").isin(langMarkers(lang): _*), 1).otherwise(0))
-        .as(s"score_$lang")
+      sum(when(col("__tg_lang") === lang, col("wt")).otherwise(0))
+        .cast("long").as(s"score_$lang")
     }
-    val agg = words.groupBy(col(idCol)).agg(scores.head, scores.tail: _*)
+    val agg = joined.groupBy(col(idCol)).agg(scores.head, scores.tail: _*)
     // strict-> argmax with langOrder precedence on ties
     val pred = langOrder.zipWithIndex.foldRight(lit("und")) { case ((lang, _), acc) =>
       val isMax = langOrder.filter(_ != lang).foldLeft(lit(true)) { (c, other) =>
@@ -65,6 +96,44 @@ object TextAnalysis {
     s"CASE ${branches.mkString(" ")} ELSE 'und' END"
   }
 
+  /** DuckDB CTE chain computing the SAME per-doc trigram scores over a
+    * `documents`-shaped table: emits CTEs `lt` (lowered text), `lg`
+    * (trigram explode; short docs produce no rows), `ltg` (the literal
+    * trigram dim), `lraw` (grouped weight sums), and `ls` (one row per
+    * doc, zero-coalesced — the twin of Spark's explode_outer keeping
+    * short docs). Shared by the q39 and q61 oracle builders so the dim
+    * cannot drift between them. */
+  def langScoresCtesSql(table: String = "documents"): String = {
+    val dimValues = langTrigrams.toSeq.sortBy(_._1)
+      .flatMap { case (l, gs) => gs.map { case (g, wt) => s"('$l', '$g', $wt)" } }
+      .mkString(", ")
+    val sums = langOrder.map { l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN wt ELSE 0 END) AS BIGINT) AS score_$l"
+    }.mkString(", ")
+    val coalesced = langOrder
+      .map(l => s"coalesce(score_$l, 0) AS score_$l").mkString(", ")
+    s"""lt AS (SELECT doc_id, lower(text) AS t FROM $table),
+       |lg AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g FROM
+       |  (SELECT doc_id, t,
+       |     unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i FROM lt)),
+       |ltg AS (SELECT * FROM (VALUES $dimValues) AS t(lang, g, wt)),
+       |lraw AS (SELECT doc_id, $sums FROM lg LEFT JOIN ltg USING (g) GROUP BY doc_id),
+       |ls AS (SELECT d.doc_id, $coalesced FROM $table d LEFT JOIN lraw USING (doc_id))""".stripMargin
+  }
+
+  /** The quality metrics as bare column expressions over a text
+    * column — shared by [[quality]] and by compositions that want the
+    * metrics INLINE on an existing frame without a join (the metrics
+    * are narrow, so joining them back on id would add two shuffles
+    * for columns a select can carry for free; CorpusPipeline.clean
+    * uses these directly for exactly that reason). */
+  def nWordsCol(t: Column): Column = size(split(t, " "))
+  def qualityScoreCol(t: Column): Column = {
+    val words = split(t, " ")
+    round(least(size(words).cast("double") / 100.0, lit(1.0)) *
+      (size(array_distinct(words)).cast("double") / size(words)), 6)
+  }
+
   /** Quality metrics: counts, type-token ratio, a composite score.
     * Pure scalar expressions — no shuffle at all. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -73,13 +142,12 @@ object TextAnalysis {
     df.select(
       col(idCol),
       length(t).as("n_chars"),
-      size(words).as("n_words"),
+      nWordsCol(t).as("n_words"),
       size(array_distinct(words)).as("n_distinct_words"),
       round(size(array_distinct(words)).cast("double") / size(words), 6).as("ttr"),
       round(length(regexp_replace(t, " ", "")).cast("double") / size(words), 6)
         .as("avg_word_len"),
-      round(least(size(words).cast("double") / 100.0, lit(1.0)) *
-        (size(array_distinct(words)).cast("double") / size(words)), 6).as("quality_score"))
+      qualityScoreCol(t).as("quality_score"))
   }
 
   /** Token counts: whitespace tokens and a BPE-ish regex tokenizer

@@ -473,14 +473,9 @@ object PipelineQueries {
   }
 
   private val langidSql: String = {
-    val scoreCols = TextAnalysis.langOrder.map { lang =>
-      val set = TextAnalysis.langMarkers(lang).map(w => s"'$w'").mkString(", ")
-      s"CAST(sum(CASE WHEN w IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS score_$lang"
-    }.mkString(", ")
-    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |s AS (SELECT doc_id, $scoreCols FROM words GROUP BY doc_id)
+    s"""WITH ${TextAnalysis.langScoresCtesSql()}
        |SELECT doc_id, ${TextAnalysis.langOrder.map(l => s"score_$l").mkString(", ")},
-       |  ${TextAnalysis.languageIdPredSql} AS pred_lang FROM s""".stripMargin
+       |  ${TextAnalysis.languageIdPredSql} AS pred_lang FROM ls""".stripMargin
   }
 
   private val qualitySql: String =
@@ -510,18 +505,13 @@ object PipelineQueries {
     * language/quality/minhash constants, the survivor `words` CTE
     * feeding the shared signature SELECT. */
   private val corpusCleanSql: String = {
-    val scoreCols = TextAnalysis.langOrder.map { lang =>
-      val set = TextAnalysis.langMarkers(lang).map(w => s"'$w'").mkString(", ")
-      s"CAST(sum(CASE WHEN w IN ($set) THEN 1 ELSE 0 END) AS BIGINT) AS score_$lang"
-    }.mkString(", ")
     val langsIn = CorpusLangs.map(l => s"'$l'").mkString(", ")
     val rows = MinhashK / MinhashBands
     val bandBranches = (0 until MinhashBands).map { b =>
       val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
       s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH lw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-       |ls AS (SELECT doc_id, $scoreCols FROM lw GROUP BY doc_id),
+    s"""WITH ${TextAnalysis.langScoresCtesSql()},
        |lang AS (SELECT doc_id, ${TextAnalysis.languageIdPredSql} AS pred_lang FROM ls),
        |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *

@@ -31,6 +31,24 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.filter($"pred_lang" =!= "en").isEmpty)
   }
 
+  test("trigram language ID classifies real sentences in all five languages") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "the cat sat on the mat and the dog was there", "en"),
+      (2, "la casa de la familia que vive en la ciudad de madrid", "es"),
+      (3, "der schnelle braune fuchs springt über den faulen hund und die sonne", "de"),
+      (4, "les enfants de la ville qui jouent dans le parc pendant une heure", "fr"),
+      (5, "zhong guo shang hai xiang gang bei jing chang jiang huang he", "zh"),
+      (6, "xy", "und") // shorter than one trigram: zero scores, tie fallback
+    ).toDF("doc_id", "text", "expected")
+    val out = graft.operators.TextAnalysis.languageId(docs, "doc_id", "text")
+    val pred = out.collect().map(r => r.getAs[Int]("doc_id") ->
+      r.getAs[String]("pred_lang")).toMap
+    val expected = docs.collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    // the all-zero tie falls to the first language in precedence order
+    assert(pred == expected + (6 -> "en"))
+  }
+
   test("repetition signals: planted fractions; one-word doc yields zeros") {
     import spark.implicits._
     val docs = Seq(
