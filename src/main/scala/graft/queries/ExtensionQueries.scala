@@ -30,6 +30,16 @@ object ExtensionQueries {
           col("features")(3).as("f_width"),
           col("features")(4).as("f_height"))),
 
+    // REAL image-header decode (not the stub): PNG IHDR dims at fixed
+    // big-endian offsets, JPEG dims via a computed-offset marker walk
+    // (variable-length APP0 + DQT before SOF0) — all pure codegen'd
+    // expressions over planted genuine headers. The oracle states the
+    // dims from the id-derived planting formula, so a parser that
+    // misreads any byte hash-mismatches.
+    "q101_image_dims" -> ((s, dir) =>
+      Multimodal.imageDims(
+        Multimodal.synthesizeImages(Tables.load(s, dir, "documents")))),
+
     // metadata-driven frame sampling (generator over video rows);
     // frame payload surfaced as its length so the oracle is exact
     "q46_frame_sample" -> ((s, dir) =>
@@ -125,6 +135,12 @@ object ExtensionQueries {
         |SELECT d.doc_id AS media_id, modality, CAST(n AS INTEGER) AS n_bytes,
         |  round(mean, 6) AS f_mean, variance AS f_var, w AS f_width, h AS f_height
         |FROM d JOIN m ON d.doc_id = m.doc_id JOIN v ON d.doc_id = v.doc_id""".stripMargin,
+    "q101_image_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CAST(16 + doc_id % 1024 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 7) % 768 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
     "q46_frame_sample" ->
       s"""WITH media AS (
          |  SELECT doc_id AS media_id, length(text) AS len,
