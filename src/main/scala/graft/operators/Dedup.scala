@@ -188,7 +188,18 @@ object Dedup {
     * — the session-global shuffle-partition conf is never mutated. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsStats(pairs, aCol, bCol, maxIter, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation
+    * rounds it took to converge — the scaling-diagnostic the plan
+    * audit cares about (rounds track cluster DIAMETER, not corpus
+    * size, so a 10x corpus with the same cluster shape must converge
+    * in the same number of rounds; DedupSpec pins the O(log n)
+    * pointer-jumping bound on a planted chain). */
+  def connectedComponentsStats(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // materialize the pair input ONCE before the union reads it twice:
     // two union branches scanning an unmaterialized lineage in one job
     // each recompute it (the cache races its own second reader)
@@ -245,8 +256,17 @@ object Dedup {
     require(converged, s"not converged after $maxIter rounds")
     edges.unpersist()
     p.unpersist()
-    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+    lastCcRounds = iter
+    (labels.select(col("node").as("doc_id"), col("comp").as("component")), iter)
   }
+
+  /** Rounds of the most recent [[connectedComponents]] convergence —
+    * a measurement/diagnostic aid for the scale harness (tools.Scale
+    * reads it after driving a registry query whose CC is internal,
+    * e.g. q67). Monotonic info only, never part of a query result;
+    * concurrent CC runs on one session would interleave writes, which
+    * is acceptable for a diagnostic. */
+  @volatile var lastCcRounds: Int = -1
 
   /** Build the compact cross-run dedup state for [[incrementalDedup]]:
     * (content-digest table, LSH-band table) of a corpus. At 100 TB

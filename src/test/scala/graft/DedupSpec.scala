@@ -28,6 +28,57 @@ class DedupSpec extends SparkTestBase {
     assert(wrote > 0, "expected reliable checkpoint files under the dir")
   }
 
+  test("connected components: adversarial long chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 128-node path graph (diameter 127): naive min-label
+    // propagation moves the minimum ONE hop per round and would need
+    // ~127 rounds — far past the default maxIter=20. The fused
+    // pointer-jumping must (at least) halve remaining chain length
+    // per round, so convergence within the default budget at
+    // ceil(log2) + small-constant rounds is the structural proof the
+    // halving actually happens, not just that this graph converged.
+    val n = 128
+    // worst-case orientation: edges descend (i+1 -> i), so labels must
+    // travel the full chain length against the edge direction
+    val pairs = (0 until n - 1).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val (labels, rounds) = graft.operators.Dedup
+      .connectedComponentsStats(pairs, "id_a", "id_b")
+    val comp = labels.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(comp == (0 until n).map(_ -> 0).toMap)
+    // log2(128)=7; allow the fuse's constant factor but stay an order
+    // of magnitude below the 127 rounds naive propagation would need
+    assert(rounds <= 14, s"pointer jumping degraded: $rounds rounds for diameter ${n - 1}")
+  }
+
+  test("minhash pipeline is partition-invariant under BOTH hash backends") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, s"w${i % 7} w${i % 11} w${i % 13} w${i % 5} shared common tokens"))
+      .toDF("doc_id", "text")
+    val prop = graft.functions.PortableHash.BackendProp
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.minhashCandidatePairs(
+          Dedup.minhashSignatures(df, "doc_id", "text", 8), "doc_id", 8, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(): Set[(Long, Long)] = {
+      val a = pairs(docs)
+      val b = pairs(docs.repartition(9))
+      assert(a == b, "candidate pairs must not depend on partitioning")
+      spark.catalog.clearCache()
+      a
+    }
+    val viaMd5 =
+      try { System.setProperty(prop, "md5"); run() }
+      finally System.clearProperty(prop)
+    val viaXx =
+      try { System.setProperty(prop, "xxhash64"); run() }
+      finally System.clearProperty(prop)
+    // same topology, different hash function: both behave, both
+    // produce plausible banded candidates (not asserted equal — the
+    // band signatures legitimately differ between backends)
+    assert(viaMd5.nonEmpty && viaXx.nonEmpty)
+  }
+
   import scala.jdk.CollectionConverters._
 
   private def docsDf(rows: (Long, String)*) = {

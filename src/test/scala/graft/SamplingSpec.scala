@@ -122,6 +122,40 @@ class SamplingSpec extends SparkTestBase {
       "src", col("toks"), Seq("a" -> 0.8, "b" -> 0.2), 1000L)))
   }
 
+  test("every sampling contract holds under BOTH hash backends (md5, xxhash64)") {
+    val prop = graft.functions.PortableHash.BackendProp
+    def contracts(): Unit = {
+      // stability under repartitioning + plausible fraction + nesting
+      val s1 = Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
+      val s2 = Sampling.hashSample(ids.repartition(13), "id", 10)
+        .collect().map(_.getInt(0)).toSet
+      assert(s1 == s2)
+      assert(s1.size > 100 && s1.size < 300)
+      assert(s1.subsetOf(
+        Sampling.hashSample(ids, "id", 20).collect().map(_.getInt(0)).toSet))
+      // split totality + partition invariance
+      val splits = Seq("train" -> 90, "valid" -> 5, "test" -> 5)
+      val m1 = Sampling.hashSplit(ids, "id", splits).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      val m2 = Sampling.hashSplit(ids.repartition(7), "id", splits).collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(m1 == m2 && m1.size == 2000)
+    }
+    val md5Sample =
+      try {
+        System.setProperty(prop, "md5"); contracts()
+        Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
+      } finally System.clearProperty(prop)
+    val xxSample =
+      try {
+        System.setProperty(prop, "xxhash64"); contracts()
+        Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
+      } finally System.clearProperty(prop)
+    // the backends are genuinely different hash functions — the flag
+    // must actually switch the expression, not alias one to the other
+    assert(md5Sample != xxSample)
+  }
+
   test("a different salt draws a different sample") {
     val a = Sampling.hashSample(ids, "id", 10).collect().map(_.getInt(0)).toSet
     val b = Sampling.hashSample(ids, "id", 10, salt = "run2")
