@@ -236,4 +236,128 @@ object IncrementalAlerts {
     candidates.unpersist()
     spark.table(resultTable)
   }
+
+  /** NF30 as a STREAMING grouped-CASE aggregate — the third stateful
+    * detector family after [[gateStream]] (max-per-group) and
+    * [[antiJoinIncrement]] (changing exclusion set): the HAVING-gated
+    * aggregate (reference src/alertas/alerta_nf30.py:34-73, the A4
+    * site). Per document, streaming state maintains THREE conditional
+    * maxes over the andamento changelog — latest autuação date,
+    * deadline length (120 if any prorrogação else 30), and the
+    * conversão flag — and each micro-batch re-evaluates ONLY the
+    * changed documents against the static class-393 dim:
+    *
+    *  - a doc whose first autuação arrives gets its deadline re-based;
+    *  - a prorrogação arrival extends 30 → 120 (can UN-fire an alert);
+    *  - a conversão arrival flips the HAVING gate and RETRACTS the
+    *    live alert — the stateful behavior the batch path expresses as
+    *    `HAVING MAX(flag_conversao) = 0`.
+    *
+    * No watermark ON PURPOSE, documented: the state is one row per
+    * OPEN document (bounded by the active-case population, not by
+    * time), and a legal deadline must re-fire on an andamento arriving
+    * YEARS after the last one — event-time eviction would silently
+    * drop exactly the long-silent cases this alert exists to catch.
+    * State is bounded by case closure (the doc leaves the active dim),
+    * not by event time.
+    *
+    * `andamentoDir` holds the exploded andamento changelog in the
+    * shape PrazoSkeleton's join produces: (vist_docu_dk, stao_tppr_dk,
+    * pcao_dt_andamento, pcao_dt_cancelamento), pre-filtered or not —
+    * the stream applies the non-cancelled + code-set filter either
+    * way, exactly as PrazoSkeleton.exploded does before its join. */
+  def nf30Stream(spark: SparkSession, andamentoDir: String,
+                 resultTable: String, clock: graft.harness.RunClock,
+                 checkpointDir: String,
+                 maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.harness.{Nf30Alert, PrazoSkeleton}
+    val nf = new Nf30Alert(clock)
+    // static dim: active uncorrelated fact notices (class 393) — the
+    // same doc population PrazoSkeleton.exploded scopes to
+    val docs = spark.table("documentos_ativos")
+      .filter(col("docu_cldc_dk") === 393)
+      .join(spark.table("mcpr_correlacionamento")
+          .filter(col("corr_tpco_dk").isin(PrazoSkeleton.corrExcludeTypes: _*))
+          .select(col("corr_docu_dk2")),
+        col("corr_docu_dk2") === col("docu_dk"), "left_anti")
+      .select(PrazoSkeleton.docKeys.map(col): _*)
+      .cache()
+
+    // the batch detector's projection over a (doc-dim × per-doc agg)
+    // frame — the per-row CASEs become conditional-max state; the
+    // HAVING gate and deadline predicate run per micro-batch
+    // (alerta_nf30.py:59-73 semantics, same NF120 split)
+    def alertRows(withAgg: DataFrame): DataFrame =
+      withAgg
+        .withColumn("dt_inicio",
+          coalesce(col("dt_autuacao_max"), col("docu_dt_cadastro")))
+        .withColumn("nr_dias_prazo", coalesce(col("nr_dias_prazo_max"), lit(30)))
+        .withColumn("flag_conversao", coalesce(col("flag_conversao_max"), lit(0)))
+        .filter(col("flag_conversao") === 0)
+        .withColumn("elapsed", datediff(lit(clock.ts), col("dt_inicio")))
+        .filter(col("elapsed") > col("nr_dias_prazo"))
+        .select(
+          col("docu_dk").as("alrt_docu_dk"),
+          col("docu_nr_mp").as("alrt_docu_nr_mp"),
+          col("dt_inicio").cast("timestamp").as("alrt_date_referencia"),
+          col("docu_orgi_orga_dk_responsavel").as("alrt_orgi_orga_dk"),
+          col("elapsed").cast("int").as("alrt_dias_referencia"),
+          when(col("elapsed") > 120, "NF120").otherwise("NF30").as("alrt_sigla"))
+
+    val nullAgg = Seq("dt_autuacao_max", "nr_dias_prazo_max",
+      "flag_conversao_max")
+    // seed ONLY on first run: no andamento known yet → every doc runs
+    // on the cadastro fallback (the reference's CASE WHEN MAX(..) IS
+    // NULL branch). On a RESUME (result table + checkpoint exist) the
+    // previous result and the state store carry forward and only new
+    // changelog files are processed — re-seeding would erase alerts
+    // whose triggering rows were consumed in an earlier run.
+    if (!spark.catalog.tableExists(resultTable))
+      alertRows(nullAgg.foldLeft(docs)((d, c) =>
+          d.withColumn(c, lit(null).cast(if (c == "dt_autuacao_max") "timestamp" else "int"))))
+        .write.mode("overwrite").format("parquet").saveAsTable(resultTable)
+
+    val schema = spark.read.parquet(andamentoDir).schema
+    val aggStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(andamentoDir)
+      .filter(col("pcao_dt_cancelamento").isNull)
+      .filter(col("stao_tppr_dk").isin(
+        (nf.conversao ++ nf.prorrogacao ++ nf.autuacao): _*))
+      .groupBy(col("vist_docu_dk"))
+      .agg(
+        max(when(col("stao_tppr_dk").isin(nf.autuacao: _*),
+          col("pcao_dt_andamento"))).as("dt_autuacao_max"),
+        max(when(col("stao_tppr_dk").isin(nf.prorrogacao: _*), 120)
+          .otherwise(30)).as("nr_dias_prazo_max"),
+        max(when(col("stao_tppr_dk").isin(nf.conversao: _*), 1)
+          .otherwise(0)).as("flag_conversao_max"))
+
+    val q = aggStream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val changed = batch.cache()
+        try {
+          val refreshed = alertRows(
+            docs.join(changed, col("docu_dk") === col("vist_docu_dk")))
+          val untouched = spark.table(resultTable)
+            .join(changed.select(col("vist_docu_dk")),
+              col("alrt_docu_dk") === col("vist_docu_dk"), "left_anti")
+          // a changed doc that now fails the gate contributes no
+          // refreshed row — the overwrite IS the retraction
+          untouched.unionByName(refreshed)
+            .write.mode("overwrite").format("parquet")
+            .saveAsTable(resultTable + "_stage")
+          spark.table(resultTable + "_stage")
+            .write.mode("overwrite").format("parquet").saveAsTable(resultTable)
+          spark.sql(s"DROP TABLE ${resultTable}_stage")
+        } finally changed.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    docs.unpersist()
+    spark.table(resultTable)
+  }
 }

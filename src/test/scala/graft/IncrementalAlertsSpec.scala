@@ -148,4 +148,43 @@ class IncrementalAlertsSpec extends SparkTestBase {
     // the original batch view is restored after the drain
     assert(!spark.table("mcpr_item_movimentacao").isStreaming)
   }
+
+  test("streaming NF30: grouped-CASE state with HAVING-gate retraction equals batch") {
+    import spark.implicits._
+    DomainFixtures.registerAll(spark)
+    graft.harness.ActiveDocs.registerCached(spark)
+    val clock = graft.harness.RunClock(
+      java.time.LocalDateTime.of(2026, 8, 12, 12, 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nf30_log").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nf30_ckpt").toString
+
+    def slice(rows: Seq[(Int, Int, String)]): Unit =
+      rows.map { case (d, c, t) => (d, c, java.sql.Timestamp.valueOf(t)) }
+        .toDF("vist_docu_dk", "stao_tppr_dk", "pcao_dt_andamento")
+        .withColumn("pcao_dt_cancelamento", lit(null).cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    def byDoc(df: org.apache.spark.sql.DataFrame) =
+      df.select("alrt_docu_dk", "alrt_sigla").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    // run 1: only an out-of-code-set andamento — the stream filter
+    // drops it, so every class-393 doc fires from the cadastro
+    // fallback, INCLUDING 202 (its conversão hasn't arrived yet)
+    slice(Seq((201, 9999, "2026-06-02 00:00:00")))
+    val first = IncrementalAlerts.nf30Stream(
+      spark, dir, "graft_incr_nf30", clock, ckpt)
+    assert(byDoc(first) == Map(201 -> "NF30", 202 -> "NF30", 203 -> "NF120"))
+
+    // run 2 RESUMES from the checkpoint (no re-seed, only the new file
+    // is read): 202's conversão flips the HAVING gate and RETRACTS its
+    // live alert; the final table equals the batch detector exactly
+    slice(Seq((202, 6011, "2026-06-05 00:00:00")))
+    val second = IncrementalAlerts.nf30Stream(
+      spark, dir, "graft_incr_nf30", clock, ckpt)
+    assert(byDoc(second) == byDoc(new graft.harness.Nf30Alert(clock).build(spark)))
+    assert(byDoc(second) == Map(201 -> "NF30", 203 -> "NF120"))
+    spark.sql("DROP TABLE graft_incr_nf30")
+    spark.catalog.clearCache()
+  }
 }
