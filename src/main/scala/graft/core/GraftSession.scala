@@ -28,7 +28,13 @@ object GraftSession {
       .master(s"local[$cores]")
       // library SQL surface: slugify / cosine_sim as native functions
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // default: one shuffle partition per core; override with
+      // GRAFT_SHUFFLE_PARTITIONS when per-partition shuffle volume is
+      // the binding term (the cluster-sizing rule below — ~2-3x total
+      // cores, AQE coalesces down — applied locally; measured effect
+      // on the 212M-pair q33 shuffle in SCALE.md "Measured scaling")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cores.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // deliberate scale choice (not left to version defaults): inject
