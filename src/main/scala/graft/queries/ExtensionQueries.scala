@@ -40,6 +40,23 @@ object ExtensionQueries {
       Multimodal.imageDims(
         Multimodal.synthesizeImages(Tables.load(s, dir, "documents")))),
 
+    // REAL audio-header decode: RIFF/WAVE chunk walk with computed
+    // little-endian offsets (a variable-length LIST chunk sits between
+    // "fmt " and "data", so the data offset is never fixed) — pure
+    // codegen'd expressions, no UDF. Oracle states the PCM fields from
+    // the id-derived planting formulas.
+    "q102_audio_meta" -> ((s, dir) =>
+      Multimodal.audioMeta(
+        Multimodal.synthesizeAudio(Tables.load(s, dir, "documents")))),
+
+    // REAL video-header decode: ISO-BMFF (MP4) box walk — top-level
+    // boxes by big-endian size to "moov", moov children to "mvhd",
+    // timescale/duration at v0 offsets. Variable-length "free" boxes
+    // at BOTH levels force real arithmetic at both walk depths.
+    "q103_video_meta" -> ((s, dir) =>
+      Multimodal.videoMeta(
+        Multimodal.synthesizeVideos(Tables.load(s, dir, "documents")))),
+
     // metadata-driven frame sampling (generator over video rows);
     // frame payload surfaced as its length so the oracle is exact
     "q46_frame_sample" -> ((s, dir) =>
@@ -140,6 +157,26 @@ object ExtensionQueries {
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
         |  CAST(16 + doc_id % 1024 AS INTEGER) AS width,
         |  CAST(16 + (doc_id * 7) % 768 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+    "q102_audio_meta" ->
+      """WITH a AS (
+        |  SELECT doc_id, 8000 * (1 + doc_id % 6) AS sr,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS bits,
+        |    length(text) AS dlen
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 'pcm' AS codec, channels,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  bits AS bits_per_sample,
+        |  CAST(dlen * 1000 // (sr * channels * (bits // 8)) AS BIGINT)
+        |    AS duration_ms
+        |FROM a""".stripMargin,
+    "q103_video_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  CAST(600 * (1 + doc_id % 4) AS INTEGER) AS timescale,
+        |  CAST(n_chars * 30 + doc_id % 7 AS INTEGER) AS duration_units,
+        |  CAST((n_chars * 30 + doc_id % 7) * 1000
+        |       // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
     "q46_frame_sample" ->
       s"""WITH media AS (

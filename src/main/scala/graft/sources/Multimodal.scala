@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The decode step is a STUB — a deterministic fake standing in for a
-  * real codec (image/audio libraries are not available in this build
-  * environment). Everything around it is real Spark plumbing:
+  * Header/metadata decoding is REAL for all three modalities — PNG and
+  * JPEG dimensions, WAV (RIFF) PCM parameters and duration, MP4
+  * (ISO-BMFF) timescale/duration — implemented twice: as pure
+  * codegen'd staged-walk expressions (no UDF in the plan) and as Scala
+  * walkers for the batched mapPartitions path. Only the SAMPLE decode
+  * (pixels/PCM frames) remains a deterministic stub: no codec library
+  * exists in this build environment. Everything around it is real
+  * Spark plumbing:
   *  - schema: (media_id, modality, content binary, meta struct)
   *  - per-partition batched processing via `mapPartitions` on a typed
   *    Dataset (the Scala analog of pandas-batch UDFs): one decoder
@@ -109,30 +114,295 @@ object Multimodal {
   def imageDims(media: DataFrame, contentCol: String = "content",
                 maxHops: Int = 6): DataFrame = {
     val c = col(contentCol)
-    def beInt(pos: org.apache.spark.sql.Column, len: Int) =
-      conv(hex(c.substr(pos, lit(len))), 16, 10).cast("int")
     val isPng = hex(c.substr(lit(1), lit(8))) === "89504E470D0A1A0A" &&
       hex(c.substr(lit(13), lit(4))) === "49484452"
     val isJpeg = hex(c.substr(lit(1), lit(2))) === "FFD8"
     // JPEG walk: first marker at byte 3 (1-based); a non-SOF segment's
-    // next marker is at pos + 2 (marker) + length (length counts itself)
+    // next marker is at pos + 2 (marker) + length (length counts itself).
+    // STAGED as one small Project per hop (position lands in an
+    // intermediate column referenced several times, which both keeps
+    // every expression tree tiny — janino stays under its method-size
+    // limits, whole-stage codegen survives — and stops CollapseProject
+    // from re-inlining the walk into one exponential expression).
     val sofMarkers = Seq("FFC0", "FFC1", "FFC2")
-    def walk(pos: org.apache.spark.sql.Column, hops: Int): org.apache.spark.sql.Column = {
-      val marker = hex(c.substr(pos, lit(2)))
-      val atSof = marker.isin(sofMarkers: _*)
-      if (hops == 0) when(atSof, pos)
-      else when(atSof, pos).otherwise(walk(pos + lit(2) + beInt(pos + 2, 2), hops - 1))
+    var df = media
+      .withColumn("__ipos", lit(3L))
+      .withColumn("__isof", lit(null).cast("long"))
+    for (_ <- 0 to maxHops) {
+      df = df
+        .withColumn("__imk", hex(c.substr(col("__ipos"), lit(2))))
+        .withColumn("__isof", coalesce(col("__isof"),
+          when(col("__imk").isin(sofMarkers: _*), col("__ipos"))))
+        .withColumn("__ipos", when(col("__isof").isNotNull, col("__ipos"))
+          .otherwise(col("__ipos") + 2 + beInt(c, col("__ipos") + 2, 2)))
     }
-    val sofPos = walk(lit(3), maxHops)
+    val sofPos = col("__isof")
     val fmt = when(isPng, "png").when(isJpeg && sofPos.isNotNull, "jpeg")
-    media.select(
+    df.select(
       media.columns.map(col) :+
         fmt.as("fmt") :+
-        when(isPng, beInt(lit(17), 4))
-          .when(isJpeg, beInt(sofPos + 7, 2)).as("width") :+
-        when(isPng, beInt(lit(21), 4))
-          .when(isJpeg, beInt(sofPos + 5, 2)).as("height"): _*)
+        when(isPng, beInt(c, lit(17), 4).cast("int"))
+          .when(isJpeg, beInt(c, sofPos + 7, 2).cast("int")).as("width") :+
+        when(isPng, beInt(c, lit(21), 4).cast("int"))
+          .when(isJpeg, beInt(c, sofPos + 5, 2).cast("int")).as("height"): _*)
       .drop(contentCol)
+  }
+
+  // ---------- real audio-header decoding (WAV / RIFF) ----------
+  //
+  // WAV is a RIFF container: "RIFF" + little-endian file size + "WAVE",
+  // then a sequence of [4cc id][LE u32 size][payload, padded to even]
+  // chunks. The "fmt " chunk carries (audioFormat, channels, sampleRate,
+  // byteRate, blockAlign, bitsPerSample) as LE fields; the "data" chunk
+  // size over byteRate gives the clip duration. All offsets are
+  // chunk-walk-derived, so the parser below does real container
+  // arithmetic — same discipline as the JPEG marker walk.
+
+  /** Synthetic WAV table with REAL RIFF structure: PCM fmt fields
+    * derived deterministically from the id (so the oracle can state the
+    * expected parse without reading bytes), a variable-length LIST
+    * chunk planted between "fmt " and "data" so the data-chunk offset
+    * is never fixed, and the document text bytes as the sample payload. */
+  def synthesizeAudio(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"),
+      (lit(8000) * (lit(1) + pmod(col("doc_id"), lit(6)))).cast("int").as("__sr"),
+      (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("__ch"),
+      (lit(8) * (lit(1) + pmod(col("doc_id"), lit(3)))).cast("int").as("__bits"),
+      // even LIST payload length (4..28) so the expression walk needs
+      // no odd-byte pad handling; the Scala walker handles padding too
+      (lit(4) + lit(2) * pmod(col("doc_id"), lit(13))).cast("int").as("__lp"),
+      length(col("text")).cast("int").as("__dlen"))
+      .withColumn("__block", (col("__ch") * col("__bits") / lit(8)).cast("int"))
+      .withColumn("__brate", (col("__sr") * col("__block")).cast("int"))
+      // RIFF size counts everything after its own 8-byte header:
+      // "WAVE"(4) + fmt(8+16) + LIST(8+lp) + data(8+dlen)
+      .withColumn("__riffsz", (lit(44) + col("__lp") + col("__dlen")).cast("int"))
+    val wavHex = concat(
+      lit("52494646"), leHex(col("__riffsz"), 4), lit("57415645"), // RIFF..WAVE
+      lit("666D7420"), leHex(lit(16), 4),                          // "fmt " size 16
+      leHex(lit(1), 2), leHex(col("__ch"), 2),                     // PCM, channels
+      leHex(col("__sr"), 4), leHex(col("__brate"), 4),
+      leHex(col("__block"), 2), leHex(col("__bits"), 2),
+      lit("4C495354"), leHex(col("__lp"), 4), expr("repeat('00', __lp)"), // LIST
+      lit("64617461"), leHex(col("__dlen"), 4))                    // "data" size
+    d.select(col("doc_id").as("media_id"),
+      concat(unhex(wavHex), encode(col("text"), "utf-8")).as("content"))
+  }
+
+  /** Parse PCM metadata from a WAV binary column with PURE codegen'd
+    * expressions: validate RIFF/WAVE, walk the chunk list with computed
+    * offsets (each hop jumps past the current chunk's little-endian
+    * size) to locate "fmt " and "data", then read the LE fields.
+    * Non-RIFF rows get codec=NULL. duration_ms = dataBytes * 1000
+    * `div` byteRate (exact integer math, no floating point). */
+  def audioMeta(media: DataFrame, contentCol: String = "content",
+                maxHops: Int = 6): DataFrame = {
+    val c = col(contentCol)
+    val isRiff = hex(c.substr(lit(1), lit(4))) === "52494646" &&
+      hex(c.substr(lit(9), lit(4))) === "57415645"
+    // staged chunk walk (see imageDims for why): one hop per Project,
+    // both target chunks located in the SAME walk — the chunk list is
+    // traversed once, not once per target
+    var df = media
+      .withColumn("__apos", lit(13L)) // first chunk after RIFF(4)+size(4)+WAVE(4)
+      .withColumn("__fmt", lit(null).cast("long"))
+      .withColumn("__dat", lit(null).cast("long"))
+    for (_ <- 0 to maxHops) {
+      df = df
+        .withColumn("__aid", hex(c.substr(col("__apos"), lit(4))))
+        .withColumn("__fmt", coalesce(col("__fmt"),
+          when(col("__aid") === "666D7420", col("__apos"))))
+        .withColumn("__dat", coalesce(col("__dat"),
+          when(col("__aid") === "64617461", col("__apos"))))
+        .withColumn("__asz", leInt(c, col("__apos") + 4, 4))
+        .withColumn("__apos",
+          col("__apos") + 8 + col("__asz") + pmod(col("__asz"), lit(2)))
+    }
+    val fmtPos = col("__fmt")
+    val dataPos = col("__dat")
+    val ok = isRiff && fmtPos.isNotNull && dataPos.isNotNull
+    val audioFmt = leInt(c, fmtPos + 8, 2)
+    val brate = leInt(c, fmtPos + 16, 4)
+    val dlen = leInt(c, dataPos + 4, 4)
+    df.select(
+      media.columns.map(col) :+
+        when(ok, when(audioFmt === 1, "pcm").when(audioFmt === 3, "float")
+          .otherwise("other")).as("codec") :+
+        when(ok, leInt(c, fmtPos + 10, 2).cast("int")).as("channels") :+
+        when(ok, leInt(c, fmtPos + 12, 4).cast("int")).as("sample_rate") :+
+        when(ok, leInt(c, fmtPos + 22, 2).cast("int")).as("bits_per_sample") :+
+        when(ok && brate > 0, intDiv(dlen * 1000, brate)).as("duration_ms"): _*)
+      .drop(contentCol)
+  }
+
+  // ---------- real video-header decoding (MP4 / ISO-BMFF) ----------
+  //
+  // MP4 is a box tree: [BE u32 size][4cc type][payload], top-level
+  // "ftyp" then ("free"|"moov"|"mdat"|...). The movie header "mvhd"
+  // (version 0) inside "moov" carries timescale and duration as BE u32
+  // at payload offsets 12 and 16. Locating it takes TWO chunk walks —
+  // top-level to "moov", then inside moov's payload to "mvhd".
+
+  /** Synthetic MP4 table with REAL box structure: ftyp(isom), a
+    * variable-length top-level "free" box, moov containing a
+    * variable-length "free" child before the 108-byte v0 mvhd (so both
+    * walk levels do real arithmetic), then the text bytes as mdat. */
+  def synthesizeVideos(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"),
+      (lit(2) * pmod(col("doc_id"), lit(11))).cast("int").as("__p1"),
+      (lit(4) * pmod(col("doc_id"), lit(5))).cast("int").as("__p2"),
+      (lit(600) * (lit(1) + pmod(col("doc_id"), lit(4)))).cast("int").as("__ts"),
+      (col("n_chars") * 30 + pmod(col("doc_id"), lit(7))).cast("int").as("__dur"),
+      length(col("text")).cast("int").as("__dlen"))
+    val mvhd = concat(
+      beHex(lit(108), 4), lit("6D766864"),   // size + "mvhd"
+      lit("00000000"),                       // version 0 + flags
+      lit("00000000"), lit("00000000"),      // creation/modification time
+      beHex(col("__ts"), 4), beHex(col("__dur"), 4),
+      expr("repeat('00', 80)"))              // rate..next_track, zeroed
+    val mp4Hex = concat(
+      beHex(lit(16), 4), lit("66747970"), lit("69736F6D"), lit("00000000"), // ftyp isom
+      beHex(col("__p1") + 8, 4), lit("66726565"), expr("repeat('00', __p1)"), // free
+      beHex(col("__p2") + lit(8 + 108 + 8), 4), lit("6D6F6F76"),           // moov
+      beHex(col("__p2") + 8, 4), lit("66726565"), expr("repeat('00', __p2)"), // free child
+      mvhd,
+      beHex(col("__dlen") + 8, 4), lit("6D646174"))                        // mdat header
+    d.select(col("doc_id").as("media_id"),
+      concat(unhex(mp4Hex), encode(col("text"), "utf-8")).as("content"))
+  }
+
+  /** Parse (brand, timescale, duration) from an MP4 binary column with
+    * PURE codegen'd expressions: validate "ftyp" at byte 5, walk
+    * top-level boxes by big-endian size to "moov", walk moov's children
+    * to "mvhd", then read timescale/duration (v0 layout) and derive
+    * duration_ms = duration * 1000 `div` timescale. Non-MP4 rows get
+    * brand=NULL. */
+  def videoMeta(media: DataFrame, contentCol: String = "content",
+                maxHops: Int = 6): DataFrame = {
+    val c = col(contentCol)
+    val isMp4 = hex(c.substr(lit(5), lit(4))) === "66747970"
+    // staged two-level box walk (see imageDims for why): the top-level
+    // walk locates moov, then the SAME staged loop pattern resumes from
+    // moov's payload to locate mvhd — without staging, the nested walk
+    // would square the expression size
+    def findBox(df0: DataFrame, target: String, targetCol: String,
+                from: org.apache.spark.sql.Column): DataFrame = {
+      var df = df0
+        .withColumn("__vpos", from)
+        .withColumn(targetCol, lit(null).cast("long"))
+      for (_ <- 0 to maxHops) {
+        df = df
+          .withColumn("__vty", hex(c.substr(col("__vpos") + 4, lit(4))))
+          .withColumn(targetCol, coalesce(col(targetCol),
+            when(col("__vty") === target, col("__vpos"))))
+          .withColumn("__vpos", col("__vpos") + beInt(c, col("__vpos"), 4))
+      }
+      df.drop("__vpos", "__vty")
+    }
+    val withMoov = findBox(media, "6D6F6F76", "__moov", lit(1L))
+    val df = findBox(withMoov, "6D766864", "__mvhd", col("__moov") + 8)
+    val moovPos = col("__moov")
+    val mvhdPos = col("__mvhd")
+    val ok = isMp4 && moovPos.isNotNull && mvhdPos.isNotNull
+    val ts = beInt(c, mvhdPos + 20, 4)
+    val dur = beInt(c, mvhdPos + 24, 4)
+    df.select(
+      media.columns.map(col) :+
+        when(isMp4, decode(c.substr(lit(9), lit(4)), "US-ASCII")).as("brand") :+
+        when(ok, ts.cast("int")).as("timescale") :+
+        when(ok, dur.cast("int")).as("duration_units") :+
+        when(ok && ts > 0, intDiv(dur * 1000, ts)).as("duration_ms"): _*)
+      .drop(contentCol)
+  }
+
+  // ---------- shared pure-expression byte helpers ----------
+
+  /** Big-endian unsigned int read as a pure expression. */
+  private def beInt(c: org.apache.spark.sql.Column,
+                    pos: org.apache.spark.sql.Column, len: Int) =
+    conv(hex(c.substr(pos, lit(len))), 16, 10).cast("long")
+
+  /** Little-endian unsigned int read: per-byte `conv(hex(...))` summed
+    * with powers of 256 (no byte-reverse function needed). */
+  private def leInt(c: org.apache.spark.sql.Column,
+                    pos: org.apache.spark.sql.Column, len: Int) = {
+    (0 until len).map { i =>
+      conv(hex(c.substr(pos + i, lit(1))), 16, 10).cast("long") * lit(1L << (8 * i))
+    }.reduce(_ + _)
+  }
+
+  /** Exact integer division on columns (both operands integral and
+    * non-negative): (a - a%b)/b is an exact double. */
+  private def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  private def hexByte(v: org.apache.spark.sql.Column) =
+    lpad(hex(v.bitwiseAND(lit(255))), 2, "0")
+
+  /** Little-endian hex encoding of an int column, n bytes. */
+  private[graft] def leHex(v: org.apache.spark.sql.Column, n: Int) =
+    concat((0 until n).map(i => hexByte(shiftright(v, 8 * i))): _*)
+
+  /** Big-endian hex encoding of an int column, n bytes. */
+  private[graft] def beHex(v: org.apache.spark.sql.Column, n: Int) =
+    concat((0 until n).reverse.map(i => hexByte(shiftright(v, 8 * i))): _*)
+
+  /** Scala-side RIFF walk for [[decodeBatch]]-style batched decoding:
+    * any chunk count, odd-size pad bytes honored per the RIFF spec. */
+  private[graft] def parseAudioMeta(b: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def cc(i: Int) = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "WAVE") return None
+    var pos = 12
+    var fmt = -1; var data = -1
+    while (pos + 8 <= b.length && (fmt < 0 || data < 0)) {
+      val id = cc(pos); val size = le32(pos + 4)
+      if (id == "fmt ") fmt = pos else if (id == "data") data = pos
+      pos += (8 + size + (size % 2)).toInt // chunks pad to even length
+    }
+    if (fmt < 0 || data < 0 || fmt + 24 > b.length) None
+    else {
+      val codec = le16(fmt + 8) match {
+        case 1 => "pcm"; case 3 => "float"; case _ => "other"
+      }
+      val brate = le32(fmt + 16)
+      val durMs = if (brate > 0) le32(data + 4) * 1000L / brate else 0L
+      Some((codec, le16(fmt + 10), le32(fmt + 12).toInt, le16(fmt + 22), durMs))
+    }
+  }
+
+  /** Scala-side ISO-BMFF walk: top-level boxes to moov, children to
+    * mvhd (v0 or v1 layouts), any box count. */
+  private[graft] def parseVideoMeta(b: Array[Byte]): Option[(String, Long, Long, Long)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+      (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int) = (be32(i) << 32) | be32(i + 4)
+    def cc(i: Int) = new String(b.slice(i, i + 4), "US-ASCII")
+    if (b.length < 16 || cc(4) != "ftyp") return None
+    val brand = cc(8)
+    def find(target: String, from: Int, until: Int): Int = {
+      var pos = from
+      while (pos + 8 <= until) {
+        if (cc(pos + 4) == target) return pos
+        val sz = be32(pos)
+        if (sz < 8) return -1 // malformed; refuse to loop forever
+        pos += sz.toInt
+      }
+      -1
+    }
+    val moov = find("moov", 0, b.length)
+    if (moov < 0) return None
+    val mvhd = find("mvhd", moov + 8, moov + be32(moov).toInt min b.length)
+    if (mvhd < 0) return None
+    val (ts, dur) = u8(mvhd + 8) match { // version byte
+      case 1 => (be32(mvhd + 28), be64(mvhd + 32)) // v1: 64-bit times
+      case _ => (be32(mvhd + 20), be32(mvhd + 24).toLong)
+    }
+    Some((brand, ts, dur, if (ts > 0) dur * 1000L / ts else 0L))
   }
 
   /** Scala-side header walk for [[decodeBatch]]: any number of JPEG

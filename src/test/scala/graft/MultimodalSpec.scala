@@ -70,6 +70,100 @@ class MultimodalSpec extends SparkTestBase {
     assert(viaExpr.nonEmpty)
   }
 
+  private def hx(s: String) = s.replaceAll(" ", "").grouped(2)
+    .map(Integer.parseInt(_, 16).toByte).toArray
+
+  // a structurally-faithful WAV: canonical RIFF/WAVE layout, PCM fmt
+  // (2ch / 44100 Hz / 16-bit), an ODD-size LIST chunk (pad byte per the
+  // RIFF spec) between fmt and data, data chunk declaring 88200 bytes
+  // (= exactly 0.5 s at this byte rate) — not built by the code under test
+  private val realWavHeader: Array[Byte] =
+    hx("52494646 3A000000 57415645") ++                      // RIFF size WAVE
+      hx("666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000") ++
+      hx("4C495354 05000000 494E464F 41 00") ++              // LIST, odd size + pad
+      hx("64617461 A8580100")                                // data, 88200 bytes
+
+  // a structurally-faithful MP4: ftyp(isom), an odd-size free box, moov
+  // holding a udta child BEFORE the v0 mvhd (timescale 600, duration
+  // 1800 => 3000 ms), then an mdat header
+  private val realMp4Header: Array[Byte] =
+    hx("00000010 66747970 69736F6D 00000000") ++
+      hx("0000000B 66726565 000000") ++
+      hx("0000007D 6D6F6F76") ++
+      hx("00000009 75647461 00") ++
+      (hx("0000006C 6D766864 00000000 00000000 00000000 00000258 00000708") ++
+        Array.fill[Byte](80)(0)) ++
+      hx("00000010 6D646174 0000000000000000")
+
+  // same movie with a VERSION 1 mvhd (64-bit times; timescale at +28,
+  // duration as be64 at +32) — the batched Scala walker must handle it
+  private val mp4V1Header: Array[Byte] =
+    hx("00000010 66747970 69736F6D 00000000") ++
+      hx("00000080 6D6F6F76") ++
+      (hx("00000078 6D766864 01000000") ++ Array.fill[Byte](16)(0) ++
+        hx("00000258 0000000000000708") ++ Array.fill[Byte](80)(0))
+
+  test("parseAudioMeta walks a real RIFF chunk list incl. odd-size padding") {
+    assert(Multimodal.parseAudioMeta(realWavHeader) ==
+      Some(("pcm", 2, 44100, 16, 500L)))
+    assert(Multimodal.parseAudioMeta("not audio at all".getBytes).isEmpty)
+  }
+
+  test("parseVideoMeta walks the box tree for v0 AND v1 mvhd layouts") {
+    assert(Multimodal.parseVideoMeta(realMp4Header) ==
+      Some(("isom", 600L, 1800L, 3000L)))
+    assert(Multimodal.parseVideoMeta(mp4V1Header) ==
+      Some(("isom", 600L, 1800L, 3000L)))
+    assert(Multimodal.parseVideoMeta("junk".getBytes).isEmpty)
+  }
+
+  test("audioMeta/videoMeta expression paths parse the same real bytes, no UDF") {
+    import spark.implicits._
+    val adf = Seq((1L, realWavHeader), (2L, "junk".getBytes))
+      .toDF("media_id", "content")
+    val a = Multimodal.audioMeta(adf).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(a == Map(1L -> Some("pcm"), 2L -> None))
+    val arow = Multimodal.audioMeta(adf).filter(col("media_id") === 1).head
+    assert((arow.getInt(2), arow.getInt(3), arow.getInt(4), arow.getLong(5)) ==
+      ((2, 44100, 16, 500L)))
+    val vdf = Seq((1L, realMp4Header), (2L, "junk".getBytes))
+      .toDF("media_id", "content")
+    val vrow = Multimodal.videoMeta(vdf).filter(col("media_id") === 1).head
+    assert((vrow.getString(1), vrow.getInt(2), vrow.getInt(3), vrow.getLong(4)) ==
+      (("isom", 600, 1800, 3000L)))
+    assert(!Multimodal.audioMeta(adf).queryExecution.executedPlan.toString
+      .toLowerCase.contains("udf"))
+    assert(!Multimodal.videoMeta(vdf).queryExecution.executedPlan.toString
+      .toLowerCase.contains("udf"))
+  }
+
+  test("audio: expression walk and Scala walker agree on every synthesized WAV") {
+    val wavs = Multimodal.synthesizeAudio(Tables.load(spark, sfDir, "documents"))
+    val viaExpr = Multimodal.audioMeta(wavs).collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    val viaScala = wavs.collect().map { r =>
+      val (codec, ch, sr, bits, dur) =
+        Multimodal.parseAudioMeta(r.getAs[Array[Byte]]("content")).get
+      r.getLong(0) -> ((codec, ch, sr, bits, dur))
+    }.toMap
+    assert(viaExpr == viaScala)
+    assert(viaExpr.nonEmpty)
+  }
+
+  test("video: expression walk and Scala walker agree on every synthesized MP4") {
+    val vids = Multimodal.synthesizeVideos(Tables.load(spark, sfDir, "documents"))
+    val viaExpr = Multimodal.videoMeta(vids).collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getInt(2).toLong, r.getInt(3).toLong, r.getLong(4)))).toMap
+    val viaScala = vids.collect().map { r =>
+      val (brand, ts, dur, durMs) =
+        Multimodal.parseVideoMeta(r.getAs[Array[Byte]]("content")).get
+      r.getLong(0) -> ((brand, ts, dur, durMs))
+    }.toMap
+    assert(viaExpr == viaScala)
+    assert(viaExpr.nonEmpty)
+  }
+
   test("sampleFrames covers the full payload with no byte lost or duplicated") {
     val frames = Multimodal.sampleFrames(media, 250)
     val perDoc = frames.toDF().groupBy("media_id")
