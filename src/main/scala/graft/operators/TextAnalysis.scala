@@ -43,34 +43,31 @@ object TextAnalysis {
   val langOrder: Seq[String] = Seq("en", "es", "de", "fr", "zh")
 
   /** Per-doc language scores + argmax prediction, scored on character
-    * trigrams against [[langTrigrams]]: one generator explode of the
-    * lowercased text into its trigrams, a broadcast join against the
-    * literal trigram dim, and one grouped aggregate with per-language
-    * conditional weight sums (single shuffle on the doc id) — the
-    * fastText-style n-gram scorer shape, with real linguistic signal
-    * instead of a marker-word toy. Docs shorter than one trigram keep
-    * a row (explode_outer) with all-zero scores. */
+    * trigrams against [[langTrigrams]] — computed by the codegen'd
+    * [[org.apache.spark.sql.graftext.TrigramScores]] expression: ONE
+    * O(len) rolling-key pass per document producing all five weight
+    * sums. Same semantics as the explode + broadcast-dim-join +
+    * grouped-conditional-sum formulation it replaced (per-occurrence
+    * rank weights; the generated DuckDB oracle still computes that
+    * form), but with no row explosion, no join, and NO SHUFFLE — the
+    * whole scorer is a narrow projection, which is the shape you want
+    * when the input is 100 TB of text. Docs shorter than one trigram
+    * (and null texts, via the coalesce) keep their row with all-zero
+    * scores. */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lt = df.select(col(idCol), lower(col(textCol)).as("__lt"))
-    // sequence() guard: sequence(1, n) infers a NEGATIVE step when
-    // n < 1 (it would yield [1, 0]), so short texts get an explicit
-    // empty array; explode_outer keeps their doc row
-    val grams = lt.select(col(idCol), explode_outer(
-      when(length(col("__lt")) >= 3,
-        expr("transform(sequence(1, length(__lt) - 2), i -> substring(__lt, i, 3))"))
-        .otherwise(array().cast("array<string>"))).as("g"))
-    val spark = df.sparkSession
-    val dim = spark.createDataFrame(
-      langTrigrams.toSeq.sortBy(_._1)
-        .flatMap { case (l, gs) => gs.map { case (g, wt) => (l, g, wt) } })
-      .toDF("__tg_lang", "g", "wt")
-    val joined = grams.join(broadcast(dim), Seq("g"), "left")
-    val scores = langOrder.map { lang =>
-      sum(when(col("__tg_lang") === lang, col("wt")).otherwise(0))
-        .cast("long").as(s"score_$lang")
-    }
-    val agg = joined.groupBy(col(idCol)).agg(scores.head, scores.tail: _*)
-    // strict-> argmax with langOrder precedence on ties
+    val scored = df.select(col(idCol),
+      org.apache.spark.sql.graftext.TrigramScores.column(
+        lower(coalesce(col(textCol), lit("")))).as("__sc"))
+    val agg = scored.select(
+      col(idCol) +: langOrder.zipWithIndex.map { case (lang, i) =>
+        col("__sc")(i).as(s"score_$lang")
+      }: _*)
+    languageIdFromScores(agg)
+  }
+
+  /** Argmax prediction over already-computed `score_<lang>` columns —
+    * strict-> argmax with langOrder precedence on ties. */
+  def languageIdFromScores(agg: DataFrame): DataFrame = {
     val pred = langOrder.zipWithIndex.foldRight(lit("und")) { case ((lang, _), acc) =>
       val isMax = langOrder.filter(_ != lang).foldLeft(lit(true)) { (c, other) =>
         val cmp = if (langOrder.indexOf(other) < langOrder.indexOf(lang))

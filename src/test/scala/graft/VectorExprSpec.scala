@@ -98,4 +98,56 @@ class VectorExprSpec extends SparkTestBase {
       .head.getSeq[Double](0)
     assert(r == Seq(3.0, 6.0))
   }
+
+  test("TrigramScores == the explode+join+sum formulation it replaced") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // real corpus docs + adversarial rows: shorter than one trigram,
+    // empty, and a gram shared between languages ("ent" is in both the
+    // en and fr tables) which must credit BOTH
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((900001L, "ab"), (900002L, ""), (900003L, "ententement"))
+        .toDF("doc_id", "text"))
+    val viaExpr = TextAnalysis.languageId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // reference formulation: per-occurrence trigrams joined to the dim
+    val lt = docs.select(col("doc_id"), lower(col("text")).as("__lt"))
+    val grams = lt.select(col("doc_id"), explode_outer(
+      when(length(col("__lt")) >= 3,
+        expr("transform(sequence(1, length(__lt) - 2), i -> substring(__lt, i, 3))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val dim = TextAnalysis.langTrigrams.toSeq.sortBy(_._1)
+      .flatMap { case (l, gs) => gs.map { case (g, wt) => (l, g, wt) } }
+      .toDF("__tg_lang", "g", "wt")
+    val scores = TextAnalysis.langOrder.map { lang =>
+      sum(when(col("__tg_lang") === lang, col("wt")).otherwise(0))
+        .cast("long").as(s"score_$lang")
+    }
+    val viaJoin = TextAnalysis.languageIdFromScores(
+        grams.join(broadcast(dim), Seq("g"), "left")
+          .groupBy(col("doc_id")).agg(scores.head, scores.tail: _*))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(viaExpr == viaJoin)
+    assert(viaExpr.size > 3)
+    // the shared gram credited both languages in one doc
+    val shared = viaExpr(900003L)
+    val en = TextAnalysis.langOrder.indexOf("en")
+    val fr = TextAnalysis.langOrder.indexOf("fr")
+    assert(shared(en).asInstanceOf[Long] > 0 && shared(fr).asInstanceOf[Long] > 0)
+  }
+
+  test("TrigramScores plan is a narrow shuffle-free projection, no UDF") {
+    val plan = TextPlan.df(spark, sfDir)
+    plan.collect()
+    val p = plan.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"languageId should not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("udf"))
+  }
+
+  private object TextPlan {
+    def df(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.operators.TextAnalysis.languageId(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+  }
 }
