@@ -31,6 +31,46 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Segment-level (line) exact dedup — the RefinedWeb/FineWeb-style
+    * step BELOW document granularity: split each document into
+    * `windowWords`-word segments, drop every segment whose exact text
+    * already occurred earlier in the corpus (first occurrence =
+    * smallest (doc_id, position)), and reassemble each document from
+    * its surviving segments in order. Documents whose every segment is
+    * a repeat disappear entirely (that IS the dedup).
+    *
+    * Scale shape: the first-occurrence aggregate groups by the 16-byte
+    * segment digest carrying only (digest, id, pos) — column pruning
+    * drops the text — so the min-shuffle moves digests, not prose;
+    * segment text crosses the wire once, in the survivor join-back,
+    * and reassembly is one shuffle on the doc id.
+    * Output: (idCol, clean_text, n_kept, n_segments). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   windowWords: Int = 10): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWin = ceil(size(words) / lit(windowWords.toDouble)).cast("int")
+    val segs = df.select(col(idCol), nWin.as("n_segments"),
+        posexplode(transform(sequence(lit(0), nWin - 1), i =>
+          concat_ws(" ", slice(words, i * windowWords + 1, lit(windowWords))))))
+      .toDF(idCol, "n_segments", "pos", "seg")
+      .withColumn("__dig", md5(col("seg")))
+    val firsts = segs
+      .groupBy(col("__dig"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(col("__dig").as("__fdig"),
+        col(s"__first.$idCol").as("__fid"), col("__first.pos").as("__fpos"))
+    segs.join(firsts,
+        col("__dig") === col("__fdig") &&
+          col(idCol) === col("__fid") && col("pos") === col("__fpos"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        max(col("n_segments")).as("n_segments"))
+  }
+
   /** Per-doc MinHash signature: k seeded min-hashes over the distinct
     * word set, as k columns (seed i → column `mh_i`). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,

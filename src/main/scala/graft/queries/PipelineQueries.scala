@@ -54,6 +54,13 @@ object PipelineQueries {
     "q31_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")),
 
+    // segment-level (line) exact dedup: 10-word windows deduped
+    // corpus-wide by first occurrence, docs reassembled from surviving
+    // segments — the sub-document dedup step of a RefinedWeb/FineWeb
+    // pipeline; digests shuffle, prose crosses the wire once
+    "q104_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(docs(s, dir), "doc_id", "text", windowWords = 10)),
+
     "q32_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK)),
 
@@ -536,6 +543,27 @@ object PipelineQueries {
     "q31_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q104_segment_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id, n_segments, CAST(i AS INTEGER) AS pos,
+        |    array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS seg
+        |  FROM (
+        |    SELECT doc_id, ws,
+        |      CAST(ceil(len(ws) / 10.0) AS INTEGER) AS n_segments,
+        |      unnest(generate_series(0,
+        |        CAST(ceil(len(ws) / 10.0) AS INTEGER) - 1)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |          FROM documents))),
+        |ranked AS (
+        |  SELECT doc_id, n_segments, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM segs)
+        |SELECT doc_id,
+        |  string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+        |  count(*) AS n_kept,
+        |  max(n_segments) AS n_segments
+        |FROM ranked WHERE rn = 1
+        |GROUP BY doc_id""".stripMargin,
     "q32_minhash_sig" -> s"WITH $wordsCte $minhashSigsSelect",
     "q33_minhash_lsh_pairs" -> minhashLshSql,
     // connected components as a recursive reachability CTE over the

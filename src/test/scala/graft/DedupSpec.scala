@@ -188,6 +188,26 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set((1L, 2L, 3L), (7L, 7L, 2L)))
   }
 
+  test("segmentDedup: first occurrence survives, docs reassemble in order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def seg(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    // doc 1: segments A B; doc 2: repeats A then fresh C; doc 3: all
+    // repeats (must vanish); doc 4: a 4-word tail segment D
+    val docs = Seq(
+      (1L, s"${seg("a")} ${seg("b")}"),
+      (2L, s"${seg("a")} ${seg("c")}"),
+      (3L, s"${seg("b")} ${seg("a")}"),
+      (4L, s"${seg("b")} d1 d2 d3 d4")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.segmentDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((s"${seg("a")} ${seg("b")}", 2L, 2)))
+    assert(out(2L) == ((seg("c"), 1L, 2)))       // A was seen in doc 1
+    assert(!out.contains(3L))                    // nothing survived
+    assert(out(4L) == (("d1 d2 d3 d4", 1L, 2))) // partial tail window kept
+  }
+
   test("bruteForceTopK finds the planted nearest neighbor first") {
     import spark.implicits._
     val df = Seq(
