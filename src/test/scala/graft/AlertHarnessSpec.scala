@@ -119,6 +119,41 @@ class AlertHarnessSpec extends SparkTestBase {
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
+  test("Jdbc metadata hook: per-table connect/execute/close, identifier validated") {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    def proxy[T](iface: Class[T])(handle: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
+      Proxy.newProxyInstance(iface.getClassLoader, Array(iface),
+        new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+            handle.applyOrElse((m.getName, args),
+              (_: (String, Array[AnyRef])) => null)
+        }).asInstanceOf[T]
+    def fakeConn(): java.sql.Connection = {
+      events += "connect"
+      proxy(classOf[java.sql.Connection]) {
+        case ("createStatement", _) =>
+          proxy(classOf[java.sql.Statement]) {
+            case ("execute", args) =>
+              events += s"execute:${args(0)}"; java.lang.Boolean.TRUE
+            case ("close", _) => events += "st.close"; null
+          }
+        case ("close", _) => events += "conn.close"; null
+      }
+    }
+    val hook = new graft.sources.MetadataHook.Jdbc(() => fakeConn())
+    hook.tableWritten("db.alerts")
+    hook.tableWritten("db.hist_alerts")
+    assert(events.toSeq == Seq(
+      "connect", "execute:INVALIDATE METADATA db.alerts", "st.close", "conn.close",
+      "connect", "execute:INVALIDATE METADATA db.hist_alerts", "st.close", "conn.close"))
+    // unchecked interpolation is the reference's behavior, not ours
+    intercept[IllegalArgumentException] {
+      hook.tableWritten("db.alerts; DROP TABLE x")
+    }
+    assert(events.size == 8) // the rejected call never touched JDBC
+  }
+
   test("per-phase timer fires for every alert append and table write") {
     val db = "t_timed"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
