@@ -194,4 +194,21 @@ class PropertySpec extends SparkTestBase {
         viaStars.exceptAll(viaPairs).isEmpty, s"seed $seed")
     }
   }
+
+  test("segmentDedup is partition-invariant (first occurrence is a total order)") {
+    // first occurrence = min (doc_id, pos) — a data property, not an
+    // arrival-order property, so any partitioning must reproduce the
+    // exact same surviving text per doc
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.segmentDedup(df, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(3))))
+        .toMap
+    val base = run(docs)
+    val repart = run(docs.repartition(7))
+    assert(base == repart)
+    assert(base.nonEmpty)
+  }
 }
