@@ -29,18 +29,28 @@ object CorpusPipeline {
     * drove the decisions: (id, pred_lang, n_words, quality_score). */
   def clean(df: DataFrame, idCol: String, textCol: String,
             cfg: Config): DataFrame = {
-    // per-doc metrics INLINE (they are narrow scalar expressions — a
-    // join-back on id would pay two shuffles for columns a select
-    // carries for free) + language argmax (one shuffle on id)
-    val lang = TextAnalysis.languageId(df, idCol, textCol)
-      .select(col(idCol), col("pred_lang"))
-    val kept = df.select(col(idCol), col(textCol),
+    // per-doc metrics AND language scores INLINE: every gate input —
+    // n_words, quality, the TrigramScores vector — is a narrow scalar
+    // expression, so the whole gate is ONE shuffle-free projection.
+    // (Before the TrigramScores expression, language scoring needed an
+    // explode + dim join + re-group, which forced a join-back on id
+    // here; that join and both its shuffles are gone.)
+    val scored = df.select(col(idCol), col(textCol),
         TextAnalysis.nWordsCol(col(textCol)).as("n_words"),
-        TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"))
-      .join(lang, Seq(idCol))
+        TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
+        org.apache.spark.sql.graftext.TrigramScores.column(
+          lower(coalesce(col(textCol), lit("")))).as("__sc"))
+    val withScores = scored.select(
+      scored.columns.filterNot(_ == "__sc").map(col) ++
+        TextAnalysis.langOrder.zipWithIndex.map { case (l, i) =>
+          col("__sc")(i).as(s"score_$l")
+        }: _*)
+    val kept = TextAnalysis.languageIdFromScores(withScores)
       .filter(col("pred_lang").isin(cfg.keepLangs: _*) &&
         col("n_words") >= cfg.minWords &&
         col("quality_score") >= cfg.minQualityScore)
+      .select(col(idCol), col(textCol), col("n_words"),
+        col("quality_score"), col("pred_lang"))
 
     // exact dedup: canonical row = min id per content digest. A window
     // (one shuffle on the digest, rank by id) — NOT a groupBy+self-join,
