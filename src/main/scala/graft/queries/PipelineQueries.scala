@@ -70,23 +70,26 @@ object PipelineQueries {
         "doc_id", MinhashK, MinhashBands)),
 
     // same components as CC over minhashCandidatePairs, via per-bucket
-    // star edges — O(#docs x bands) edges, never the quadratic pairs
+    // star edges — O(#docs x bands) edges, never the quadratic pairs.
+    // This is the PRODUCER of the shared components stage: it always
+    // recomputes (honest cost under repeated measurement) and leaves
+    // the materialized table behind for the consumers (q82, q100) —
+    // the one-build-many-reads shape a 100 TB pipeline runs.
     "q67_dedup_clusters" -> ((s, dir) =>
-      Dedup.minhashComponents(
-        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
-        "doc_id", MinhashK, MinhashBands)),
+      Dedup.buildComponents(docs(s, dir), dir, "doc_id", "text",
+        MinhashK, MinhashBands)),
 
     // leakage-safe train/valid/test split: the split decision is keyed
     // on the duplicate-CLUSTER id, not the doc id, so two near-dup
     // documents can never land on opposite sides of a train/test
     // boundary (the classic eval-contamination mistake). Singleton
     // docs (no cluster) key on their own id. Pure composition:
-    // minhashComponents + hashSplit over the component.
+    // the shared materialized components stage (Dedup.componentsOf)
+    // + hashSplit over the component.
     "q100_leak_safe_split" -> ((s, dir) => {
       val d = docs(s, dir)
-      val comps = Dedup.minhashComponents(
-        Dedup.minhashSignatures(d, "doc_id", "text", MinhashK),
-        "doc_id", MinhashK, MinhashBands)
+      val comps = Dedup.componentsOf(d, dir, "doc_id", "text",
+        MinhashK, MinhashBands)
       Sampling.hashSplit(
           d.select("doc_id").join(comps, Seq("doc_id"), "left")
             .withColumn("component",
@@ -99,9 +102,8 @@ object PipelineQueries {
     // the last dedup stage — clusters from CC, one winner each by
     // (longest text, lowest id), cluster size carried along
     "q82_canonical_docs" -> ((s, dir) => {
-      val comps = Dedup.minhashComponents(
-        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
-        "doc_id", MinhashK, MinhashBands)
+      val comps = Dedup.componentsOf(docs(s, dir), dir, "doc_id", "text",
+        MinhashK, MinhashBands)
       Dedup.canonicalPerCluster(comps,
           docs(s, dir).select(col("doc_id"), col("text")), "doc_id",
           Seq(length(col("text")).desc, col("doc_id").asc))
