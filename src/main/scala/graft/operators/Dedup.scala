@@ -71,13 +71,22 @@ object Dedup {
         max(col("n_segments")).as("n_segments"))
   }
 
-  /** Per-doc MinHash signature: k seeded min-hashes over the distinct
-    * word set, as k columns (seed i → column `mh_i`). */
+  /** Per-doc MinHash signature: k seeded min-hashes over the word set,
+    * as k columns (seed i → column `mh_i`).
+    *
+    * Deliberately NO distinct before the grouped min: a duplicate word
+    * cannot change a min, so the result is bit-identical with or
+    * without it — but a pre-aggregation distinct costs a full shuffle
+    * of every (doc, word) pair. Without it, partial aggregation
+    * reduces each input partition to (doc, k mins) map-side and the
+    * only shuffle carries k longs per doc — at 100 TB that is the
+    * difference between shuffling the tokenized corpus and shuffling
+    * a signature table. (Contrast [[simhash32]], where duplicates DO
+    * change the bit sums and the distinct is semantic.) */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame = {
     val words = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .distinct()
     val mins = (0 until k).map(i => min(seeded(col("w"), i)).as(s"mh_$i"))
     words.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
