@@ -1,0 +1,63 @@
+package graft
+
+/** Plan-shape regression budget for the most expensive registry
+  * queries: ceilings on the exchange count of each final (AQE)
+  * physical plan, so q61-style cached-subtree re-planning (205
+  * exchanges in round 4, cut to 35 in round 5; q36's 68, cut to 12 in
+  * round 6) cannot silently return. Ceilings carry small headroom over
+  * the measured counts at sf0.001 — enough to absorb AQE jitter,
+  * tight enough that a re-planned fan-out subtree (always a multiple,
+  * never +2) trips the budget.
+  *
+  * Counting discipline (see the round-5 note in graft memory): AQE
+  * wraps the executed plan, so the frame is collect()ed first and the
+  * SAME DataFrame's `executedPlan` string is inspected.
+  */
+class PlanBudgetSpec extends SparkTestBase {
+
+  private def exchanges(name: String): (Int, Int, String) = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    ("Exchange".r.findAllIn(plan).length,
+      "Cartesian".r.findAllIn(plan).length, plan)
+  }
+
+  // measured xchg at sf0.001 (round 6) -> ceiling with headroom
+  private val budgets = Seq(
+    "q61_corpus_clean"      -> (35, 35), // the round-5 verdict's pinned number
+    "q95_incr_dedup"        -> (26, 30),
+    "q71_bdpa_chain"        -> (19, 23),
+    "q70_active_spine"      -> (16, 20),
+    "q36_ngram_jaccard"     -> (12, 15),
+    "q97_tpch_q5"           -> (12, 15),
+    "q33_minhash_lsh_pairs" -> (11, 14),
+    "q104_segment_dedup"    -> (6, 8),
+    "q63_tpch_q3"           -> (6, 8),
+    "q100_leak_safe_split"  -> (5, 7),
+    "q82_canonical_docs"    -> (4, 6),
+    // the producer's RESULT plan is a materialized-block scan; a
+    // nonzero exchange count would mean the memoized components stage
+    // stopped truncating lineage
+    "q67_dedup_clusters"    -> (0, 1))
+
+  budgets.foreach { case (name, (measured, ceiling)) =>
+    test(s"$name stays within $ceiling exchanges (measured $measured)") {
+      val (xchg, cart, plan) = exchanges(name)
+      assert(xchg <= ceiling,
+        s"$name exchange budget blown: $xchg > $ceiling — a fan-out " +
+          s"subtree is likely re-planning per reference; plan:\n$plan")
+      assert(cart == 0, s"$name plans a Cartesian product:\n$plan")
+    }
+  }
+
+  test("the exchange counter actually sees exchanges (anti-vacuity)") {
+    // if the regex or the AQE-materialization discipline ever breaks,
+    // every budget above would pass vacuously at 0 — pin a known
+    // multi-join plan to a NONZERO floor so the counter itself is
+    // under test
+    val (xchg, _, plan) = exchanges("q71_bdpa_chain")
+    assert(xchg >= 5, s"counter broken? q71 shows $xchg exchanges:\n$plan")
+  }
+}
