@@ -57,6 +57,23 @@ object ExtensionQueries {
       Multimodal.videoMeta(
         Multimodal.synthesizeVideos(Tables.load(s, dir, "documents")))),
 
+    // REAL pixel decode (not the stub): complete valid PNGs (genuine
+    // chunk CRCs + zlib IDAT) built from a closed-form pixel formula,
+    // then decoded for real — CRC-verified chunk walk, JDK Inflater,
+    // all five PNG scanline filters inverted — with exact integer
+    // pixel statistics. The oracle replays the FORMULA, so any broken
+    // inflate/unfilter/CRC step hash-mismatches.
+    "q105_png_pixels" -> ((s, dir) =>
+      Multimodal.pngPixelStats(
+        Multimodal.synthesizePngs(Tables.load(s, dir, "documents"))).toDF()),
+
+    // REAL PCM sample decode: complete valid 16-bit mono WAVs with
+    // formula-derived samples, decoded via the RIFF walk + LE signed
+    // sample reads; peak and RMS from exact integer sums-of-squares.
+    "q106_wav_pcm" -> ((s, dir) =>
+      Multimodal.pcmSampleStats(
+        Multimodal.synthesizePcmWavs(Tables.load(s, dir, "documents"))).toDF()),
+
     // metadata-driven frame sampling (generator over video rows);
     // frame payload surfaced as its length so the oracle is exact
     "q46_frame_sample" -> ((s, dir) =>
@@ -178,6 +195,29 @@ object ExtensionQueries {
         |  CAST((n_chars * 30 + doc_id % 7) * 1000
         |       // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+    "q105_png_pixels" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 16 AS w,
+        |    4 + (doc_id * 7) % 12 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, (doc_id * 31 + i * 97) % 256 AS p
+        |  FROM (SELECT doc_id, w, h,
+        |          unnest(generate_series(0, w * h - 1)) AS i FROM d))
+        |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, CAST(w * h AS INTEGER) AS n_pixels,
+        |  round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_pixel,
+        |  CAST(max(p) AS INTEGER) AS max_pixel
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    "q106_wav_pcm" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8000 * (1 + doc_id % 6) AS INTEGER) AS sr,
+        |    CAST(64 + doc_id % 100 AS INTEGER) AS n FROM documents),
+        |s AS (SELECT doc_id, sr, n,
+        |    (doc_id * 2654435761 + j * 40503) % 65536 - 32768 AS v
+        |  FROM (SELECT doc_id, sr, n,
+        |          unnest(generate_series(0, n - 1)) AS j FROM d))
+        |SELECT doc_id AS media_id, sr AS sample_rate,
+        |  n AS n_samples, CAST(max(abs(v)) AS INTEGER) AS peak,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 6) AS rms
+        |FROM s GROUP BY doc_id, sr, n""".stripMargin,
     "q46_frame_sample" ->
       s"""WITH media AS (
          |  SELECT doc_id AS media_id, length(text) AS len,

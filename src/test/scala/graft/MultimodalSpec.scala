@@ -164,6 +164,92 @@ class MultimodalSpec extends SparkTestBase {
     assert(viaExpr.nonEmpty)
   }
 
+  test("PNG pixel decode inverts all five scanline filters exactly") {
+    // ids 0..9 cycle the filter assignment (id + row) % 5, so every
+    // filter type (None/Sub/Up/Average/Paeth) is exercised; the
+    // decoded pixels must equal the planting formula byte-for-byte
+    (0L to 9L).foreach { id =>
+      val (w, h, px) = Multimodal.decodePng(Multimodal.buildPng(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(w == 4 + (id % 16).toInt && h == 4 + (id * 7 % 12).toInt)
+      px.zipWithIndex.foreach { case (p, i) =>
+        assert((p & 0xff) == ((id * 31 + i.toLong * 97) % 256).toInt,
+          s"id=$id pixel $i")
+      }
+    }
+  }
+
+  test("PNG decode verifies chunk CRCs: one flipped payload bit rejects") {
+    val good = Multimodal.buildPng(7L)
+    assert(Multimodal.decodePng(good).isDefined)
+    val bad = good.clone()
+    bad(41) = (bad(41) ^ 1).toByte // inside the IDAT payload
+    assert(Multimodal.decodePng(bad).isEmpty,
+      "corrupt IDAT must fail the CRC check, not decode garbage")
+  }
+
+  test("PNG decode concatenates split IDAT streams (spec allows many)") {
+    // rebuild id=3's file with its single IDAT split into two chunks —
+    // a common layout from real encoders; the inflate must span both
+    val one = Multimodal.buildPng(3L)
+    def be32(b: Array[Byte], i: Int) = ((b(i) & 0xff) << 24) |
+      ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    val ihdrEnd = 8 + 12 + 13
+    val idatLen = be32(one, ihdrEnd)
+    val payload = one.slice(ihdrEnd + 8, ihdrEnd + 8 + idatLen)
+    val (p1, p2) = payload.splitAt(payload.length / 2)
+    def chunk(typ: String, pay: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(pay)
+      def enc(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      enc(pay.length.toLong) ++ t ++ pay ++ enc(crc.getValue)
+    }
+    val split = one.slice(0, ihdrEnd) ++ chunk("IDAT", p1) ++
+      chunk("IDAT", p2) ++ chunk("IEND", Array.empty[Byte])
+    def structural(r: Option[(Int, Int, Array[Byte])]) =
+      r.map { case (w, h, px) => (w, h, px.toSeq) }
+    assert(structural(Multimodal.decodePng(split)) ==
+      structural(Multimodal.decodePng(one)))
+  }
+
+  test("PCM decode returns the exact planted samples; stats replay the formula") {
+    (0L to 9L).foreach { id =>
+      val (sr, s) = Multimodal.decodePcm(Multimodal.buildPcmWav(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(sr == 8000 * (1 + id % 6).toInt)
+      assert(s.length == 64 + (id % 100).toInt)
+      s.zipWithIndex.foreach { case (v, j) =>
+        assert(v == (((id * 2654435761L + j.toLong * 40503L) % 65536) - 32768).toInt,
+          s"id=$id sample $j")
+      }
+    }
+  }
+
+  test("PCM decode handles 8-bit unsigned and 24-bit signed layouts") {
+    def wav(bits: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String) = out.write(s.getBytes("US-ASCII"))
+      def le(v: Long, n: Int) =
+        (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+      ascii("RIFF"); le(36L + payload.length, 4); ascii("WAVE")
+      ascii("fmt "); le(16, 4); le(1, 2); le(1, 2); le(8000, 4)
+      le(8000L * bits / 8, 4); le(bits / 8, 2); le(bits.toLong, 2)
+      ascii("data"); le(payload.length.toLong, 4); out.write(payload)
+      out.toByteArray
+    }
+    // 8-bit: unsigned with 128 midpoint -> centered values
+    val (_, s8) = Multimodal.decodePcm(
+      wav(8, Array[Byte](0, 127.toByte, 128.toByte, 255.toByte))).get
+    assert(s8.toSeq == Seq(-128, -1, 0, 127))
+    // 24-bit: LE two's-complement; 0x800000 is the most negative value
+    val (_, s24) = Multimodal.decodePcm(wav(24, Array[Byte](
+      0x01, 0x00, 0x00,                            // 1
+      0xff.toByte, 0xff.toByte, 0xff.toByte,       // -1
+      0x00, 0x00, 0x80.toByte))).get               // -8388608
+    assert(s24.toSeq == Seq(1, -1, -8388608))
+  }
+
   test("sampleFrames covers the full payload with no byte lost or duplicated") {
     val frames = Multimodal.sampleFrames(media, 250)
     val perDoc = frames.toDF().groupBy("media_id")
