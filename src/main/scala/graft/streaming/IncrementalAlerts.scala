@@ -259,7 +259,22 @@ object IncrementalAlerts {
     * YEARS after the last one — event-time eviction would silently
     * drop exactly the long-silent cases this alert exists to catch.
     * State is bounded by case closure (the doc leaves the active dim),
-    * not by event time.
+    * not by event time. IncrementalAlertsSpec asserts the bound
+    * directly: the state store holds exactly one row per
+    * qualifying-changelog doc across runs, including the retraction.
+    *
+    * APPEND-ONCE assumption, documented: the changelog is taken as
+    * append-only — an andamento row is never RE-emitted with
+    * `pcao_dt_cancelamento` later filled in. The cancellation filter
+    * runs per arriving row, so a late cancelled re-emission would be
+    * dropped here while the original's credit stays in the max state
+    * (diverging from a batch recompute, which sees only the final
+    * version). This matches the reference's daily-snapshot source
+    * (cancelled rows simply stop appearing in the next snapshot). A
+    * true updating changelog would need state keyed by andamento id
+    * with latest-version-wins BEFORE the per-doc max — a second
+    * keyed-state layer, deliberately out of scope for the
+    * snapshot-shaped source modeled here.
     *
     * `andamentoDir` holds the exploded andamento changelog in the
     * shape PrazoSkeleton's join produces: (vist_docu_dk, stao_tppr_dk,

@@ -184,6 +184,30 @@ class IncrementalAlertsSpec extends SparkTestBase {
       spark, dir, "graft_incr_nf30", clock, ckpt)
     assert(byDoc(second) == byDoc(new graft.harness.Nf30Alert(clock).build(spark)))
     assert(byDoc(second) == Map(201 -> "NF30", 203 -> "NF120"))
+
+    // the documented no-watermark choice is SAFE because state is
+    // bounded by the qualifying-changelog doc population, not by time:
+    // exactly one state row per distinct doc that ever passed the
+    // code-set filter. Prove the bound by reading the state store
+    // itself (Spark's state data source over the same checkpoint):
+    // 201's row was out-of-code-set — filtered BEFORE the aggregate,
+    // so it must hold no state; 202's conversão does.
+    def stateDocs(): Set[Int] =
+      spark.read.format("statestore").load(ckpt)
+        .select(col("key.vist_docu_dk")).collect().map(_.getInt(0)).toSet
+    assert(stateDocs() == Set(202),
+      "state rows must be exactly the qualifying-changelog docs")
+
+    // run 3: a qualifying autuação enters one more doc into state —
+    // the bound grows with the qualifying population and ONLY with it;
+    // 203's deadline now anchors on the autuação date (elapsed 133d >
+    // 120) so its alert stays NF120, 201 untouched
+    slice(Seq((203, 6034, "2026-04-01 00:00:00")))
+    val third = IncrementalAlerts.nf30Stream(
+      spark, dir, "graft_incr_nf30", clock, ckpt)
+    assert(byDoc(third) == Map(201 -> "NF30", 203 -> "NF120"))
+    assert(stateDocs() == Set(202, 203),
+      "state must grow one row per newly-qualifying doc, no more")
     spark.sql("DROP TABLE graft_incr_nf30")
     spark.catalog.clearCache()
   }
