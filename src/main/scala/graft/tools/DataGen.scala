@@ -37,7 +37,12 @@ object DataGen {
     val spark = graft.core.GraftSession.build("graft-datagen",
       graft.core.GraftSession.envCores)
     val base = graft.core.Tables.load(spark, src, "documents")
-    val stride = 1000000L
+    val baseStats = base.agg(count(lit(1)), max(col("doc_id"))).first()
+    val baseCount = baseStats.getLong(0)
+    val maxId = baseStats.getLong(1)
+    // stride must clear every base id or copies would collide and
+    // silently break the structure-preservation guarantee
+    val stride = math.max(1000000L, maxId + 1)
     val all = (0 until copies).map { c =>
       if (c == 0) base
       else base.select(
@@ -49,9 +54,10 @@ object DataGen {
       ).withColumn("n_chars", length(col("text")).cast("long"))
         .select("doc_id", "text", "lang", "source", "n_chars")
     }.reduce(_ union _)
-    // one output file per ~50k docs keeps scan parallelism reasonable
-    // at every generated size without thousands of tiny files
-    val nFiles = math.max(4, (copies * 5000) / 50000 + 1)
+    // one output file per ~50k docs (from the OBSERVED base count, not
+    // an assumed one) keeps scan parallelism reasonable at every
+    // generated size without thousands of tiny files
+    val nFiles = math.max(4, (copies * baseCount / 50000L).toInt + 1)
     all.repartition(nFiles)
       .write.mode("overwrite")
       .parquet(new java.io.File(out, "documents.parquet").getAbsolutePath)
