@@ -310,15 +310,25 @@ object Dedup {
   }
 
   /** Session-scoped registry of materialized component tables, keyed
-    * by (corpus key, id/text cols, minhash params). [[componentsOf]]
-    * is the consumer path (compute-if-absent); [[buildComponents]] the
-    * producer path (always rebuilds). */
+    * by (SparkContext identity, corpus key, id/text cols, minhash
+    * params). [[componentsOf]] is the consumer path
+    * (compute-if-absent); [[buildComponents]] the producer path
+    * (always rebuilds). The context's applicationId is part of the key
+    * because the memoized frame's localCheckpoint blocks die with the
+    * context that wrote them — a memo hit from a stopped context would
+    * fail the consumer with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (seen
+    * when one test suite stops the session and a later one rebuilds
+    * it); a fresh context must recompute, and the handful of dead
+    * entries a restart strands hold only unreachable plans. */
   private val componentsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def componentsKey(corpusKey: String, idCol: String,
-                            textCol: String, k: Int, bands: Int): String =
-    s"$corpusKey|$idCol|$textCol|$k|$bands"
+  private def componentsKey(docs: DataFrame, corpusKey: String,
+                            idCol: String, textCol: String,
+                            k: Int, bands: Int): String = {
+    val ctx = docs.sparkSession.sparkContext.applicationId
+    s"$ctx|$corpusKey|$idCol|$textCol|$k|$bands"
+  }
 
   /** Materialized duplicate-components stage, shared by every consumer
     * of the same corpus+params. Cluster labels, canonical-survivor
@@ -343,7 +353,7 @@ object Dedup {
   def componentsOf(docs: DataFrame, corpusKey: String, idCol: String,
                    textCol: String, k: Int, bands: Int): DataFrame =
     componentsMemo.computeIfAbsent(
-      componentsKey(corpusKey, idCol, textCol, k, bands),
+      componentsKey(docs, corpusKey, idCol, textCol, k, bands),
       _ => minhashComponents(minhashSignatures(docs, idCol, textCol, k),
         idCol, k, bands).localCheckpoint(true))
 
@@ -354,7 +364,7 @@ object Dedup {
     * ride the memo it leaves behind. */
   def buildComponents(docs: DataFrame, corpusKey: String, idCol: String,
                       textCol: String, k: Int, bands: Int): DataFrame = {
-    componentsMemo.remove(componentsKey(corpusKey, idCol, textCol, k, bands))
+    componentsMemo.remove(componentsKey(docs, corpusKey, idCol, textCol, k, bands))
     componentsOf(docs, corpusKey, idCol, textCol, k, bands)
   }
 
