@@ -62,8 +62,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The headline total sums PASSING queries only: a -1.0 failure
+    // sentinel must never subtract from the total (a breakage would
+    // otherwise read as a speedup in the round-over-round comparison).
+    // Failures are reported explicitly via n_failed + failed[] so a
+    // partially-broken run can't be mistaken for a faster one.
+    val failed = results.collect { case (k, v) if v < 0.0 => k }.toSeq
+    val total = results.values.filter(_ >= 0.0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query JSON to a file as well: the driver keeps only the
     // last 2000 chars of stdout, which truncates ~25 of the 90+ query
     // timings — the file makes round-over-round comparison possible on

@@ -18,6 +18,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A crashed query must appear as a FAILURE in the correctness
+        // record, never as a silent gap: emit its output dir with an
+        // error marker (and no parquet), so any checker that iterates
+        // produced dirs reads it as "cannot read spark output" with
+        // err populated instead of skipping the query entirely.
+        val d = Paths.get(s"$outDir/$name")
+        try {
+          if (Files.isDirectory(d))
+            Files.list(d).forEach(p => { try Files.delete(p) catch { case _: Throwable => () } })
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_ERROR.txt"),
+            s"$name failed: ${e.toString}\n")
+        } catch { case _: Throwable => () }
       }
       // release operator-internal caches (caller-must-unpersist
       // contract; see Bench.scala) so 91 dumps in one JVM don't

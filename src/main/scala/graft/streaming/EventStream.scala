@@ -37,21 +37,32 @@ object EventStream {
   /** State-store partition count for these micro-batch drains. */
   val StatePartitions = 8
 
-  /** Raw parquet schema of events (ts as nano-long via nanosAsLong). */
+  /** Raw parquet schema of events (ts arrives as a nano-long via
+    * nanosAsLong, or as TIMESTAMP_NTZ from micros-encoded testdata). */
   private def rawSchema(spark: SparkSession, dir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet").schema
   }
 
-  /** Streaming source with event-time timestamp rebuilt. The file
-    * source requires a directory or glob, so address the single
-    * parquet file via a glob with the table dir as basePath. */
-  def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema(spark, dir))
+  /** Streaming source with the event-time column normalized to
+    * TimestampType (watermarks and `window()` require it), handling
+    * both on-disk encodings — see core/Tables.load. The file source
+    * requires a directory or glob, so address the single parquet file
+    * via a glob with the table dir as basePath. */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    val raw = rawSchema(spark, dir)
+    val base = spark.readStream
+      .schema(raw)
       .option("basePath", dir)
       .parquet(s"$dir/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        base.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => base
+    }
+  }
 
   /** Hourly tumbling-window counts per event type, drained to a memory
     * sink. Complete output mode so every window is emitted on drain. */

@@ -54,6 +54,11 @@ def main():
     n_pass = n_fail = 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # Registry diff: a query that crashed before producing output must
+    # read as a FAILURE, not vanish from the report.
+    for name in sorted(set(oracles) - set(names)):
+        print(f"FAIL {name}: no output produced (query crashed in Verify?)")
+        n_fail += 1
     for name in names:
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         try:
