@@ -74,6 +74,26 @@ object ExtensionQueries {
       Multimodal.pcmSampleStats(
         Multimodal.synthesizePcmWavs(Tables.load(s, dir, "documents"))).toDF()),
 
+    // REAL JPEG pixel decode via the JDK's ImageIO codec (no external
+    // library): complete baseline JPEGs of per-8x8-tile flat grayscale
+    // — the writer-quality-1.0 regime where the DC-only MCUs
+    // round-trip EXACTLY — decoded for real and cross-checked against
+    // the independent marker-walk dims. The oracle replays the tile
+    // FORMULA, so a misordered MCU, bad DC prediction, or broken
+    // Huffman walk hash-mismatches.
+    "q107_jpeg_pixels" -> ((s, dir) =>
+      Multimodal.jpegPixelStats(
+        Multimodal.synthesizeJpegs(Tables.load(s, dir, "documents"))).toDF()),
+
+    // REAL MP4 demux + JPEG frame decode: MJPEG-in-MP4 with a genuine
+    // stbl sample table (stsz per-frame sizes + stco offset); the
+    // demuxer walks moov→trak→mdia→minf→stbl — frame boundaries exist
+    // nowhere else in the file — then decodes every frame with the
+    // JDK codec. One row per frame, exact per-frame pixel stats.
+    "q108_mjpeg_frames" -> ((s, dir) =>
+      Multimodal.mjpegFrameStats(
+        Multimodal.synthesizeMjpegMp4s(Tables.load(s, dir, "documents"))).toDF()),
+
     // metadata-driven frame sampling (generator over video rows);
     // frame payload surfaced as its length so the oracle is exact
     "q46_frame_sample" -> ((s, dir) =>
@@ -218,6 +238,35 @@ object ExtensionQueries {
         |  n AS n_samples, CAST(max(abs(v)) AS INTEGER) AS peak,
         |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 6) AS rms
         |FROM s GROUP BY doc_id, sr, n""".stripMargin,
+    // replays the per-8x8-tile planting formula of buildJpeg
+    "q107_jpeg_pixels" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+        |    8 + (doc_id * 5) % 16 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    (doc_id * 31 + ((i % w) // 8) * 13 + ((i // w) // 8) * 7) % 256 AS p
+        |  FROM (SELECT doc_id, w, h,
+        |          unnest(generate_series(0, w * h - 1)) AS i FROM d))
+        |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, CAST(w * h AS INTEGER) AS n_pixels,
+        |  round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_pixel,
+        |  CAST(max(p) AS INTEGER) AS max_pixel
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // replays buildMjpegMp4: frame k's tiles shift by k * 41
+    "q108_mjpeg_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+        |    8 + (doc_id * 5) % 16 AS h, 1 + doc_id % 5 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h,
+        |    unnest(generate_series(0, nf - 1)) AS k FROM d),
+        |px AS (SELECT doc_id, k, w, h,
+        |    (doc_id * 31 + k * 41 + ((i % w) // 8) * 13
+        |     + ((i // w) // 8) * 7) % 256 AS p
+        |  FROM (SELECT doc_id, k, w, h,
+        |          unnest(generate_series(0, w * h - 1)) AS i FROM f))
+        |SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_pixel,
+        |  CAST(max(p) AS INTEGER) AS max_pixel
+        |FROM px GROUP BY doc_id, k, w, h""".stripMargin,
     "q46_frame_sample" ->
       s"""WITH media AS (
          |  SELECT doc_id AS media_id, length(text) AS len,

@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * walkers for the batched mapPartitions path. SAMPLE decode is real
   * for the codec-free formats: PNG pixels (JDK Inflater zlib + all
   * five scanline filters inverted) and PCM WAV samples (LE signed
-  * integers) — see the "real sample/pixel decode" section. Only
-  * entropy-coded payloads (JPEG pixels, MP4 frames) remain a
-  * deterministic stub: no codec library exists in this build
+  * integers) — see the "real sample/pixel decode" section — AND for
+  * baseline JPEG via the JDK's own ImageIO codec (java.desktop ships
+  * with every JRE; headless; no external library), including MJPEG
+  * frames demuxed out of an MP4 via a real stbl/stsz/stco sample-table
+  * walk — see the "real JPEG pixel decode" section. The only remaining
+  * deterministic stub is inter-frame-coded video payloads (H.264/H.265
+  * etc.): genuinely codec-bound, no decoder exists in this build
   * environment. Everything around it is real Spark plumbing:
   *  - schema: (media_id, modality, content binary, meta struct)
   *  - per-partition batched processing via `mapPartitions` on a typed
@@ -443,8 +447,10 @@ object Multimodal {
   // (id, index) formula, so a SQL oracle can state the expected
   // decoded statistics without being able to run the codec — any
   // misread byte, bad unfilter, or broken inflate hash-mismatches.
-  // After this, the only remaining decode stub is JPEG/MP4 PAYLOAD
-  // (entropy-coded; genuinely codec-bound).
+  // JPEG payloads are decoded for real too — via the JDK's own ImageIO
+  // codec (see the "real JPEG pixel decode" section below), including
+  // MJPEG frames demuxed from MP4 sample tables. The only remaining
+  // decode stub is inter-frame video codecs (H.264 etc.).
 
   case class PngStats(media_id: Long, width: Int, height: Int,
                       n_pixels: Int, mean_pixel: Double, max_pixel: Int)
@@ -765,5 +771,247 @@ object Multimodal {
         if (r.content.isEmpty) 0 else r.content(i % r.content.length))
       r.copy(content = out, meta = r.meta.copy(width = w, height = h))
     })
+  }
+
+  // ---------- real JPEG pixel decode (JDK ImageIO codec) ----------
+  //
+  // Baseline JPEG is entropy-coded, so unlike PNG/PCM it can't be
+  // decoded with Inflater-grade JDK primitives — but the JDK SHIPS a
+  // full baseline JPEG codec (javax.imageio, java.desktop module,
+  // works headless). Planted images are per-8x8-TILE flat grayscale:
+  // each JPEG MCU is a flat block, whose DCT is DC-only, and at
+  // writer quality 1.0 the DC round-trips EXACTLY (verified for 600
+  // (id, size) combinations including partial edge MCUs, where the
+  // encoder's edge replication keeps the block flat). Tile values vary
+  // per MCU, so DC DPCM prediction, the Huffman walk, and MCU raster
+  // order are all exercised — a decoder that misorders or mispredicts
+  // blocks hash-mismatches, while the formula-replay SQL oracle stays
+  // integer-exact. The same planted frames demuxed out of an MP4
+  // exercise a REAL sample-table walk (moov→trak→mdia→minf→stbl,
+  // stsz sizes + stco chunk offset), the way any MP4 demuxer finds
+  // frame byte ranges — no marker scanning over the mdat.
+
+  case class JpegStats(media_id: Long, width: Int, height: Int,
+                       n_pixels: Int, mean_pixel: Double, max_pixel: Int)
+  case class MjpegFrame(media_id: Long, frame_idx: Int, width: Int,
+                        height: Int, mean_pixel: Double, max_pixel: Int)
+
+  // ImageIO per-task hygiene: never spill codec scratch to temp files.
+  // AWT on a DISPLAY-less executor needs headless mode pinned before
+  // the first toolkit touch.
+  private lazy val imageIoReady: Boolean = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Planted-tile formula shared by the builders and the oracles:
+    * grayscale value of the 8x8 MCU at (bx, by) of image `id`, frame
+    * `k` (k = 0 for still images). */
+  private def jpegTile(id: Long, k: Int, bx: Int, by: Int): Int =
+    ((id * 31 + k * 41 + bx * 13 + by * 7) % 256).toInt
+  private def jpegW(id: Long): Int = (8 + id % 24).toInt
+  private def jpegH(id: Long): Int = (8 + (id * 5) % 16).toInt
+  private def mjpegFrameCount(id: Long): Int = (1 + id % 5).toInt
+
+  /** Encode one grayscale tiled image as a COMPLETE baseline JPEG with
+    * the JDK codec at quality 1.0 (the exact-round-trip regime). */
+  private[graft] def buildJpeg(id: Long, k: Int = 0): Array[Byte] = {
+    require(imageIoReady)
+    val w = jpegW(id); val h = jpegH(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, jpegTile(id, k, x / 8, y / 8))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL JPEG pixel decode via the JDK codec, cross-checked against
+    * [[parseDims]]'s independent marker walk: the two decoders must
+    * agree on dimensions or the row is rejected — a header-walk bug
+    * can't hide behind ImageIO, nor vice versa. Returns grayscale
+    * samples row-major; None for anything that isn't a decodable
+    * grayscale JPEG. */
+  private[graft] def decodeJpeg(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    require(imageIoReady)
+    val walked = parseDims(b) match {
+      case Some(("jpeg", w, h)) => Some((w, h))
+      case _ => None
+    }
+    walked.flatMap { case (w, h) =>
+      // ImageIO throws (not null-returns) on truncated/corrupt streams
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth != w || img.getHeight != h) None
+      else {
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = img.getRaster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    }
+  }
+
+  /** Synthetic table of COMPLETE valid baseline JPEGs (see
+    * [[buildJpeg]]); any JPEG tool can open these files. A typed map,
+    * not an expression: entropy coding is codec work, the exact thing
+    * the batched mapPartitions path exists for. */
+  def synthesizeJpegs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, buildJpeg(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Registered-query surface over [[decodeJpeg]]: per image, the
+    * dual-decoder-verified dimensions and exact pixel statistics
+    * (integer pixel sum → double division, replayed by the oracle from
+    * the tile formula). */
+  def jpegPixelStats(media: DataFrame): Dataset[JpegStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeJpeg(bytes).map { case (w, h, px) =>
+          var sum = 0L; var mx = 0
+          px.foreach { v => sum += v; if (v > mx) mx = v }
+          JpegStats(id, w, h, w * h, round6(sum.toDouble / (w * h)), mx)
+        }
+      })
+  }
+
+  /** Build a COMPLETE MJPEG-in-MP4: ftyp + a moov whose
+    * trak→mdia→minf→stbl carries a REAL stsz (per-frame byte sizes)
+    * and stco (absolute mdat payload offset), then an mdat holding the
+    * concatenated JPEG frames. The demuxer must walk the sample table
+    * — frame boundaries appear nowhere else. */
+  private[graft] def buildMjpegMp4(id: Long): Array[Byte] = {
+    val frames = (0 until mjpegFrameCount(id)).map(k => buildJpeg(id, k))
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII"))
+    // mvhd v0: timescale = 600 ticks/s, duration = one tick per frame
+    // per 1/30 s (600/30 = 20 ticks each)
+    val mvhd = box("mvhd", Array.fill[Byte](12)(0) ++
+      be32(600) ++ be32(frames.length * 20L) ++ Array.fill[Byte](80)(0))
+    val stsz = box("stsz", Array.fill[Byte](4)(0) ++ be32(0) ++
+      be32(frames.length.toLong) ++
+      frames.flatMap(f => be32(f.length.toLong)).toArray)
+    def stcoWith(offset: Long) = box("stco",
+      Array.fill[Byte](4)(0) ++ be32(1) ++ be32(offset))
+    // moov size doesn't depend on the stco VALUE (fixed 4-byte field),
+    // so build once with 0 to learn the layout, then rebuild with the
+    // true absolute offset of the mdat payload
+    def moovWith(offset: Long) = box("moov", mvhd ++
+      box("trak", box("mdia", box("minf", box("stbl", stsz ++ stcoWith(offset))))))
+    val mdatPayloadAt = ftyp.length + moovWith(0).length + 8L
+    val mdat = box("mdat", frames.flatten.toArray)
+    ftyp ++ moovWith(mdatPayloadAt) ++ mdat
+  }
+
+  /** REAL MP4 MJPEG demux + decode: recursive box descent
+    * moov→trak→mdia→minf→stbl, stsz sample sizes + stco chunk offset,
+    * each sliced frame decoded with [[decodeJpeg]] (which itself
+    * cross-checks the marker walk). None if any box is missing, any
+    * frame range falls outside the mdat, or any frame fails to
+    * decode — a half-broken file yields no rows, not wrong rows. */
+  private[graft] def decodeMjpeg(b: Array[Byte]): Option[Seq[(Int, Int, Int, Array[Int])]] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+      (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def cc(i: Int) = new String(b.slice(i, i + 4), "US-ASCII")
+    def find(target: String, from: Int, until: Int): Int = {
+      var pos = from
+      while (pos + 8 <= until) {
+        if (cc(pos + 4) == target) return pos
+        val sz = be32(pos)
+        if (sz < 8) return -1
+        pos += sz.toInt
+      }
+      -1
+    }
+    if (b.length < 16 || cc(4) != "ftyp") return None
+    var stbl = find("moov", 0, b.length)
+    val descent = Seq("trak", "mdia", "minf", "stbl").iterator
+    while (stbl >= 0 && descent.hasNext)
+      stbl = find(descent.next(), stbl + 8, stbl + be32(stbl).toInt min b.length)
+    if (stbl < 0) return None
+    val stblEnd = stbl + be32(stbl).toInt min b.length
+    val stsz = find("stsz", stbl + 8, stblEnd)
+    val stco = find("stco", stbl + 8, stblEnd)
+    val mdat = find("mdat", 0, b.length)
+    if (stsz < 0 || stco < 0 || mdat < 0) return None
+    val n = be32(stsz + 16).toInt
+    // size entries must fit inside the stsz box — a lying sample_count
+    // must reject, not read out of bounds
+    if (n < 0 || stsz + 20 + 4L * n > stblEnd) return None
+    if (be32(stco + 12) != 1) return None // single-chunk layout planted
+    var off = be32(stco + 16)
+    val mdatEnd = mdat + be32(mdat)
+    val out = Vector.newBuilder[(Int, Int, Int, Array[Int])]
+    var k = 0
+    while (k < n) {
+      val sz = be32(stsz + 20 + 4 * k)
+      if (off + sz > mdatEnd || off + sz > b.length) return None
+      decodeJpeg(b.slice(off.toInt, (off + sz).toInt)) match {
+        case Some((w, h, px)) => out += ((k, w, h, px))
+        case None => return None
+      }
+      off += sz
+      k += 1
+    }
+    Some(out.result())
+  }
+
+  /** Synthetic table of COMPLETE MJPEG MP4s (see [[buildMjpegMp4]]). */
+  def synthesizeMjpegMp4s(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, buildMjpegMp4(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Registered-query surface over [[decodeMjpeg]]: one row per demuxed
+    * frame with exact pixel statistics — the generator shape of
+    * [[sampleFrames]], but over REAL frames found via the sample table
+    * and decoded with a real codec. */
+  def mjpegFrameStats(media: DataFrame): Dataset[MjpegFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeMjpeg(bytes).toSeq.flatten.map { case (k, w, h, px) =>
+          var sum = 0L; var mx = 0
+          px.foreach { v => sum += v; if (v > mx) mx = v }
+          MjpegFrame(id, k, w, h, round6(sum.toDouble / (w * h)), mx)
+        }
+      })
   }
 }

@@ -260,4 +260,60 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     assert(perDoc == expected)
   }
+
+  // planted per-8x8-tile formula, restated independently of the builder
+  private def tileVal(id: Long, k: Int, x: Int, y: Int): Int =
+    ((id * 31 + k * 41 + (x / 8) * 13 + (y / 8) * 7) % 256).toInt
+
+  test("JPEG pixel decode round-trips the planted tiles exactly (JDK codec)") {
+    (0L to 19L).foreach { id =>
+      val (w, h, px) = Multimodal.decodeJpeg(Multimodal.buildJpeg(id))
+        .getOrElse(fail(s"id=$id did not decode"))
+      assert(w == 8 + (id % 24).toInt && h == 8 + (id * 5 % 16).toInt)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == tileVal(id, 0, x, y), s"id=$id pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG decode rejects truncated and non-JPEG input instead of throwing") {
+    val good = Multimodal.buildJpeg(5L)
+    assert(Multimodal.decodeJpeg(good).isDefined)
+    assert(Multimodal.decodeJpeg(good.dropRight(good.length / 2)).isEmpty)
+    assert(Multimodal.decodeJpeg(Multimodal.buildPng(5L)).isEmpty,
+      "a PNG must not pass the JPEG path")
+  }
+
+  test("MJPEG demux walks the sample table; every frame decodes to its formula") {
+    (0L to 9L).foreach { id =>
+      val frames = Multimodal.decodeMjpeg(Multimodal.buildMjpegMp4(id))
+        .getOrElse(fail(s"id=$id did not demux"))
+      assert(frames.length == 1 + (id % 5).toInt)
+      frames.foreach { case (k, w, h, px) =>
+        assert(w == 8 + (id % 24).toInt && h == 8 + (id * 5 % 16).toInt)
+        for (y <- 0 until h; x <- 0 until w)
+          assert(px(y * w + x) == tileVal(id, k, x, y), s"id=$id frame $k ($x,$y)")
+      }
+    }
+  }
+
+  test("MJPEG demux refuses a corrupted sample table (no garbage rows)") {
+    val good = Multimodal.buildMjpegMp4(7L) // 3 frames
+    assert(Multimodal.decodeMjpeg(good).isDefined)
+    // find stsz and inflate frame 0's recorded size so the slice walks
+    // into frame 1's bytes — the demuxer must reject, not emit garbage
+    val pat = "stsz".getBytes("US-ASCII")
+    val stsz = good.indices.indexWhere(i =>
+      i + 4 <= good.length && pat.indices.forall(j => good(i + j) == pat(j)))
+    assert(stsz > 0)
+    // `stsz` here is the TYPE position (box start + 4): entries begin
+    // at +16 from it; inflate frame 0's recorded size so the slice
+    // overruns the mdat
+    val bad = good.clone()
+    bad(stsz + 16) = (bad(stsz + 16) | 0x40).toByte
+    assert(Multimodal.decodeMjpeg(bad).isEmpty)
+    // and a lying sample_count must reject, not read out of bounds
+    val bad2 = good.clone()
+    bad2(stsz + 12 + 2) = (bad2(stsz + 12 + 2) | 0x40).toByte
+    assert(Multimodal.decodeMjpeg(bad2).isEmpty)
+  }
 }

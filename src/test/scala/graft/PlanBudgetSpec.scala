@@ -40,7 +40,11 @@ class PlanBudgetSpec extends SparkTestBase {
     // the producer's RESULT plan is a materialized-block scan; a
     // nonzero exchange count would mean the memoized components stage
     // stopped truncating lineage
-    "q67_dedup_clusters"    -> (0, 1))
+    "q67_dedup_clusters"    -> (0, 1),
+    // codec pipelines are scan → mapPartitions chains: decode work
+    // must spread over scan partitions with NO shuffle ever appearing
+    "q107_jpeg_pixels"      -> (0, 1),
+    "q108_mjpeg_frames"     -> (0, 1))
 
   budgets.foreach { case (name, (measured, ceiling)) =>
     test(s"$name stays within $ceiling exchanges (measured $measured)") {
