@@ -34,8 +34,14 @@ object EventStream {
     try f finally spark.conf.set(key, old)
   }
 
-  /** State-store partition count for these micro-batch drains. */
-  val StatePartitions = 8
+  /** State-store partition count for these micro-batch drains.
+    * Default 8 tracks the tiny test-SF state; `GRAFT_STATE_PARTITIONS`
+    * overrides for scale sweeps — unlike shuffle partitions, this
+    * CANNOT be AQE-coalesced after the fact (state stores pin their
+    * partitioning at first checkpoint), so at 100 TB it is sized to
+    * state volume up front (see SCALE.md "Streaming state"). */
+  def StatePartitions: Int =
+    sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "8").toInt
 
   /** Raw parquet schema of events (ts arrives as a nano-long via
     * nanosAsLong, or as TIMESTAMP_NTZ from micros-encoded testdata). */

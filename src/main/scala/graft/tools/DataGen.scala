@@ -28,14 +28,64 @@ import org.apache.spark.sql.functions._
   *  - `lang`/`source` carry over; `n_chars` is recomputed from the
   *    rewritten text.
   *
-  * Usage: runMain graft.tools.DataGen <srcSfDir> <outDir> <copies>
+  * The optional 4th arg picks the tables ("documents", "events", or a
+  * comma list; default documents). The `events` scale-up follows the
+  * same structure-preserving rule for STREAMING state: copy c shifts
+  * `event_id` and `user_id` by a stride that clears the base ranges,
+  * and keeps `ts` UNTOUCHED — so the event-time axis (window count,
+  * watermark frontier, session gap structure) is identical at every
+  * scale and only the KEY cardinality grows N×. Super-linear growth in
+  * a streaming drain can then only come from state-store behavior,
+  * never from the data getting temporally harder.
+  *
+  * Usage: runMain graft.tools.DataGen <srcSfDir> <outDir> <copies> [tables]
   */
 object DataGen {
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val copies = args(2).toInt
     require(copies >= 1, "copies must be >= 1")
+    val tables: Seq[String] =
+      (if (args.length > 3) args(3) else "documents").split(",").toSeq
     val spark = graft.core.GraftSession.build("graft-datagen",
       graft.core.GraftSession.envCores)
+    if (tables.contains("documents")) scaleDocuments(spark, src, out, copies)
+    if (tables.contains("events")) scaleEvents(spark, src, out, copies)
+    spark.stop()
+    sys.exit(0)
+  }
+
+  private def scaleEvents(spark: org.apache.spark.sql.SparkSession,
+                          src: String, out: String, copies: Int): Unit = {
+    val base = graft.core.Tables.load(spark, src, "events")
+    val stats = base.agg(count(lit(1)), max(col("event_id")), max(col("user_id"))).first()
+    val baseCount = stats.getLong(0)
+    val idStride = math.max(1000000L, stats.getLong(1) + 1)
+    val userStride = math.max(1000000L, stats.getLong(2) + 1)
+    val all = (0 until copies).map { c =>
+      if (c == 0) base
+      else base.select(
+        (col("event_id") + lit(c * idStride)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(c * userStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ union _)
+    val nFiles = math.max(4, (copies * baseCount / 200000L).toInt + 1)
+    all.repartition(nFiles)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(out, "events.parquet").getAbsolutePath)
+    val n = spark.read.parquet(
+      new java.io.File(out, "events.parquet").getAbsolutePath).count()
+    // the broadcast dimension stays base-sized on purpose: at 100 TB
+    // the fact stream grows, the dimension doesn't — stream-static
+    // enrichment must be measured against a FIXED dim
+    graft.core.Tables.load(spark, src, "customer")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(out, "customer.parquet").getAbsolutePath)
+    println(s"DATAGEN wrote $n events ($copies copies) to $out")
+  }
+
+  private def scaleDocuments(spark: org.apache.spark.sql.SparkSession,
+                             src: String, out: String, copies: Int): Unit = {
     val base = graft.core.Tables.load(spark, src, "documents")
     val baseStats = base.agg(count(lit(1)), max(col("doc_id"))).first()
     val baseCount = baseStats.getLong(0)
@@ -64,7 +114,5 @@ object DataGen {
     val n = spark.read.parquet(
       new java.io.File(out, "documents.parquet").getAbsolutePath).count()
     println(s"DATAGEN wrote $n docs ($copies copies) to $out")
-    spark.stop()
-    sys.exit(0)
   }
 }
