@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{CorpusPipeline, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Sampling, Similarity, TextAnalysis, UrlNormalize}
 import graft.functions.PortableHash
 
 /** Training-data-pipeline operator inventory (dedup / similarity /
@@ -60,6 +60,16 @@ object PipelineQueries {
     // pipeline; digests shuffle, prose crosses the wire once
     "q104_segment_dedup" -> ((s, dir) =>
       Dedup.segmentDedup(docs(s, dir), "doc_id", "text", windowWords = 10)),
+
+    // URL canonicalization + URL-level dedup — the first gate of a
+    // web-crawl pipeline (drops records without touching bodies).
+    // Four planted presentation variants per base URL (case, default
+    // port, trailing slash, query order, fragment); the oracle states
+    // the canonical form from the planting formula, so any
+    // canonicalization rule the expressions get wrong hash-mismatches.
+    "q109_url_dedup" -> ((s, dir) =>
+      UrlNormalize.dedupByUrl(
+        UrlNormalize.synthesizeUrls(docs(s, dir)), "url")),
 
     "q32_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK)),
@@ -545,6 +555,14 @@ object PipelineQueries {
     "q31_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // states the canonical URL from the planting formula — does NOT
+    // re-run the canonicalizer
+    "q109_url_dedup" ->
+      """SELECT 'https://example' || ((doc_id // 4) % 50) || '.com/p/'
+        |    || (doc_id // 4) || '?a=' || ((doc_id // 4) % 5)
+        |    || '&b=' || ((doc_id // 4) % 7) AS url_canon,
+        |  min(doc_id) AS canonical_doc, count(*) AS n_dupes
+        |FROM documents GROUP BY doc_id // 4""".stripMargin,
     "q104_segment_dedup" ->
       """WITH segs AS (
         |  SELECT doc_id, n_segments, CAST(i AS INTEGER) AS pos,

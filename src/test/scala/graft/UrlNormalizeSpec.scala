@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.UrlNormalize
+
+/** Canonicalization rules pinned on hand-written URLs NOT produced by
+  * the synthesizer, then the synthesizer's four presentation variants
+  * pinned to collapse onto one canonical form per base. */
+class UrlNormalizeSpec extends SparkTestBase {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("url").select(UrlNormalize.canonicalize(col("url"))).
+      collect().map(_.getString(0)).toSeq
+  }
+
+  test("each canonicalization rule, on URLs the synthesizer never emits") {
+    val cases = Seq(
+      // scheme + host case, default http port, fragment
+      "HTTP://WWW.Foo.COM:80/a/b?z=1&a=2#frag" -> "http://www.foo.com/a/b?a=2&z=1",
+      // trailing slash stripped on non-root path
+      "https://foo.com/a/b/" -> "https://foo.com/a/b",
+      // root path kept; empty path becomes root
+      "https://foo.com/" -> "https://foo.com/",
+      "https://foo.com" -> "https://foo.com/",
+      // NON-default port survives; :443 is only default for https
+      "https://foo.com:8443/x" -> "https://foo.com:8443/x",
+      "http://foo.com:443/x" -> "http://foo.com:443/x",
+      "https://foo.com:443/x" -> "https://foo.com/x",
+      // query-less URL gets no '?'; single param untouched
+      "https://foo.com/x?b=2" -> "https://foo.com/x?b=2",
+      // fragment-only difference collapses
+      "https://foo.com/x?a=1#top" -> "https://foo.com/x?a=1")
+    cases.foreach { case (in, want) =>
+      assert(canon(in) == Seq(want), s"for $in")
+    }
+  }
+
+  test("all four planted presentation variants collapse to one canonical form") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    val out = UrlNormalize.dedupByUrl(UrlNormalize.synthesizeUrls(docs), "url")
+    assert(out.count() == 10)
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dupes") == 4, r.toString)
+      val canonicalDoc = r.getAs[Long]("canonical_doc")
+      assert(canonicalDoc % 4 == 0, "min doc of each group is the v0 id")
+      val base = canonicalDoc / 4
+      assert(r.getAs[String]("url_canon") ==
+        s"https://example${base % 50}.com/p/$base?a=${base % 5}&b=${base % 7}")
+    }
+  }
+
+  test("the canonicalization plan is pure codegen'd expressions — no UDF, no shuffle before the dedup agg") {
+    import spark.implicits._
+    val docs = (0L until 8L).toDF("doc_id")
+    val df = UrlNormalize.synthesizeUrls(docs)
+      .select(UrlNormalize.canonicalize(col("url")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    assert(!plan.contains("Exchange"))
+  }
+}
