@@ -701,34 +701,56 @@ object Multimodal {
       })
   }
 
-  /** DECODER — real for image headers, PNG pixels, and PCM samples;
-    * deterministic-fake stats only for entropy-coded payloads (JPEG,
-    * MP4): rows with a genuine PNG/JPEG header get their true parsed
-    * dimensions in the feature vector (positions 3/4); rows with a
-    * genuine PCM WAV payload get (rms, peak) there instead; anything
-    * else keeps the byte-stat stub. */
+  /** DECODER — real decode FIRST, deterministic stand-in only as the
+    * fallback: a payload that fully decodes (PNG via the Inflater
+    * path, JPEG via the JDK codec) yields its TRUE pixel mean/variance
+    * and verified dimensions; a genuine PCM WAV payload yields real
+    * (rms, peak); a row with only a valid header (e.g. a fake
+    * entropy-coded body, as q45's synthesizer plants) gets its parsed
+    * dims with byte-stat features; anything else keeps the byte-stat
+    * stub end to end. The fallback ladder is the honest shape of a
+    * production ingest: decode what decodes, never drop the row. */
   // half-up for non-negative values, matching SQL round() tie semantics
   private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def pixelStats(px: Array[Int]): (Double, Double) = {
+    var sum = 0L; var sumSq = 0L
+    px.foreach { v => sum += v; sumSq += v.toLong * v }
+    val mean = sum.toDouble / px.length
+    (mean, sumSq.toDouble / px.length - mean * mean)
+  }
 
   private def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
       val bytes = r.content
       val n = bytes.length
-      val mean = if (n == 0) 0.0 else bytes.map(_ & 0xff).sum.toDouble / n
-      val variance =
-        if (n == 0) 0.0 else bytes.map(b => math.pow((b & 0xff) - mean, 2)).sum / n
-      val (w, h) = parseDims(bytes) match {
-        case Some((_, pw, ph)) => (pw.toDouble, ph.toDouble)
-        case None => decodePcm(bytes) match {
-          case Some((_, s)) if s.nonEmpty =>
-            var sumSq = 0L; var peak = 0
-            s.foreach { v => sumSq += v.toLong * v
-              val a = math.abs(v); if (a > peak) peak = a }
-            (round6(math.sqrt(sumSq.toDouble / s.length)), peak.toDouble)
-          case _ => (r.meta.width.toDouble, r.meta.height.toDouble)
-        }
+      def byteMean = if (n == 0) 0.0 else bytes.map(_ & 0xff).sum.toDouble / n
+      def byteVar =
+        if (n == 0) 0.0 else bytes.map(b => math.pow((b & 0xff) - byteMean, 2)).sum / n
+      val fullyDecoded: Option[(Int, Int, Array[Int])] = parseDims(bytes) match {
+        case Some(("png", _, _)) =>
+          decodePng(bytes).map { case (w, h, px) => (w, h, px.map(_ & 0xff)) }
+        case Some(("jpeg", _, _)) => decodeJpeg(bytes)
+        case _ => None
       }
-      val features = Array(n.toDouble, round6(mean), round6(variance), w, h)
+      val features = fullyDecoded match {
+        case Some((w, h, px)) if px.nonEmpty =>
+          val (mean, variance) = pixelStats(px)
+          Array(n.toDouble, round6(mean), round6(variance), w.toDouble, h.toDouble)
+        case _ =>
+          val (w, h) = parseDims(bytes) match {
+            case Some((_, pw, ph)) => (pw.toDouble, ph.toDouble)
+            case None => decodePcm(bytes) match {
+              case Some((_, s)) if s.nonEmpty =>
+                var sumSq = 0L; var peak = 0
+                s.foreach { v => sumSq += v.toLong * v
+                  val a = math.abs(v); if (a > peak) peak = a }
+                (round6(math.sqrt(sumSq.toDouble / s.length)), peak.toDouble)
+              case _ => (r.meta.width.toDouble, r.meta.height.toDouble)
+            }
+          }
+          Array(n.toDouble, round6(byteMean), round6(byteVar), w, h)
+      }
       MediaFeatures(r.media_id, r.modality, n, features)
     }
 

@@ -296,6 +296,29 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("extractFeatures decodes REAL payloads for real: pixel stats, not byte stats") {
+    import spark.implicits._
+    val rows = (0L to 4L).map(id => Multimodal.MediaRow(
+      id, "image", Multimodal.buildPng(id),
+      Multimodal.MediaMeta(0, 0, 0, 0))) ++
+      (5L to 9L).map(id => Multimodal.MediaRow(
+        id, "image", Multimodal.buildJpeg(id),
+        Multimodal.MediaMeta(0, 0, 0, 0)))
+    val feats = Multimodal.extractFeatures(rows.toDF())
+      .collect().map(f => f.media_id -> f.features).toMap
+    rows.foreach { r =>
+      val (w, h, px) =
+        (Multimodal.decodePng(r.content).map { case (a, b, p) => (a, b, p.map(_ & 0xff)) }
+          orElse Multimodal.decodeJpeg(r.content)).get
+      val f = feats(r.media_id)
+      val mean = px.map(_.toDouble).sum / px.length
+      assert(f(3) == w && f(4) == h, s"id=${r.media_id} dims")
+      assert(math.abs(f(1) - mean) < 1e-6,
+        s"id=${r.media_id}: feature mean ${f(1)} != true pixel mean $mean — " +
+          "byte stats leaked into a decodable payload")
+    }
+  }
+
   test("MJPEG demux refuses a corrupted sample table (no garbage rows)") {
     val good = Multimodal.buildMjpegMp4(7L) // 3 frames
     assert(Multimodal.decodeMjpeg(good).isDefined)
