@@ -388,4 +388,34 @@ object TextAnalysis {
            |  i -> CAST(conv(substr(md5(substr($t, i, 8)), 1, 15), 16, 10) AS BIGINT)))""".stripMargin)
         .as("fp_min_8gram"))
   }
+
+  /** Corpus-wide heavy hitters (tokens with frequency > `support` of
+    * all token occurrences) via the production two-pass pattern:
+    * sketch-PRUNE then exact-VERIFY.
+    *
+    * Pass 1 uses Spark's `stat.freqItems` (the Karp/Misra-Gries
+    * streaming summary): its result is guaranteed to be a SUPERSET of
+    * every token above the support threshold, with at most 1/support
+    * candidates — driver-side state is O(1/support), never
+    * vocabulary-sized. Pass 2 counts ONLY the candidates exactly (a
+    * broadcast IN-list of ≤ 1/support literals reaches the scan as a
+    * pushed filter) and keeps those strictly above the threshold, so
+    * the OUTPUT IS EXACT — the sketch only decides what gets counted,
+    * never what gets reported. At 100 TB this is the difference
+    * between shuffling a vocabulary-sized aggregation and shuffling
+    * counts for ≤ 1/support tokens; the false-positive candidates cost
+    * one exact count each and are filtered by the verify pass. */
+  def heavyHitters(df: DataFrame, textCol: String,
+                   support: Double): DataFrame = {
+    val tokens = df.select(explode(split(col(textCol), " ")).as("token"))
+    // one pass for the total, one for the summary (both count-shaped);
+    // a single combined pass is possible with observe() but obscures
+    // the two-phase structure this operator exists to demonstrate
+    val total = tokens.count()
+    val candidates = tokens.stat.freqItems(Seq("token"), support)
+      .head.getSeq[String](0)
+    tokens.filter(col("token").isin(candidates: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(support * total))
+  }
 }

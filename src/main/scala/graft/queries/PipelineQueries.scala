@@ -18,6 +18,7 @@ object PipelineQueries {
   val MinhashBands = 2
   val NgramN = 3
   val NgramMaxDocFreq = 20
+  val HeavySupport = 0.02
   val NgramMinJaccard = 0.1
   val SimhashMaxHamming = 4
   val TopK = 5
@@ -167,6 +168,13 @@ object PipelineQueries {
     // in the shuffle
     "q94_ngram_lm" -> ((s, dir) =>
       TextAnalysis.ngramLmScore(docs(s, dir), "doc_id", "text")),
+
+    // corpus-wide heavy hitters via sketch-prune + exact-verify
+    // (TextAnalysis.heavyHitters): freqItems candidates (superset
+    // guarantee, <= 1/support of them) exactly counted and filtered —
+    // output is exact, so the oracle is the plain exact SQL
+    "q110_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir), "text", HeavySupport)),
 
     // cross-run incremental dedup (Dedup.incrementalDedup): new batch
     // probed against the SEEN corpus's compact state tables (content
@@ -693,6 +701,13 @@ object PipelineQueries {
       "documents", "doc_id", "source", "n_chars",
       TokenMixWeights, TokenMixTotal,
       selectCols = "doc_id, source, n_chars"),
+    // exact heavy hitters: the sketch only prunes, never reports, so
+    // the oracle is the plain exact aggregation
+    "q110_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+         |           FROM documents)
+         |SELECT token, count(*) AS cnt FROM t GROUP BY token
+         |HAVING count(*) > $HeavySupport * (SELECT count(*) FROM t)""".stripMargin,
     "q98_corpus_stats" ->
       // CAST(sum AS BIGINT): DuckDB integer sums widen to HUGEINT,
       // which the comparator can't hash against Spark's long

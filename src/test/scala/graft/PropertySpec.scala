@@ -211,4 +211,30 @@ class PropertySpec extends SparkTestBase {
     assert(base == repart)
     assert(base.nonEmpty)
   }
+
+  test("heavyHitters: sketch prunes, never reports — output equals the exact aggregation") {
+    import spark.implicits._
+    // skewed planted corpus: token "hot_i" appears (10-i)*40 times,
+    // plus a long tail of singletons; support 0.05 puts a cutoff
+    // strictly between hot ranks — the exact answer is known
+    val rows =
+      (0 until 10).flatMap(i => Seq.fill((10 - i) * 40)(s"hot_$i")) ++
+        (0 until 800).map(j => s"tail_$j")
+    val docs = rows.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val support = 0.05
+    val got = graft.operators.TextAnalysis.heavyHitters(docs, "text", support)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = rows.size
+    val exact = rows.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      .filter(_._2 > support * total)
+    assert(got == exact, s"got=$got exact=$exact")
+    assert(got.nonEmpty && !got.keys.exists(_.startsWith("tail_")))
+    // partition-invariance: the two-pass result is a data property
+    val repart = graft.operators.TextAnalysis
+      .heavyHitters(docs.repartition(7), "text", support)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(repart == exact)
+  }
 }
