@@ -85,6 +85,12 @@ object Bench {
     // already-computed results.
     try spark.stop() catch { case _: Throwable => () }
     println(line)
+    // The driver keeps only the LAST 2000 stdout chars; the full line's
+    // per-query map overflows that, leaving the driver's parsed record
+    // null (seen in BENCH_r07). Print a short summary line LAST — it
+    // always fits the tail, and carries every headline field; the
+    // complete per-query record lives in bench_full.json above.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"n_queries":${results.size},"sf":"$sfDir","queries_in":"bench_full.json"}""")
     // forked JVM: exit deterministically once the JSON line is out —
     // leftover non-daemon threads from streaming drains otherwise keep
     // the process alive long after the harness has its result

@@ -25,8 +25,11 @@ object Verify {
         // err populated instead of skipping the query entirely.
         val d = Paths.get(s"$outDir/$name")
         try {
-          if (Files.isDirectory(d))
-            Files.list(d).forEach(p => { try Files.delete(p) catch { case _: Throwable => () } })
+          if (Files.isDirectory(d)) {
+            val ls = Files.list(d)
+            try ls.forEach(p => { try Files.delete(p) catch { case _: Throwable => () } })
+            finally ls.close()
+          }
           Files.createDirectories(d)
           Files.writeString(d.resolve("_ERROR.txt"),
             s"$name failed: ${e.toString}\n")
@@ -49,7 +52,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle set restricted to what actually ran: with an `only` subset
+    // the checker's missing-output loop must not report every skipped
+    // query as FAIL during local iteration
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     try spark.stop() catch { case _: Throwable => () }

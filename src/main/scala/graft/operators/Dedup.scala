@@ -81,7 +81,7 @@ object Dedup {
     * reduces each input partition to (doc, k mins) map-side and the
     * only shuffle carries k longs per doc — at 100 TB that is the
     * difference between shuffling the tokenized corpus and shuffling
-    * a signature table. (Contrast [[simhash32]], where duplicates DO
+    * a signature table. (Contrast [[simhash60]], where duplicates DO
     * change the bit sums and the distinct is semantic.) */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame = {
@@ -137,46 +137,116 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** 32-bit SimHash signature over the distinct word set: bit j of the
+  /** SimHash signature width and banding. 60 bits is the widest
+    * signature the portable hash backend supports ([[hash60]] — a
+    * 16-hex-char md5 prefix would overflow DuckDB's signed BIGINT
+    * cast, killing the oracle), banded into four 15-bit chunks. The
+    * chunk VALUE space is what bounds candidate generation: 2^15 =
+    * 32,768 buckets per chunk vs the 256 an 8-bit chunking has, so
+    * expected random-collision pairs are n²/2^15 per chunk instead of
+    * n²/2^8 — the difference between a fixed 1,024-bucket space that
+    * goes quadratic on any large corpus and one that a per-bucket cap
+    * ([[simhashPairs]]) keeps linear. */
+  final val SimhashBits = 60
+  final val SimhashChunks = 4
+  final val SimhashChunkBits: Int = SimhashBits / SimhashChunks // 15
+  final val SimhashChunkMask: Int = (1 << SimhashChunkBits) - 1 // 32767
+
+  /** 60-bit SimHash signature over the distinct word set: bit j of the
     * signature is set iff the sum over words of ±1 (word-hash bit j) is
-    * positive. Single explode + one aggregate with 32 sums. */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * positive. Single explode + one aggregate with 60 sums. */
+  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .distinct()
-      .withColumn("h", hash32(col("w")))
-    val bitSums = (0 until 32).map { j =>
+      .withColumn("h", hash60(col("w")))
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s_$j")
     }
     val agg = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 32).map { j =>
+    val sig = (0 until SimhashBits).map { j =>
       shiftleft(when(col(s"s_$j") > 0, 1L).otherwise(0L), j)
     }.reduce(_ + _)
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 32-bit signature into four 8-bit
-    * chunks; docs sharing any chunk are candidates; keep pairs with
-    * Hamming distance ≤ maxHamming. */
+  /** Buckets dropped by the most recent [[simhashPairs]] cap — the
+    * quadratic-blowup tripwire. Diagnostic only (same contract as
+    * [[lastCcRounds]]). */
+  @volatile var lastSimhashDroppedBuckets: Long = -1
+
+  /** SimHash near-dup pairs: band the 60-bit signature into four
+    * 15-bit chunks; docs sharing any chunk value are candidates; keep
+    * pairs with Hamming distance ≤ maxHamming.
+    *
+    * Recall contract (pigeonhole): `maxHamming ≤ 3` differing bits
+    * cannot touch all four chunks, so at least one chunk matches
+    * exactly and the banding is EXACT — every qualifying pair is
+    * emitted (modulo the bucket cap below). Above 3 the operator is a
+    * heuristic-recall candidate generator like any LSH scheme (the
+    * Manku/WWW'07 full guarantee for larger k needs C(chunks, k)
+    * block-union tables — not worth the table blowup here when the
+    * cluster path [[minhashComponents]] covers coarser similarity).
+    *
+    * `maxBucket` is the quadratic-blowup guard: any (chunk, value)
+    * bucket with more than `maxBucket` members is DROPPED from
+    * candidate generation (its count is logged and recorded in
+    * [[lastSimhashDroppedBuckets]]), so a degenerate corpus — all-same
+    * boilerplate, a hash-flooding adversary — costs O(n) skipped rows
+    * instead of O(bucket²) pairs. Members of a dropped bucket can
+    * still pair through their three other chunks (a true near-dup at
+    * hamming ≤ maxHamming almost surely shares several chunks), which
+    * is why a cap is safe where an all-pairs gate would not be. The
+    * cap is part of the operator SPEC (the oracle applies the same
+    * rule), not a best-effort heuristic. */
   def simhashPairs(sigs: DataFrame, idCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
     val chunked = sigs.select(
       col(idCol) +: col("simhash") +:
-        (0 until 4).map(c => shiftright(col("simhash"), c * 8).bitwiseAND(255).as(s"c_$c")): _*)
+        (0 until SimhashChunks).map(c =>
+          shiftright(col("simhash"), c * SimhashChunkBits)
+            .bitwiseAND(SimhashChunkMask).as(s"c_$c")): _*)
+    // eager localCheckpoint, not cache: the banded frame feeds the
+    // bucket census AND both self-join sides, so it must materialize
+    // exactly once — and a cache entry would escape into the returned
+    // plan and pile up across bench passes (caller-must-release wart;
+    // see ngramJaccard for the same choice and the failure-domain note
+    // about executor-local blocks on a real cluster).
     val banded = Relational.unpivot(chunked, Seq(idCol, "simhash"),
-      (0 until 4).map(c => s"$c" -> s"c_$c"), nameCol = "chunk", valueCol = "v")
-      .cache() // feeds both self-join sides; escapes into the returned
-                // plan → caller-must-release (see minhashCandidatePairs)
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+      (0 until SimhashChunks).map(c => s"$c" -> s"c_$c"),
+      nameCol = "chunk", valueCol = "v")
+      .localCheckpoint(true)
+    // bucket census over the materialized banded rows: find the
+    // over-cap buckets. The over-cap set is PROVABLY small — buckets
+    // with > maxBucket members number at most (chunks × docs) /
+    // maxBucket by pigeonhole — so excluding them is a broadcast ANTI
+    // join against a tiny key set, never a join against the full
+    // bucket census.
+    val overCap = banded.groupBy(col("chunk"), col("v"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(col("chunk"), col("v"))
+    val dropped = overCap.count()
+    lastSimhashDroppedBuckets = dropped
+    if (dropped > 0)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"simhashPairs: dropped $dropped over-cap buckets (> $maxBucket members) from candidate generation")
+    val kept =
+      if (dropped == 0) banded
+      else banded.join(broadcast(overCap), Seq("chunk", "v"), "left_anti")
+    val a = kept.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
       col("chunk"), col("v"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+    val b = kept.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
       col("chunk"), col("v"))
+    // hamming filter BEFORE the distinct: the candidate stream is the
+    // big intermediate (dense corpora make it ~6x the qualifying set),
+    // so the dedup shuffle should only carry survivors
     a.join(b, Seq("chunk", "v"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Duplicate components straight from banded signatures: all docs

@@ -20,7 +20,12 @@ object PipelineQueries {
   val NgramMaxDocFreq = 20
   val HeavySupport = 0.02
   val NgramMinJaccard = 0.1
-  val SimhashMaxHamming = 4
+  // 60-bit signature (see Dedup.SimhashBits): threshold 3 is the
+  // pigeonhole-EXACT regime for 4-chunk banding (≤3 flipped bits
+  // always leave one chunk untouched) — the operator emits every
+  // qualifying pair, not a heuristic subset
+  val SimhashMaxHamming = 3
+  val SimhashMaxBucket = 1000
   val TopK = 5
   val IvfProbes = 2
   val NearDupMinCos = 0.25
@@ -123,12 +128,12 @@ object PipelineQueries {
     }),
 
     "q34_simhash" -> ((s, dir) =>
-      Dedup.simhash32(docs(s, dir), "doc_id", "text")),
+      Dedup.simhash60(docs(s, dir), "doc_id", "text")),
 
     "q35_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(
-        Dedup.simhash32(docs(s, dir), "doc_id", "text"),
-        "doc_id", SimhashMaxHamming)),
+        Dedup.simhash60(docs(s, dir), "doc_id", "text"),
+        "doc_id", SimhashMaxHamming, SimhashMaxBucket)),
 
     "q36_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
@@ -324,8 +329,6 @@ object PipelineQueries {
        |  array_to_string(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens], ' ') AS chunk_text,
        |  len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens]) AS n_tokens
        |FROM c""".stripMargin
-  private def h32(e: String): String = PortableHash.hash32Sql(e)
-
   /** distinct (doc_id, word) pairs */
   private val wordsCte =
     "words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
@@ -397,23 +400,28 @@ object PipelineQueries {
   }
 
   private val simhashSigsSelect: String = {
-    val sums = (0 until 32)
+    import graft.operators.Dedup.SimhashBits
+    val sums = (0 until SimhashBits)
       .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s_$j").mkString(", ")
-    val sig = (0 until 32)
+    val sig = (0 until SimhashBits)
       .map(j => s"(CASE WHEN s_$j > 0 THEN 1 ELSE 0 END * ${1L << j})").mkString(" + ")
     s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM (
-       |SELECT doc_id, $sums FROM (SELECT doc_id, ${h32("w")} AS h FROM words) GROUP BY doc_id)""".stripMargin
+       |SELECT doc_id, $sums FROM (SELECT doc_id, ${PortableHash.hash60Sql("w")} AS h FROM words) GROUP BY doc_id)""".stripMargin
   }
 
   private val simhashPairsSql: String = {
-    val chunkBranches = (0 until 4).map { c =>
-      s"SELECT doc_id, simhash, '$c' AS chunk, (simhash >> ${c * 8}) & 255 AS v FROM sigs"
+    import graft.operators.Dedup.{SimhashChunks, SimhashChunkBits, SimhashChunkMask}
+    val chunkBranches = (0 until SimhashChunks).map { c =>
+      s"SELECT doc_id, simhash, '$c' AS chunk, (simhash >> ${c * SimhashChunkBits}) & $SimhashChunkMask AS v FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH $wordsCte, sigs AS ($simhashSigsSelect), chunks AS ($chunkBranches)
+    s"""WITH $wordsCte, sigs AS ($simhashSigsSelect), chunks AS ($chunkBranches),
+       |keep AS (SELECT chunk, v FROM chunks GROUP BY chunk, v
+       |  HAVING count(*) >= 2 AND count(*) <= $SimhashMaxBucket),
+       |k AS (SELECT c.* FROM chunks c JOIN keep USING (chunk, v))
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
+       |  FROM k a JOIN k b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
        |WHERE hamming <= $SimhashMaxHamming""".stripMargin
   }
 

