@@ -166,6 +166,28 @@ object Similarity {
     assigned.select(col("kid").as(idCol), col("cell"))
   }
 
+  /** Session-scoped memo of trained cell tables, keyed by (context,
+    * corpus key, cols, k, iters) — the in-session analog of the
+    * production shape where the coarse quantizer is trained ONCE per
+    * corpus snapshot and every query batch probes the same cell
+    * table. Same lifecycle contract as [[Dedup.componentsOf]]: the
+    * memoized frame is an eager localCheckpoint (plan truncated to a
+    * block scan, two ints per vector), applicationId keys the entry
+    * so a restarted context recomputes instead of scanning dead
+    * blocks, and `spark.catalog.clearCache()` does NOT drop it (RDD
+    * blocks, not catalog cache) — call [[releaseCells]] to reset. */
+  private val cellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def cellsOf(df: DataFrame, corpusKey: String, idCol: String,
+              vecCol: String, k: Int, iters: Int): DataFrame =
+    cellsMemo.computeIfAbsent(
+      s"${df.sparkSession.sparkContext.applicationId}|$corpusKey|$idCol|$vecCol|$k|$iters",
+      _ => kmeansCells(df, idCol, vecCol, k, iters).localCheckpoint(true))
+
+  /** Drop every memoized cell table. */
+  def releaseCells(): Unit = cellsMemo.clear()
+
   /** Deterministic ±1 random-hyperplane signs (md5 parity of a fixed
     * seed string) — reproducible across engines and runs. */
   def planeSigns(nPlanes: Int, dim: Int): Seq[Array[Int]] =

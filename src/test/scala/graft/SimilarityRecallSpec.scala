@@ -58,30 +58,29 @@ class SimilarityRecallSpec extends SparkTestBase {
       assert(ra <= rb + 1e-9, s"recall fell from nProbe=$pa to $pb")
     }
     assert(recalls.last._2 == 1.0, "full probe must reach recall 1.0")
-    // the registry runs q38 at IvfProbes = 2 over the planted `label`
-    // cells — a METADATA partition, not a learned one, so its recall
-    // is only modestly above the random-baseline 2/10 (measured 0.31
-    // vs 0.20); the floor pins "better than random", and the k-means
-    // test below shows what a learned partition buys at the same
-    // probe budget
-    val atRegistry = recalls.find(_._1 == 2).get._2
-    assert(atRegistry >= 0.25, f"recall@10 at nProbe=2 fell to $atRegistry%.3f")
+    // `label` cells are a METADATA partition, not a learned one, so
+    // recall at nProbe=2 is only modestly above the random-baseline
+    // 2/10 (measured 0.31 vs 0.20) — which is exactly why the registry
+    // q38 moved to trained k-means cells (test below) in round 8
+    val atLabel = recalls.find(_._1 == 2).get._2
+    assert(atLabel >= 0.25, f"recall@10 at nProbe=2 fell to $atLabel%.3f")
   }
 
-  test("k-means cells reach comparable recall to the planted labels") {
+  test("registry setting: trained k-means cells reach recall >= 0.45 at nProbe=2") {
+    // EXACTLY the q38 registry configuration (PipelineQueries.KmeansK/
+    // KmeansIters/IvfProbes) — the learned partition buys ~1.6x the
+    // label cells' recall per probed fraction (measured 0.49 vs 0.31),
+    // the reason production IVF trains cells instead of bucketing on
+    // metadata
+    import graft.queries.PipelineQueries.{KmeansK, KmeansIters, IvfProbes}
     val cells = Similarity.kmeansCells(embs, "vec_id", "embedding",
-      k = 8, iters = 3)
-    val withCells = embs.join(cells.withColumnRenamed("kid", "vec_id")
-      .select(col("vec_id"), col("cell")), Seq("vec_id"))
+      k = KmeansK, iters = KmeansIters)
+    val withCells = embs.join(cells, Seq("vec_id"))
     val r = recallAt(
       Similarity.ivfTopK(withCells, "vec_id", "embedding", "cell",
-        isQuery, K, 2),
+        isQuery, K, IvfProbes),
       truth)
-    // measured 0.49 probing 2 of 8 cells (random baseline 0.25) vs the
-    // label cells' 0.31 probing 2 of 10: the learned partition buys
-    // ~1.6x the recall per probed fraction — the reason production IVF
-    // trains cells instead of bucketing on metadata
-    info(f"recall@10 with kmeans(k=8, iters=3) cells at nProbe=2: $r%.3f")
-    assert(r >= 0.4, f"kmeans-cell recall fell to $r%.3f")
+    info(f"recall@10 with kmeans(k=$KmeansK, iters=$KmeansIters) cells at nProbe=$IvfProbes: $r%.3f")
+    assert(r >= 0.45, f"registry-setting recall fell to $r%.3f")
   }
 }
