@@ -15,7 +15,12 @@ object PipelineQueries {
 
   // shared parameters (also baked into the generated oracle SQL)
   val MinhashK = 16
-  val MinhashBands = 2
+  // b=4 (r=4 rows/band): theoretical recall 1-(1-0.9^4)^4 = 0.986 at
+  // J=0.9 (measured in LshRecallSpec) — a dedup GATE must catch
+  // strong near-dups; the round-7 default b=2 (r=8) measured only
+  // 0.75 at J=0.9, i.e. a quarter of strong near-dups survived
+  // q61's "clean" corpus and could straddle q100's splits
+  val MinhashBands = 4
   val NgramN = 3
   val NgramMaxDocFreq = 20
   val HeavySupport = 0.02

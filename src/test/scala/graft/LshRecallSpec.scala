@@ -8,7 +8,8 @@ import graft.operators.Dedup
   * S-curve 1-(1-s^r)^b is the entire justification for banding at
   * 100 TB (it is what lets candidate generation be an equi-join
   * instead of all-pairs), so pin it empirically at the registry's
-  * parameters (k=16, bands=2 → r=8).
+  * parameters (imported from PipelineQueries so the spec can never
+  * drift from what q33/q61/q100 actually run).
   *
   * Planting: per target similarity s, 150 independent (A, B) pairs
   * with |A|=|B|=100 words, sharing m = 200s/(1+s) words so
@@ -18,8 +19,8 @@ import graft.operators.Dedup
   */
 class LshRecallSpec extends SparkTestBase {
 
-  private val K = 16
-  private val Bands = 2
+  private val K = graft.queries.PipelineQueries.MinhashK
+  private val Bands = graft.queries.PipelineQueries.MinhashBands
   private val PairsPerBucket = 150
 
   // m chosen so the realized Jaccard m/(200-m) lands on the target
@@ -30,7 +31,7 @@ class LshRecallSpec extends SparkTestBase {
     1.0 - math.pow(1.0 - math.pow(s, r), Bands)
   }
 
-  test("banding recall follows the S-curve at the registry's (k=16, b=2)") {
+  test("banding recall follows the S-curve at the registry parameters, >= 0.9 at J=0.9") {
     import spark.implicits._
     // doc ids: pair p of bucket q -> A = (q*PPB+p)*2, B = A+1
     val rows = for {
@@ -75,6 +76,13 @@ class LshRecallSpec extends SparkTestBase {
         assert(math.abs(recall - p) <= math.max(4 * sigma, 0.02),
           f"J=$j%.3f recall $recall%.3f is far from theory $p%.3f")
       }
+      // the dedup-gate contract (round-8 fix): strong near-dups must
+      // actually be caught — the quality bar the banding default is
+      // CHOSEN for, not a property that falls out of it
+      val atStrong = measured.last._2
+      assert(measured.last._1 > 0.85, "strongest planted bucket should be ~J=0.9")
+      assert(atStrong >= 0.9,
+        f"recall $atStrong%.3f at J=0.9 — the banding default is not a dedup gate")
     } finally spark.catalog.clearCache()
   }
 }
