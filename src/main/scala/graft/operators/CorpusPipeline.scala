@@ -23,7 +23,13 @@ object CorpusPipeline {
     minWords: Int,
     minQualityScore: Double,
     minhashK: Int,
-    minhashBands: Int)
+    minhashBands: Int,
+    // verify each near-dup drop by minhash-signature agreement (count
+    // of matching components out of minhashK; agreement/k estimates
+    // Jaccard). None = bucket co-membership alone decides — which on
+    // a smoothly-similar corpus lets moderate-J collisions evict real
+    // documents (round-8 fix; see Dedup.minhashComponents.minAgree)
+    minAgree: Option[Int] = None)
 
   /** Clean `df` down to surviving documents, with the metrics that
     * drove the decisions: (id, pred_lang, n_words, quality_score). */
@@ -73,12 +79,34 @@ object CorpusPipeline {
     // as documented at Dedup.connectedComponents' cache sites)
     exact.count()
 
-    // near-dup removal: any candidate partner with a smaller id wins
+    // near-dup removal: any candidate partner with a smaller id wins —
+    // VERIFIED by signature agreement when cfg.minAgree is set, so a
+    // bucket collision alone cannot evict a document
+    // with verification the signatures feed the pair generator AND
+    // both agreement-join sides — materialize once (same reasoning as
+    // Dedup.minhashComponents)
+    val sigs0 = Dedup.minhashSignatures(exact, idCol, textCol, cfg.minhashK)
+    val sigs =
+      if (cfg.minAgree.isDefined) sigs0.localCheckpoint(true) else sigs0
     val pairs = Dedup.minhashCandidatePairs(
-      Dedup.minhashSignatures(exact, idCol, textCol, cfg.minhashK),
-      idCol, cfg.minhashK, cfg.minhashBands)
+      sigs, idCol, cfg.minhashK, cfg.minhashBands)
+    val dropped = cfg.minAgree match {
+      case None => pairs.select(col("id_b").as(idCol)).distinct()
+      case Some(th) =>
+        val k = cfg.minhashK
+        val aSigs = sigs.select(col(idCol).as("id_a") +:
+          (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+        val bSigs = sigs.select(col(idCol).as("id_b") +:
+          (0 until k).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+        val agree = (0 until k).map(i =>
+          when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        pairs.join(aSigs, Seq("id_a")).join(bSigs, Seq("id_b"))
+          .filter(agree >= th)
+          .select(col("id_b").as(idCol)).distinct()
+    }
     exact
-      .join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("pred_lang"), col("n_words"), col("quality_score"))
   }
 }

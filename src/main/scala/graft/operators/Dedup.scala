@@ -249,6 +249,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Signature-agreement column for edge verification: the number of
+    * matching minhash components between the two endpoint signatures
+    * (prefixed `a_`/`b_`). matching/k is the unbiased Jaccard
+    * estimator, so `agree >= ceil(theta*k)` is a similarity gate that
+    * costs ZERO extra hashing — the signatures already exist. Integer
+    * compare (never a float ratio) so the rule is bit-portable to the
+    * SQL oracle. */
+  private def sigAgreement(k: Int): Column =
+    (0 until k).map(i =>
+      when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+
   /** Duplicate components straight from banded signatures: all docs
     * sharing an LSH bucket are mutually candidates, so a per-bucket
     * STAR to the bucket-minimum doc has exactly the connected
@@ -258,18 +270,62 @@ object Dedup {
     * docs at sf0.1), where materializing the pair list is the scale
     * killer; the star skips it entirely. Use
     * [[minhashCandidatePairs]] when the downstream step needs the
-    * pairs themselves (e.g. to score each pair). */
+    * pairs themselves (e.g. to score each pair).
+    *
+    * `minAgree` (round-8): VERIFY each star edge by signature
+    * agreement — keep doc→center only when ≥ minAgree of the k minhash
+    * components match (agreement/k estimates Jaccard, so 13/16 ≈
+    * J ≥ 0.8). Without it, bucket co-membership alone links docs, and
+    * connected components then chain moderate-similarity pairs
+    * transitively: measured on the round-8 corpus, unverified b=4
+    * banding collapsed 4,994 of 5,000 docs into 2 mega-clusters,
+    * while verified edges (13/16) yield 10 true template families —
+    * see SCALE.md "Component percolation". Verification costs two
+    * id-keyed joins of the O(docs × bands) edge list against the
+    * signature table — never a pairwise stage. NOTE: with
+    * verification the star graph is no longer equivalent to the
+    * verified-PAIR graph (a bucket whose min-id doc is a bystander
+    * verifies no edges even if other members pair) — the contract is
+    * "components of the verified star", which the oracle replicates
+    * exactly. */
   def minhashComponents(sigs: DataFrame, idCol: String, k: Int,
                         bands: Int,
-                        checkpointDir: Option[String] = None): DataFrame = {
-    val banded = bandSignatures(sigs, idCol, k, bands).cache()
-    banded.count() // populate before TWO consumers scan it in one job
+                        checkpointDir: Option[String] = None,
+                        minAgree: Option[Int] = None): DataFrame = {
+    // with verification the signature frame feeds THREE consumers
+    // (banding + both verify-join sides) — materialize it once or the
+    // signature aggregation (the expensive corpus-wide explode+agg)
+    // replans into every consumer; without, banding is the only
+    // consumer and the banded cache below is enough
+    val sigsM = if (minAgree.isDefined) sigs.localCheckpoint(true) else sigs
+    // banded fan-out: with sigsM materialized, banding is a narrow
+    // stack over checkpoint blocks — cheaper to recompute per consumer
+    // than to pay a cache-fill job; without (unverified path), the
+    // cache is the materialization barrier for the two consumers
+    val banded =
+      if (minAgree.isDefined) bandSignatures(sigsM, idCol, k, bands)
+      else {
+        val b = bandSignatures(sigsM, idCol, k, bands).cache()
+        b.count() // populate before TWO consumers scan it in one job
+        b
+      }
     val centers = banded.groupBy(col("band"), col("sig"))
       .agg(min(col(idCol)).as("center"))
     val starEdges = banded.join(centers, Seq("band", "sig"))
       .filter(col(idCol) =!= col("center")) // size-1 buckets drop out
       .select(col(idCol).as("id_a"), col("center").as("id_b"))
-    try connectedComponents(starEdges, "id_a", "id_b",
+    val edges = minAgree match {
+      case None => starEdges
+      case Some(th) =>
+        val aSigs = sigsM.select(col(idCol).as("id_a") +:
+          (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+        val bSigs = sigsM.select(col(idCol).as("id_b") +:
+          (0 until k).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+        starEdges.join(aSigs, Seq("id_a")).join(bSigs, Seq("id_b"))
+          .filter(sigAgreement(k) >= th)
+          .select(col("id_a"), col("id_b"))
+    }
+    try connectedComponents(edges, "id_a", "id_b",
       checkpointDir = checkpointDir)
     finally banded.unpersist()
   }
@@ -310,6 +366,19 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame =
     connectedComponentsStats(pairs, aCol, bCol, maxIter, checkpointDir)._1
 
+  /** Edge-count threshold below which [[connectedComponentsStats]]
+    * solves the graph with a driver-side union-find instead of the
+    * distributed iteration. Rationale: a VERIFIED duplicate graph is
+    * orders of magnitude smaller than its corpus (measured sf0.1:
+    * 8,886 edges from 5,000 docs — and the distributed loop's
+    * per-round fixed cost of ~0.7s × 5 rounds dwarfed the actual
+    * work), while 1M edges collect to ~tens of MB and union-find with
+    * path compression solves them in well under a second. The
+    * distributed path stays the default above the threshold (a 10^10
+    * -doc crawl's dup graph genuinely needs it) and remains
+    * property-tested by forcing `driverThreshold = 0`. */
+  final val DefaultDriverCcEdges = 1000000L
+
   /** [[connectedComponents]] plus the number of label-propagation
     * rounds it took to converge — the scaling-diagnostic the plan
     * audit cares about (rounds track cluster DIAMETER, not corpus
@@ -318,12 +387,58 @@ object Dedup {
     * pointer-jumping bound on a planted chain). */
   def connectedComponentsStats(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                          checkpointDir: Option[String] = None,
+                          driverThreshold: Long = DefaultDriverCcEdges): (DataFrame, Int) = {
     // materialize the pair input ONCE before the union reads it twice:
     // two union branches scanning an unmaterialized lineage in one job
     // each recompute it (the cache races its own second reader)
     val p = pairs.select(col(aCol).as("src0"), col(bCol).as("dst0")).cache()
-    p.count()
+    val nPairs = p.count()
+    val sameType = pairs.schema(aCol).dataType == pairs.schema(bCol).dataType
+    if (nPairs <= driverThreshold && sameType) {
+      // small-graph fast path: exact union-find on the driver. The
+      // collect is BOUNDED by driverThreshold (see its scaladoc); the
+      // result ships back as a plain DataFrame so downstream plans are
+      // identical to the distributed path's.
+      val rows = p.collect()
+      p.unpersist()
+      val parent = new java.util.HashMap[Any, Any](rows.length * 2)
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      rows.foreach { r =>
+        val a = r.get(0); val b = r.get(1)
+        if (a != null && b != null) {
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(ra, rb)
+        }
+      }
+      // min-label semantics: the component id is the MINIMUM member id
+      val minOf = new java.util.HashMap[Any, Any]()
+      parent.keySet.forEach { n =>
+        val r = find(n)
+        val cur = minOf.get(r)
+        if (cur == null ||
+            n.asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+          minOf.put(r, n)
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+      parent.keySet.forEach { n =>
+        out.add(org.apache.spark.sql.Row(n, minOf.get(find(n))))
+      }
+      val dt = pairs.schema(aCol).dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", dt),
+        org.apache.spark.sql.types.StructField("component", dt)))
+      lastCcRounds = 0 // driver path marker (see scaladoc of lastCcRounds)
+      return (pairs.sparkSession.createDataFrame(out, schema), 0)
+    }
     val allEdges = p.select(col("src0").as("src"), col("dst0").as("dst"))
       .union(p.select(col("dst0").as("src"), col("src0").as("dst")))
       .distinct().cache()
@@ -395,9 +510,10 @@ object Dedup {
 
   private def componentsKey(docs: DataFrame, corpusKey: String,
                             idCol: String, textCol: String,
-                            k: Int, bands: Int): String = {
+                            k: Int, bands: Int,
+                            minAgree: Option[Int]): String = {
     val ctx = docs.sparkSession.sparkContext.applicationId
-    s"$ctx|$corpusKey|$idCol|$textCol|$k|$bands"
+    s"$ctx|$corpusKey|$idCol|$textCol|$k|$bands|${minAgree.getOrElse(-1)}"
   }
 
   /** Materialized duplicate-components stage, shared by every consumer
@@ -421,11 +537,12 @@ object Dedup {
     * [[releaseComponents]] to drop the memo (blocks are reclaimed by
     * the ContextCleaner once the frames are unreferenced). */
   def componentsOf(docs: DataFrame, corpusKey: String, idCol: String,
-                   textCol: String, k: Int, bands: Int): DataFrame =
+                   textCol: String, k: Int, bands: Int,
+                   minAgree: Option[Int] = None): DataFrame =
     componentsMemo.computeIfAbsent(
-      componentsKey(docs, corpusKey, idCol, textCol, k, bands),
+      componentsKey(docs, corpusKey, idCol, textCol, k, bands, minAgree),
       _ => minhashComponents(minhashSignatures(docs, idCol, textCol, k),
-        idCol, k, bands).localCheckpoint(true))
+        idCol, k, bands, minAgree = minAgree).localCheckpoint(true))
 
   /** Producer path: ALWAYS recompute this corpus's components and
     * refresh the memo — the registry's build-the-stage entry. Keeping
@@ -433,9 +550,10 @@ object Dedup {
     * builder pays the full CC cost every time, while consumer queries
     * ride the memo it leaves behind. */
   def buildComponents(docs: DataFrame, corpusKey: String, idCol: String,
-                      textCol: String, k: Int, bands: Int): DataFrame = {
-    componentsMemo.remove(componentsKey(docs, corpusKey, idCol, textCol, k, bands))
-    componentsOf(docs, corpusKey, idCol, textCol, k, bands)
+                      textCol: String, k: Int, bands: Int,
+                      minAgree: Option[Int] = None): DataFrame = {
+    componentsMemo.remove(componentsKey(docs, corpusKey, idCol, textCol, k, bands, minAgree))
+    componentsOf(docs, corpusKey, idCol, textCol, k, bands, minAgree)
   }
 
   /** Drop every memoized components table. */
@@ -444,9 +562,11 @@ object Dedup {
   /** Rounds of the most recent [[connectedComponents]] convergence —
     * a measurement/diagnostic aid for the scale harness (tools.Scale
     * reads it after driving a registry query whose CC is internal,
-    * e.g. q67). Monotonic info only, never part of a query result;
-    * concurrent CC runs on one session would interleave writes, which
-    * is acceptable for a diagnostic. */
+    * e.g. q67). 0 means the driver union-find fast path solved the
+    * graph (edge count under the threshold); positive counts are
+    * distributed label-propagation rounds. Monotonic info only, never
+    * part of a query result; concurrent CC runs on one session would
+    * interleave writes, which is acceptable for a diagnostic. */
   @volatile var lastCcRounds: Int = -1
 
   /** Build the compact cross-run dedup state for [[incrementalDedup]]:
@@ -459,9 +579,16 @@ object Dedup {
   def dedupState(df: DataFrame, idCol: String, textCol: String,
                  k: Int, bands: Int): (DataFrame, DataFrame) = {
     val digests = df.select(md5(col(textCol)).as("content_hash")).distinct()
-    val banded = bandSignatures(
-      minhashSignatures(df, idCol, textCol, k), idCol, k, bands)
-      .select(col("band"), col("sig")).distinct()
+    val sigs = minhashSignatures(df, idCol, textCol, k)
+    // the band table carries the producing doc's FULL signature
+    // (k ints — still a compact state row): a probe hit can then be
+    // VERIFIED by signature agreement instead of trusting bucket
+    // co-membership alone (see incrementalDedup's minAgree)
+    val banded = bandSignatures(sigs, idCol, k, bands)
+      .join(sigs, Seq(idCol))
+      .select(col("band") +: col("sig") +:
+        (0 until k).map(i => col(s"mh_$i")): _*)
+      .distinct()
     (digests, banded)
   }
 
@@ -485,7 +612,8 @@ object Dedup {
     * .dedupStream]]'s ingest gate. */
   def incrementalDedup(newBatch: DataFrame, idCol: String, textCol: String,
                        seenDigests: DataFrame, seenBands: DataFrame,
-                       k: Int, bands: Int): DataFrame = {
+                       k: Int, bands: Int,
+                       minAgree: Option[Int] = None): DataFrame = {
     val hashed = newBatch.withColumn("__ch", md5(col(textCol)))
     // within-batch exact dedup: canonical row = min id per digest
     // (same shape as [[exact]]'s keep rule)
@@ -495,11 +623,33 @@ object Dedup {
     val fresh = selfDeduped.join(seenDigests,
       col("__ch") === seenDigests("content_hash"), "left_anti")
       .drop("__ch")
-    val freshBands = bandSignatures(
-      minhashSignatures(fresh, idCol, textCol, k), idCol, k, bands)
-    val nearSeen = freshBands
-      .join(seenBands, Seq("band", "sig"), "left_semi")
-      .select(col(idCol)).distinct()
+    // with verification the fresh signatures feed banding AND the
+    // agreement join — materialize once (same reasoning as
+    // [[minhashComponents]])
+    val freshSigs0 = minhashSignatures(fresh, idCol, textCol, k)
+    val freshSigs =
+      if (minAgree.isDefined) freshSigs0.localCheckpoint(true) else freshSigs0
+    val freshBands = bandSignatures(freshSigs, idCol, k, bands)
+    // probe hit = shared bucket; with minAgree set, a hit must ALSO
+    // verify by signature agreement against the state row's stored
+    // signature (dedupState carries it) — a bucket collision with a
+    // merely-moderate-similarity history doc must not silently drop a
+    // fresh document (round-8 fix; same estimator as
+    // [[minhashComponents]]'s edge verification)
+    val nearSeen = minAgree match {
+      case None =>
+        freshBands.join(seenBands, Seq("band", "sig"), "left_semi")
+          .select(col(idCol)).distinct()
+      case Some(th) =>
+        val seenPref = seenBands.select(col("band") +: col("sig") +:
+          (0 until k).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+        val aSigs = freshSigs.select(col(idCol) +:
+          (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+        freshBands.join(seenPref, Seq("band", "sig"))
+          .join(aSigs, Seq(idCol))
+          .filter(sigAgreement(k) >= th)
+          .select(col(idCol)).distinct()
+    }
     fresh.join(nearSeen, Seq(idCol), "left_anti")
   }
 

@@ -21,6 +21,13 @@ object PipelineQueries {
   // 0.75 at J=0.9, i.e. a quarter of strong near-dups survived
   // q61's "clean" corpus and could straddle q100's splits
   val MinhashBands = 4
+  // edge/drop VERIFICATION threshold: a near-dup decision requires
+  // >= 13 of the 16 minhash components to match (agreement/k is the
+  // unbiased Jaccard estimator, so 13/16 ~ J >= 0.8). Bucket
+  // co-membership alone percolates on a smoothly-similar corpus —
+  // measured round 8: unverified b=4 star edges collapsed 4,994 of
+  // 5,000 docs into 2 mega-clusters; verified, 10 true families
+  val MinhashVerifyAgree = 13
   val NgramN = 3
   val NgramMaxDocFreq = 20
   val HeavySupport = 0.02
@@ -103,7 +110,7 @@ object PipelineQueries {
     // the one-build-many-reads shape a 100 TB pipeline runs.
     "q67_dedup_clusters" -> ((s, dir) =>
       Dedup.buildComponents(docs(s, dir), dir, "doc_id", "text",
-        MinhashK, MinhashBands)),
+        MinhashK, MinhashBands, Some(MinhashVerifyAgree))),
 
     // leakage-safe train/valid/test split: the split decision is keyed
     // on the duplicate-CLUSTER id, not the doc id, so two near-dup
@@ -115,7 +122,7 @@ object PipelineQueries {
     "q100_leak_safe_split" -> ((s, dir) => {
       val d = docs(s, dir)
       val comps = Dedup.componentsOf(d, dir, "doc_id", "text",
-        MinhashK, MinhashBands)
+        MinhashK, MinhashBands, Some(MinhashVerifyAgree))
       Sampling.hashSplit(
           d.select("doc_id").join(comps, Seq("doc_id"), "left")
             .withColumn("component",
@@ -129,7 +136,7 @@ object PipelineQueries {
     // (longest text, lowest id), cluster size carried along
     "q82_canonical_docs" -> ((s, dir) => {
       val comps = Dedup.componentsOf(docs(s, dir), dir, "doc_id", "text",
-        MinhashK, MinhashBands)
+        MinhashK, MinhashBands, Some(MinhashVerifyAgree))
       Dedup.canonicalPerCluster(comps,
           docs(s, dir).select(col("doc_id"), col("text")), "doc_id",
           Seq(length(col("text")).desc, col("doc_id").asc))
@@ -212,7 +219,7 @@ object PipelineQueries {
       val (digests, bands) = Dedup.dedupState(seen, "doc_id", "text",
         MinhashK, MinhashBands)
       Dedup.incrementalDedup(newBatch, "doc_id", "text", digests, bands,
-          MinhashK, MinhashBands)
+          MinhashK, MinhashBands, Some(MinhashVerifyAgree))
         .select(col("doc_id"), col("n_chars"))
     }),
 
@@ -331,7 +338,7 @@ object PipelineQueries {
     "q61_corpus_clean" -> ((s, dir) =>
       CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
         CorpusPipeline.Config(CorpusLangs, CorpusMinWords, CorpusMinQuality,
-          MinhashK, MinhashBands)))
+          MinhashK, MinhashBands, Some(MinhashVerifyAgree))))
   )
 
   // ---------- generated oracle SQL ----------
@@ -394,14 +401,28 @@ object PipelineQueries {
        |sb AS (${bandSel("ss")}),
        |fb AS (${bandSel("fs")}),
        |near AS (SELECT DISTINCT f.doc_id FROM fb f
-       |  JOIN sb s2 ON f.band = s2.band AND f.sig = s2.sig)
+       |  JOIN sb s2 ON f.band = s2.band AND f.sig = s2.sig
+       |  JOIN fs a ON f.doc_id = a.doc_id
+       |  JOIN ss b ON s2.doc_id = b.doc_id
+       |  WHERE (${agreeSql("a", "b")}) >= $MinhashVerifyAgree)
        |SELECT doc_id, n_chars FROM fresh
        |WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.doc_id = fresh.doc_id)""".stripMargin
   }
 
+  /** `sum of (a.mh_i = b.mh_i)` over the k signature components —
+    * the SQL twin of Dedup's integer signature-agreement estimator
+    * (table aliases `a`/`b` must expose mh_ columns). */
+  private def agreeSql(a: String, b: String): String =
+    (0 until MinhashK)
+      .map(i => s"(CASE WHEN $a.mh_$i = $b.mh_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
   /** Shared recursive-CTE prelude computing duplicate-cluster
-    * reachability (`reach(node, comp)`) over the generated LSH-pair
-    * pipeline — the oracle twin of [[Dedup.minhashComponents]]. */
+    * reachability (`reach(node, comp)`) — the oracle twin of
+    * [[Dedup.minhashComponents]] with edge VERIFICATION: the same
+    * per-bucket star to the bucket-min center (NOT the candidate-pair
+    * graph — star ≡ pairs only holds unverified), each edge kept only
+    * when ≥ MinhashVerifyAgree of the k signature components match. */
   private val componentsCtes: String = {
     val rows = MinhashK / MinhashBands
     val bandBranches = (0 until MinhashBands).map { b =>
@@ -410,10 +431,15 @@ object PipelineQueries {
     }.mkString(" UNION ALL ")
     s"""WITH RECURSIVE $wordsCte, sigs AS ($minhashSigsSelect),
        |bands AS ($bandBranches),
-       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION SELECT id_b, id_a FROM pairs),
+       |centers AS (SELECT band, sig, min(doc_id) AS center FROM bands GROUP BY band, sig),
+       |star AS (SELECT DISTINCT b.doc_id AS id_a, c.center AS id_b
+       |  FROM bands b JOIN centers c ON b.band = c.band AND b.sig = c.sig
+       |  WHERE b.doc_id != c.center),
+       |vstar AS (SELECT id_a, id_b FROM star p
+       |  JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id
+       |  WHERE (${agreeSql("a", "b")}) >= $MinhashVerifyAgree),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM vstar
+       |  UNION SELECT id_b, id_a FROM vstar),
        |reach AS (SELECT src AS node, src AS comp FROM edges
        |  UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
   }
@@ -603,7 +629,10 @@ object PipelineQueries {
        |sigs AS ($minhashSigsSelect),
        |bands AS ($bandBranches),
        |dropped AS (SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  JOIN sigs sa ON a.doc_id = sa.doc_id
+       |  JOIN sigs sb ON b.doc_id = sb.doc_id
+       |  WHERE (${agreeSql("sa", "sb")}) >= $MinhashVerifyAgree)
        |SELECT doc_id, pred_lang, n_words, quality_score FROM exact
        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
   }

@@ -5,27 +5,44 @@ import graft.operators.{Dedup, Similarity}
 
 class DedupSpec extends SparkTestBase {
 
-  test("connected components: chains merge, minimum id labels the cluster") {
+  test("connected components: chains merge, minimum id labels the cluster (driver fast path)") {
     import spark.implicits._
     // components {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; pair list
-    // never links the two clusters
+    // never links the two clusters. 4 edges → driver union-find path.
     val pairs = Seq((1, 2), (2, 3), (3, 7), (10, 11)).toDF("id_a", "id_b")
     val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(comp == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 1, 10 -> 10, 11 -> 10))
+    assert(graft.operators.Dedup.lastCcRounds == 0, "expected the driver path")
   }
-  test("connected components with a reliable checkpoint dir: same labels") {
+  test("connected components with a reliable checkpoint dir: same labels (distributed path)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val pairs = Seq((1, 2), (2, 3), (3, 7), (10, 11)).toDF("id_a", "id_b")
-    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b",
-        checkpointDir = Some(dir))
+    val comp = graft.operators.Dedup.connectedComponentsStats(pairs, "id_a", "id_b",
+        checkpointDir = Some(dir), driverThreshold = 0)._1
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(comp == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 1, 10 -> 10, 11 -> 10))
     // the reliable path actually wrote checkpoint data to the dir
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "expected reliable checkpoint files under the dir")
+  }
+  test("driver union-find and distributed propagation label identically") {
+    import spark.implicits._
+    // star + chain + singletons-in-pairs mix with shuffled edge order
+    val edges = Seq((5, 9), (9, 2), (14, 2), (3, 14), (20, 21), (8, 8),
+      (30, 25), (25, 31), (40, 41), (41, 40))
+    val pairs = scala.util.Random.shuffle(edges).toDF("id_a", "id_b")
+    val viaDriver = graft.operators.Dedup
+      .connectedComponentsStats(pairs, "id_a", "id_b")._1
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(graft.operators.Dedup.lastCcRounds == 0)
+    val viaDistributed = graft.operators.Dedup
+      .connectedComponentsStats(pairs, "id_a", "id_b", driverThreshold = 0)._1
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(viaDriver == viaDistributed)
+    assert(viaDriver(3) == 2 && viaDriver(5) == 2 && viaDriver(30) == 25)
   }
 
   test("connected components: adversarial long chain converges in O(log n) rounds") {
@@ -42,7 +59,7 @@ class DedupSpec extends SparkTestBase {
     // travel the full chain length against the edge direction
     val pairs = (0 until n - 1).map(i => (i + 1, i)).toDF("id_a", "id_b")
     val (labels, rounds) = graft.operators.Dedup
-      .connectedComponentsStats(pairs, "id_a", "id_b")
+      .connectedComponentsStats(pairs, "id_a", "id_b", driverThreshold = 0)
     val comp = labels.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(comp == (0 until n).map(_ -> 0).toMap)
     // log2(128)=7; allow the fuse's constant factor but stay an order
