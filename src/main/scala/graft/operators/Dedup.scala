@@ -717,16 +717,31 @@ object Dedup {
     * inverted shingle index. Shingles occurring in more than
     * `maxDocFreq` docs are dropped (stop-shingle skew guard).
     *
-    * Materialization: `shingles` is referenced FOUR times downstream
-    * (per-doc counts, document-frequency filter, both pair-join sides)
-    * and `filtered` twice (the join sides). A `.cache()` alone left
-    * the explode subtree re-planned into the tree at every reference
-    * (142 codegen stages / 68 exchanges at sf0.1 — q61's pre-round-5
-    * signature); an eager `localCheckpoint` truncates the lineage to a
-    * block scan, so each consumer plans against the materialized rows.
-    * Same failure-domain note as [[connectedComponents]]: executor-
-    * local blocks, so on a real cluster a production run would persist
-    * the shingle index to reliable storage instead. */
+    * Join-back elimination (round-8 restructure): the per-doc gram
+    * count `n_g` is joined onto the INDEX rows (260k rows at sf0.1)
+    * before the self-join, replacing the two join-backs the old
+    * shape ran against the PAIR aggregate (1.12M rows) — the sizes
+    * ride the pair shuffle as two extra ints and the jaccard filter
+    * applies directly on the aggregate output. (A per-row
+    * `array_distinct` would drop the corpus-wide distinct shuffle
+    * too, but Spark's ArrayDistinct is O(m²) on string arrays —
+    * measured 2.5× SLOWER end-to-end on ~250-gram docs; the shuffle
+    * distinct is the right call.) What remains is the irreducible
+    * core: the document-frequency aggregate (skew guard), the
+    * inverted-index self-join, and the shared-gram count. At
+    * minJaccard this low (0.1) a prefix filter would keep ~0.9 of
+    * every posting list, so the all-pairs-style intermediate
+    * (measured 1.12M shared pairs → 260 survivors at sf0.1) is the
+    * spec's honest cost, not a plan artifact.
+    *
+    * Materialization: `shingles` is referenced three times (df
+    * filter, both join sides) and `filtered` twice — eager
+    * `localCheckpoint` truncates each to a block scan (a `.cache()`
+    * alone left the explode subtree re-planned at every reference:
+    * 142 codegen stages at sf0.1, the round-5 finding). Same
+    * failure-domain note as [[connectedComponents]]: executor-local
+    * blocks; a production run persists the index to reliable
+    * storage. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int, maxDocFreq: Int, minJaccard: Double): DataFrame = {
     val shingles = df
@@ -743,14 +758,12 @@ object Dedup {
       shingles.groupBy("g").agg(count(lit(1)).as("df_g"))
         .filter(col("df_g") <= maxDocFreq).select("g"),
       Seq("g"))
+      .join(perDoc, Seq(idCol))
       .localCheckpoint(true)
-    val a = filtered.select(col(idCol).as("id_a"), col("g"))
-    val b = filtered.select(col(idCol).as("id_b"), col("g"))
-    val shared = a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(perDoc.select(col(idCol).as("id_a"), col("n_g").as("n_a")), Seq("id_a"))
-      .join(perDoc.select(col(idCol).as("id_b"), col("n_g").as("n_b")), Seq("id_b"))
+    val a = filtered.select(col(idCol).as("id_a"), col("n_g").as("n_a"), col("g"))
+    val b = filtered.select(col(idCol).as("id_b"), col("n_g").as("n_b"), col("g"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("shared"))
       .select(col("id_a"), col("id_b"),
         round(col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
