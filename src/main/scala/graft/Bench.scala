@@ -1,17 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** -1.0 marks a FAILED pass; it must never win a min against a
+    * successful timed pass (one transient crash would otherwise
+    * report a working query as broken and drag the summed total
+    * negative). A query reads -1.0 only when EVERY pass failed.
+    * (Unit-tested by HonestySpec.) */
+  def minOk(times: Seq[Double]): Double = {
+    val ok = times.filter(_ >= 0.0)
+    if (ok.isEmpty) -1.0 else ok.min
+  }
+
+  /** The headline total sums PASSING queries only: a -1.0 failure
+    * sentinel must never subtract from the total (a breakage would
+    * otherwise read as a speedup in the round-over-round comparison).
+    * Failures are reported explicitly via n_failed + failed[] so a
+    * partially-broken run can't be mistaken for a faster one.
+    * (Unit-tested by HonestySpec.) */
+  def summarize(results: Seq[(String, Double)]): (Double, Seq[String]) =
+    (results.collect { case (_, v) if v >= 0.0 => v }.sum,
+     results.collect { case (k, v) if v < 0.0 => k })
+
+  /** One timed pass; a FAILED query returns -1.0, not its
+    * elapsed-until-crash time — a breakage must read as a visibly
+    * negative entry in the JSON, never as a fake speedup. */
+  def timeOnce(spark: SparkSession, sfDir: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    try {
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.build("graft-bench", graft.core.GraftSession.envCores)
     // Several operators cache internal fan-out frames that escape into
     // the returned plan (documented caller-must-unpersist: Dedup
-    // minhash/simhash/ngram candidates, Similarity.lshNearDup,
-    // CorpusPipeline.clean). Over 91 queries × 3 passes in one JVM those
-    // blocks would accumulate and squeeze execution memory for every
-    // later query (the round-3 bench-inflation aggravator), so the
-    // harness clears ALL cached data between queries — same discipline
-    // as the reference's per-run sqlCtx.clearCache (jobs.py:285).
+    // minhash candidates, Similarity.lshNearDup, CorpusPipeline.clean).
+    // Over 110 queries × 3 passes in one JVM those blocks would
+    // accumulate and squeeze execution memory for every later query
+    // (the round-3 bench-inflation aggravator), so the harness clears
+    // ALL cached data between queries — same discipline as the
+    // reference's per-run sqlCtx.clearCache (jobs.py:285).
     def clean(): Unit = { spark.catalog.clearCache() }
     // Warmup pass: JIT + Janino codegen + parquet footer caches, so the
     // timed pass measures steady-state query time, not JVM warmup.
@@ -28,26 +61,8 @@ object Bench {
     // Cache state is cleared BEFORE each query (not between its
     // passes): every query starts from the same clean slate, and later
     // passes measure the warm-internal-cache steady state.
-    // a FAILED query returns -1.0, not its elapsed-until-crash time —
-    // a breakage must read as a visibly negative entry in the JSON,
-    // never as a fake speedup in the round-over-round comparison
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
-    }
-    // -1.0 marks a FAILED pass; it must never win a min against a
-    // successful timed pass (one transient crash would otherwise
-    // report a working query as broken and drag the summed total
-    // negative). A query reads -1.0 only when EVERY pass failed.
-    def minOk(times: Seq[Double]): Double = {
-      val ok = times.filter(_ >= 0.0)
-      if (ok.isEmpty) -1.0 else ok.min
-    }
     val consecutive = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map(_ => timeOnce(fn))
+      val times = (1 to 3).map(_ => timeOnce(spark, sfDir, fn))
       clean()
       name -> minOk(times)
     }
@@ -56,23 +71,17 @@ object Bench {
     // fourth sample taken minutes later (after the rest of the
     // registry) almost never lands in the same stall. min across both.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t = timeOnce(fn)
+      val t = timeOnce(spark, sfDir, fn)
       clean()
       name -> minOk(Seq(consecutive(name), t))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // The headline total sums PASSING queries only: a -1.0 failure
-    // sentinel must never subtract from the total (a breakage would
-    // otherwise read as a speedup in the round-over-round comparison).
-    // Failures are reported explicitly via n_failed + failed[] so a
-    // partially-broken run can't be mistaken for a faster one.
-    val failed = results.collect { case (k, v) if v < 0.0 => k }.toSeq
-    val total = results.values.filter(_ >= 0.0).sum
+    val (total, failed) = summarize(results.toSeq)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query JSON to a file as well: the driver keeps only the
-    // last 2000 chars of stdout, which truncates ~25 of the 90+ query
+    // last 2000 chars of stdout, which truncates ~25 of the 110+ query
     // timings — the file makes round-over-round comparison possible on
     // the complete registry.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The measurement-honesty invariants, pinned (VERDICT r7 ask #8):
+  * a crashing registered query must surface as (a) an `_ERROR`
+  * correctness FAILURE in the Verify dump — never a silent gap — and
+  * (b) an explicit n_failed/failed[] exclusion in the Bench total —
+  * never a fake speedup. These specs fail if either the Verify error
+  * marker (Verify.dumpOne) or the Bench passing-only summarization
+  * (Bench.minOk/summarize/timeOnce) is reverted.
+  */
+class HonestySpec extends SparkTestBase {
+
+  private def crashing: (SparkSession, String) => DataFrame =
+    (_, _) => throw new RuntimeException("deliberate crash")
+
+  private def passing: (SparkSession, String) => DataFrame =
+    (s, _) => { import s.implicits._; Seq((1, "a")).toDF("id", "v") }
+
+  test("Verify: a crashing query leaves an _ERROR marker, never a silent gap") {
+    val out = java.nio.file.Files.createTempDirectory("graft-honesty").toString
+    // a prior successful dump must not mask a later crash: pre-seed the
+    // query dir with a parquet result, then crash over it
+    assert(Verify.dumpOne(spark, out, "qx", passing, sfDir))
+    val dir = java.nio.file.Paths.get(out, "qx")
+    assert(java.nio.file.Files.list(dir).anyMatch(p => p.toString.endsWith(".parquet")))
+    assert(!Verify.dumpOne(spark, out, "qx", crashing, sfDir))
+    val files = {
+      val ls = java.nio.file.Files.list(dir)
+      try { val it = ls.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString; b.result() }
+      finally ls.close()
+    }
+    assert(files.contains("_ERROR.txt"), s"expected _ERROR marker, got $files")
+    assert(!files.exists(_.endsWith(".parquet")),
+      "stale parquet must be deleted or the checker reads the OLD result as current")
+  }
+
+  test("Verify: oracle_sql.json is restricted to the queries that ran") {
+    val all = Map("q1" -> "SELECT 1", "q2" -> "SELECT 2")
+    assert(Verify.oracleJson(all, Set("q1")) == "{\"q1\": \"SELECT 1\"}")
+    val full = Verify.oracleJson(all, Set.empty)
+    assert(full.contains("\"q1\"") && full.contains("\"q2\""))
+    // control chars must be escaped or the driver's json.load dies
+    assert(Verify.oracleJson(Map("q" -> "a\tb\nc"), Set.empty)
+      == "{\"q\": \"a\\tb\\nc\"}")
+  }
+
+  test("Bench: a crashed pass reads -1.0 and never wins the min") {
+    assert(Bench.timeOnce(spark, sfDir, crashing) == -1.0)
+    assert(Bench.timeOnce(spark, sfDir, passing) >= 0.0)
+    assert(Bench.minOk(Seq(-1.0, 0.5, 0.7)) == 0.5)
+    assert(Bench.minOk(Seq(-1.0, -1.0)) == -1.0)
+  }
+
+  test("Bench: the total sums passing queries only; failures are named") {
+    val (total, failed) = Bench.summarize(
+      Seq("a" -> 1.5, "b" -> -1.0, "c" -> 0.5))
+    assert(total == 2.0, "a -1.0 sentinel must never subtract from the total")
+    assert(failed == Seq("b"))
+    val (t2, f2) = Bench.summarize(Seq("a" -> 1.0))
+    assert(t2 == 1.0 && f2.isEmpty)
+  }
+}
