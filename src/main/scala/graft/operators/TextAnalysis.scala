@@ -408,12 +408,17 @@ object TextAnalysis {
   def heavyHitters(df: DataFrame, textCol: String,
                    support: Double): DataFrame = {
     val tokens = df.select(explode(split(col(textCol), " ")).as("token"))
-    // one pass for the total, one for the summary (both count-shaped);
-    // a single combined pass is possible with observe() but obscures
-    // the two-phase structure this operator exists to demonstrate
-    val total = tokens.count()
-    val candidates = tokens.stat.freqItems(Seq("token"), support)
+    // the corpus-wide token total rides the SKETCH pass as an observe()
+    // metric (Observation blocks until the action delivers it), so the
+    // operator tokenizes the corpus exactly twice — sketch pass here,
+    // exact verify pass in the returned plan — instead of a third
+    // full count() scan; materializing the exploded corpus to share it
+    // would cost more than the scan it saves
+    val obs = org.apache.spark.sql.Observation()
+    val candidates = tokens.observe(obs, count(lit(1)).as("total"))
+      .stat.freqItems(Seq("token"), support)
       .head.getSeq[String](0)
+    val total = obs.get("total").asInstanceOf[Long]
     tokens.filter(col("token").isin(candidates: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(support * total))

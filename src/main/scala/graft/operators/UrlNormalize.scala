@@ -45,8 +45,17 @@ object UrlNormalize {
       .otherwise(regexp_replace(path, "/$", ""))
     val query = regexp_extract(pathQuery, "\\?(.*)$", 1)
     val querySorted = array_join(array_sort(split(query, "&")), "&")
-    concat(scheme, lit("://"), host, pathNorm,
-      when(query === "", lit("")).otherwise(concat(lit("?"), querySorted)))
+    // hierarchical-URL guard: scheme-less, relative, and
+    // non-hierarchical inputs (mailto:, data:, "foo/bar") that real
+    // crawl data contains have no "://" to anchor the rules above —
+    // without the guard they canonicalize to garbage like
+    // "://host/..." and silently group under one key. Pass them
+    // through unchanged: an un-canonicalized URL dedups only against
+    // byte-identical copies of itself, which is the conservative
+    // behavior for inputs outside the canonicalizer's contract.
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, pathNorm,
+        when(query === "", lit("")).otherwise(concat(lit("?"), querySorted))))
   }
 
   /** Planted messy-URL table for the registered query: four

@@ -979,18 +979,26 @@ object Multimodal {
       while (pos + 8 <= until) {
         if (cc(pos + 4) == target) return pos
         val sz = be32(pos)
-        if (sz < 8) return -1
+        // sz is an unsigned 32-bit Long: a value like 0xFFFFFFFF passes
+        // a bare `sz < 8` check but truncates NEGATIVE through toInt and
+        // walks pos below 0 (uncaught ArrayIndexOutOfBounds, crashing
+        // the task instead of returning None) — reject any size that
+        // cannot fit the remaining range BEFORE advancing
+        if (sz < 8 || sz > until - pos) return -1
         pos += sz.toInt
       }
       -1
     }
     if (b.length < 16 || cc(4) != "ftyp") return None
+    // box end clamped in LONG arithmetic: a 32-bit size near 2^32
+    // would truncate negative through toInt before the min
+    def boxEnd(pos: Int): Int = ((pos + be32(pos)) min b.length.toLong).toInt
     var stbl = find("moov", 0, b.length)
     val descent = Seq("trak", "mdia", "minf", "stbl").iterator
     while (stbl >= 0 && descent.hasNext)
-      stbl = find(descent.next(), stbl + 8, stbl + be32(stbl).toInt min b.length)
+      stbl = find(descent.next(), stbl + 8, boxEnd(stbl))
     if (stbl < 0) return None
-    val stblEnd = stbl + be32(stbl).toInt min b.length
+    val stblEnd = boxEnd(stbl)
     val stsz = find("stsz", stbl + 8, stblEnd)
     val stco = find("stco", stbl + 8, stblEnd)
     val mdat = find("mdat", 0, b.length)

@@ -339,4 +339,18 @@ class MultimodalSpec extends SparkTestBase {
     bad2(stsz + 12 + 2) = (bad2(stsz + 12 + 2) | 0x40).toByte
     assert(Multimodal.decodeMjpeg(bad2).isEmpty)
   }
+
+  test("MJPEG demux rejects a 32-bit box size instead of crashing the task") {
+    // a top-level box claiming size 0xFFFFFFFF: the unsigned Long
+    // passes `sz < 8` but truncates to -1 through toInt — the walker
+    // must return None, not throw ArrayIndexOutOfBounds (the
+    // docstring's contract: half-broken file -> no rows)
+    val good = Multimodal.buildMjpegMp4(3L)
+    val bad = good.clone()
+    // ftyp box size field is bytes 0..3; set to 0xFFFFFFFF so the walk
+    // to find moov advances by the lying size
+    bad(0) = 0xff.toByte; bad(1) = 0xff.toByte
+    bad(2) = 0xff.toByte; bad(3) = 0xff.toByte
+    assert(Multimodal.decodeMjpeg(bad).isEmpty) // and no exception
+  }
 }

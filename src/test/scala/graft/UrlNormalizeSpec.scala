@@ -37,6 +37,21 @@ class UrlNormalizeSpec extends SparkTestBase {
     }
   }
 
+  test("non-hierarchical and scheme-less inputs pass through unchanged") {
+    // real crawl data contains these; without the scheme guard they
+    // canonicalized to garbage like "://host/..." and silently grouped
+    // under one key
+    val cases = Seq(
+      "mailto:someone@example.com",
+      "data:text/plain;base64,SGVsbG8=",
+      "foo/bar/baz",
+      "/relative/path?b=1&a=2",
+      "www.foo.com/x")
+    cases.foreach { in =>
+      assert(canon(in) == Seq(in), s"expected pass-through for $in")
+    }
+  }
+
   test("all four planted presentation variants collapse to one canonical form") {
     import spark.implicits._
     val docs = (0L until 40L).toDF("doc_id")
