@@ -81,19 +81,28 @@ object CorpusPipeline {
 
     // near-dup removal: any candidate partner with a smaller id wins —
     // VERIFIED by signature agreement when cfg.minAgree is set, so a
-    // bucket collision alone cannot evict a document
-    // with verification the signatures feed the pair generator AND
-    // both agreement-join sides — materialize once (same reasoning as
-    // Dedup.minhashComponents)
+    // bucket collision alone cannot evict a document. With
+    // verification the signatures feed banding AND both agreement-join
+    // sides — materialize once (same reasoning as
+    // Dedup.minhashComponents) — and only the DROPPED id set is
+    // consumed, so the verified path skips the distinct-pair
+    // materialization minhashCandidatePairs exists for: banded
+    // self-join → agreement filter → distinct id_b is one exchange
+    // less, and re-verifying a pair that collides in two bands is
+    // cheaper than deduping the full pair set first.
     val sigs0 = Dedup.minhashSignatures(exact, idCol, textCol, cfg.minhashK)
     val sigs =
       if (cfg.minAgree.isDefined) sigs0.localCheckpoint(true) else sigs0
-    val pairs = Dedup.minhashCandidatePairs(
-      sigs, idCol, cfg.minhashK, cfg.minhashBands)
     val dropped = cfg.minAgree match {
-      case None => pairs.select(col("id_b").as(idCol)).distinct()
+      case None =>
+        Dedup.minhashCandidatePairs(
+            sigs, idCol, cfg.minhashK, cfg.minhashBands)
+          .select(col("id_b").as(idCol)).distinct()
       case Some(th) =>
         val k = cfg.minhashK
+        val banded = Dedup.bandSignatures(sigs, idCol, k, cfg.minhashBands)
+        val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
+        val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
         val aSigs = sigs.select(col(idCol).as("id_a") +:
           (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
         val bSigs = sigs.select(col(idCol).as("id_b") +:
@@ -101,7 +110,9 @@ object CorpusPipeline {
         val agree = (0 until k).map(i =>
           when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
           .reduce(_ + _)
-        pairs.join(aSigs, Seq("id_a")).join(bSigs, Seq("id_b"))
+        a.join(b, Seq("band", "sig"))
+          .filter(col("id_a") < col("id_b"))
+          .join(aSigs, Seq("id_a")).join(bSigs, Seq("id_b"))
           .filter(agree >= th)
           .select(col("id_b").as(idCol)).distinct()
     }
