@@ -151,6 +151,36 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.lastSimhashDroppedBuckets == 4L)
   }
 
+  test("verified components: bucket co-membership alone does not merge docs") {
+    // doc 3 is engineered to share MOST of its words with docs 1/2 so
+    // some band (r=4 of k=8) almost surely collides, while true
+    // Jaccard stays moderate — with verification ON (agreement >= 7/8
+    // ~ J >= 0.8) the moderate doc must NOT join the near-dup cluster
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (0 until 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val moderate = (0 until 20).map(i => s"w$i").mkString(" ") +
+      " " + (0 until 20).map(i => s"z$i").mkString(" ")
+    val df = docsDf(1L -> base, 2L -> nearDup, 3L -> moderate)
+    // r=1 (8 bands of one hash): a single matching component is a
+    // bucket collision, so the J≈0.33 doc chains in UNVERIFIED — the
+    // exact percolation failure — and verification must sever it
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 8)
+    val unverified = Dedup.minhashComponents(sigs, "doc_id", 8, 8)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(unverified == Set(1L, 2L, 3L),
+      s"planted corpus should chain ALL docs unverified, got $unverified")
+    val verified = Dedup.minhashComponents(sigs, "doc_id", 8, 8,
+        minAgree = Some(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the true near-dup pair always survives verification
+    assert(verified.get(1L).contains(1L) && verified.get(2L).contains(1L),
+      s"near-dup pair must stay clustered, got $verified")
+    // the moderate doc is severed even though its bucket edge exists
+    assert(!verified.contains(3L),
+      s"moderate-similarity doc merged through an unverified edge: $verified")
+    spark.catalog.clearCache()
+  }
+
   test("ngram jaccard of identical docs is 1.0") {
     val df = docsDf(1L -> "a b c d e", 2L -> "a b c d e")
     val out = Dedup.ngramJaccard(df, "doc_id", "text", 3, 100, 0.0).collect()
