@@ -191,4 +191,47 @@ object Relational {
       s"(`${nameCol.replace("`", "``")}`, `${valueCol.replace("`", "``")}`)"
     df.select(idCols.map(col) :+ expr(stackExpr): _*)
   }
+
+  /** Pure interval-overlap join via range binning — the non-equi join
+    * Spark has no native operator for (a bare `a.start <= b.end AND
+    * b.start <= a.end` condition plans BroadcastNestedLoopJoin, i.e.
+    * an all-pairs scan).
+    *
+    * Each interval explodes to the width-`binWidth` bins it covers;
+    * candidates equi-join on the bin (an ordinary shuffled hash join);
+    * the overlap predicate verifies. A pair overlapping across several
+    * shared bins is emitted exactly once — at the bin containing
+    * `max(lStart, rStart)` — so no dedup shuffle is ever needed.
+    *
+    * Endpoints are inclusive LONGs (epoch micros for time intervals;
+    * callers convert with `unix_micros`). Inputs must have disjoint
+    * column names; the output carries both rows' columns. Rows with
+    * `end < start` produce nothing.
+    *
+    * Scale: shuffle volume is Σ(interval length / binWidth) rows —
+    * pick `binWidth` near the median interval length so most intervals
+    * explode to 1-2 bins. A single giant interval degrades to
+    * length/binWidth copies of ONE row (linear, skew-visible in the
+    * UI), never to an all-pairs product.
+    */
+  def intervalJoin(left: DataFrame, lStart: String, lEnd: String,
+                   right: DataFrame, rStart: String, rEnd: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // floor-division bin that is exact on LONGs for any sign:
+    // c - pmod(c, W) is a multiple of W with magnitude < 2^53, so the
+    // double division is exact
+    def bin(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    def binned(df: DataFrame, s: String, e: String, out: String) =
+      df.filter(col(e) >= col(s))
+        .withColumn(out, explode(sequence(bin(col(s)), bin(col(e)))))
+    val l = binned(left, lStart, lEnd, "__lbin")
+    val r = binned(right, rStart, rEnd, "__rbin")
+    l.join(r,
+        col("__lbin") === col("__rbin") &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          col("__lbin") === bin(greatest(col(lStart), col(rStart))))
+      .drop("__lbin", "__rbin")
+  }
 }

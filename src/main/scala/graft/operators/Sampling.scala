@@ -85,6 +85,38 @@ object Sampling {
       s"(CASE ${branches.mkString(" ")} ELSE $defaultPct END)"
   }
 
+  /** Hard per-group cap — "at most `k` documents per domain", the
+    * C4/Gopher-style host-balancing rule that stops a handful of
+    * boilerplate-heavy domains from dominating a crawl corpus. Winners
+    * are the `k` smallest content-hash values per group (with the id
+    * as a total-order tie-break), so the kept set is a deterministic
+    * "random" sample: stable under repartitioning, across engines, and
+    * nested (capping at k' < k keeps a subset of the k winners).
+    *
+    * One shuffle on the group key; Spark plans the rank filter as
+    * WindowGroupLimit, so each map task pre-prunes to its local top-k
+    * before the exchange — the shuffle carries O(groups · k) rows, not
+    * the corpus (pinned in SamplingSpec).
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                  salt: String = ""): DataFrame = {
+    require(k > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(
+        PortableHash.hash60(concat(col(idCol).cast("string"), lit(salt))).asc,
+        col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Oracle twin of [[capPerGroup]]'s ranking expression. */
+  def capPerGroupRankSql(idExpr: String, groupExpr: String,
+                         salt: String = ""): String =
+    s"row_number() OVER (PARTITION BY $groupExpr ORDER BY " +
+      s"${PortableHash.hash60Sql(s"concat(CAST($idExpr AS VARCHAR), '${sq(salt)}')")}, $idExpr)"
+
   /** Weighted (soft) sampling: keep each row with probability equal to
     * a per-row weight column in [0, 1] — the "soft filter" form of
     * quality filtering (a doc scoring 0.9 survives 9x more often than

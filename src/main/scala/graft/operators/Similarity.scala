@@ -246,4 +246,38 @@ object Similarity {
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): remove documents whose
+    * EMBEDDINGS are near-identical — paraphrases and boilerplate
+    * variants that survive every lexical gate (MinHash/SimHash see
+    * different tokens; the encoder sees the same meaning).
+    *
+    * The scale shape is the paper's: a trained coarse quantizer
+    * ([[kmeansCells]] / [[cellsOf]] — the same artifact the IVF index
+    * probes) buckets the corpus so similarity is only evaluated
+    * between cell-mates, O(n²/k) pairs instead of all-pairs; within a
+    * cell, a row is dropped when some LOWER-id cell-mate is within
+    * `tau` cosine — the deterministic greedy keep-one-per-ε-ball rule
+    * (the survivor of a near-dup group is its lowest id; a chain
+    * b~a, c~b can drop both b and c, exactly as the paper's
+    * keep-one-representative policy does).
+    *
+    * Cosines are rounded to 6 decimals before the threshold compare so
+    * the decision is bit-portable to the SQL oracle. Returns the
+    * surviving rows of `df` unchanged.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    cellCol: String, tau: Double): DataFrame = {
+    val a = df.select(col(cellCol).as("__cell"), col(idCol).as("__id_a"),
+      asDouble(col(vecCol)).as("__va"))
+    val b = df.select(col(cellCol).as("__cell"), col(idCol).as("__id_b"),
+      asDouble(col(vecCol)).as("__vb"))
+    val dropped = a.join(b, Seq("__cell"))
+      .filter(col("__id_a") < col("__id_b") &&
+        round(cosine(col("__va"), col("__vb")), 6) >= tau)
+      .select(col("__id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -66,6 +66,15 @@ object PipelineQueries {
   val NgramCountMin = 35L
   val MixWeights = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
   val ContamN = 5
+  // SemDeDup threshold: the synthetic embeddings are near-orthogonal
+  // (max pairwise cosine ~0.51 at sf0.01), so a production-style 0.9
+  // would drop nothing and test nothing; 0.35 exercises the drop path
+  // on a few hundred global pairs
+  val SemDedupTau = 0.35
+  // per-source document cap (q113): sf0.01 carries 25 docs/source,
+  // sf0.1 250 — the cap binds at every SF
+  val DomainCapK = 15
+  val FuzzyMaxDist = 1
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -176,6 +185,49 @@ object PipelineQueries {
     "q43_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", "label",
         NearDupMinCos)),
+
+    // SemDeDup semantic dedup (Similarity.semanticDedup): the
+    // embedding twin of the MinHash gate — paraphrase-level dups the
+    // lexical family can't see, bucketed by the SAME trained coarse
+    // quantizer q38 probes (one artifact, two consumers), O(n²/k)
+    // within-cell pairs instead of all-pairs
+    "q114_semantic_dedup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cells = Similarity.cellsOf(e, dir, "vec_id", "embedding",
+        KmeansK, KmeansIters)
+      Similarity.semanticDedup(e.join(cells, Seq("vec_id")),
+          "vec_id", "embedding", "cell", SemDedupTau)
+        .select(col("vec_id"), col("cell"), col("label"))
+    }),
+
+    // hard per-domain cap (Sampling.capPerGroup): C4/Gopher-style
+    // host balancing — at most DomainCapK docs per source, winners in
+    // content-hash order; WindowGroupLimit prunes map-side so the
+    // shuffle carries O(groups·k) rows
+    "q113_domain_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(
+        docs(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", "source", DomainCapK)),
+
+    // edit-distance join via FastSS deletion-neighborhood blocking
+    // (operators/Fuzzy): entity resolution for near-identical records
+    // — a planted one-char-deletion misspelling of every part name is
+    // matched back against the clean names through an equi-join on
+    // deletion variants + exact levenshtein verify; the oracle is the
+    // naive cross join the operator exists to avoid
+    "q111_fuzzy_join" -> ((s, dir) => {
+      val part = Tables.load(s, dir, "part")
+      val clean = part.select(col("p_partkey").as("clean_id"),
+        col("p_name").as("name"))
+      val k = pmod(col("p_partkey"), length(col("p_name"))) + 1
+      val dirty = part.select(col("p_partkey").as("dirty_id"),
+        concat(col("p_name").substr(lit(1), k - 1),
+          col("p_name").substr(k + 1, length(col("p_name"))))
+          .as("dirty_name"))
+      graft.operators.Fuzzy.editDistanceJoin(
+        dirty, "dirty_id", "dirty_name", clean, "clean_id", "name",
+        maxDist = FuzzyMaxDist)
+    }),
 
     // Gopher-family repetition signals (TextAnalysis.repetitionSignals):
     // per-row array expressions, no explode, no shuffle
@@ -505,11 +557,11 @@ object PipelineQueries {
        |  FROM q, c WHERE query_id != neighbor_id)
        |WHERE rn <= $TopK""".stripMargin
 
-  /** Oracle twin of q38: [[Similarity.kmeansCells]] (seed = id mod k,
-    * `KmeansIters` Lloyd rounds, centroids and scores rounded to 6
-    * decimals exactly as the Spark side does) unrolled as chained
-    * CTEs, then the same IVF probe over the trained cells. */
-  private val annIvfSql: String = {
+  /** The trained-cells CTE chain shared by every oracle that consumes
+    * [[Similarity.cellsOf]]'s artifact (q38, q114): seed assignment +
+    * `KmeansIters` unrolled Lloyd rounds, ending in a `cells(vec_id,
+    * cell)` CTE. Returned WITHOUT a leading WITH. */
+  private def lloydCellsCtes: String = {
     val dim = EmbeddingDim
     def centCols(src: String) = (0 until dim)
       .map(i => s"round(avg($src.embedding[${i + 1}]), 6) AS c_$i").mkString(", ")
@@ -526,10 +578,22 @@ object PipelineQueries {
          |      ORDER BY round(${cosSql("v.kv", "c.centroid")}, 6) DESC, c.cell) AS rn
          |  FROM v, cents_$i c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS kv FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS kv FROM embeddings),
        |a_0 AS (SELECT vec_id, CAST(vec_id % $KmeansK AS INT) AS cell FROM embeddings),
        |$lloyd,
-       |cells AS (SELECT vec_id, cell FROM a_$KmeansIters),
+       |cells AS (SELECT vec_id, cell FROM a_$KmeansIters)""".stripMargin
+  }
+
+  /** Oracle twin of q38: [[Similarity.kmeansCells]] (seed = id mod k,
+    * `KmeansIters` Lloyd rounds, centroids and scores rounded to 6
+    * decimals exactly as the Spark side does) unrolled as chained
+    * CTEs, then the same IVF probe over the trained cells. */
+  private val annIvfSql: String = {
+    val dim = EmbeddingDim
+    def centCols(src: String) = (0 until dim)
+      .map(i => s"round(avg($src.embedding[${i + 1}]), 6) AS c_$i").mkString(", ")
+    val centList = (0 until dim).map(i => s"c_$i").mkString(", ")
+    s"""WITH $lloydCellsCtes,
        |cents AS (SELECT cell, [$centList] AS centroid FROM (
        |  SELECT cells.cell, ${centCols("e")}
        |  FROM embeddings e JOIN cells USING (vec_id) GROUP BY cells.cell)),
@@ -548,6 +612,19 @@ object PipelineQueries {
        |  FROM c JOIN probes USING (cell) WHERE query_id != neighbor_id)
        |WHERE rn <= $TopK""".stripMargin
   }
+
+  /** Oracle twin of q114: the same trained cells (shared CTE chain),
+    * then the greedy lower-id drop rule at the same rounded-cosine
+    * threshold. */
+  private val semanticDedupSql: String =
+    s"""WITH $lloydCellsCtes,
+       |m AS (SELECT e.vec_id, cells.cell, e.label, CAST(e.embedding AS DOUBLE[]) AS ev
+       |  FROM embeddings e JOIN cells USING (vec_id)),
+       |drops AS (SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosSql("a.ev", "b.ev")}, 6) >= $SemDedupTau)
+       |SELECT vec_id, cell, label FROM m
+       |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
 
   private val embedNearDupSql: String =
     s"""SELECT * FROM (
@@ -706,6 +783,23 @@ object PipelineQueries {
     "q37_cosine_topk" -> cosineTopkSql,
     "q38_ann_ivf" -> annIvfSql,
     "q43_embed_neardup" -> embedNearDupSql,
+    "q114_semantic_dedup" -> semanticDedupSql,
+    "q113_domain_cap" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    ${Sampling.capPerGroupRankSql("doc_id", "source")} AS rn
+         |  FROM documents) WHERE rn <= $DomainCapK""".stripMargin,
+    // the naive all-pairs form the blocking operator avoids — valid as
+    // an oracle precisely because sf0.01 is small enough to afford it
+    "q111_fuzzy_join" ->
+      s"""WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+         |dirty AS (SELECT p_partkey AS dirty_id,
+         |    substr(p_name, 1, ((p_partkey % length(p_name)) + 1) - 1) ||
+         |    substr(p_name, ((p_partkey % length(p_name)) + 1) + 1) AS dirty_name
+         |  FROM part)
+         |SELECT dirty_id, clean_id, levenshtein(dirty_name, name) AS dist
+         |FROM dirty, clean
+         |WHERE levenshtein(dirty_name, name) <= $FuzzyMaxDist""".stripMargin,
     "q72_embed_centroid" ->
       s"""SELECT cluster, CAST(dim AS INTEGER) AS dim,
          |  round(avg(val), 6) AS mean_val

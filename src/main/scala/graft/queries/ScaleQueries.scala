@@ -17,6 +17,9 @@ object ScaleQueries {
   val SaltBuckets = 8
   val BloomExpectedItems = 100000L
   val BloomFpp = 0.03
+  /** q112: busiest-hour windows to overlap-join against sessions. */
+  val BusyHoursTopN = 25
+  val HourUs = 3600L * 1000000L
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -132,6 +135,35 @@ object ScaleQueries {
           round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // pure interval-overlap join via range binning
+    // (Relational.intervalJoin): user sessions × the 25 busiest hour
+    // windows. A bare overlap predicate would plan
+    // BroadcastNestedLoopJoin (all-pairs); the bin explode turns it
+    // into an ordinary equi-join on the hour bin, with the
+    // max(start)-bin rule emitting each overlapping pair exactly once
+    // — no dedup shuffle. Epoch-micros endpoints keep the oracle
+    // integer-exact.
+    "q112_interval_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val sess = graft.operators.Relational
+        .sessionize(ev, "user_id", "ts",
+          SqlFeatureQueries.SessionGapSecs, Seq("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(unix_micros(col("ts"))).as("s_start"),
+          max(unix_micros(col("ts"))).as("s_end"))
+      val busy = ev
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("h_start"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("h_start").asc)
+        .limit(BusyHoursTopN)
+        .withColumn("h_end", col("h_start") + HourUs - 1)
+      graft.operators.Relational
+        .intervalJoin(sess, "s_start", "s_end", busy, "h_start", "h_end",
+          binWidth = HourUs)
+        .select(col("user_id"), col("session_seq"), col("h_start"),
+          col("n_events"))
+    }),
+
     // as-of join: attribute each click to the latest prior-or-equal
     // view by the same user (single-shuffle union+window composition)
     "q51_asof_join" -> ((s, dir) => {
@@ -173,6 +205,25 @@ object ScaleQueries {
         |  count(*) AS n,
         |  TRUE AS p50_within_2pct, TRUE AS p90_within_2pct
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q112_interval_join" ->
+      s"""WITH x AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (SELECT user_id, event_id, ts, us,
+         |    CASE WHEN prev_us IS NULL OR us - prev_us > ${SqlFeatureQueries.SessionGapSecs}000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM x),
+         |s AS (SELECT user_id, us,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+         |  FROM f),
+         |sess AS (SELECT user_id, session_seq, min(us) AS s_start, max(us) AS s_end
+         |  FROM s GROUP BY 1, 2),
+         |busy AS (SELECT epoch_us(date_trunc('hour', ts)) AS h_start, count(*) AS n_events
+         |  FROM events GROUP BY 1
+         |  ORDER BY n_events DESC, h_start LIMIT $BusyHoursTopN)
+         |SELECT user_id, session_seq, h_start, n_events
+         |FROM sess JOIN busy
+         |  ON h_start <= s_end AND s_start <= h_start + ${HourUs - 1}""".stripMargin,
     "q91_asof_skew" ->
       // (x % 4 + 4) % 4 = Spark's pmod for negative ids (DuckDB's %
       // follows the dividend's sign)

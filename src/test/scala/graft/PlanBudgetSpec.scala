@@ -27,7 +27,14 @@ class PlanBudgetSpec extends SparkTestBase {
   // measured xchg at sf0.001 (round 6) -> ceiling with headroom
   private val budgets = Seq(
     "q61_corpus_clean"      -> (35, 35), // the round-5 verdict's pinned number
-    "q95_incr_dedup"        -> (26, 30),
+    // round 8: q95 deliberately leaves the state/batch signature
+    // subtrees lazy (A/B'd ~2.9s vs ~3.9s for the eager-checkpoint
+    // forms — the parallel in-job recompute of a shared subtree beats
+    // a serializing eager materialization at this size), which
+    // re-plans those subtrees per reference: 26 exchanges -> 43 BY
+    // DESIGN. The budget now pins the lazy shape; an accidental extra
+    // fan-out would still be a multiple, not +5.
+    "q95_incr_dedup"        -> (43, 48),
     "q71_bdpa_chain"        -> (19, 23),
     "q70_active_spine"      -> (16, 20),
     "q36_ngram_jaccard"     -> (12, 15),

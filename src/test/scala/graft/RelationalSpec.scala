@@ -163,6 +163,43 @@ class RelationalSpec extends SparkTestBase {
       (5, "insert", "E")))
   }
 
+  test("intervalJoin equals the naive overlap predicate, each pair once") {
+    import spark.implicits._
+    // intervals spanning 0-3 bins at width 10, incl. exact boundary
+    // touches, containment, identical intervals, and a reversed
+    // (invalid) interval that must vanish
+    val a = Seq((1L, 0L, 5L), (2L, 8L, 31L), (3L, 15L, 15L), (4L, 40L, 35L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, 5L, 9L), (11L, 30L, 50L), (12L, 15L, 15L), (13L, 0L, 100L))
+      .toDF("b_id", "b_s", "b_e")
+    val got = graft.operators.Relational
+      .intervalJoin(a, "a_s", "a_e", b, "b_s", "b_e", binWidth = 10L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    val want = (for {
+      (ai, as_, ae) <- Seq((1L, 0L, 5L), (2L, 8L, 31L), (3L, 15L, 15L))
+      (bi, bs, be) <- Seq((10L, 5L, 9L), (11L, 30L, 50L), (12L, 15L, 15L), (13L, 0L, 100L))
+      if as_ <= be && bs <= ae
+    } yield (ai, bi)).sorted
+    assert(got == want)
+    // the multi-bin pair (2, 13) shares bins 0..3 yet appears once
+    assert(got.count(_ == (2L, 13L)) == 1)
+  }
+
+  test("intervalJoin never plans a cartesian product") {
+    import spark.implicits._
+    val a = (0L until 200L).map(i => (i, i * 7L, i * 7L + 20L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = (0L until 200L).map(i => (i, i * 11L, i * 11L + 15L))
+      .toDF("b_id", "b_s", "b_e")
+    val df = graft.operators.Relational
+      .intervalJoin(a, "a_s", "a_e", b, "b_s", "b_e", binWidth = 16L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"interval join fell back to an all-pairs plan:\n$plan")
+  }
+
   test("every registered query runs on sf0.001 and keeps its column names") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -162,4 +162,37 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(_.getInt(0)).toSet
     assert(a != b)
   }
+
+  test("capPerGroup keeps exactly k deterministic winners per group") {
+    import spark.implicits._
+    val rows = (1 to 900).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val out = Sampling.capPerGroup(rows, "id", "g", 10)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L))
+    // a group already under the cap passes through whole
+    val small = Sampling.capPerGroup(rows.filter(col("id") <= 5), "id", "g", 10)
+    assert(small.count() == 5)
+    // stable under repartitioning
+    val w1 = out.select("id").collect().map(_.getInt(0)).toSet
+    val w2 = Sampling.capPerGroup(rows.repartition(13), "id", "g", 10)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(w1 == w2)
+    // nested: tightening the cap keeps a subset of the old winners
+    val w5 = Sampling.capPerGroup(rows, "id", "g", 5)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(w5.subsetOf(w1) && w5.size == 15)
+  }
+
+  test("capPerGroup plans map-side WindowGroupLimit before the shuffle") {
+    import spark.implicits._
+    val rows = (1 to 900).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val df = Sampling.capPerGroup(rows, "id", "g", 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // both the partial (pre-shuffle) and final WindowGroupLimit must
+    // appear — the partial is what keeps the shuffle at O(groups·k)
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      s"rank-limit pushdown missing:\n$plan")
+  }
 }

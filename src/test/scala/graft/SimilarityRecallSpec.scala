@@ -83,4 +83,28 @@ class SimilarityRecallSpec extends SparkTestBase {
     info(f"recall@10 with kmeans(k=$KmeansK, iters=$KmeansIters) cells at nProbe=$IvfProbes: $r%.3f")
     assert(r >= 0.45, f"registry-setting recall fell to $r%.3f")
   }
+
+  test("semanticDedup keeps lowest-id survivors, greedy within cells") {
+    import spark.implicits._
+    // one cell with an exact-dup pair (1,2); a chain of unit vectors
+    // at angles 0 / 0.05 / 0.10 rad (3~4 and 4~5 at cos ~0.99875 >=
+    // tau, 3~5 at cos ~0.99500 < tau — greedy drops BOTH 4 and 5); an
+    // isolated vector; and a second cell holding an exact dup of vec 1
+    // that must SURVIVE (cross-cell pairs are never evaluated — the
+    // documented approximation)
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    def ang(t: Double) = v(0, math.cos(t), math.sin(t))
+    val rows = Seq(
+      (1L, 0, v(1, 0, 0)), (2L, 0, v(1, 0, 0)),
+      (3L, 0, ang(0)), (4L, 0, ang(0.05)), (5L, 0, ang(0.10)),
+      (6L, 0, v(0, 0, 1)),
+      (7L, 1, v(1, 0, 0))
+    ).toDF("vec_id", "cell", "embedding")
+    val out = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        "cell", tau = 0.998)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // 3~5 cosine ~0.995 < tau, yet 5 still drops via 4 — the greedy
+    // keep-one-representative rule, exactly SemDeDup's policy
+    assert(out == Set(1L, 3L, 6L, 7L))
+  }
 }
