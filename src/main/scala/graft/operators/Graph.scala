@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for crawl-corpus curation. A web-scale corpus
+  * pipeline ranks hosts/pages by link centrality (the Common Crawl
+  * ranking files are exactly this) to weight or gate documents; the
+  * engine ships the batch PageRank that produces such a signal.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank with damping `d`:
+    * `rank(v) = (1-d) + d * Σ_{u→v} rank(u) / outdeg(u)`, the
+    * classic per-node (non-normalized) form. Dangling nodes keep their
+    * base `(1-d)` and simply leak their mass — the deterministic
+    * simplification every bulk implementation (GraphX's `staticPageRank`
+    * included) defaults to.
+    *
+    * Determinism for the cross-engine oracle: ranks are rounded to 6
+    * decimals AFTER EVERY ITERATION, so engine-specific float-sum
+    * association inside the contribution aggregate (last-ulp noise)
+    * cannot compound across rounds; the oracle unrolls the same
+    * iterations as chained CTEs with the same rounding.
+    *
+    * Scale shape: per iteration, one shuffle for the contribution
+    * aggregate and one join back to the node list — both keyed on the
+    * node id, no all-pairs anything. The deduped edge list, out-degree
+    * table, and node list are computed once and reused every round
+    * (eager localCheckpoint: recomputing them per round would rescan
+    * the source `iters` times, and the truncated lineage keeps the
+    * final plan from growing with the round count — same discipline as
+    * [[Dedup.connectedComponents]]).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("__in"), lit(0.0)), 6).as("rank"))
+      // truncate lineage every few rounds so the plan depth stays
+      // bounded in the iteration count (values are unchanged)
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -240,6 +240,48 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** BM25 relevance scores for a literal term query (Robertson/Zaragoza;
+    * the Lucene `ln(1 + (N - df + 0.5)/(df + 0.5))` IDF form, which is
+    * non-negative for any df): the ranked-retrieval scorer a corpus
+    * pipeline runs for data selection — "docs most relevant to this
+    * probe query" — and the quality twin of [[tfidf]].
+    *
+    * Only rows whose term is IN the query survive the first filter, so
+    * the explode is pruned at the scan and the per-(doc, term) shuffle
+    * carries query-matching tokens only — cost scales with term
+    * selectivity, not vocabulary. Corpus stats (N, avgdl) ride one
+    * broadcast 1-row aggregate; `avgdl` divides an exact integral sum,
+    * so it is bit-identical cross-engine, and the final per-doc score
+    * sums ≤ |terms| doubles before the 6-decimal round that makes the
+    * output oracle-stable.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    val terms = queryTerms.distinct
+    val toks = df.select(col(idCol),
+        size(split(col(textCol), " ")).as("__dl"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val stats = df.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col(textCol), " "))).as("avgdl"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) +
+            (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("avgdl"))))
+          .as("__s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("bm25"))
+  }
+
   /** Repetition-quality signals (the Gopher-rules family adapted to
     * whitespace corpora): duplicate-word fraction, duplicate-bigram
     * fraction, and the frequency share of the single most repeated

@@ -75,6 +75,14 @@ object PipelineQueries {
   // sf0.1 250 — the cap binds at every SF
   val DomainCapK = 15
   val FuzzyMaxDist = 1
+  val PageRankIters = 5
+  val PageRankDamping = 0.85
+  // part-node id offset in the q115 link graph: must exceed every
+  // suppkey/partkey at any testdata SF (sf1 tops out at 200k parts)
+  val PageRankPartOffset = 10000000L
+  val Bm25Terms = Seq("join", "hash", "spark")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -228,6 +236,29 @@ object PipelineQueries {
         dirty, "dirty_id", "dirty_name", clean, "clean_id", "name",
         maxDist = FuzzyMaxDist)
     }),
+
+    // link-graph centrality (operators/Graph.pageRank): the
+    // Common Crawl-style ranking signal a crawl pipeline weights
+    // documents by. Bipartite supplier<->part link graph derived from
+    // lineitem; 5 damped iterations, ranks rounded per round so the
+    // unrolled-CTE oracle is bit-stable
+    "q115_pagerank" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("sn"),
+          (col("l_partkey").cast("long") + lit(PageRankPartOffset)).as("pn"))
+      val edges = li.select(col("sn").as("src"), col("pn").as("dst"))
+        .union(li.select(col("pn").as("src"), col("sn").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst",
+        PageRankIters, PageRankDamping)
+    }),
+
+    // BM25 ranked retrieval for a literal probe query
+    // (TextAnalysis.bm25): the data-selection scorer — explode is
+    // pruned to query terms at the scan, corpus stats ride one
+    // broadcast row
+    "q116_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+        Bm25Terms, Bm25K1, Bm25B)),
 
     // Gopher-family repetition signals (TextAnalysis.repetitionSignals):
     // per-row array expressions, no explode, no shuffle
@@ -626,6 +657,54 @@ object PipelineQueries {
        |SELECT vec_id, cell, label FROM m
        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
 
+  /** Oracle twin of q115: [[graft.operators.Graph.pageRank]]'s damped
+    * iterations unrolled as chained CTEs with the identical per-round
+    * 6-decimal rounding (the rounding is what makes engine-specific
+    * float-sum association irrelevant). The `1 - damping` base is
+    * interpolated from the SAME Scala double the operator uses, so
+    * both engines parse the identical literal. */
+  private val pageRankSql: String = {
+    val base = 1.0 - PageRankDamping
+    val iters = (1 to PageRankIters).map { i =>
+      s"""r_$i AS (SELECT n.node,
+         |    round($base + $PageRankDamping * coalesce(s.x, 0.0), 6) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / d.deg) AS x
+         |    FROM e JOIN r_${i - 1} r ON e.src = r.node
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT CAST(l_suppkey AS BIGINT) AS sn,
+       |    CAST(l_partkey AS BIGINT) + $PageRankPartOffset AS pn FROM lineitem),
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT sn AS src, pn AS dst FROM li
+       |  UNION ALL SELECT pn AS src, sn AS dst FROM li)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |r_0 AS (SELECT node, 1.0 AS rank FROM nodes),
+       |$iters
+       |SELECT node, rank FROM r_$PageRankIters""".stripMargin
+  }
+
+  /** Oracle twin of q116: same IDF form, same literal constants
+    * (interpolated from the SAME Scala doubles the operator folds into
+    * its expressions), same association order. */
+  private val bm25Sql: String = {
+    val termList = Bm25Terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS term FROM documents),
+       |q AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+       |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df_t FROM q GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  avg(len(string_split(text, ' '))) AS avgdl FROM documents)
+       |SELECT doc_id, round(sum(
+       |    ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
+       |    (tf * ${Bm25K1 + 1.0}) /
+       |    (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))), 6) AS bm25
+       |FROM q JOIN dfreq USING (term), stats GROUP BY doc_id""".stripMargin
+  }
+
   private val embedNearDupSql: String =
     s"""SELECT * FROM (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -784,6 +863,8 @@ object PipelineQueries {
     "q38_ann_ivf" -> annIvfSql,
     "q43_embed_neardup" -> embedNearDupSql,
     "q114_semantic_dedup" -> semanticDedupSql,
+    "q115_pagerank" -> pageRankSql,
+    "q116_bm25" -> bm25Sql,
     "q113_domain_cap" ->
       s"""SELECT doc_id, source, n_chars FROM (
          |  SELECT doc_id, source, n_chars,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+import graft.operators.TextAnalysis
+
+/** Hand-computed fixtures for the link-graph and retrieval scorers. */
+class GraphSpec extends SparkTestBase {
+
+  test("pageRank matches hand-iterated values on chain, cycle, and star") {
+    import spark.implicits._
+    // three disjoint components: chain 1->2, cycle 3<->4,
+    // star {5,6,7}->8 (dangling hub: leaks mass, stays rank-heavy)
+    val edges = Seq(
+      (1L, 2L),
+      (3L, 4L), (4L, 3L),
+      (5L, 8L), (6L, 8L), (7L, 8L)
+    ).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hand iteration at d=0.85, per-round 6-decimal rounding:
+    //   sources with no in-edges settle at round(0.15, 6)
+    //   cycle members: 0.15 + 0.85*1.0 = 1.0 every round
+    //   chain sink: round1 1.0, round2 0.15 + 0.85*0.15 = 0.2775
+    //   star hub: round1 0.15+0.85*3 = 2.7, round2 0.15+0.85*0.45 = 0.5325
+    val want = Map(
+      1L -> 0.15, 2L -> 0.2775,
+      3L -> 1.0, 4L -> 1.0,
+      5L -> 0.15, 6L -> 0.15, 7L -> 0.15, 8L -> 0.5325)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (n, r) =>
+      assert(math.abs(got(n) - r) < 1e-9, s"node $n: ${got(n)} != $r")
+    }
+  }
+
+  test("pageRank dedupes parallel edges and a longer run stays bounded") {
+    import spark.implicits._
+    // duplicate edges must count once in the out-degree
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // symmetric pair: fixed point 1.0 on both, any iteration count
+    // (also exercises the periodic lineage checkpoint at i=3,6)
+    assert(got == Map(1L -> 1.0, 2L -> 1.0))
+  }
+
+  test("bm25 matches the closed-form score on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "x z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 3.5
+    def s(tf: Long, dl: Int, df: Long, n: Long): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val want1 = s(2, 3, 2, 2) + s(1, 3, 1, 2) // x twice + y once
+    val want2 = s(1, 4, 2, 2)                 // x once
+    assert(math.abs(got(1L) - want1) < 1e-5)
+    assert(math.abs(got(2L) - want2) < 1e-5)
+    // the doc matching the rare term must outrank the common-term doc
+    assert(got(1L) > got(2L))
+  }
+}
