@@ -49,7 +49,11 @@ object Fuzzy {
     require(maxDist == 1 || maxDist == 2,
       s"deletion-neighborhood blocking is practical for d in {1,2}, got $maxDist")
     val lVar = explodedVariants(left, leftId, leftStr, maxDist, "l_id")
+    // materialized once: the bucket-cap census below is an eager action,
+    // and without truncation the join would re-run the whole explode a
+    // second time — at scale that doubles the dominant cost
     val rVar = explodedVariants(right, rightId, rightStr, maxDist, "r_id")
+      .localCheckpoint(true)
     // quadratic-blowup guard on the variant key (same contract as
     // Dedup.simhashPairs): a flood of identical/near-identical strings
     // concentrates in one variant bucket; over-cap buckets are dropped

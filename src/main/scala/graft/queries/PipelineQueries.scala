@@ -222,15 +222,21 @@ object PipelineQueries {
     // — a planted one-char-deletion misspelling of every part name is
     // matched back against the clean names through an equi-join on
     // deletion variants + exact levenshtein verify; the oracle is the
-    // naive cross join the operator exists to avoid
+    // naive cross join the operator exists to avoid. Names get the
+    // partkey appended to be (near-)unique — raw p_name has only ~64
+    // distinct values, which would make the TRUE ANSWER itself
+    // quadratic (every dirty copy of a name within distance 1 of every
+    // clean copy), a degenerate workload no blocking scheme can save
     "q111_fuzzy_join" -> ((s, dir) => {
       val part = Tables.load(s, dir, "part")
+      val uname = concat(col("p_name"), lit("-"),
+        col("p_partkey").cast("string"))
       val clean = part.select(col("p_partkey").as("clean_id"),
-        col("p_name").as("name"))
-      val k = pmod(col("p_partkey"), length(col("p_name"))) + 1
+        uname.as("name"))
+      val k = pmod(col("p_partkey"), length(uname)) + 1
       val dirty = part.select(col("p_partkey").as("dirty_id"),
-        concat(col("p_name").substr(lit(1), k - 1),
-          col("p_name").substr(k + 1, length(col("p_name"))))
+        concat(uname.substr(lit(1), k - 1),
+          uname.substr(k + 1, length(uname)))
           .as("dirty_name"))
       graft.operators.Fuzzy.editDistanceJoin(
         dirty, "dirty_id", "dirty_name", clean, "clean_id", "name",
@@ -873,11 +879,12 @@ object PipelineQueries {
     // the naive all-pairs form the blocking operator avoids — valid as
     // an oracle precisely because sf0.01 is small enough to afford it
     "q111_fuzzy_join" ->
-      s"""WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
-         |dirty AS (SELECT p_partkey AS dirty_id,
-         |    substr(p_name, 1, ((p_partkey % length(p_name)) + 1) - 1) ||
-         |    substr(p_name, ((p_partkey % length(p_name)) + 1) + 1) AS dirty_name
-         |  FROM part)
+      s"""WITH clean AS (SELECT p_partkey AS clean_id,
+         |    p_name || '-' || CAST(p_partkey AS VARCHAR) AS name FROM part),
+         |dirty AS (SELECT clean_id AS dirty_id,
+         |    substr(name, 1, ((clean_id % length(name)) + 1) - 1) ||
+         |    substr(name, ((clean_id % length(name)) + 1) + 1) AS dirty_name
+         |  FROM clean)
          |SELECT dirty_id, clean_id, levenshtein(dirty_name, name) AS dist
          |FROM dirty, clean
          |WHERE levenshtein(dirty_name, name) <= $FuzzyMaxDist""".stripMargin,
