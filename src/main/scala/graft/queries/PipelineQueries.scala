@@ -201,8 +201,13 @@ object PipelineQueries {
     // within-cell pairs instead of all-pairs
     "q114_semantic_dedup" -> ((s, dir) => {
       val e = embs(s, dir)
+      // the within-cell pair stage is O(Σ cell²): cluster count must
+      // grow with the corpus so cell sizes stay bounded (SemDeDup runs
+      // ~50k clusters at web scale). GRAFT_KMEANS_K lets the scale
+      // sweep demonstrate k ∝ n; the default stays oracle-matched
+      val k = sys.env.get("GRAFT_KMEANS_K").map(_.toInt).getOrElse(KmeansK)
       val cells = Similarity.cellsOf(e, dir, "vec_id", "embedding",
-        KmeansK, KmeansIters)
+        k, KmeansIters)
       Similarity.semanticDedup(e.join(cells, Seq("vec_id")),
           "vec_id", "embedding", "cell", SemDedupTau)
         .select(col("vec_id"), col("cell"), col("label"))

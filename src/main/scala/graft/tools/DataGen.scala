@@ -50,8 +50,104 @@ object DataGen {
       graft.core.GraftSession.envCores)
     if (tables.contains("documents")) scaleDocuments(spark, src, out, copies)
     if (tables.contains("events")) scaleEvents(spark, src, out, copies)
+    if (tables.contains("part")) scalePart(spark, src, out, copies)
+    if (tables.contains("lineitem")) scaleLineitem(spark, src, out, copies)
+    if (tables.contains("embeddings")) scaleEmbeddings(spark, src, out, copies)
     spark.stop()
     sys.exit(0)
+  }
+
+  /** `part` scale-up for the fuzzy-join sweep (q111): copy c shifts
+    * `p_partkey` by a range-clearing stride and suffixes `p_name` with
+    * `_c<c>`, so deletion neighborhoods of different copies stay
+    * DISJOINT — each copy reproduces the base corpus's match structure
+    * privately and candidate volume can only grow linearly unless the
+    * ENGINE goes super-linear. */
+  private def scalePart(spark: org.apache.spark.sql.SparkSession,
+                        src: String, out: String, copies: Int): Unit = {
+    val base = graft.core.Tables.load(spark, src, "part")
+    val maxId = base.agg(max(col("p_partkey"))).first().getLong(0)
+    val stride = math.max(1000000L, maxId + 1)
+    val all = (0 until copies).map { c =>
+      if (c == 0) base
+      else base.select(
+        (col("p_partkey") + lit(c * stride)).as("p_partkey"),
+        concat(col("p_name"), lit(s"_c$c")).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }.reduce(_ union _)
+    all.repartition(math.max(4, copies))
+      .write.mode("overwrite")
+      .parquet(new java.io.File(out, "part.parquet").getAbsolutePath)
+    val n = spark.read.parquet(
+      new java.io.File(out, "part.parquet").getAbsolutePath).count()
+    println(s"DATAGEN wrote $n parts ($copies copies) to $out")
+  }
+
+  /** `lineitem` scale-up for the link-graph sweep (q115): copy c shifts
+    * `l_suppkey` and `l_partkey` by range-clearing strides, producing N
+    * DISJOINT copies of the base bipartite graph — same degree
+    * distribution, same component structure, N× the nodes/edges, so
+    * per-copy PageRank vectors are identical to the base and wall-time
+    * growth is purely the engine's. Strides stay below the
+    * q115 part-node offset (1e7) so part and supplier node-id ranges
+    * cannot collide at any generated scale up to 10 copies. */
+  private def scaleLineitem(spark: org.apache.spark.sql.SparkSession,
+                            src: String, out: String, copies: Int): Unit = {
+    val base = graft.core.Tables.load(spark, src, "lineitem")
+    val stats = base.agg(max(col("l_suppkey")), max(col("l_partkey")),
+      max(col("l_orderkey"))).first()
+    val sStride = math.max(100000L, stats.getLong(0) + 1)
+    val pStride = math.max(100000L, stats.getLong(1) + 1)
+    val oStride = math.max(10000000L, stats.getLong(2) + 1)
+    val all = (0 until copies).map { c =>
+      if (c == 0) base
+      else base.select(
+        (col("l_orderkey") + lit(c * oStride)).as("l_orderkey"),
+        (col("l_partkey") + lit(c * pStride)).as("l_partkey"),
+        (col("l_suppkey") + lit(c * sStride)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ union _)
+    all.repartition(math.max(4, copies * 2))
+      .write.mode("overwrite")
+      .parquet(new java.io.File(out, "lineitem.parquet").getAbsolutePath)
+    val n = spark.read.parquet(
+      new java.io.File(out, "lineitem.parquet").getAbsolutePath).count()
+    println(s"DATAGEN wrote $n lineitems ($copies copies) to $out")
+  }
+
+  /** `embeddings` scale-up for the ANN/SemDeDup sweep (q37/q38/q114):
+    * copy c shifts `vec_id` by a range-clearing stride and CIRCULARLY
+    * ROTATES every embedding by c positions. Rotation is a coordinate
+    * permutation, so all within-copy inner products — and therefore
+    * every within-copy cosine, duplicate pair, and cluster — are
+    * preserved EXACTLY, while cross-copy cosines are decorrelated
+    * (rotated axes), keeping the N copies' duplicate structure private
+    * the same way the document scaler keeps shingle sets disjoint. */
+  private def scaleEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                              src: String, out: String, copies: Int): Unit = {
+    val base = graft.core.Tables.load(spark, src, "embeddings")
+    val maxId = base.agg(max(col("vec_id"))).first().getLong(0)
+    val stride = math.max(1000000L, maxId + 1)
+    val all = (0 until copies).map { c =>
+      if (c == 0) base
+      else {
+        val e = col("embedding"); val n = size(e)
+        val k = lit(c) % n // rotation < dim for any copy count
+        base.select(
+          (col("vec_id") + lit(c * stride)).as("vec_id"),
+          concat(slice(e, k + 1, n - k), slice(e, lit(1), k))
+            .as("embedding"),
+          col("label"))
+      }
+    }.reduce(_ union _)
+    all.repartition(math.max(4, copies))
+      .write.mode("overwrite")
+      .parquet(new java.io.File(out, "embeddings.parquet").getAbsolutePath)
+    val n = spark.read.parquet(
+      new java.io.File(out, "embeddings.parquet").getAbsolutePath).count()
+    println(s"DATAGEN wrote $n embeddings ($copies copies) to $out")
   }
 
   private def scaleEvents(spark: org.apache.spark.sql.SparkSession,
