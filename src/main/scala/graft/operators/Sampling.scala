@@ -246,4 +246,79 @@ object Sampling {
        |SELECT d.* FROM $table d JOIN thr ON d.$sourceExpr = thr.src
        |WHERE ${bucketSql(idExpr, 1000000, salt)} < thr""".stripMargin
   }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023): score every
+    * document by how much more likely its hashed-bigram features are
+    * under the TARGET distribution (the high-quality exemplar slice —
+    * here a predicate over the corpus) than under the RAW distribution
+    * (everything else). Documents with high weight "look like" the
+    * target; resampling the raw pool by these weights is the paper's
+    * selection step (compose with [[weightedSample]]).
+    *
+    * Features are bigrams hashed into `buckets` buckets — the paper's
+    * hashed n-gram generative model — with add-one smoothing, so the
+    * per-gram log-ratio is
+    * `ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))`; the reported
+    * `dsir_weight` is the per-gram MEAN of the ratio (length-normalized
+    * — same avg-of-logs determinism as [[TextAnalysis.ngramLmScore]]:
+    * rounded to 6 decimals so the float-sum association of any engine
+    * or partitioning agrees). Documents with fewer than 2 words have no
+    * features and drop out, as in ngramLmScore.
+    *
+    * Scale shape: the bucket count table is exactly `buckets` rows no
+    * matter the corpus size — it (plus the 1-row totals) broadcasts to
+    * the scoring join, so the only corpus-sized shuffle is the per-doc
+    * aggregate. The hash is [[PortableHash]] → the whole computation is
+    * SQL-oracle-able.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val grams = df.select(col(idCol), isTarget.as("__t"),
+        split(col(textCol), " ").as("ws"))
+      .select(col(idCol), col("__t"), explode(expr(
+        """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |  (w, i) -> concat(w, ' ', element_at(ws, i + 2)))""".stripMargin))
+        .as("bg"))
+      .withColumn("__b", pmod(PortableHash.hash60(col("bg")), lit(buckets)))
+      .cache()
+    val counts = grams.groupBy(col("__b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tc"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("rc"))
+    val ratio = counts
+      .crossJoin(broadcast(
+        counts.agg(sum(col("tc")).as("T"), sum(col("rc")).as("R"))))
+      .select(col("__b"),
+        (log((col("tc") + 1).cast("double") / (col("T") + buckets)) -
+          log((col("rc") + 1).cast("double") / (col("R") + buckets)))
+          .as("__lr"))
+    grams.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(col("__lr")), 6).as("dsir_weight"))
+  }
+
+  /** Oracle twin of [[importanceWeights]] (md5 backend only). */
+  def importanceWeightsSql(table: String, idExpr: String, textExpr: String,
+                           isTargetExpr: String, buckets: Int): String =
+    s"""WITH d AS (SELECT $idExpr AS id, $isTargetExpr AS t,
+       |    string_split($textExpr, ' ') AS ws FROM $table),
+       |bgs AS (SELECT id, t, ws[i] || ' ' || ws[i + 1] AS bg
+       |  FROM (SELECT id, t, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM d WHERE len(ws) >= 2)),
+       |hb AS (SELECT id, t,
+       |    ${PortableHash.hash60Sql("bg")} % $buckets AS b FROM bgs),
+       |cnt AS (SELECT b,
+       |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+       |    sum(CASE WHEN t THEN 0 ELSE 1 END) AS rc
+       |  FROM hb GROUP BY b),
+       |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+       |    CAST(sum(rc) AS BIGINT) AS rt FROM cnt),
+       |lr AS (SELECT b,
+       |    ln(CAST(tc + 1 AS DOUBLE) / (tt + $buckets)) -
+       |    ln(CAST(rc + 1 AS DOUBLE) / (rt + $buckets)) AS lr
+       |  FROM cnt CROSS JOIN tot)
+       |SELECT id AS doc_id, count(*) AS n_grams,
+       |  round(avg(lr), 6) AS dsir_weight
+       |FROM hb JOIN lr USING (b) GROUP BY id""".stripMargin
 }

@@ -465,4 +465,47 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > lit(support * total))
   }
+
+  /** C4-style boilerplate removal: a segment (fixed window of
+    * `windowWords` words — the stand-in for a "line" in a corpus whose
+    * documents carry no newlines) that occurs in at least `minDocs`
+    * DISTINCT documents is boilerplate (nav bars, cookie banners,
+    * license footers) and is stripped from EVERY document; surviving
+    * segments are rejoined in original order. Distinct from
+    * [[Dedup.segmentDedup]], which keeps the first occurrence of a
+    * duplicated segment — boilerplate keeps none.
+    *
+    * Documents whose every segment is boilerplate disappear from the
+    * output (C4 drops them too — nothing is left to keep).
+    *
+    * Scale shape: the document-frequency aggregate groups on the
+    * segment DIGEST (16 bytes), never the segment text; the resulting
+    * boilerplate set is, by construction, only segments repeated across
+    * ≥ minDocs docs — a tiny fraction of distinct segments — so it
+    * broadcasts, and the removal is a broadcast anti join at scan
+    * throughput. No pairwise stage anywhere; both shuffles are linear
+    * in corpus tokens.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       windowWords: Int = 10, minDocs: Int = 3): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWin = ceil(size(words) / lit(windowWords.toDouble)).cast("int")
+    val segs = df.select(col(idCol), nWin.as("n_segments"),
+        posexplode(transform(sequence(lit(0), nWin - 1), i =>
+          concat_ws(" ", slice(words, i * windowWords + 1, lit(windowWords))))))
+      .toDF(idCol, "n_segments", "pos", "seg")
+      .withColumn("__dig", md5(col("seg")))
+    val boiler = segs.groupBy(col("__dig"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__dig"))
+    segs.join(broadcast(boiler), Seq("__dig"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        (max(col("n_segments")) - count(lit(1))).as("n_removed"))
+  }
 }

@@ -83,6 +83,14 @@ object PipelineQueries {
   val Bm25Terms = Seq("join", "hash", "spark")
   val Bm25K1 = 1.2
   val Bm25B = 0.75
+  // boilerplate gate (q117): segment document-frequency at which a
+  // 10-word window is stripped corpus-wide; sf0.01 carries 15 such
+  // segments (df>=3), so the removal path is exercised at every SF
+  val BoilerWindow = 10
+  val BoilerMinDocs = 3
+  // DSIR (q118): hashed-bigram feature space; target = English slice
+  val DsirBuckets = 1024
+  val DsirTargetLang = "en"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -100,6 +108,23 @@ object PipelineQueries {
     // pipeline; digests shuffle, prose crosses the wire once
     "q104_segment_dedup" -> ((s, dir) =>
       Dedup.segmentDedup(docs(s, dir), "doc_id", "text", windowWords = 10)),
+
+    // C4-style boilerplate removal (TextAnalysis.stripBoilerplate):
+    // segments repeated across >= BoilerMinDocs DISTINCT docs (nav
+    // bars, footers) are stripped from EVERY doc — distinct from
+    // q104's keep-first dedup. The boilerplate set broadcasts; both
+    // shuffles are linear in corpus tokens
+    "q117_boilerplate" -> ((s, dir) =>
+      TextAnalysis.stripBoilerplate(docs(s, dir), "doc_id", "text",
+        BoilerWindow, BoilerMinDocs)),
+
+    // DSIR importance weights (Sampling.importanceWeights): hashed
+    // bigram target-vs-raw log-likelihood ratio per doc — the data
+    // SELECTION scorer (resample raw by these weights to look like
+    // the target). Bucket table is fixed-size -> broadcast scoring
+    "q118_dsir_weights" -> ((s, dir) =>
+      Sampling.importanceWeights(docs(s, dir), "doc_id", "text",
+        col("lang") === DsirTargetLang, DsirBuckets)),
 
     // URL canonicalization + URL-level dedup — the first gate of a
     // web-crawl pipeline (drops records without touching bodies).
@@ -837,6 +862,27 @@ object PipelineQueries {
         |  max(n_segments) AS n_segments
         |FROM ranked WHERE rn = 1
         |GROUP BY doc_id""".stripMargin,
+    "q117_boilerplate" ->
+      s"""WITH segs AS (
+         |  SELECT doc_id, n_segments, CAST(i AS INTEGER) AS pos,
+         |    array_to_string(ws[(i*$BoilerWindow+1):(i*$BoilerWindow+$BoilerWindow)], ' ') AS seg
+         |  FROM (
+         |    SELECT doc_id, ws,
+         |      CAST(ceil(len(ws) / $BoilerWindow.0) AS INTEGER) AS n_segments,
+         |      unnest(generate_series(0,
+         |        CAST(ceil(len(ws) / $BoilerWindow.0) AS INTEGER) - 1)) AS i
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |          FROM documents))),
+         |boiler AS (SELECT seg FROM segs GROUP BY seg
+         |           HAVING count(DISTINCT doc_id) >= $BoilerMinDocs)
+         |SELECT doc_id,
+         |  string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         |  count(*) AS n_kept,
+         |  max(n_segments) - count(*) AS n_removed
+         |FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)
+         |GROUP BY doc_id""".stripMargin,
+    "q118_dsir_weights" -> Sampling.importanceWeightsSql(
+      "documents", "doc_id", "text", s"lang = '$DsirTargetLang'", DsirBuckets),
     "q32_minhash_sig" -> s"WITH $wordsCte $minhashSigsSelect",
     "q33_minhash_lsh_pairs" -> minhashLshSql,
     // connected components as a recursive reachability CTE over the

@@ -186,6 +186,54 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(run(chunks.repartition(7)) == out) // partitioning-invariant
   }
 
+  test("stripBoilerplate: df>=minDocs segments vanish everywhere; order kept") {
+    import spark.implicits._
+    // 4-word window -> doc 1/2/3 share the boilerplate segment
+    // "cookie banner accept all"; doc 1 also repeats a segment with
+    // doc 2 only (df=2, stays). Doc 4 is PURE boilerplate -> dropped.
+    val boiler = "cookie banner accept all"
+    val docs = Seq(
+      (1, s"$boiler unique one text here rare tail words"),
+      (2, s"$boiler unique one text here other body words"),
+      (3, s"$boiler third doc body stays fully intact now"),
+      (4, boiler)
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .stripBoilerplate(docs, "doc_id", "text", windowWords = 4, minDocs = 3)
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains(4)) // nothing left to keep
+    assert(out(1) == (("unique one text here rare tail words", 2L, 1L)))
+    assert(out(2) == (("unique one text here other body words", 2L, 1L)))
+    assert(out(3) == (("third doc body stays fully intact now", 2L, 1L)))
+    // df=2 segment ("unique one text here") survives in both docs
+    assert(out(1)._1.startsWith("unique one text here"))
+  }
+
+  test("importanceWeights: target-like docs score higher; partition-invariant") {
+    import spark.implicits._
+    // target vocabulary {alpha beta} vs raw vocabulary {gamma delta};
+    // a raw doc written in target vocabulary must out-score raw-like
+    // raw docs (that is the whole point of the scorer)
+    val docs = Seq(
+      (1, "alpha beta alpha beta alpha beta", true),
+      (2, "beta alpha beta alpha beta alpha", true),
+      (3, "gamma delta gamma delta gamma delta", false),
+      (4, "delta gamma delta gamma delta gamma", false),
+      (5, "alpha beta alpha beta beta alpha", false), // target-like raw doc
+      (6, "x", false)                                 // <2 words: no features
+    ).toDF("doc_id", "text", "is_t")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling
+        .importanceWeights(df, "doc_id", "text", org.apache.spark.sql.functions.col("is_t"), 64)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val out = run(docs)
+    assert(!out.contains(6))
+    assert(out(5)._2 > out(3)._2 && out(5)._2 > out(4)._2)
+    assert(out(1)._2 > out(3)._2)
+    assert(out(1)._1 == 5L) // 6 words -> 5 bigrams
+    assert(run(docs.repartition(7)) == out) // hash-keyed, partition-invariant
+  }
+
   test("near-dup removal is off-able via bands beyond signature width") {
     import spark.implicits._
     val en = "the quick fast query scans a wide table of rows"
