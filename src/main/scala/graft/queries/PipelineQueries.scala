@@ -91,6 +91,21 @@ object PipelineQueries {
   // DSIR (q118): hashed-bigram feature space; target = English slice
   val DsirBuckets = 1024
   val DsirTargetLang = "en"
+  // trained quality classifier (q119): full-batch logistic regression
+  // over hashed bigram frequencies. The label must be LEARNABLE from
+  // text for the demo to mean anything — the metadata lang/source
+  // columns are random over a shared vocabulary (a model trained on
+  // them correctly converges to the base rate and separates nothing),
+  // so the exemplar label is a text property: mentions of 'spark'
+  // (385/500 docs at sf0.01). lr/iters sized so the separation is
+  // visible in the scores, not just the sign of the weights
+  // measured on sf0.01 (offline replica of the exact update rule):
+  // (512, 5, 2.0) separates pos 0.80 / neg 0.49 mean score, pairwise
+  // ranking accuracy 0.967; 64 buckets collide the ~900-bigram vocab
+  // into every bucket and cap separation near the base rate
+  val ClfBuckets = 512
+  val ClfIters = 5
+  val ClfLearnRate = 2.0
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -125,6 +140,17 @@ object PipelineQueries {
     "q118_dsir_weights" -> ((s, dir) =>
       Sampling.importanceWeights(docs(s, dir), "doc_id", "text",
         col("lang") === DsirTargetLang, DsirBuckets)),
+
+    // trained quality classifier (Classifier.logisticQuality): the
+    // fastText-style gate — logistic regression over hashed bigram
+    // frequencies trained full-batch IN the engine (parameter-
+    // broadcast GD: weights broadcast out, gradient aggregated back;
+    // two linear shuffles per iteration) and applied to the corpus.
+    // The oracle unrolls the iterations as chained CTEs, pagerank-style
+    "q119_quality_classifier" -> ((s, dir) =>
+      graft.operators.Classifier.logisticQuality(docs(s, dir),
+        "doc_id", "text", col("text").contains("spark"),
+        ClfBuckets, ClfIters, ClfLearnRate)),
 
     // URL canonicalization + URL-level dedup — the first gate of a
     // web-crawl pipeline (drops records without touching bodies).
@@ -883,6 +909,9 @@ object PipelineQueries {
          |GROUP BY doc_id""".stripMargin,
     "q118_dsir_weights" -> Sampling.importanceWeightsSql(
       "documents", "doc_id", "text", s"lang = '$DsirTargetLang'", DsirBuckets),
+    "q119_quality_classifier" -> graft.operators.Classifier.logisticQualitySql(
+      "documents", "doc_id", "text", "text LIKE '%spark%'",
+      ClfBuckets, ClfIters, ClfLearnRate),
     "q32_minhash_sig" -> s"WITH $wordsCte $minhashSigsSelect",
     "q33_minhash_lsh_pairs" -> minhashLshSql,
     // connected components as a recursive reachability CTE over the
