@@ -71,6 +71,40 @@ object Similarity {
         .as("recon_err"))
   }
 
+  /** Per-dimension z-score standardization of an embedding column —
+    * the preprocessing step before distance-based indexing when
+    * dimensions carry different scales (mixed-provenance embeddings,
+    * concatenated feature blocks): for each dimension, subtract the
+    * corpus mean and divide by the population standard deviation.
+    * Zero-variance dimensions standardize to 0.0 instead of NaN.
+    *
+    * Scale shape: the statistics are ONE map-side-combined aggregate
+    * whose result is `dim` rows total — they ride a broadcast as two
+    * ordered arrays, and the rewrite is a pure per-row `zip_with`
+    * (codegen'd, no shuffle, no explode of the corpus into n×dim
+    * rows). Mean and std are rounded to 6 decimals before use, and
+    * each output element after — the cross-engine float discipline of
+    * the rest of the vector family.
+    */
+  def standardize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = df.select(posexplode(asDouble(col(vecCol))))
+      .toDF("dim", "v")
+    val st = x.groupBy(col("dim")).agg(
+      round(avg(col("v")), 6).as("mu"),
+      round(stddev_pop(col("v")), 6).as("sd"))
+    val one = broadcast(st
+      .agg(sort_array(collect_list(struct(col("dim"), col("mu"), col("sd"))))
+        .as("s"))
+      .select(transform(col("s"), e => e.getField("mu")).as("__mus"),
+        transform(col("s"), e => e.getField("sd")).as("__sds")))
+    df.crossJoin(one).select(col(idCol),
+      zip_with(
+        zip_with(asDouble(col(vecCol)), col("__mus"), (a, b) => a - b),
+        col("__sds"),
+        (d, s) => round(when(s === 0.0, lit(0.0)).otherwise(d / s), 6))
+        .as("zvec"))
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self).
     * Queries chosen by predicate; the query set is broadcast. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,

@@ -466,6 +466,32 @@ object TextAnalysis {
       .filter(col("cnt") > lit(support * total))
   }
 
+  /** Frequency-ranked vocabulary build — the token→id mapping step of
+    * tokenizer construction: count every word across the corpus, keep
+    * those with at least `minCount` occurrences, and assign contiguous
+    * ids in (count desc, word asc) order, so id 0 is the most frequent
+    * token and the ordering is total (the word tiebreak makes the
+    * mapping deterministic on any engine or partitioning).
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combined count
+    * aggregate. The ranking window then runs over the VOCABULARY,
+    * which is orders of magnitude smaller than the corpus and further
+    * cut by `minCount` (Zipf: the tail is hapax legomena) — the same
+    * bounded-small-result contract as [[heavyHitters]]' candidate set;
+    * a 100 TB corpus has a vocabulary that fits one partition with
+    * room to spare, which is exactly what the unpartitioned window
+    * assumes and why it is acceptable HERE and nowhere else.
+    */
+  def buildVocab(df: DataFrame, textCol: String,
+                 minCount: Long = 1L): DataFrame = {
+    val counts = df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    counts.withColumn("token_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token").asc)) - 1)
+  }
+
   /** C4-style boilerplate removal: a segment (fixed window of
     * `windowWords` words — the stand-in for a "line" in a corpus whose
     * documents carry no newlines) that occurs in at least `minDocs`

@@ -106,6 +106,8 @@ object PipelineQueries {
   val ClfBuckets = 512
   val ClfIters = 5
   val ClfLearnRate = 2.0
+  // vocab build (q120): drop hapax-style tail below this count
+  val VocabMinCount = 5L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -140,6 +142,21 @@ object PipelineQueries {
     "q118_dsir_weights" -> ((s, dir) =>
       Sampling.importanceWeights(docs(s, dir), "doc_id", "text",
         col("lang") === DsirTargetLang, DsirBuckets)),
+
+    // frequency-ranked vocabulary build (TextAnalysis.buildVocab):
+    // the token->id mapping of tokenizer construction. Corpus-sized
+    // work is one combined count aggregate; the ranking window runs
+    // over the minCount-cut VOCABULARY (heavyHitters' bounded-small
+    // contract: a 100 TB corpus's vocab fits one partition)
+    "q120_vocab_build" -> ((s, dir) =>
+      TextAnalysis.buildVocab(docs(s, dir), "text", VocabMinCount)),
+
+    // per-dimension z-score standardization
+    // (Similarity.standardize): dim-keyed stats ride a broadcast as
+    // ordered arrays; the rewrite is a pure per-row zip_with - the
+    // corpus is never exploded into n x dim rows
+    "q121_standardize" -> ((s, dir) =>
+      Similarity.standardize(embs(s, dir), "vec_id", "embedding")),
 
     // trained quality classifier (Classifier.logisticQuality): the
     // fastText-style gate — logistic regression over hashed bigram
@@ -912,6 +929,25 @@ object PipelineQueries {
     "q119_quality_classifier" -> graft.operators.Classifier.logisticQualitySql(
       "documents", "doc_id", "text", "text LIKE '%spark%'",
       ClfBuckets, ClfIters, ClfLearnRate),
+    "q120_vocab_build" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+         |           FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token
+         |      HAVING count(*) >= $VocabMinCount)
+         |SELECT token, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INTEGER)
+         |    AS token_id
+         |FROM c""".stripMargin,
+    "q121_standardize" ->
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |st AS (SELECT dim, round(avg(v), 6) AS mu,
+        |    round(stddev_pop(v), 6) AS sd FROM x GROUP BY dim)
+        |SELECT vec_id,
+        |  list(round(CASE WHEN sd = 0 THEN 0.0 ELSE (v - mu) / sd END, 6)
+        |       ORDER BY dim) AS zvec
+        |FROM x JOIN st USING (dim)
+        |GROUP BY vec_id""".stripMargin,
     "q32_minhash_sig" -> s"WITH $wordsCte $minhashSigsSelect",
     "q33_minhash_lsh_pairs" -> minhashLshSql,
     // connected components as a recursive reachability CTE over the

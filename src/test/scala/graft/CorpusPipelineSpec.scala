@@ -186,6 +186,15 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(run(chunks.repartition(7)) == out) // partitioning-invariant
   }
 
+  test("buildVocab: ids are contiguous frequency ranks with word tiebreak") {
+    import spark.implicits._
+    val docs = Seq((1, "b a b c b a"), (2, "a c d")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.buildVocab(docs, "text", minCount = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // b:3 a:3 c:2, d dropped (minCount); tie a/b at 3 -> 'a' first
+    assert(out == Map("a" -> ((3L, 0)), "b" -> ((3L, 1)), "c" -> ((2L, 2))))
+  }
+
   test("stripBoilerplate: df>=minDocs segments vanish everywhere; order kept") {
     import spark.implicits._
     // 4-word window -> doc 1/2/3 share the boilerplate segment

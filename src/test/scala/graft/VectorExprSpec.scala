@@ -23,6 +23,24 @@ class VectorExprSpec extends SparkTestBase {
     assert(diffs == 0)
   }
 
+  test("standardize: per-dim zero mean/unit variance; zero-variance dim -> 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 10.0f, 7.0f)),
+      (2L, Array(3.0f, 20.0f, 7.0f)),
+      (3L, Array(5.0f, 30.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.standardize(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // dim0: mean 3, sd_pop sqrt(8/3); dim1: mean 20, sd sqrt(200/3);
+    // dim2 constant -> all zeros, never NaN
+    val s0 = math.sqrt(8.0 / 3.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1)(0) == r6((1 - 3) / r6(s0)) && out(3)(0) == r6((5 - 3) / r6(s0)))
+    assert(out.values.forall(v => v(2) == 0.0))
+    // standardized column has zero mean per dim
+    assert(math.abs(out.values.map(_(1)).sum) < 1e-9)
+  }
+
   test("CosineSim interpreted eval matches codegen path") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
