@@ -35,22 +35,25 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint(true)
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // out-degree folded onto the edge list ONCE: the per-round plan
+    // then joins ranks only, one join instead of two per iteration
+    // (the division stays per-row — rank / deg, bit-identical to the
+    // unfolded form and to the oracle's)
+    val e = e0.join(deg, Seq("src")).localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
       ranks = nodes.join(contribs, Seq("node"), "left")
