@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer construction — the
+  * "BPE-ish" half of token counting a training-data pipeline needs:
+  * learn the merge table from the corpus IN the engine, then tokenize
+  * with it. (The reference corpus is single-space-separated lowercase
+  * ASCII, so "byte" pairs are character pairs and no pre-tokenizer
+  * regex is needed.)
+  *
+  * Scale shape — the classic trick that makes BPE training tractable
+  * on any corpus size: all corpus-sized work is ONE word-count
+  * aggregate (shuffling (word, count), never positions); every merge
+  * iteration then runs over the VOCABULARY table (bounded by distinct
+  * words, not corpus tokens — heavyHitters' bounded-small contract),
+  * so 100 TB of text costs the same per-iteration work as 100 MB once
+  * the counts exist. The chosen pair rides a 1-row broadcast into the
+  * rewrite, never a driver fetch.
+  *
+  * Determinism for the cross-engine oracle: the merge choice is
+  * (count DESC, pair ASC) — a total order over ASCII pair strings that
+  * Spark and DuckDB compare identically — and the rewrite is plain
+  * left-to-right non-overlapping `replace` on the space-separated
+  * token string (both engines' replace scans left to right, which IS
+  * BPE's greedy merge application). Words end with a `_` marker (a
+  * character absent from the corpus alphabet) so end-of-word tokens
+  * stay distinct from mid-word ones.
+  */
+object Bpe {
+
+  /** One word per row: (word, seq = "c h a r s _", wcount). */
+  private[graft] def wordSeqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      .select(col("word"),
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("_")).as("seq"),
+        col("wcount"))
+
+  /** Adjacent token pairs of `seq`, weighted by word count. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.select(col("wcount"), split(col("seq"), " ").as("ws"))
+      .select(col("wcount"), explode(expr(
+        """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |  (w, j) -> concat(w, ' ', element_at(ws, j + 2)))""".stripMargin))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wcount")).as("cnt"))
+
+  /** Greedy left-to-right merge of `pair` → `merged` applied to the
+    * padded token string; padding keeps the single-space invariant so
+    * applications chain without re-trimming between steps. */
+  private def applyMerge(seq: Column, pair: Column, merged: Column): Column =
+    trim(call_function("replace",
+      concat(lit(" "), seq, lit(" ")),
+      concat(lit(" "), pair, lit(" ")),
+      concat(lit(" "), merged, lit(" "))))
+
+  /** Learn `merges` BPE merges. Returns (merge_rank, pair, merged,
+    * cnt), one row per learned merge in rank order; ranks past the
+    * point where no pair reaches `minPairCount` simply don't appear
+    * (the oracle's empty CTE rows vanish from its UNION identically).
+    */
+  def train(df: DataFrame, textCol: String, merges: Int,
+            minPairCount: Long = 2L): DataFrame = {
+    require(merges >= 1, "at least one merge")
+    var words = wordSeqs(df, textCol).localCheckpoint(true)
+    val picked = Seq.newBuilder[DataFrame]
+    for (i <- 1 to merges) {
+      val best = pairCounts(words)
+        .filter(col("cnt") >= minPairCount)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(col("pair"),
+          call_function("replace", col("pair"), lit(" "), lit("")).as("merged"),
+          col("cnt"))
+        .localCheckpoint(true) // 1 row, eager: one tiny job per merge
+      picked += best.select(lit(i).as("merge_rank"),
+        col("pair"), col("merged"), col("cnt"))
+      words = words
+        .crossJoin(broadcast(best.select(
+          col("pair").as("__p"), col("merged").as("__m"))))
+        .select(col("word"),
+          applyMerge(col("seq"), col("__p"), col("__m")).as("seq"),
+          col("wcount"))
+        .localCheckpoint(true) // vocab-sized; truncates the lineage
+    }
+    picked.result().reduce(_ union _)
+  }
+
+  /** Tokenize with a trained merge table: per-document BPE token
+    * counts. The merge table is a MODEL artifact (≤ `merges` rows) —
+    * it is collected once and folded into a single codegen'd chain of
+    * `replace` calls over the vocabulary (padding is maintained across
+    * the chain, so one fold equals the per-iteration pad/trim), then
+    * the word→token-count map joins back to the corpus (vocab-sized
+    * build side — AQE broadcasts it). Returns (idCol, n_words,
+    * n_tokens).
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             mergeTable: DataFrame): DataFrame = {
+    val ms = mergeTable.orderBy(col("merge_rank")).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
+    val padded = ms.foldLeft(
+      concat(lit(" "),
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("_")),
+        lit(" ")): Column) { case (s, (p, m)) =>
+      call_function("replace", s,
+        lit(" " + p + " "), lit(" " + m + " "))
+    }
+    val perWord = wordSeqs(df, textCol)
+      .select(col("word"), size(split(trim(padded), " ")).as("__ntok"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(perWord, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__ntok")).as("n_tokens"))
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle twins. MATERIALIZED CTEs are load-bearing: the merge
+  // chain references each stage 2-3 times and plain CTE inlining
+  // re-evaluates the whole prefix exponentially.
+  // ---------------------------------------------------------------
+
+  private def chainCtes(table: String, textExpr: String, merges: Int,
+                        minPairCount: Long): String = {
+    val head =
+      s"""wc AS MATERIALIZED (SELECT word, count(*) AS wcount
+         |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table)
+         |  WHERE word <> '' GROUP BY word),
+         |w_0 AS MATERIALIZED (SELECT word,
+         |    regexp_replace(word, '(.)', '\\1 ', 'g') || '_' AS seq, wcount
+         |  FROM wc)""".stripMargin
+    val rounds = (1 to merges).map { i =>
+      s"""p_$i AS MATERIALIZED (SELECT ws[i] || ' ' || ws[i + 1] AS pair,
+         |    CAST(sum(wcount) AS BIGINT) AS cnt
+         |  FROM (SELECT ws, wcount, unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM (SELECT string_split(seq, ' ') AS ws, wcount FROM w_${i - 1})
+         |        WHERE len(ws) >= 2)
+         |  GROUP BY pair HAVING sum(wcount) >= $minPairCount),
+         |b_$i AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+         |  FROM p_$i ORDER BY cnt DESC, pair LIMIT 1),
+         |w_$i AS MATERIALIZED (SELECT word, trim(replace(' ' || seq || ' ',
+         |    ' ' || b.pair || ' ', ' ' || b.merged || ' ')) AS seq, wcount
+         |  FROM w_${i - 1}, b_$i b)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
+  /** Oracle twin of [[train]]. */
+  def trainSql(table: String, textExpr: String, merges: Int,
+               minPairCount: Long): String = {
+    val union = (1 to merges).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS merge_rank, pair, merged, cnt FROM b_$i"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${chainCtes(table, textExpr, merges, minPairCount)}\n$union"
+  }
+
+  /** Oracle twin of [[train]] + [[encode]] composed. */
+  def encodeSql(table: String, idExpr: String, textExpr: String,
+                merges: Int, minPairCount: Long): String =
+    s"""WITH ${chainCtes(table, textExpr, merges, minPairCount)},
+       |v AS MATERIALIZED (SELECT word,
+       |    CAST(len(string_split(seq, ' ')) AS INTEGER) AS ntok FROM w_$merges),
+       |dw AS (SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
+       |       FROM $table)
+       |SELECT id AS doc_id, count(*) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |FROM dw JOIN v USING (word) WHERE word <> ''
+       |GROUP BY id""".stripMargin
+}

@@ -108,6 +108,11 @@ object PipelineQueries {
   val ClfLearnRate = 2.0
   // vocab build (q120): drop hapax-style tail below this count
   val VocabMinCount = 5L
+  // BPE tokenizer construction (q122/q123): 8 merges is enough to
+  // surface multi-char tokens ("er", "ow_", "st") on the corpus
+  // alphabet; pairs below 2 occurrences never merge
+  val BpeMerges = 8
+  val BpeMinPair = 2L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -500,7 +505,23 @@ object PipelineQueries {
     "q61_corpus_clean" -> ((s, dir) =>
       CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
         CorpusPipeline.Config(CorpusLangs, CorpusMinWords, CorpusMinQuality,
-          MinhashK, MinhashBands, Some(MinhashVerifyAgree))))
+          MinhashK, MinhashBands, Some(MinhashVerifyAgree)))),
+
+    // distributed BPE merge learning (Bpe.train): corpus-sized work is
+    // ONE word-count aggregate; every merge iteration runs over the
+    // vocabulary table and the chosen pair rides a 1-row broadcast
+    // into the rewrite — tokenizer training whose per-iteration cost
+    // is independent of corpus size
+    "q122_bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.train(docs(s, dir), "text", BpeMerges, BpeMinPair)),
+
+    // tokenize with the trained merges (Bpe.encode): the merge table
+    // is a MODEL artifact (≤ BpeMerges rows) folded into one codegen'd
+    // replace chain over the vocabulary; word→token-count broadcasts
+    // back onto the corpus — per-doc BPE token counts
+    "q123_bpe_encode" -> ((s, dir) =>
+      graft.operators.Bpe.encode(docs(s, dir), "doc_id", "text",
+        graft.operators.Bpe.train(docs(s, dir), "text", BpeMerges, BpeMinPair)))
   )
 
   // ---------- generated oracle SQL ----------
@@ -1166,6 +1187,11 @@ object PipelineQueries {
          |SELECT t.doc_id, total, coalesce(matched, 0) AS matched,
          |  round(CAST(coalesce(matched, 0) AS DOUBLE) / total, 6) AS overlap
          |FROM t LEFT JOIN m USING (doc_id)""".stripMargin
-    }
+    },
+
+    "q122_bpe_train" -> graft.operators.Bpe.trainSql(
+      "documents", "text", BpeMerges, BpeMinPair),
+    "q123_bpe_encode" -> graft.operators.Bpe.encodeSql(
+      "documents", "doc_id", "text", BpeMerges, BpeMinPair)
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Hand-computed fixtures for distributed BPE tokenizer construction. */
+class BpeSpec extends SparkTestBase {
+
+  test("train learns the hand-derived merges on a planted corpus") {
+    import spark.implicits._
+    // corpus: "low" x4, "lower" x2, "west" x3  (one doc per row)
+    val docs = Seq(
+      "low low low low", "lower lower", "west west west"
+    ).toDF("text")
+    // char seqs: l o w _ (x4), l o w e r _ (x2), w e s t _ (x3)
+    // pair counts: (l,o)=6 (o,w)=6 (w,_)=4 (w,e)=5 (e,r)=2 (r,_)=2
+    //              (e,s)=3 (s,t)=3 (t,_)=3
+    // merge 1: count 6 tie between "l o" and "o w" -> "l o" (asc)
+    // after:  lo w _ x4, lo w e r _ x2, w e s t _ x3
+    // merge 2: (lo,w)=6 -> "lo w"
+    // after:  low _ x4, low e r _ x2, w e s t _ x3
+    // merge 3: counts (low,_)=4 (low,e)=2 (e,r)=2 (r,_)=2 (w,e)=3
+    //          (e,s)=3 (s,t)=3 (t,_)=3 -> max 4: "low _"
+    val got = Bpe.train(docs, "text", merges = 3, minPairCount = 2L)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "l o", "lo", 6L),
+      (2, "lo w", "low", 6L),
+      (3, "low _", "low_", 4L)))
+  }
+
+  test("train stops emitting ranks once no pair reaches minPairCount") {
+    import spark.implicits._
+    val docs = Seq("ab ab").toDF("text") // pairs: (a,b)=2, (b,_)=2
+    val got = Bpe.train(docs, "text", merges = 5, minPairCount = 2L)
+      .orderBy("merge_rank").collect()
+    // merge1 "a b"(2), merge2 "ab _"(2) -> word "ab_" single token,
+    // no pairs remain; ranks 3..5 are absent, not null rows
+    assert(got.length == 2)
+    assert(got.map(_.getString(2)).toSeq == Seq("ab", "ab_"))
+  }
+
+  test("encode applies the greedy left-to-right merge rule") {
+    import spark.implicits._
+    val train = Seq("low low low low", "lower lower", "west west west")
+      .toDF("text")
+    val merges = Bpe.train(train, "text", merges = 3, minPairCount = 2L)
+    val docs = Seq(
+      (1L, "low lower"), // low_ -> 1 tok; low e r _ -> 4 toks
+      (2L, "west")       // w e s t _ -> 5 toks (no merge touches it)
+    ).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 5L), (2L, 1L, 5L)))
+  }
+
+  test("encode is invariant to input partitioning") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong,
+      Seq.fill(3 + i % 5)(Seq("slow", "grow", "lowest")(i % 3)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", merges = 4, minPairCount = 2L)
+    val a = Bpe.encode(docs.repartition(1), "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val b = Bpe.encode(docs.repartition(13), "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(a == b)
+    // merging can only shrink the per-word token count below
+    // chars+1 and never below 1 token per word
+    val words = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ") }.toMap
+    a.foreach { case (id, nTok) =>
+      val ws = words(id)
+      assert(nTok <= ws.map(_.length + 1).sum, s"doc $id")
+      assert(nTok >= ws.length, s"doc $id")
+    }
+  }
+}
