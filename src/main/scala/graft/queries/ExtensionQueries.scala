@@ -94,6 +94,17 @@ object ExtensionQueries {
       Multimodal.mjpegFrameStats(
         Multimodal.synthesizeMjpegMp4s(Tables.load(s, dir, "documents"))).toDF()),
 
+    // perceptual image dedup: average-hash over REAL decoded pixels.
+    // Each base image ships with a brightness-shifted PNG variant; the
+    // integer cross-multiplication bit rule is provably invariant
+    // under the shift, so every planted pair collapses to one hash
+    // (n_same_hash >= 2) — exact-dedup shuffle topology (8-byte hash,
+    // never pixels) applied to the image modality. The oracle replays
+    // the planting formula and the same integer bit rule.
+    "q124_image_ahash" -> ((s, dir) =>
+      Multimodal.imageAHash(
+        Multimodal.synthesizePngVariants(Tables.load(s, dir, "documents")))),
+
     // metadata-driven frame sampling (generator over video rows);
     // frame payload surfaced as its length so the oracle is exact
     "q46_frame_sample" -> ((s, dir) =>
@@ -267,6 +278,31 @@ object ExtensionQueries {
         |  round(CAST(sum(p) AS DOUBLE) / (w * h), 6) AS mean_pixel,
         |  CAST(max(p) AS INTEGER) AS max_pixel
         |FROM px GROUP BY doc_id, k, w, h""".stripMargin,
+    // replays buildPngShifted's formula (0..199 + 40 on the bright
+    // variant) and imageAHash's exact integer bit rule; the planted
+    // brightness invariance makes base and bright rows share a hash
+    "q124_image_ahash" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 16 AS w,
+        |    4 + (doc_id * 7) % 12 AS h FROM documents),
+        |k AS (SELECT doc_id, w, h, unnest(['base', 'bright']) AS kind FROM d),
+        |px AS (SELECT doc_id, kind, w, h,
+        |    (doc_id * 31 + i * 97) % 200
+        |      + CASE WHEN kind = 'bright' THEN 40 ELSE 0 END AS p,
+        |    ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cell
+        |  FROM (SELECT doc_id, kind, w, h,
+        |          unnest(generate_series(0, w * h - 1)) AS i FROM k)),
+        |cs AS (SELECT doc_id, kind, w, h, cell, sum(p) AS s, count(*) AS c
+        |  FROM px GROUP BY doc_id, kind, w, h, cell),
+        |t AS (SELECT doc_id, kind, sum(s) AS ts FROM cs GROUP BY doc_id, kind),
+        |hs AS (SELECT cs.doc_id, cs.kind, cs.w, cs.h,
+        |    CAST(sum(CASE WHEN cs.s * (cs.w * cs.h) >= t.ts * cs.c
+        |      THEN 1 << cell ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM cs JOIN t ON cs.doc_id = t.doc_id AND cs.kind = t.kind
+        |  GROUP BY cs.doc_id, cs.kind, cs.w, cs.h)
+        |SELECT doc_id AS media_id, kind, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, ahash,
+        |  count(*) OVER (PARTITION BY ahash) AS n_same_hash
+        |FROM hs""".stripMargin,
     "q46_frame_sample" ->
       s"""WITH media AS (
          |  SELECT doc_id AS media_id, length(text) AS len,

@@ -476,7 +476,14 @@ object Multimodal {
     * each. Any PNG tool can open these files. */
   private[graft] def buildPng(id: Long): Array[Byte] = {
     val w = pngW(id); val h = pngH(id)
-    val px = Array.tabulate(h, w)((r, c) => pngPixel(id, r.toLong * w + c))
+    encodeGrayPng(id, w, h,
+      Array.tabulate(h, w)((r, c) => pngPixel(id, r.toLong * w + c)))
+  }
+
+  /** Shared 8-bit grayscale PNG encoder (see [[buildPng]] for the
+    * format guarantees; scanline filters still cycle with (id+r)%5). */
+  private def encodeGrayPng(id: Long, w: Int, h: Int,
+                            px: Array[Array[Int]]): Array[Byte] = {
     val raw = new java.io.ByteArrayOutputStream()
     for (r <- 0 until h) {
       val ft = ((id + r) % 5).toInt
@@ -606,6 +613,91 @@ object Multimodal {
           PngStats(id, w, h, w * h, round6(sum.toDouble / (w * h)), mx)
         }
       })
+  }
+
+  // ---------- perceptual image hashing (aHash) over real decode ----------
+
+  /** Planted-pixel formula for the aHash corpus: range 0..199 so a
+    * +40 brightness shift never clips (shared with the oracle). */
+  private def aHashPixel(id: Long, i: Long): Int = ((id * 31 + i * 97) % 200).toInt
+
+  /** A COMPLETE valid PNG of the aHash formula pixels shifted by a
+    * constant brightness offset (same encoder as [[buildPng]]). */
+  private[graft] def buildPngShifted(id: Long, shift: Int): Array[Byte] = {
+    val w = pngW(id); val h = pngH(id)
+    encodeGrayPng(id, w, h,
+      Array.tabulate(h, w)((r, c) => aHashPixel(id, r.toLong * w + c) + shift))
+  }
+
+  /** Per base image, two REAL PNG files: the original and a
+    * brightness-shifted presentation variant (+`BrightShift` on every
+    * pixel, no clipping by construction) — the planted near-duplicate
+    * an average-hash must collapse. */
+  val BrightShift = 40
+  def synthesizePngVariants(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id => Iterator(
+        (id, "base", buildPngShifted(id, 0)),
+        (id, "bright", buildPngShifted(id, BrightShift)))))
+      .toDF("media_id", "kind", "content")
+  }
+
+  case class AHashRow(media_id: Long, kind: String, width: Int,
+                      height: Int, ahash: Long)
+
+  /** Average-hash (aHash) perceptual image fingerprint over REAL
+    * decoded pixels: pool the grayscale image onto a `grid`×`grid`
+    * cell grid (cell of pixel (x,y) = (y*grid/h, x*grid/w) — integer
+    * math, any image ≥ grid×grid), set bit c when cell c's mean ≥ the
+    * image mean, giving a grid²-bit hash. The bit rule is the exact
+    * integer cross-multiplication `cellSum * nPixels >= totalSum *
+    * cellCount` — no floats, so the cross-engine oracle replays it
+    * bit-for-bit, and it is PROVABLY invariant under a global
+    * brightness shift c (both sides change by `c * cellCount *
+    * nPixels`), which is what makes the hash collapse re-encoded /
+    * re-leveled variants of one image.
+    *
+    * `n_same_hash` counts images sharing the hash (the duplicate-group
+    * size — every planted base/bright pair has ≥ 2). Scale shape: the
+    * hash is computed per row at decode (mapPartitions, linear CPU,
+    * no exchange); grouping shuffles a 8-byte hash per image, never
+    * pixels — the exact-dedup topology of [[graft.operators.Dedup]]
+    * applied to the image modality.
+    */
+  def imageAHash(media: DataFrame, grid: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media
+      .select(col("media_id").cast("long"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, kind, bytes) =>
+        decodePng(bytes).map { case (w, h, px) =>
+          val cellSum = new Array[Long](grid * grid)
+          val cellCnt = new Array[Long](grid * grid)
+          var i = 0
+          while (i < px.length) {
+            val y = i / w; val x = i % w
+            val cell = (y * grid / h) * grid + (x * grid / w)
+            cellSum(cell) += (px(i) & 0xff)
+            cellCnt(cell) += 1L
+            i += 1
+          }
+          val total = cellSum.sum
+          val n = w.toLong * h
+          var hash = 0L
+          var c = 0
+          while (c < grid * grid) {
+            if (cellSum(c) * n >= total * cellCnt(c)) hash |= 1L << c
+            c += 1
+          }
+          AHashRow(id, kind, w, h, hash)
+        }
+      }).toDF()
+    rows.withColumn("n_same_hash",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ahash"))))
   }
 
   /** Planted-sample formula shared by the WAV builder and the oracle:

@@ -353,4 +353,49 @@ class MultimodalSpec extends SparkTestBase {
     bad(2) = 0xff.toByte; bad(3) = 0xff.toByte
     assert(Multimodal.decodeMjpeg(bad).isEmpty) // and no exception
   }
+
+  test("imageAHash collapses brightness variants and separates distinct images") {
+    import spark.implicits._
+    val docs = (0L until 24L).toDF("doc_id")
+    val out = Multimodal.imageAHash(Multimodal.synthesizePngVariants(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    // provable invariance: every planted base/bright pair shares a hash
+    (0L until 24L).foreach { id =>
+      assert(out(id -> "base") == out(id -> "bright"), s"id $id")
+    }
+    // and the hash is discriminative, not constant: the 24 distinct
+    // formula images don't all land on one value
+    assert(out.values.toSet.size > 8)
+  }
+
+  test("imageAHash bit rule matches a hand computation on a planted 4x4 image") {
+    import spark.implicits._
+    // one flat-dark quadrant in an otherwise bright image: exactly the
+    // cells of that quadrant drop below the mean
+    val w = 8; val h = 8
+    val px = Array.tabulate(h, w)((r, c) => if (r < 4 && c < 4) 10 else 200)
+    // grid=4 on 8x8: cell (cy,cx) covers 2x2 pixels; cells with cy<2
+    // and cx<2 are the dark ones -> bits 0,1,4,5 clear, others set
+    val bytes = pngBytesOf(px)
+    val media = Seq((7L, "base", bytes)).toDF("media_id", "kind", "content")
+    val got = Multimodal.imageAHash(media).collect().head.getLong(4)
+    val want = (0 until 16).filter(c => !(Set(0, 1, 4, 5) contains c))
+      .map(1L << _).sum
+    assert(got == want, s"got ${got.toBinaryString}, want ${want.toBinaryString}")
+  }
+
+  /** Minimal valid grayscale PNG via the production encoder path
+    * (buildPngShifted covers only the formula corpus, so encode a
+    * custom pixel grid through ImageIO for the fixture). */
+  private def pngBytesOf(px: Array[Array[Int]]): Array[Byte] = {
+    val h = px.length; val w = px(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (r <- 0 until h; c <- 0 until w)
+      img.getRaster.setSample(c, r, 0, px(r)(c))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }
