@@ -51,6 +51,28 @@ object ScaleQueries {
           (abs(col("approx") - col("exact_orders")).cast("double") /
             col("exact_orders") <= 0.05).as("within_5pct"))),
 
+    // INCREMENTAL distinct counts via stored DataSketches HLL sketches
+    // (operators/Sketches): each day-batch of events summarizes itself
+    // once into a compact sketch row; the per-type estimate then
+    // merges sketches, never re-reading raw history — q50's one-shot
+    // sketch turned into the durable batch-state artifact a 100 TB
+    // ingest pipeline actually keeps. Same tolerance-oracle shape:
+    // exact distinct cross-engine checked, merged estimate gated ±5%
+    "q125_hll_incremental" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val merged = graft.operators.Sketches.hllMergeEstimate(
+        graft.operators.Sketches.hllBatchSketches(
+          ev, to_date(col("ts")), Seq("event_type"), "user_id"),
+        Seq("event_type"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_batches"), col("n_rows"),
+          col("exact_users"),
+          (abs(col("approx_distinct") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_5pct"))
+    }),
+
     // sketch-based percentiles — the scale twin of exact q55 (exact
     // percentile holds all values per group; the sketch is one pass,
     // bounded memory, mergeable). Same tolerance-oracle shape as q50:
@@ -198,6 +220,12 @@ object ScaleQueries {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
         |  count(*) AS n_rows, TRUE AS within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q125_hll_incremental" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_batches,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "q68_approx_percentile" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,

@@ -115,6 +115,33 @@ class ScaleSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.02)
   }
 
+  test("stored HLL sketches: batch-merge equals the one-shot estimate exactly") {
+    import graft.operators.Sketches
+    val ev = Tables.load(spark, sfDir, "events")
+    // per-day sketches merged per type must equal the single sketch
+    // built over all days at once — DataSketches HLL union is lossless
+    // over its own sketches, which is WHY the stored-batch design can
+    // answer range queries without rescanning raw history
+    val merged = Sketches.hllMergeEstimate(
+        Sketches.hllBatchSketches(ev, to_date(col("ts")),
+          Seq("event_type"), "user_id"),
+        Seq("event_type"))
+      .select(col("event_type"), col("approx_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("approx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot)
+    // and the estimate is within the q125 gate vs exact
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (k, a) =>
+      assert(math.abs(a.toDouble - exact(k)) / exact(k) < 0.05, k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle in the plan") {
     // fresh physical location every run (stale managed dirs from a
     // previous JVM would fail saveAsTable)
