@@ -105,6 +105,15 @@ object ExtensionQueries {
       Multimodal.imageAHash(
         Multimodal.synthesizePngVariants(Tables.load(s, dir, "documents")))),
 
+    // acoustic dedup: energy-profile fingerprint over REAL decoded PCM
+    // — the audio twin of q124. Each base clip ships with a 2x-gain
+    // remaster; the integer cross-multiplication bit rule scales by
+    // k^2 on both sides, so every planted pair collapses to one
+    // fingerprint. Oracle replays the formula and the same bit rule.
+    "q126_audio_fp" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.synthesizeWavVariants(Tables.load(s, dir, "documents")))),
+
     // metadata-driven frame sampling (generator over video rows);
     // frame payload surfaced as its length so the oracle is exact
     "q46_frame_sample" -> ((s, dir) =>
@@ -302,6 +311,31 @@ object ExtensionQueries {
         |SELECT doc_id AS media_id, kind, CAST(w AS INTEGER) AS width,
         |  CAST(h AS INTEGER) AS height, ahash,
         |  count(*) OVER (PARTITION BY ahash) AS n_same_hash
+        |FROM hs""".stripMargin,
+    // replays buildPcmWavScaled (half-range formula, x2 on the loud
+    // variant) and audioFingerprint's exact integer bit rule
+    "q126_audio_fp" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8000 * (1 + doc_id % 6) AS INTEGER) AS sr,
+        |    CAST(64 + doc_id % 100 AS INTEGER) AS n FROM documents),
+        |k AS (SELECT doc_id, sr, n, unnest(['base', 'loud']) AS kind FROM d),
+        |s AS (SELECT doc_id, kind, sr, n,
+        |    ((doc_id * 2654435761 + j * 40503) % 32768 - 16384)
+        |      * CASE WHEN kind = 'loud' THEN 2 ELSE 1 END AS v,
+        |    j * 16 // n AS f
+        |  FROM (SELECT doc_id, kind, sr, n,
+        |          unnest(generate_series(0, n - 1)) AS j FROM k)),
+        |fs AS (SELECT doc_id, kind, sr, n, f, sum(v * v) AS e, count(*) AS c
+        |  FROM s GROUP BY doc_id, kind, sr, n, f),
+        |t AS (SELECT doc_id, kind, sum(e) AS te FROM fs GROUP BY doc_id, kind),
+        |hs AS (SELECT fs.doc_id, fs.kind, fs.sr, fs.n,
+        |    CAST(sum(CASE WHEN fs.e * fs.n >= t.te * fs.c
+        |      THEN 1 << f ELSE 0 END) AS BIGINT) AS afp
+        |  FROM fs JOIN t ON fs.doc_id = t.doc_id AND fs.kind = t.kind
+        |  GROUP BY fs.doc_id, fs.kind, fs.sr, fs.n)
+        |SELECT doc_id AS media_id, kind, sr AS sample_rate,
+        |  CAST(n AS INTEGER) AS n_samples, afp,
+        |  count(*) OVER (PARTITION BY afp, n) AS n_same_fp
         |FROM hs""".stripMargin,
     "q46_frame_sample" ->
       s"""WITH media AS (

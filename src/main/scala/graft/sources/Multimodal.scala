@@ -726,6 +726,97 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---------- acoustic fingerprinting over real PCM decode ----------
+
+  /** Planted-sample formula for the fingerprint corpus: half the
+    * 16-bit range so a 2× gain variant never overflows int16 (shared
+    * with the oracle). */
+  private def afpSample(id: Long, j: Long): Int =
+    (((id * 2654435761L + j * 40503L) % 32768) - 16384).toInt
+
+  /** A COMPLETE valid 16-bit mono PCM WAV of the fingerprint formula
+    * samples scaled by an integer gain (same writer as
+    * [[buildPcmWav]]). */
+  private[graft] def buildPcmWavScaled(id: Long, gain: Int): Array[Byte] = {
+    val sr = pcmRate(id); val n = pcmN(id)
+    val dataLen = n * 2
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le(v: Long, bytes: Int): Unit =
+      (0 until bytes).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    ascii("RIFF"); le(36L + dataLen, 4); ascii("WAVE")
+    ascii("fmt "); le(16, 4)
+    le(1, 2); le(1, 2)
+    le(sr.toLong, 4); le(sr.toLong * 2, 4)
+    le(2, 2); le(16, 2)
+    ascii("data"); le(dataLen.toLong, 4)
+    (0 until n).foreach(j => le((afpSample(id, j) * gain).toLong & 0xffff, 2))
+    out.toByteArray
+  }
+
+  /** Per base clip, two REAL WAV files: the original and a 2×-gain
+    * remaster (the loudness-normalized re-encode an audio dedup must
+    * collapse; no clipping by construction). */
+  val LoudGain = 2
+  def synthesizeWavVariants(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id => Iterator(
+        (id, "base", buildPcmWavScaled(id, 1)),
+        (id, "loud", buildPcmWavScaled(id, LoudGain)))))
+      .toDF("media_id", "kind", "content")
+  }
+
+  case class AfpRow(media_id: Long, kind: String, sample_rate: Int,
+                    n_samples: Int, afp: Long)
+
+  /** Energy-profile acoustic fingerprint over REAL decoded samples:
+    * split the clip into `frames` time frames (frame of sample j =
+    * j*frames/n — integer math), set bit f when frame f's mean energy
+    * ≥ the clip's mean energy, giving a `frames`-bit signature. The
+    * bit rule is the exact integer cross-multiplication
+    * `frameEnergy * nSamples >= totalEnergy * frameCount` (energies
+    * are int64-exact sums of v²) — no floats, replayed bit-for-bit by
+    * the oracle, and PROVABLY invariant under a constant gain k (both
+    * sides scale by k²), which is what makes the fingerprint collapse
+    * loudness-normalized re-encodes of one clip. The audio twin of
+    * [[imageAHash]]; same scale shape (per-row at decode, 8-byte
+    * signature shuffles, samples never do).
+    */
+  def audioFingerprint(media: DataFrame, frames: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val rows = media
+      .select(col("media_id").cast("long"), col("kind"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, kind, bytes) =>
+        decodePcm(bytes).map { case (sr, s) =>
+          val n = s.length
+          val eSum = new Array[Long](frames)
+          val eCnt = new Array[Long](frames)
+          var j = 0
+          while (j < n) {
+            val f = j * frames / n
+            eSum(f) += s(j).toLong * s(j)
+            eCnt(f) += 1L
+            j += 1
+          }
+          val total = eSum.sum
+          var fp = 0L
+          var f = 0
+          while (f < frames) {
+            if (eSum(f) * n >= total * eCnt(f)) fp |= 1L << f
+            f += 1
+          }
+          AfpRow(id, kind, sr, n, fp)
+        }
+      }).toDF()
+    rows.withColumn("n_same_fp",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("afp"), col("n_samples"))))
+  }
+
   /** REAL PCM sample decode: chunk-walk to fmt/data (via
     * [[parseAudioMeta]]'s layout rules), then read each sample as a
     * little-endian integer at its true width — 8-bit unsigned,

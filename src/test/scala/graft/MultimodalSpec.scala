@@ -385,6 +385,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(got == want, s"got ${got.toBinaryString}, want ${want.toBinaryString}")
   }
 
+  test("audioFingerprint collapses gain variants and separates distinct clips") {
+    import spark.implicits._
+    val docs = (0L until 24L).toDF("doc_id")
+    val out = Multimodal.audioFingerprint(Multimodal.synthesizeWavVariants(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+    (0L until 24L).foreach { id =>
+      assert(out(id -> "base") == out(id -> "loud"), s"id $id")
+    }
+    assert(out.values.toSet.size > 8)
+  }
+
+  test("audioFingerprint bit rule matches a hand computation") {
+    import spark.implicits._
+    // 32 samples, frames=16 -> 2 samples per frame; one loud frame
+    // (samples 4,5 = +-1000) in an otherwise quiet (+-10) clip:
+    // only frame 2's energy clears the clip mean
+    val samples = Array.tabulate(32)(j =>
+      if (j == 4) 1000 else if (j == 5) -1000 else if (j % 2 == 0) 10 else -10)
+    val bytes = wavBytesOf(samples)
+    val media = Seq((3L, "base", bytes)).toDF("media_id", "kind", "content")
+    val got = Multimodal.audioFingerprint(media).collect().head.getLong(4)
+    assert(got == (1L << 2), s"got ${got.toBinaryString}")
+  }
+
+  /** Minimal valid 16-bit mono WAV with caller-chosen samples (the
+    * production builders only cover the formula corpus). */
+  private def wavBytesOf(samples: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le(v: Long, bytes: Int): Unit =
+      (0 until bytes).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    val dataLen = samples.length * 2
+    ascii("RIFF"); le(36L + dataLen, 4); ascii("WAVE")
+    ascii("fmt "); le(16, 4); le(1, 2); le(1, 2)
+    le(8000L, 4); le(16000L, 4); le(2, 2); le(16, 2)
+    ascii("data"); le(dataLen.toLong, 4)
+    samples.foreach(v => le(v.toLong & 0xffff, 2))
+    out.toByteArray
+  }
+
   /** Minimal valid grayscale PNG via the production encoder path
     * (buildPngShifted covers only the formula corpus, so encode a
     * custom pixel grid through ImageIO for the fixture). */
