@@ -105,6 +105,15 @@ object ExtensionQueries {
       Multimodal.imageAHash(
         Multimodal.synthesizePngVariants(Tables.load(s, dir, "documents")))),
 
+    // box-filter resize over REAL decoded pixels: average-pool onto a
+    // 4x4 thumbnail (floor-division cell means — integer-exact, so
+    // the oracle replays the planting formula bit-for-bit). The
+    // reduction happens per row at decode; only 16 ints per image
+    // survive downstream.
+    "q127_image_resize" -> ((s, dir) =>
+      Multimodal.resizeImages(
+        Multimodal.synthesizePngs(Tables.load(s, dir, "documents")))),
+
     // acoustic dedup: energy-profile fingerprint over REAL decoded PCM
     // — the audio twin of q124. Each base clip ships with a 2x-gain
     // remaster; the integer cross-multiplication bit rule scales by
@@ -312,6 +321,22 @@ object ExtensionQueries {
         |  CAST(h AS INTEGER) AS height, ahash,
         |  count(*) OVER (PARTITION BY ahash) AS n_same_hash
         |FROM hs""".stripMargin,
+    // replays buildPng's pixel formula pooled with the same integer
+    // cell map and floor-division means as resizeImages
+    "q127_image_resize" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 16 AS w,
+        |    4 + (doc_id * 7) % 12 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, (doc_id * 31 + i * 97) % 256 AS p,
+        |    ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cell
+        |  FROM (SELECT doc_id, w, h,
+        |          unnest(generate_series(0, w * h - 1)) AS i FROM d)),
+        |cs AS (SELECT doc_id, w, h, cell, sum(p) // count(*) AS m
+        |  FROM px GROUP BY doc_id, w, h, cell)
+        |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h,
+        |  list(CAST(m AS INTEGER) ORDER BY cell) AS thumb
+        |FROM cs GROUP BY doc_id, w, h""".stripMargin,
     // replays buildPcmWavScaled (half-range formula, x2 on the loud
     // variant) and audioFingerprint's exact integer bit rule
     "q126_audio_fp" ->

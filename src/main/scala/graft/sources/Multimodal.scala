@@ -700,6 +700,43 @@ object Multimodal {
         .partitionBy(col("ahash"))))
   }
 
+  case class ResizedImage(media_id: Long, width: Int, height: Int,
+                          out_w: Int, out_h: Int, thumb: Array[Int])
+
+  /** Box-filter image resize over REAL decoded pixels: average-pool
+    * each source image onto an `outW`×`outH` grid (source pixel (x,y)
+    * feeds cell (y*outH/h, x*outW/w) — the same integer cell map as
+    * [[imageAHash]]) and emit the pooled thumbnail as an int array in
+    * row-major cell order. Cell means are FLOOR divisions of exact
+    * integer sums, so the cross-engine oracle replays them
+    * bit-for-bit — no float resampling kernels to drift. The thumbnail
+    * is the standard feature-extraction downsample (every vision
+    * pipeline's first step); at 100 TB the reduction happens per row
+    * at decode (mapPartitions, linear CPU, no exchange) and only
+    * outW×outH ints per image survive to downstream stages. */
+  def resizeImages(media: DataFrame, outW: Int = 4, outH: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodePng(bytes).map { case (w, h, px) =>
+          val sum = new Array[Long](outW * outH)
+          val cnt = new Array[Long](outW * outH)
+          var i = 0
+          while (i < px.length) {
+            val y = i / w; val x = i % w
+            val cell = (y * outH / h) * outW + (x * outW / w)
+            sum(cell) += (px(i) & 0xff)
+            cnt(cell) += 1L
+            i += 1
+          }
+          ResizedImage(id, w, h, outW, outH,
+            Array.tabulate(outW * outH)(c => (sum(c) / cnt(c)).toInt))
+        }
+      }).toDF()
+  }
+
   /** Planted-sample formula shared by the WAV builder and the oracle:
     * signed 16-bit sample j of clip `id`. */
   private def pcmSample(id: Long, j: Long): Int =

@@ -385,6 +385,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(got == want, s"got ${got.toBinaryString}, want ${want.toBinaryString}")
   }
 
+  test("resizeImages pools the hand-made quadrant image exactly") {
+    import spark.implicits._
+    // 8x8 image, dark 4x4 quadrant of 10s in a field of 200s; 4x4
+    // thumbnail cells cover 2x2 pixels -> cells (0,0),(0,1),(1,0),(1,1)
+    // average 10, every other cell 200
+    val px = Array.tabulate(8, 8)((r, c) => if (r < 4 && c < 4) 10 else 200)
+    val media = Seq((9L, pngBytesOf(px))).toDF("media_id", "content")
+    val got = Multimodal.resizeImages(media).collect().head
+    assert((got.getInt(1), got.getInt(2), got.getInt(3), got.getInt(4)) == (8, 8, 4, 4))
+    val thumb = got.getSeq[Int](5)
+    val want = (0 until 16).map(c => if (Set(0, 1, 4, 5) contains c) 10 else 200)
+    assert(thumb == want, s"thumb $thumb")
+  }
+
+  test("resizeImages floor-divides uneven cells (5x5 onto 4x4)") {
+    import spark.implicits._
+    // 5x5 all-ones except a single 255 at (0,0); cell (0,0) covers
+    // source pixels with y*4/5==0 and x*4/5==0 -> (0,0) and (0,1),(1,0),(1,1)
+    // i.e. 2x2 block -> mean floor((255+3)/4)=64; all other cells stay 1
+    val px = Array.tabulate(5, 5)((r, c) => if (r == 0 && c == 0) 255 else 1)
+    val media = Seq((11L, pngBytesOf(px))).toDF("media_id", "content")
+    val thumb = Multimodal.resizeImages(media).collect().head.getSeq[Int](5)
+    assert(thumb.head == 64 && thumb.tail.forall(_ == 1), s"thumb $thumb")
+  }
+
   test("audioFingerprint collapses gain variants and separates distinct clips") {
     import spark.implicits._
     val docs = (0L until 24L).toDF("doc_id")
