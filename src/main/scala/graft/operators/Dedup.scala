@@ -71,6 +71,40 @@ object Dedup {
         max(col("n_segments")).as("n_segments"))
   }
 
+  /** INTRA-document segment dedup — the per-document twin of
+    * [[segmentDedup]] (FineWeb/Gopher-style removal of a document's
+    * own repeated passages: duplicated paragraphs from template
+    * expansion, scraped pagination, copy-paste loops). Keeps the
+    * FIRST occurrence of each distinct `windowWords`-word segment
+    * WITHIN each document and reassembles in order.
+    *
+    * Scale shape: because the dedup scope is one row, the whole
+    * operator is a pure projection — segment, first-occurrence filter
+    * (`array_position(segs, s) == i+1`, the codegen'd keep-first
+    * rule), rejoin — with ZERO exchanges at any corpus size; it runs
+    * at scan throughput and composes in front of the corpus-wide
+    * passes. The first-occurrence probe is O(segments²) per document
+    * — bounded by document length, the per-row analogue of
+    * [[TextAnalysis.stripBoilerplate]]'s bounded-small contract; for
+    * book-length outliers, chunk first ([[TextAnalysis.chunkByTokens]]).
+    */
+  def intraDocDedup(df: DataFrame, idCol: String, textCol: String,
+                    windowWords: Int = 10): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWin = ceil(size(words) / lit(windowWords.toDouble)).cast("int")
+    val segs = transform(sequence(lit(0), nWin - 1), i =>
+      concat_ws(" ", slice(words, i * windowWords + 1, lit(windowWords))))
+    df.select(col(idCol), nWin.as("__n"), segs.as("__segs"))
+      .select(col(idCol),
+        filter(col("__segs"), (s, i) =>
+          array_position(col("__segs"), s) === (i + 1).cast("long")).as("__kept"),
+        col("__n"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Per-doc MinHash signature: k seeded min-hashes over the word set,
     * as k columns (seed i → column `mh_i`).
     *

@@ -131,6 +131,26 @@ object PipelineQueries {
     "q104_segment_dedup" -> ((s, dir) =>
       Dedup.segmentDedup(docs(s, dir), "doc_id", "text", windowWords = 10)),
 
+    // INTRA-document segment dedup (Dedup.intraDocDedup): a doc's own
+    // repeated passages keep only their first occurrence. The dedup
+    // scope is one row, so the operator is a pure projection — ZERO
+    // exchanges at any corpus size, scan-throughput in front of the
+    // corpus-wide passes. The corpus's planted duplication is
+    // cross-doc only, so the demo plants the intra-doc kind: every
+    // even doc re-appends its own first passage (template-expansion /
+    // pagination repetition) and must lose exactly that segment;
+    // odd docs pass through untouched
+    "q128_intradoc_dedup" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val base = concat_ws(" ", slice(ws, 1, 20))
+      val planted = docs(s, dir).filter(size(ws) >= 20)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(base, lit(" "), concat_ws(" ", slice(ws, 1, 10))))
+            .otherwise(base).as("text"))
+      Dedup.intraDocDedup(planted, "doc_id", "text", windowWords = 10)
+    }),
+
     // C4-style boilerplate removal (TextAnalysis.stripBoilerplate):
     // segments repeated across >= BoilerMinDocs DISTINCT docs (nav
     // bars, footers) are stripped from EVERY doc — distinct from
@@ -1188,6 +1208,37 @@ object PipelineQueries {
          |  round(CAST(coalesce(matched, 0) AS DOUBLE) / total, 6) AS overlap
          |FROM t LEFT JOIN m USING (doc_id)""".stripMargin
     },
+
+    // replays the planting (even docs re-append their first passage),
+    // then the same segmentation as q117's oracle; keep-first via
+    // row_number per (doc, seg)
+    "q128_intradoc_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN array_to_string(w0[1:20], ' ') || ' ' ||
+        |           array_to_string(w0[1:10], ' ')
+        |      ELSE array_to_string(w0[1:20], ' ') END AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w0
+        |        FROM documents)
+        |  WHERE len(w0) >= 20),
+        |segs AS (
+        |  SELECT doc_id, n_segments, CAST(i AS INTEGER) AS pos,
+        |    array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS seg
+        |  FROM (
+        |    SELECT doc_id, ws,
+        |      CAST(ceil(len(ws) / 10.0) AS INTEGER) AS n_segments,
+        |      unnest(generate_series(0,
+        |        CAST(ceil(len(ws) / 10.0) AS INTEGER) - 1)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |          FROM planted))),
+        |k AS (SELECT doc_id, pos, seg, n_segments,
+        |    row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+        |  FROM segs)
+        |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+        |  count(*) AS n_kept,
+        |  CAST(max(n_segments) - count(*) AS BIGINT) AS n_removed
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     "q122_bpe_train" -> graft.operators.Bpe.trainSql(
       "documents", "text", BpeMerges, BpeMinPair),

@@ -287,4 +287,29 @@ class DedupSpec extends SparkTestBase {
       .sortBy(_.getAs[Int]("rn"))
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
   }
+
+  test("intraDocDedup keeps first occurrences per doc and never shuffles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y z"),    // segs [x y][x y][z] -> keep [x y][z]
+      (2L, "a b c d"),      // no repeats -> untouched
+      (3L, "p q p q p q")   // [p q]x3 -> keep one
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(docs, "doc_id", "text", windowWords = 2)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ("x y z", 2L, 1L))
+    assert(got(2L) == ("a b c d", 2L, 0L))
+    assert(got(3L) == ("p q", 1L, 2L))
+    // the dedup scope is one row: the plan must contain no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"intra-doc dedup shuffled:\n$plan")
+    // cross-doc duplicates are deliberately NOT touched (that's
+    // segmentDedup's job): two docs sharing a segment both keep it
+    val cross = Dedup.intraDocDedup(
+      Seq((1L, "m n o p"), (2L, "m n o p")).toDF("doc_id", "text"),
+      "doc_id", "text", windowWords = 2).collect()
+    assert(cross.forall(_.getLong(3) == 0L))
+  }
 }
