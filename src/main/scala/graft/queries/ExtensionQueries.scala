@@ -316,11 +316,17 @@ object ExtensionQueries {
         |    CAST(sum(CASE WHEN cs.s * (cs.w * cs.h) >= t.ts * cs.c
         |      THEN 1 << cell ELSE 0 END) AS BIGINT) AS ahash
         |  FROM cs JOIN t ON cs.doc_id = t.doc_id AND cs.kind = t.kind
-        |  GROUP BY cs.doc_id, cs.kind, cs.w, cs.h)
-        |SELECT doc_id AS media_id, kind, CAST(w AS INTEGER) AS width,
-        |  CAST(h AS INTEGER) AS height, ahash,
-        |  count(*) OVER (PARTITION BY ahash) AS n_same_hash
-        |FROM hs""".stripMargin,
+        |  GROUP BY cs.doc_id, cs.kind, cs.w, cs.h),
+        |nt AS (SELECT doc_id, kind,
+        |    list(CAST(mu - mn AS INTEGER) ORDER BY cell) AS norm_thumb
+        |  FROM (SELECT doc_id, kind, cell, s // c AS mu,
+        |          min(s // c) OVER (PARTITION BY doc_id, kind) AS mn
+        |        FROM cs)
+        |  GROUP BY doc_id, kind)
+        |SELECT hs.doc_id AS media_id, hs.kind, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, ahash, norm_thumb,
+        |  count(*) OVER (PARTITION BY ahash, norm_thumb) AS n_dup_group
+        |FROM hs JOIN nt ON hs.doc_id = nt.doc_id AND hs.kind = nt.kind""".stripMargin,
     // replays buildPng's pixel formula pooled with the same integer
     // cell map and floor-division means as resizeImages
     "q127_image_resize" ->

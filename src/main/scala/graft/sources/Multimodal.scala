@@ -645,7 +645,7 @@ object Multimodal {
   }
 
   case class AHashRow(media_id: Long, kind: String, width: Int,
-                      height: Int, ahash: Long)
+                      height: Int, ahash: Long, norm_thumb: Array[Int])
 
   /** Average-hash (aHash) perceptual image fingerprint over REAL
     * decoded pixels: pool the grayscale image onto a `grid`×`grid`
@@ -659,12 +659,23 @@ object Multimodal {
     * nPixels`), which is what makes the hash collapse re-encoded /
     * re-leveled variants of one image.
     *
-    * `n_same_hash` counts images sharing the hash (the duplicate-group
-    * size — every planted base/bright pair has ≥ 2). Scale shape: the
-    * hash is computed per row at decode (mapPartitions, linear CPU,
-    * no exchange); grouping shuffles a 8-byte hash per image, never
-    * pixels — the exact-dedup topology of [[graft.operators.Dedup]]
-    * applied to the image modality.
+    * The hash alone is a CANDIDATE key, not a verdict — a grid²-bit
+    * threshold pattern saturates on a low-diversity corpus (measured:
+    * 5k formula images land on 1,085 distinct hash values; at 10× the
+    * hash-only grouping admits ~179k pairs of content-DISTINCT images
+    * — SCALE.md). So, per this engine's candidate→verify discipline
+    * (minhash signature agreement, simhash bucket caps), each row
+    * also carries its VERIFICATION payload: the brightness-NORMALIZED
+    * pooled thumbnail (floor-mean cells minus their min — a +c shift
+    * moves every floor-mean by exactly c, so normalized thumbs of
+    * true variants are IDENTICAL). `n_dup_group` counts images
+    * agreeing on the full (hash, normalized thumb) key: exact-equality
+    * verification with NO pairwise stage — the digest-dedup topology,
+    * still only grid²+1 small ints per image on the wire, never
+    * pixels, and duplicate groups stay GROUPS (a corpus whose images
+    * really repeat — this formula corpus holds only ~1,200 distinct
+    * images at any scale — yields big counts, never a materialized
+    * quadratic pair list).
     */
   def imageAHash(media: DataFrame, grid: Int = 4): DataFrame = {
     val spark = media.sparkSession
@@ -687,17 +698,20 @@ object Multimodal {
           val total = cellSum.sum
           val n = w.toLong * h
           var hash = 0L
+          val means = new Array[Int](grid * grid)
           var c = 0
           while (c < grid * grid) {
             if (cellSum(c) * n >= total * cellCnt(c)) hash |= 1L << c
+            means(c) = (cellSum(c) / cellCnt(c)).toInt
             c += 1
           }
-          AHashRow(id, kind, w, h, hash)
+          val mn = means.min
+          AHashRow(id, kind, w, h, hash, means.map(_ - mn))
         }
       }).toDF()
-    rows.withColumn("n_same_hash",
+    rows.withColumn("n_dup_group",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("ahash"))))
+        .partitionBy(col("ahash"), col("norm_thumb"))))
   }
 
   case class ResizedImage(media_id: Long, width: Int, height: Int,

@@ -359,12 +359,14 @@ class MultimodalSpec extends SparkTestBase {
     val docs = (0L until 24L).toDF("doc_id")
     val out = Multimodal.imageAHash(Multimodal.synthesizePngVariants(docs))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
-    // provable invariance: every planted base/bright pair shares a hash
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(4), r.getSeq[Int](5)))).toMap
+    // provable invariance: every planted base/bright pair shares BOTH
+    // the hash and the brightness-normalized verification thumb
     (0L until 24L).foreach { id =>
       assert(out(id -> "base") == out(id -> "bright"), s"id $id")
     }
-    // and the hash is discriminative, not constant: the 24 distinct
+    // and the key is discriminative, not constant: the 24 distinct
     // formula images don't all land on one value
     assert(out.values.toSet.size > 8)
   }
