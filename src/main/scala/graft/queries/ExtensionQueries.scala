@@ -356,18 +356,26 @@ object ExtensionQueries {
         |    j * 16 // n AS f
         |  FROM (SELECT doc_id, kind, sr, n,
         |          unnest(generate_series(0, n - 1)) AS j FROM k)),
-        |fs AS (SELECT doc_id, kind, sr, n, f, sum(v * v) AS e, count(*) AS c
+        |fs AS (SELECT doc_id, kind, sr, n, f,
+        |    CAST(sum(v * v) AS BIGINT) AS e, count(*) AS c
         |  FROM s GROUP BY doc_id, kind, sr, n, f),
         |t AS (SELECT doc_id, kind, sum(e) AS te FROM fs GROUP BY doc_id, kind),
         |hs AS (SELECT fs.doc_id, fs.kind, fs.sr, fs.n,
         |    CAST(sum(CASE WHEN fs.e * fs.n >= t.te * fs.c
         |      THEN 1 << f ELSE 0 END) AS BIGINT) AS afp
         |  FROM fs JOIN t ON fs.doc_id = t.doc_id AND fs.kind = t.kind
-        |  GROUP BY fs.doc_id, fs.kind, fs.sr, fs.n)
-        |SELECT doc_id AS media_id, kind, sr AS sample_rate,
-        |  CAST(n AS INTEGER) AS n_samples, afp,
-        |  count(*) OVER (PARTITION BY afp, n) AS n_same_fp
-        |FROM hs""".stripMargin,
+        |  GROUP BY fs.doc_id, fs.kind, fs.sr, fs.n),
+        |ne AS (SELECT doc_id, kind,
+        |    CASE WHEN list_reduce(le, (a, b) -> gcd(a, b)) = 0 THEN le
+        |         ELSE list_transform(le,
+        |           x -> x // list_reduce(le, (a, b) -> gcd(a, b))) END
+        |      AS norm_energy
+        |  FROM (SELECT doc_id, kind, list(e ORDER BY f) AS le
+        |        FROM fs GROUP BY doc_id, kind))
+        |SELECT hs.doc_id AS media_id, hs.kind, hs.sr AS sample_rate,
+        |  CAST(hs.n AS INTEGER) AS n_samples, afp, norm_energy,
+        |  count(*) OVER (PARTITION BY afp, hs.n, norm_energy) AS n_dup_group
+        |FROM hs JOIN ne ON hs.doc_id = ne.doc_id AND hs.kind = ne.kind""".stripMargin,
     "q46_frame_sample" ->
       s"""WITH media AS (
          |  SELECT doc_id AS media_id, length(text) AS len,

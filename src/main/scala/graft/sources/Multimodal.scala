@@ -820,7 +820,7 @@ object Multimodal {
   }
 
   case class AfpRow(media_id: Long, kind: String, sample_rate: Int,
-                    n_samples: Int, afp: Long)
+                    n_samples: Int, afp: Long, norm_energy: Array[Long])
 
   /** Energy-profile acoustic fingerprint over REAL decoded samples:
     * split the clip into `frames` time frames (frame of sample j =
@@ -834,6 +834,17 @@ object Multimodal {
     * loudness-normalized re-encodes of one clip. The audio twin of
     * [[imageAHash]]; same scale shape (per-row at decode, 8-byte
     * signature shuffles, samples never do).
+    *
+    * And the same saturation, measured: at 10× (100k clips) the
+    * 16-bit profile alone admits ~470k content-distinct pairs
+    * (SCALE.md). So each row carries its gain-invariant VERIFICATION
+    * payload too: the frame-energy vector divided by its GCD
+    * (`gcd(k²·e…) = k²·gcd(e…)` exactly, so the normalized profile of
+    * a re-gained clip is IDENTICAL while content-distinct clips
+    * essentially never agree on all `frames` exact ratios).
+    * `n_dup_group` counts agreement on the full (fingerprint,
+    * n_samples, normalized profile) key — exact-equality
+    * verification, no pairwise stage.
     */
   def audioFingerprint(media: DataFrame, frames: Int = 16): DataFrame = {
     val spark = media.sparkSession
@@ -860,12 +871,22 @@ object Multimodal {
             if (eSum(f) * n >= total * eCnt(f)) fp |= 1L << f
             f += 1
           }
-          AfpRow(id, kind, sr, n, fp)
+          // iterative gcd inline: a nested def would lift onto the
+          // enclosing object and drag it into the task closure
+          var g = 0L
+          var k = 0
+          while (k < frames) {
+            var a = g; var b = eSum(k)
+            while (b != 0L) { val t = a % b; a = b; b = t }
+            g = a; k += 1
+          }
+          AfpRow(id, kind, sr, n, fp,
+            if (g == 0L) eSum else eSum.map(_ / g))
         }
       }).toDF()
-    rows.withColumn("n_same_fp",
+    rows.withColumn("n_dup_group",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("afp"), col("n_samples"))))
+        .partitionBy(col("afp"), col("n_samples"), col("norm_energy"))))
   }
 
   /** REAL PCM sample decode: chunk-walk to fmt/data (via

@@ -417,7 +417,9 @@ class MultimodalSpec extends SparkTestBase {
     val docs = (0L until 24L).toDF("doc_id")
     val out = Multimodal.audioFingerprint(Multimodal.synthesizeWavVariants(docs))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(4)).toMap
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(4), r.getSeq[Long](5)))).toMap
+    // fingerprint AND gain-normalized energy profile both collapse
     (0L until 24L).foreach { id =>
       assert(out(id -> "base") == out(id -> "loud"), s"id $id")
     }
