@@ -47,6 +47,10 @@ object PipelineQueries {
   val KmeansIters = 3
   val NearDupMinCos = 0.25
   val LshPlanes = 6
+  // independent SRP hash tables for q57: recall at cos>=0.8 measured
+  // 0.24 with one 6-plane table and >=0.9 at 8 (SimilarityRecallSpec)
+  // — one signature is a candidate generator, not a near-dup gate
+  val LshTables = 8
   val EmbeddingDim = 64
   val CentroidClusters = 5
   val CorpusLangs = Seq("en", "es")
@@ -440,7 +444,7 @@ object PipelineQueries {
 
     "q57_ann_lsh" -> ((s, dir) =>
       Similarity.lshNearDup(embs(s, dir), "vec_id", "embedding",
-        LshPlanes, EmbeddingDim, NearDupMinCos)),
+        LshPlanes, EmbeddingDim, NearDupMinCos, LshTables)),
 
     "q39_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
@@ -835,18 +839,36 @@ object PipelineQueries {
   /** LSH bucket as SQL: the same ±1 plane signs baked as literal
     * coefficient sums, identical term order to the Spark expression. */
   private val annLshSql: String = {
-    val signs = Similarity.planeSigns(LshPlanes, EmbeddingDim)
-    val bucket = signs.zipWithIndex.map { case (row, j) =>
-      val dot = row.zipWithIndex.map { case (s, i) =>
-        s"(CAST(embedding[${i + 1}] AS DOUBLE) * ${s.toDouble})"
+    // one bucket expression per independent table t, planes
+    // [t*LshPlanes, (t+1)*LshPlanes) — same md5-parity hyperplanes as
+    // Similarity.planeSigns
+    val buckets = (0 until LshTables).map { t =>
+      val signs = Similarity.planeSigns((t + 1) * LshPlanes, EmbeddingDim)
+        .drop(t * LshPlanes)
+      signs.zipWithIndex.map { case (row, j) =>
+        val dot = row.zipWithIndex.map { case (s, i) =>
+          s"(CAST(embedding[${i + 1}] AS DOUBLE) * ${s.toDouble})"
+        }.mkString(" + ")
+        s"(CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
-      s"(CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ($bucket) AS bucket FROM embeddings)
+    }
+    val bucketCols = buckets.zipWithIndex
+      .map { case (e, t) => s"($e) AS bucket_$t" }.mkString(",\n  ")
+    // UNION (not UNION ALL): a pair found by several tables verifies once
+    val cands = (0 until LshTables).map { t =>
+      s"""SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM b a JOIN b b2
+         |  ON a.bucket_$t = b2.bucket_$t AND a.vec_id < b2.vec_id""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  $bucketCols
+       |  FROM embeddings),
+       |c AS ($cands)
        |SELECT * FROM (
-       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |  SELECT c.id_a, c.id_b,
        |    round(${cosSql("a.v", "b2.v")}, 6) AS cos_sim
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |  FROM c JOIN b a ON a.vec_id = c.id_a
+       |         JOIN b b2 ON b2.vec_id = c.id_b)
        |WHERE cos_sim >= $NearDupMinCos""".stripMargin
   }
 

@@ -38,6 +38,34 @@ class SimilarityRecallSpec extends SparkTestBase {
   private def nCells: Int =
     embs.select(countDistinct(col("label"))).head.getLong(0).toInt
 
+  test("SRP-LSH pair recall measured: one table generates, eight tables gate") {
+    // measured on the sf0.01 corpus (200 vectors, all-pairs ground
+    // truth is cheap and exact); precision is 1.0 by construction
+    // (exact cosine verify), so tables buys recall and nothing else
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val truthPairs = Similarity.nearDupPairs(
+        e.withColumn("cell", lit(0)), "vec_id", "embedding", "cell", 0.8)
+      .select("id_a", "id_b").cache()
+    val nTruth = truthPairs.count().toDouble
+    assert(nTruth > 20, s"ground truth too thin to measure: $nTruth")
+    def recall(tables: Int): Double = {
+      val found = Similarity.lshNearDup(e, "vec_id", "embedding",
+          graft.queries.PipelineQueries.LshPlanes, 64, 0.8, tables)
+        .select("id_a", "id_b")
+        .join(truthPairs, Seq("id_a", "id_b"), "left_semi").count()
+      found / nTruth
+    }
+    val r1 = recall(1)
+    val r8 = recall(graft.queries.PipelineQueries.LshTables)
+    info(f"recall at cos>=0.8: tables=1 $r1%.3f, tables=8 $r8%.3f (n=$nTruth%.0f)")
+    // one 6-plane signature is a candidate GENERATOR (theory at
+    // theta<=36.9deg: (1-theta/pi)^6 ~ 0.25); eight independent
+    // tables are a usable gate
+    assert(r1 < 0.6, s"single-table recall unexpectedly high: $r1")
+    assert(r8 >= 0.85, s"8-table recall below gate: $r8")
+    assert(r8 > r1)
+  }
+
   test("IVF at nProbe = #cells IS brute force (exact, row for row)") {
     val full = Similarity.ivfTopK(embs, "vec_id", "embedding", "label",
       isQuery, K, nCells)
