@@ -47,9 +47,11 @@ object PipelineQueries {
   val KmeansIters = 3
   val NearDupMinCos = 0.25
   val LshPlanes = 6
-  // independent SRP hash tables for q57: recall at cos>=0.8 measured
-  // 0.24 with one 6-plane table and >=0.9 at 8 (SimilarityRecallSpec)
-  // — one signature is a candidate generator, not a near-dup gate
+  // independent SRP hash tables for q57: recall measured against the
+  // 1-(1-(1-theta/pi)^planes)^tables theory curve on planted
+  // 20-degree pairs — 0.450 with one 6-plane table (theory 0.494),
+  // 0.998 at 8 tables (theory 0.996) (SimilarityRecallSpec) — one
+  // signature is a candidate generator, not a near-dup gate
   val LshTables = 8
   val EmbeddingDim = 64
   val CentroidClusters = 5

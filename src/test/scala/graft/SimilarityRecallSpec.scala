@@ -38,32 +38,49 @@ class SimilarityRecallSpec extends SparkTestBase {
   private def nCells: Int =
     embs.select(countDistinct(col("label"))).head.getLong(0).toInt
 
-  test("SRP-LSH pair recall measured: one table generates, eight tables gate") {
-    // measured on the sf0.01 corpus (200 vectors, all-pairs ground
-    // truth is cheap and exact); precision is 1.0 by construction
-    // (exact cosine verify), so tables buys recall and nothing else
-    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
-    val truthPairs = Similarity.nearDupPairs(
-        e.withColumn("cell", lit(0)), "vec_id", "embedding", "cell", 0.8)
-      .select("id_a", "id_b").cache()
-    val nTruth = truthPairs.count().toDouble
-    assert(nTruth > 20, s"ground truth too thin to measure: $nTruth")
+  test("SRP-LSH pair recall vs theory: one table generates, eight tables gate") {
+    // The corpus's own pairs top out at cos 0.51 (no natural near-dup
+    // regime), so plant pairs at a CONTROLLED angle from the real
+    // vectors — u and (cosT*u + sinT*u2) with u2 orthonormalized from
+    // the reversed vector — and pin measured recall against the SRP
+    // theory curve P[pair found] = 1-(1-(1-T/pi)^planes)^tables.
+    // Precision is 1.0 by construction (exact cosine verify): tables
+    // buys recall and nothing else.
+    import spark.implicits._
+    val base = embs.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Array[Double])].collect()
+    val theta = math.toRadians(20)
+    val rows = base.flatMap { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = v.map(_ / n)
+      val z = u.reverse
+      val d = z.zip(u).map { case (a, b) => a * b }.sum
+      val o = z.zip(u).map { case (a, b) => a - d * b }
+      val on = math.sqrt(o.map(x => x * x).sum)
+      if (on < 1e-9) Seq.empty
+      else {
+        val u2 = o.map(_ / on)
+        val w = u.zip(u2).map { case (a, b) =>
+          math.cos(theta) * a + math.sin(theta) * b }
+        Seq((id, u.map(_.toFloat)), (id + 100000L, w.map(_.toFloat)))
+      }
+    }.toSeq
+    val planted = rows.toDF("vec_id", "embedding")
+    val nPairs = (rows.size / 2).toDouble
     def recall(tables: Int): Double = {
-      val found = Similarity.lshNearDup(e, "vec_id", "embedding",
-          graft.queries.PipelineQueries.LshPlanes, 64, 0.8, tables)
-        .select("id_a", "id_b")
-        .join(truthPairs, Seq("id_a", "id_b"), "left_semi").count()
-      found / nTruth
+      val found = Similarity.lshNearDup(planted, "vec_id", "embedding",
+          graft.queries.PipelineQueries.LshPlanes, 64, 0.9, tables)
+        .filter(col("id_b") === col("id_a") + 100000L).count()
+      found / nPairs
     }
     val r1 = recall(1)
     val r8 = recall(graft.queries.PipelineQueries.LshTables)
-    info(f"recall at cos>=0.8: tables=1 $r1%.3f, tables=8 $r8%.3f (n=$nTruth%.0f)")
-    // one 6-plane signature is a candidate GENERATOR (theory at
-    // theta<=36.9deg: (1-theta/pi)^6 ~ 0.25); eight independent
-    // tables are a usable gate
-    assert(r1 < 0.6, s"single-table recall unexpectedly high: $r1")
-    assert(r8 >= 0.85, s"8-table recall below gate: $r8")
-    assert(r8 > r1)
+    // theory at theta=20deg, 6 planes: p = (1-20/180)^6 = 0.494;
+    // 8 independent tables: 1-(1-p)^8 = 0.996
+    info(f"recall at theta=20deg: tables=1 $r1%.3f (theory 0.494), " +
+      f"tables=8 $r8%.3f (theory 0.996), n=$nPairs%.0f")
+    assert(math.abs(r1 - 0.494) < 0.15, s"single-table recall off theory: $r1")
+    assert(r8 >= 0.9, s"8-table recall below gate: $r8")
   }
 
   test("IVF at nProbe = #cells IS brute force (exact, row for row)") {
