@@ -289,9 +289,20 @@ object PipelineQueries {
         "embedding", "cell", col("vec_id") < 10, TopK, IvfProbes)
     }),
 
-    "q43_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", "label",
-        NearDupMinCos)),
+    // cell-scoped embedding near-dup pairs over the TRAINED quantizer
+    // (the same memoized cellsOf artifact q38 probes and q114 dedups
+    // in): measured pair recall at the registry threshold is 0.275
+    // over trained cells vs 0.104 over the arbitrary metadata labels
+    // (SimilarityRecallSpec) — same act-on-the-measurement as q38's
+    // round-8 move; the within-one-cell scope itself is the
+    // documented SemDeDup design
+    "q43_embed_neardup" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cells = Similarity.cellsOf(e, dir, "vec_id", "embedding",
+        KmeansK, KmeansIters)
+      Similarity.nearDupPairs(e.join(cells, Seq("vec_id")), "vec_id",
+        "embedding", "cell", NearDupMinCos)
+    }),
 
     // SemDeDup semantic dedup (Similarity.semanticDedup): the
     // embedding twin of the MinHash gate — paraphrase-level dups the
@@ -831,11 +842,16 @@ object PipelineQueries {
        |FROM q JOIN dfreq USING (term), stats GROUP BY doc_id""".stripMargin
   }
 
+  /** Oracle twin of q43: the same trained cells (shared Lloyd CTE
+    * chain as q38/q114), then intra-cell pairs at the threshold. */
   private val embedNearDupSql: String =
-    s"""SELECT * FROM (
+    s"""WITH $lloydCellsCtes,
+       |m AS (SELECT e.vec_id, cells.cell, CAST(e.embedding AS DOUBLE[]) AS ev
+       |  FROM embeddings e JOIN cells USING (vec_id))
+       |SELECT * FROM (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |    round(${cosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) AS cos_sim
-       |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |    round(${cosSql("a.ev", "b.ev")}, 6) AS cos_sim
+       |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= $NearDupMinCos""".stripMargin
 
   /** LSH bucket as SQL: the same ±1 plane signs baked as literal

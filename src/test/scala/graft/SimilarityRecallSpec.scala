@@ -83,6 +83,32 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(r8 >= 0.9, s"8-table recall below gate: $r8")
   }
 
+  test("cell-scoped near-dup recall measured: label vs trained cells vs all pairs") {
+    // q43/q114 search within ONE cell per vector by design (SemDeDup's
+    // definition) — this measures what that scoping costs on the
+    // sf0.01 corpus at the registry threshold, and what the trained
+    // quantizer buys over the metadata labels
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val minCos = graft.queries.PipelineQueries.NearDupMinCos
+    val truthN = Similarity.nearDupPairs(
+      e.withColumn("cell", lit(0)), "vec_id", "embedding", "cell", minCos)
+      .count().toDouble
+    val labelN = Similarity.nearDupPairs(e, "vec_id", "embedding", "label",
+      minCos).count()
+    val trained = Similarity.kmeansCells(e, "vec_id", "embedding",
+      graft.queries.PipelineQueries.KmeansK,
+      graft.queries.PipelineQueries.KmeansIters)
+    val trainedN = Similarity.nearDupPairs(
+      e.join(trained, Seq("vec_id")), "vec_id", "embedding", "cell",
+      minCos).count()
+    info(f"pair recall at cos>=$minCos: label cells ${labelN / truthN}%.3f, " +
+      f"trained cells ${trainedN / truthN}%.3f (truth n=$truthN%.0f)")
+    // trained cells must not be worse than the arbitrary metadata
+    // labels; both are partial BY DESIGN (documented cell scoping)
+    assert(trainedN >= labelN)
+    assert(labelN > 0 && truthN > 0)
+  }
+
   test("IVF at nProbe = #cells IS brute force (exact, row for row)") {
     val full = Similarity.ivfTopK(embs, "vec_id", "embedding", "label",
       isQuery, K, nCells)
