@@ -275,14 +275,42 @@ object Similarity {
                // joins; escapes into the returned plan → caller
                // releases after its action (see
                // Dedup.minhashCandidatePairs cache-lifecycle note)
-    val cands = (0 until tables).map { t =>
-      val wb = base.select(col(idCol),
-        lshBucket(col("v"), nPlanes, dim, t * nPlanes).as("bucket"))
-      val a = wb.select(col("bucket"), col(idCol).as("id_a"))
-      val b = wb.select(col("bucket"), col(idCol).as("id_b"))
-      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-    }.reduce(_ union _)
+    // ALL table buckets in one pass, then ONE self-join keyed
+    // (table, bucket) — the plan has a constant number of exchanges no
+    // matter how many tables. The buckets are computed in a typed
+    // mapPartitions kernel over driver-precomputed sign arrays, NOT as
+    // Catalyst expressions: the literal ±sum form is fine for one
+    // 6-plane signature (q57's original shape) but tables×planes×dim
+    // literal terms is a measured Catalyst pathology — the 8-table
+    // projection ran 46s on 2,000 rows as an expression tree vs
+    // milliseconds as a fused multiply-add loop (SCALE.md).
+    val spark2 = base.sparkSession
+    import spark2.implicits._
+    val signs: Array[Array[Int]] =
+      planeSigns(tables * nPlanes, dim).toArray
+    val (nT, nP) = (tables, nPlanes)
+    val wb = base.select(col(idCol).cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        (0 until nT).iterator.map { t =>
+          var bucket = 0L
+          var j = 0
+          while (j < nP) {
+            val s = signs(t * nP + j)
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) { dot += v(i) * s(i); i += 1 }
+            if (dot > 0) bucket |= 1L << j
+            j += 1
+          }
+          (id, t, bucket)
+        }
+      }).toDF(idCol, "t", "bucket")
+    val a = wb.select(col("t"), col("bucket"), col(idCol).as("id_a"))
+    val bb = wb.select(col("t"), col("bucket"), col(idCol).as("id_b"))
+    val cands = a.join(bb, Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
     // a pair found by several tables must verify once: distinct on the
     // 16-byte id pair, BEFORE the vectors join back (ids on the wire,
     // never vectors)

@@ -46,12 +46,17 @@ object PipelineQueries {
   val KmeansK = 8
   val KmeansIters = 3
   val NearDupMinCos = 0.25
-  val LshPlanes = 6
+  // 8 planes = 256 buckets: the planes ~ log2(n/targetBucket) scale
+  // contract applied at the sf0.1 corpus size (6 planes left ~300
+  // vectors per bucket and the 8-table union generated 23M candidate
+  // pairs — recall was right, candidate volume wasn't)
+  val LshPlanes = 8
   // independent SRP hash tables for q57: recall measured against the
   // 1-(1-(1-theta/pi)^planes)^tables theory curve on planted
-  // 20-degree pairs — 0.450 with one 6-plane table (theory 0.494),
-  // 0.998 at 8 tables (theory 0.996) (SimilarityRecallSpec) — one
-  // signature is a candidate generator, not a near-dup gate
+  // 20-degree pairs (SimilarityRecallSpec; at 6 planes the same
+  // harness measured 0.450 vs theory 0.494 single-table and 0.998 vs
+  // 0.996 at 8 tables) — one signature is a candidate generator, not
+  // a near-dup gate
   val LshTables = 8
   val EmbeddingDim = 64
   val CentroidClusters = 5
@@ -870,18 +875,15 @@ object PipelineQueries {
         s"(CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
     }
-    val bucketCols = buckets.zipWithIndex
-      .map { case (e, t) => s"($e) AS bucket_$t" }.mkString(",\n  ")
-    // UNION (not UNION ALL): a pair found by several tables verifies once
-    val cands = (0 until LshTables).map { t =>
-      s"""SELECT a.vec_id AS id_a, b2.vec_id AS id_b
-         |  FROM b a JOIN b b2
-         |  ON a.bucket_$t = b2.bucket_$t AND a.vec_id < b2.vec_id""".stripMargin
-    }.mkString("\nUNION\n")
+    val bucketList = buckets.map(e => s"($e)").mkString(",\n  ")
     s"""WITH b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |  $bucketCols
+       |  [$bucketList] AS bs
        |  FROM embeddings),
-       |c AS ($cands)
+       |wb AS MATERIALIZED (SELECT vec_id, t, bs[t + 1] AS bucket
+       |  FROM b, (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
+       |c AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM wb a JOIN wb b2
+       |  ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
        |SELECT * FROM (
        |  SELECT c.id_a, c.id_b,
        |    round(${cosSql("a.v", "b2.v")}, 6) AS cos_sim

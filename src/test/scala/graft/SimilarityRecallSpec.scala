@@ -75,12 +75,17 @@ class SimilarityRecallSpec extends SparkTestBase {
     }
     val r1 = recall(1)
     val r8 = recall(graft.queries.PipelineQueries.LshTables)
-    // theory at theta=20deg, 6 planes: p = (1-20/180)^6 = 0.494;
-    // 8 independent tables: 1-(1-p)^8 = 0.996
-    info(f"recall at theta=20deg: tables=1 $r1%.3f (theory 0.494), " +
-      f"tables=8 $r8%.3f (theory 0.996), n=$nPairs%.0f")
-    assert(math.abs(r1 - 0.494) < 0.15, s"single-table recall off theory: $r1")
-    assert(r8 >= 0.9, s"8-table recall below gate: $r8")
+    val planes = graft.queries.PipelineQueries.LshPlanes
+    val p1 = math.pow(1 - theta / math.Pi, planes)
+    val p8 = 1 - math.pow(1 - p1,
+      graft.queries.PipelineQueries.LshTables)
+    // theory from the registry constants: at theta=20deg, 8 planes
+    // p = (1-20/180)^8 = 0.390; 8 tables: 1-(1-p)^8 = 0.981
+    info(f"recall at theta=20deg: tables=1 $r1%.3f (theory $p1%.3f), " +
+      f"tables=${graft.queries.PipelineQueries.LshTables} $r8%.3f " +
+      f"(theory $p8%.3f), n=$nPairs%.0f")
+    assert(math.abs(r1 - p1) < 0.15, s"single-table recall off theory: $r1 vs $p1")
+    assert(r8 >= 0.9, s"multi-table recall below gate: $r8")
   }
 
   test("cell-scoped near-dup recall measured: label vs trained cells vs all pairs") {
