@@ -26,13 +26,30 @@ object Scale {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // GRAFT_SCALE_FORCE=hash: evaluate EVERY output column, not just
+    // count. For projection-only queries (lang-ID, quality, per-row
+    // rewrites) plain count() lets Catalyst prune the computed columns
+    // to a scan count — the timing then measures the scan, not the
+    // operator. The hash-of-struct aggregate defeats the pruning while
+    // staying codegen'd and collect-free.
+    val force = sys.env.get("GRAFT_SCALE_FORCE").contains("hash")
+    def run(df: org.apache.spark.sql.DataFrame): Long =
+      if (force)
+        df.select(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.hash(
+              df.columns.map(org.apache.spark.sql.functions.col): _*)
+              .cast("long")))
+          .head.getLong(0)
+      else df.count()
     val cells = for (dir <- dirs; name <- names) yield {
       val fn = SparkEntry.queries(name)
       graft.operators.Dedup.lastCcRounds = -1
       var rows = 0L
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        rows = fn(spark, dir).count()
+        rows = run(fn(spark, dir))
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         t
