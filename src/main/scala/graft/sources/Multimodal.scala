@@ -684,7 +684,11 @@ object Multimodal {
       .select(col("media_id").cast("long"), col("kind"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, kind, bytes) =>
-        decodePng(bytes).map { case (w, h, px) =>
+        // an image below grid resolution has empty cells — skip it
+        // (same contract as a broken file: no row, never a crash)
+        decodePng(bytes).filter { case (w, h, _) =>
+          w >= grid && h >= grid
+        }.map { case (w, h, px) =>
           val cellSum = new Array[Long](grid * grid)
           val cellCnt = new Array[Long](grid * grid)
           var i = 0
@@ -734,7 +738,11 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        decodePng(bytes).map { case (w, h, px) =>
+        // below-output-resolution images have empty cells — skip, as
+        // with a broken file (no row, never a divide-by-zero)
+        decodePng(bytes).filter { case (w, h, _) =>
+          w >= outW && h >= outH
+        }.map { case (w, h, px) =>
           val sum = new Array[Long](outW * outH)
           val cnt = new Array[Long](outW * outH)
           var i = 0
@@ -853,7 +861,10 @@ object Multimodal {
       .select(col("media_id").cast("long"), col("kind"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, kind, bytes) =>
-        decodePcm(bytes).map { case (sr, s) =>
+        // a clip shorter than the frame count has empty frames whose
+        // bits would read as spuriously loud — skip it (no row, same
+        // contract as a broken file)
+        decodePcm(bytes).filter(_._2.length >= frames).map { case (sr, s) =>
           val n = s.length
           val eSum = new Array[Long](frames)
           val eCnt = new Array[Long](frames)

@@ -439,6 +439,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(got == (1L << 2), s"got ${got.toBinaryString}")
   }
 
+  test("below-resolution inputs skip cleanly: no divide-by-zero rows") {
+    import spark.implicits._
+    // a valid 3x3 PNG is smaller than the 4x4 grid -> no row, no crash
+    val tiny = pngBytesOf(Array.tabulate(3, 3)((_, _) => 100))
+    assert(Multimodal.imageAHash(
+      Seq((1L, "base", tiny)).toDF("media_id", "kind", "content")).count() == 0)
+    assert(Multimodal.resizeImages(
+      Seq((1L, tiny)).toDF("media_id", "content")).count() == 0)
+    // a valid 8-sample WAV is shorter than 16 frames -> no row
+    val short = wavBytesOf(Array.tabulate(8)(j => j * 100))
+    assert(Multimodal.audioFingerprint(
+      Seq((1L, "base", short)).toDF("media_id", "kind", "content")).count() == 0)
+  }
+
   /** Minimal valid 16-bit mono WAV with caller-chosen samples (the
     * production builders only cover the formula corpus). */
   private def wavBytesOf(samples: Array[Int]): Array[Byte] = {
