@@ -24,7 +24,14 @@ object Bench {
 
   /** One timed pass; a FAILED query returns -1.0, not its
     * elapsed-until-crash time — a breakage must read as a visibly
-    * negative entry in the JSON, never as a fake speedup. */
+    * negative entry in the JSON, never as a fake speedup.
+    *
+    * Method note: count() lets Catalyst prune computed columns on
+    * projection-only queries, so their cells measure scan+count, not
+    * the per-row work. Kept deliberately — every recorded round (and
+    * the round-2 baseline the gate compares against) measured the
+    * same way, so cells stay comparable; the full-evaluation numbers
+    * live in the SCALE.md sweeps (tools/Scale GRAFT_SCALE_FORCE=hash). */
   def timeOnce(spark: SparkSession, sfDir: String,
                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
     val t0 = System.nanoTime()
