@@ -154,18 +154,50 @@ object Dedup {
     * session, release it after consuming the result
     * (`spark.catalog.clearCache()` or unpersist by plan) — the bench
     * and verify harnesses do this between queries. */
+  /** Buckets dropped by the most recent [[minhashCandidatePairs]] cap
+    * (diagnostic twin of [[lastSimhashDroppedBuckets]]). */
+  @volatile var lastMinhashDroppedBuckets: Long = 0L
+
+  /** `maxBucket` is the same quadratic-blowup guard as
+    * [[simhashPairs]]'s: a (band, sig) bucket with more members than
+    * the cap is DROPPED from candidate generation, with the count
+    * logged. On a smoothly-similar corpus bucket co-membership
+    * percolates (measured round 8: 4,994 of 5,000 docs chained), so
+    * the pair SURFACE grows ~Σ bucket² with corpus density — 27k
+    * pairs at sf0.01 became 6.4M at sf0.1. A true near-dup pair that
+    * loses one over-cap band still collides in each remaining band
+    * with p = J^r (at J=0.9, r=4: ≈0.66 per band, ≥0.96 via the
+    * other three) — which is why a cap is safe where an all-pairs
+    * gate would not be. The cap is part of the operator SPEC (the
+    * oracle applies the same rule). Consumers that need clusters, not
+    * pairs, should use [[minhashComponents]] (star edges — linear in
+    * bucket size, no cap needed). */
   def minhashCandidatePairs(sigs: DataFrame, idCol: String, k: Int,
-                            bands: Int): DataFrame = {
-    // cache: the banded frame feeds both sides of the self-join — the
-    // explicit materialization barrier (Catalyst does not dedupe
-    // common subtrees, so without it the signature aggregation runs
-    // twice; same pattern as the reference's cached spine)
+                            bands: Int, maxBucket: Int = 1000): DataFrame = {
+    // cache: the banded frame feeds the bucket census and both sides
+    // of the self-join — the explicit materialization barrier
+    // (Catalyst does not dedupe common subtrees, so without it the
+    // signature aggregation runs twice; same pattern as the
+    // reference's cached spine)
     val banded = bandSignatures(sigs, idCol, k, bands).cache()
-    // two-consumer fan-out: the self-join sides may race the cache fill,
-    // but the waste is bounded by ONE subtree compute — the same as an
-    // explicit materialization job, without its scheduling overhead
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    // over-cap census: PROVABLY small (≤ bands × docs / maxBucket
+    // keys by pigeonhole) → broadcast anti join, never a join against
+    // the full census
+    val overCap = banded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(col("band"), col("sig"))
+    val dropped = overCap.count()
+    lastMinhashDroppedBuckets = dropped
+    if (dropped > 0)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"minhashCandidatePairs: dropped $dropped over-cap buckets " +
+          s"(> $maxBucket members) from candidate generation")
+    val kept =
+      if (dropped == 0) banded
+      else banded.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
+    val a = kept.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = kept.select(col(idCol).as("id_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

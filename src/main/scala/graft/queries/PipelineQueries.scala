@@ -28,6 +28,13 @@ object PipelineQueries {
   // measured round 8: unverified b=4 star edges collapsed 4,994 of
   // 5,000 docs into 2 mega-clusters; verified, 10 true families
   val MinhashVerifyAgree = 13
+  // q33's quadratic-blowup guard (simhashPairs' contract applied to
+  // the minhash pair surface): a (band, sig) bucket past this size is
+  // dropped from candidate generation with a logged count. Never
+  // triggers at sf0.01 (500 docs), so the oracle's identical HAVING
+  // clause is a no-op there — but the rule is part of the spec on
+  // BOTH sides, so a denser future corpus cannot drift them apart
+  val MinhashMaxBucket = 1000
   val NgramN = 3
   val NgramMaxDocFreq = 20
   val HeavySupport = 0.02
@@ -221,7 +228,7 @@ object PipelineQueries {
     "q33_minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(
         Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK),
-        "doc_id", MinhashK, MinhashBands)),
+        "doc_id", MinhashK, MinhashBands, MinhashMaxBucket)),
 
     // same components as CC over minhashCandidatePairs, via per-bucket
     // star edges — O(#docs x bands) edges, never the quadratic pairs.
@@ -596,9 +603,12 @@ object PipelineQueries {
       val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
       s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH $wordsCte, sigs AS ($minhashSigsSelect), bands AS ($bandBranches)
+    s"""WITH $wordsCte, sigs AS ($minhashSigsSelect), bands AS ($bandBranches),
+       |capped AS (SELECT band, sig FROM bands GROUP BY band, sig
+       |           HAVING count(*) <= $MinhashMaxBucket)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+       |FROM bands a JOIN capped USING (band, sig)
+       |JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
   }
 
   /** Oracle twin of q95: same md5 exact-drop, same seeded-minhash band

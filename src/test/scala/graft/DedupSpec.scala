@@ -122,6 +122,22 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(Dedup.lastMinhashDroppedBuckets == 0L)
+  }
+
+  test("minhash pair surface: bucket cap drops flooded buckets and records the count") {
+    // 12 identical docs share every band bucket; with maxBucket = 10
+    // both bands go over-cap, the quadratic 12x11/2 pair set is
+    // suppressed, and the drop is recorded — simhashPairs' flood
+    // contract on the minhash surface (the registry default 1000
+    // never triggers at oracle scale, but the rule is spec on both
+    // engine and oracle sides)
+    val flood = docsDf((1L to 12L).map(i => i -> "same text every doc"): _*)
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(flood, "doc_id", "text", 16),
+      "doc_id", 16, 2, maxBucket = 10)
+    assert(pairs.isEmpty)
+    assert(Dedup.lastMinhashDroppedBuckets == 2L)
   }
 
   test("simhash of identical texts is identical; permuted word order too (set semantics)") {
