@@ -237,4 +237,75 @@ class PropertySpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(repart == exact)
   }
+
+  test("imageAHash key is invariant under ANY non-clipping brightness shift") {
+    import spark.implicits._
+    import graft.sources.Multimodal
+    // random images (seeded), random shift per case — the operator's
+    // invariance claim is algebraic (integer cross-multiplication and
+    // floor-means shift exactly), so it must hold for every c, not
+    // just the planted corpus's +40
+    val rnd = new scala.util.Random(4242)
+    val cases = (0 until 12).map { i =>
+      val w = 4 + rnd.nextInt(12); val h = 4 + rnd.nextInt(12)
+      val px = Array.fill(h, w)(rnd.nextInt(180)) // head-room for shift
+      val c = 1 + rnd.nextInt(70)
+      (i.toLong, px, px.map(_.map(_ + c)))
+    }
+    val media = cases.flatMap { case (id, base, shifted) =>
+      Seq((id, "base", grayPng(base)), (id, "shift", grayPng(shifted)))
+    }.toDF("media_id", "kind", "content")
+    val out = Multimodal.imageAHash(media).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(4), r.getSeq[Int](5)))).toMap
+    cases.foreach { case (id, _, _) =>
+      assert(out(id -> "base") == out(id -> "shift"), s"case $id")
+    }
+  }
+
+  test("audioFingerprint key is invariant under ANY non-clipping integer gain") {
+    import spark.implicits._
+    import graft.sources.Multimodal
+    val rnd = new scala.util.Random(777)
+    val cases = (0 until 12).map { i =>
+      val n = 16 + rnd.nextInt(120)
+      val s = Array.fill(n)(rnd.nextInt(8000) - 4000) // head-room for x4
+      val g = 2 + rnd.nextInt(3)
+      (i.toLong, s, s.map(_ * g))
+    }
+    val media = cases.flatMap { case (id, base, loud) =>
+      Seq((id, "base", monoWav(base)), (id, "loud", monoWav(loud)))
+    }.toDF("media_id", "kind", "content")
+    val out = Multimodal.audioFingerprint(media).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(4), r.getSeq[Long](5)))).toMap
+    cases.foreach { case (id, _, _) =>
+      assert(out(id -> "base") == out(id -> "loud"), s"case $id")
+    }
+  }
+
+  private def grayPng(px: Array[Array[Int]]): Array[Byte] = {
+    val h = px.length; val w = px(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (r <- 0 until h; c <- 0 until w)
+      img.getRaster.setSample(c, r, 0, px(r)(c))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def monoWav(samples: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le(v: Long, bytes: Int): Unit =
+      (0 until bytes).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    val dataLen = samples.length * 2
+    ascii("RIFF"); le(36L + dataLen, 4); ascii("WAVE")
+    ascii("fmt "); le(16, 4); le(1, 2); le(1, 2)
+    le(8000L, 4); le(16000L, 4); le(2, 2); le(16, 2)
+    ascii("data"); le(dataLen.toLong, 4)
+    samples.foreach(v => le(v.toLong & 0xffff, 2))
+    out.toByteArray
+  }
 }
