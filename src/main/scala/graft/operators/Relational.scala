@@ -234,4 +234,55 @@ object Relational {
           col("__lbin") === bin(greatest(col(lStart), col(rStart))))
       .drop("__lbin", "__rbin")
   }
+
+  /** Scalable global row numbering — `row_number() OVER (ORDER BY …)`
+    * without its 100 TB failure mode. Spark plans the windowed form as
+    * a SINGLE-partition sort: every row moves to one task, which is
+    * the classic large-corpus killer (training pipelines need exactly
+    * this for deterministic epoch shuffles and shard assignment).
+    *
+    * This is the range-partition + offset pattern instead: range
+    * repartition on the order key (each partition holds a contiguous
+    * key range), sort within partitions, count rows per partition
+    * (one cheap aggregate; the per-partition count list is
+    * #partitions entries — driver-bounded by cluster size, the same
+    * contract as `zipWithIndex`), broadcast the cumulative offsets,
+    * and assign `offset + local index` in one mapPartitions pass.
+    * One full-data shuffle total; no single-task stage anywhere.
+    *
+    * `orderCols` must be a UNIQUE composite key (append a tiebreaker
+    * id) — range partitioning may split ties across partitions, and a
+    * total order is what makes the rank reproducible and
+    * oracle-checkable.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+                      outCol: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    val keys = orderCols.map(col)
+    val sorted = df.repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // two consumers: counts + the rank pass
+    val counts = sorted.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nPart = if (counts.isEmpty) 0 else counts.keys.max + 1
+    val offsets = new Array[Long](nPart + 1)
+    (0 until nPart).foreach(p =>
+      offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L))
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    sorted.mapPartitions { it =>
+      var local = 0L
+      it.map { row =>
+        val pid = row.getAs[Int]("__pid")
+        local += 1L
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ (bc.value(pid) + local))
+      }
+    }(enc).drop("__pid")
+  }
 }

@@ -556,6 +556,22 @@ object PipelineQueries {
         CorpusPipeline.Config(CorpusLangs, CorpusMinWords, CorpusMinQuality,
           MinhashK, MinhashBands, Some(MinhashVerifyAgree)))),
 
+    // deterministic epoch shuffling via SCALABLE global row numbering
+    // (Relational.globalRowNumber): each epoch's training order is
+    // rank-by-hash — reproducible anywhere — and the rank is assigned
+    // by range-repartition + per-partition offsets, NOT by the
+    // row_number() window Spark would plan as a single-partition sort
+    // (the classic 100 TB killer). One full-data shuffle total
+    "q129_epoch_shuffle" -> ((s, dir) => {
+      val withEpoch = docs(s, dir).select(col("doc_id"))
+        .withColumn("epoch", explode(array(lit(0), lit(1))))
+      val keyed = withEpoch.withColumn("__h",
+        PortableHash.hash60(concat_ws("-", col("epoch"), col("doc_id"))))
+      graft.operators.Relational.globalRowNumber(
+          keyed, Seq("epoch", "__h", "doc_id"), "shuffle_rank")
+        .select(col("doc_id"), col("epoch"), col("shuffle_rank"))
+    }),
+
     // distributed BPE merge learning (Bpe.train): corpus-sized work is
     // ONE word-count aggregate; every merge iteration runs over the
     // vocabulary table and the chosen pair rides a 1-row broadcast
@@ -1291,6 +1307,14 @@ object PipelineQueries {
         |  count(*) AS n_kept,
         |  CAST(max(n_segments) - count(*) AS BIGINT) AS n_removed
         |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    "q129_epoch_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents)
+         |SELECT doc_id, epoch,
+         |  row_number() OVER (ORDER BY epoch,
+         |    ${PortableHash.hash60Sql("epoch || '-' || doc_id")}, doc_id)
+         |    AS shuffle_rank
+         |FROM e""".stripMargin,
 
     "q122_bpe_train" -> graft.operators.Bpe.trainSql(
       "documents", "text", BpeMerges, BpeMinPair),

@@ -211,4 +211,28 @@ class RelationalSpec extends SparkTestBase {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("globalRowNumber == the window form, without its single-partition stage") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val df = (1 to 500).map(i => ((i * 7919) % 1000).toLong -> i.toLong)
+      .toDF("k", "id")
+    val got = Relational.globalRowNumber(df.repartition(11), Seq("k", "id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    assert(got == want)
+    // partition-invariance of the assigned ranks
+    val again = Relational.globalRowNumber(df.repartition(3), Seq("k", "id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == want)
+    // and the point of the operator: the window form plans a
+    // SinglePartition exchange (all rows through one task); the
+    // range-partition + offset form must not
+    val plan = Relational.globalRowNumber(df, Seq("k", "id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global rank went through one partition:\n$plan")
+  }
 }
