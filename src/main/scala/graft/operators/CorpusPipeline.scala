@@ -29,7 +29,14 @@ object CorpusPipeline {
     // Jaccard). None = bucket co-membership alone decides — which on
     // a smoothly-similar corpus lets moderate-J collisions evict real
     // documents (round-8 fix; see Dedup.minhashComponents.minAgree)
-    minAgree: Option[Int] = None)
+    minAgree: Option[Int] = None,
+    // the family's quadratic-blowup guard (see
+    // Dedup.minhashCandidatePairs.maxBucket): a (band, sig) bucket
+    // past this size is excluded from near-dup candidate generation —
+    // its agreement-join compute is Σ bucket², which percolation
+    // makes corpus-density-quadratic; a true near-dup that loses one
+    // over-cap band still collides per remaining band at p = J^r
+    maxBucket: Int = 1000)
 
   /** Clean `df` down to surviving documents, with the metrics that
     * drove the decisions: (id, pred_lang, n_words, quality_score). */
@@ -100,7 +107,16 @@ object CorpusPipeline {
           .select(col("id_b").as(idCol)).distinct()
       case Some(th) =>
         val k = cfg.minhashK
-        val banded = Dedup.bandSignatures(sigs, idCol, k, cfg.minhashBands)
+        val banded0 = Dedup.bandSignatures(sigs, idCol, k, cfg.minhashBands)
+        // over-cap bucket exclusion (same census shape as
+        // minhashCandidatePairs: pigeonhole-small key set → broadcast
+        // anti join)
+        val overCap = banded0.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > cfg.maxBucket)
+          .select(col("band"), col("sig"))
+        val banded = banded0
+          .join(broadcast(overCap), Seq("band", "sig"), "left_anti")
         val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
         val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
         val aSigs = sigs.select(col(idCol).as("id_a") +:

@@ -554,7 +554,8 @@ object PipelineQueries {
     "q61_corpus_clean" -> ((s, dir) =>
       CorpusPipeline.clean(docs(s, dir), "doc_id", "text",
         CorpusPipeline.Config(CorpusLangs, CorpusMinWords, CorpusMinQuality,
-          MinhashK, MinhashBands, Some(MinhashVerifyAgree)))),
+          MinhashK, MinhashBands, Some(MinhashVerifyAgree),
+          MinhashMaxBucket))),
 
     // deterministic epoch shuffling via SCALABLE global row numbering
     // (Relational.globalRowNumber): each epoch's training order is
@@ -972,8 +973,11 @@ object PipelineQueries {
        |words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM exact),
        |sigs AS ($minhashSigsSelect),
        |bands AS ($bandBranches),
-       |dropped AS (SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |capped AS (SELECT band, sig FROM bands GROUP BY band, sig
+       |           HAVING count(*) <= $MinhashMaxBucket),
+       |dropped AS (SELECT DISTINCT b.doc_id
+       |  FROM bands a JOIN capped USING (band, sig)
+       |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |  JOIN sigs sa ON a.doc_id = sa.doc_id
        |  JOIN sigs sb ON b.doc_id = sb.doc_id
        |  WHERE (${agreeSql("sa", "sb")}) >= $MinhashVerifyAgree)
