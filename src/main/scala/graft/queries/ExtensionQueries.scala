@@ -101,9 +101,19 @@ object ExtensionQueries {
     // (n_same_hash >= 2) — exact-dedup shuffle topology (8-byte hash,
     // never pixels) applied to the image modality. The oracle replays
     // the planting formula and the same integer bit rule.
+    // norm_thumb is rendered as one canonical '-'-joined string: the
+    // driver's comparer hashes cells and cannot hash array values, so
+    // every registered query emits scalars only (the q88-checksum /
+    // banding-string rule; the Array[Int] form stays the operator's
+    // production surface)
     "q124_image_ahash" -> ((s, dir) =>
       Multimodal.imageAHash(
-        Multimodal.synthesizePngVariants(Tables.load(s, dir, "documents")))),
+        Multimodal.synthesizePngVariants(Tables.load(s, dir, "documents")))
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("ahash"),
+          concat_ws("-", col("norm_thumb").cast("array<string>"))
+            .as("norm_thumb_s"),
+          col("n_dup_group"))),
 
     // box-filter resize over REAL decoded pixels: average-pool onto a
     // 4x4 thumbnail (floor-division cell means — integer-exact, so
@@ -112,7 +122,10 @@ object ExtensionQueries {
     // survive downstream.
     "q127_image_resize" -> ((s, dir) =>
       Multimodal.resizeImages(
-        Multimodal.synthesizePngs(Tables.load(s, dir, "documents")))),
+        Multimodal.synthesizePngs(Tables.load(s, dir, "documents")))
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"),
+          concat_ws("-", col("thumb").cast("array<string>")).as("thumb_s"))),
 
     // acoustic dedup: energy-profile fingerprint over REAL decoded PCM
     // — the audio twin of q124. Each base clip ships with a 2x-gain
@@ -121,7 +134,12 @@ object ExtensionQueries {
     // fingerprint. Oracle replays the formula and the same bit rule.
     "q126_audio_fp" -> ((s, dir) =>
       Multimodal.audioFingerprint(
-        Multimodal.synthesizeWavVariants(Tables.load(s, dir, "documents")))),
+        Multimodal.synthesizeWavVariants(Tables.load(s, dir, "documents")))
+        .select(col("media_id"), col("kind"), col("sample_rate"),
+          col("n_samples"), col("afp"),
+          concat_ws("-", col("norm_energy").cast("array<string>"))
+            .as("norm_energy_s"),
+          col("n_dup_group"))),
 
     // metadata-driven frame sampling (generator over video rows);
     // frame payload surfaced as its length so the oracle is exact
@@ -318,14 +336,15 @@ object ExtensionQueries {
         |  FROM cs JOIN t ON cs.doc_id = t.doc_id AND cs.kind = t.kind
         |  GROUP BY cs.doc_id, cs.kind, cs.w, cs.h),
         |nt AS (SELECT doc_id, kind,
-        |    list(CAST(mu - mn AS INTEGER) ORDER BY cell) AS norm_thumb
+        |    array_to_string(list(CAST(mu - mn AS INTEGER) ORDER BY cell), '-')
+        |      AS norm_thumb_s
         |  FROM (SELECT doc_id, kind, cell, s // c AS mu,
         |          min(s // c) OVER (PARTITION BY doc_id, kind) AS mn
         |        FROM cs)
         |  GROUP BY doc_id, kind)
         |SELECT hs.doc_id AS media_id, hs.kind, CAST(w AS INTEGER) AS width,
-        |  CAST(h AS INTEGER) AS height, ahash, norm_thumb,
-        |  count(*) OVER (PARTITION BY ahash, norm_thumb) AS n_dup_group
+        |  CAST(h AS INTEGER) AS height, ahash, norm_thumb_s,
+        |  count(*) OVER (PARTITION BY ahash, norm_thumb_s) AS n_dup_group
         |FROM hs JOIN nt ON hs.doc_id = nt.doc_id AND hs.kind = nt.kind""".stripMargin,
     // replays buildPng's pixel formula pooled with the same integer
     // cell map and floor-division means as resizeImages
@@ -341,7 +360,7 @@ object ExtensionQueries {
         |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
         |  CAST(h AS INTEGER) AS height,
         |  CAST(4 AS INTEGER) AS out_w, CAST(4 AS INTEGER) AS out_h,
-        |  list(CAST(m AS INTEGER) ORDER BY cell) AS thumb
+        |  array_to_string(list(CAST(m AS INTEGER) ORDER BY cell), '-') AS thumb_s
         |FROM cs GROUP BY doc_id, w, h""".stripMargin,
     // replays buildPcmWavScaled (half-range formula, x2 on the loud
     // variant) and audioFingerprint's exact integer bit rule
@@ -366,15 +385,16 @@ object ExtensionQueries {
         |  FROM fs JOIN t ON fs.doc_id = t.doc_id AND fs.kind = t.kind
         |  GROUP BY fs.doc_id, fs.kind, fs.sr, fs.n),
         |ne AS (SELECT doc_id, kind,
-        |    CASE WHEN list_reduce(le, (a, b) -> gcd(a, b)) = 0 THEN le
-        |         ELSE list_transform(le,
-        |           x -> x // list_reduce(le, (a, b) -> gcd(a, b))) END
-        |      AS norm_energy
+        |    array_to_string(
+        |      CASE WHEN list_reduce(le, (a, b) -> gcd(a, b)) = 0 THEN le
+        |           ELSE list_transform(le,
+        |             x -> x // list_reduce(le, (a, b) -> gcd(a, b))) END,
+        |      '-') AS norm_energy_s
         |  FROM (SELECT doc_id, kind, list(e ORDER BY f) AS le
         |        FROM fs GROUP BY doc_id, kind))
         |SELECT hs.doc_id AS media_id, hs.kind, hs.sr AS sample_rate,
-        |  CAST(hs.n AS INTEGER) AS n_samples, afp, norm_energy,
-        |  count(*) OVER (PARTITION BY afp, hs.n, norm_energy) AS n_dup_group
+        |  CAST(hs.n AS INTEGER) AS n_samples, afp, norm_energy_s,
+        |  count(*) OVER (PARTITION BY afp, hs.n, norm_energy_s) AS n_dup_group
         |FROM hs JOIN ne ON hs.doc_id = ne.doc_id AND hs.kind = ne.kind""".stripMargin,
     "q46_frame_sample" ->
       s"""WITH media AS (

@@ -198,8 +198,14 @@ object PipelineQueries {
     // (Similarity.standardize): dim-keyed stats ride a broadcast as
     // ordered arrays; the rewrite is a pure per-row zip_with - the
     // corpus is never exploded into n x dim rows
+    // the zvec array is posexploded to (dim, z) rows for the compare
+    // (q72's pattern: the driver's comparer cannot hash array cells);
+    // the array form stays standardize()'s production surface
     "q121_standardize" -> ((s, dir) =>
-      Similarity.standardize(embs(s, dir), "vec_id", "embedding")),
+      Similarity.standardize(embs(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("zvec")).as(Seq("dim0", "z")))
+        .select(col("vec_id"), (col("dim0") + 1).cast("int").as("dim"),
+          col("z"))),
 
     // trained quality classifier (Classifier.logisticQuality): the
     // fastText-style gate — logistic regression over hashed bigram
@@ -1056,11 +1062,9 @@ object PipelineQueries {
         |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
         |st AS (SELECT dim, round(avg(v), 6) AS mu,
         |    round(stddev_pop(v), 6) AS sd FROM x GROUP BY dim)
-        |SELECT vec_id,
-        |  list(round(CASE WHEN sd = 0 THEN 0.0 ELSE (v - mu) / sd END, 6)
-        |       ORDER BY dim) AS zvec
-        |FROM x JOIN st USING (dim)
-        |GROUP BY vec_id""".stripMargin,
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+        |  round(CASE WHEN sd = 0 THEN 0.0 ELSE (v - mu) / sd END, 6) AS z
+        |FROM x JOIN st USING (dim)""".stripMargin,
     "q32_minhash_sig" -> s"WITH $wordsCte $minhashSigsSelect",
     "q33_minhash_lsh_pairs" -> minhashLshSql,
     // connected components as a recursive reachability CTE over the

