@@ -62,4 +62,60 @@ object PortableHash {
 
   def seededSql(e: String, seed: Int): String =
     hash60Sql(s"concat($e, '#$seed')")
+
+  /** Per-function mixing constants for [[hashFamily]]: fixed odd
+    * 29-bit multipliers derived from the Knuth/Fibonacci multipliers,
+    * ONE source of truth for the Scala columns and the generated
+    * oracle SQL (the literals are interpolated into both). */
+  private[graft] def familyConsts(i: Int): (Long, Long, Long) = {
+    val m = (1L << 29) - 1
+    (((2654435761L * (2 * i + 1)) & m) | 1L,
+     ((40503L * 7919L * (2 * i + 3)) & m) | 1L,
+     (9176L * (i + 1)) & m)
+  }
+
+  /** `k` hash functions from ONE digest evaluation: split the 60-bit
+    * md5-prefix word hash u into 30-bit halves (u1, u2) and mix each
+    * with per-function odd constants,
+    * `h_i = (A_i·u1 + B_i·u2 + C_i) mod 2^40`.
+    * One md5 per input replaces the k per-input md5 calls of k
+    * independent [[seeded]] columns — at k=16 that is the difference
+    * between the minhash signature aggregate being ~90% of q33's
+    * wall time and a footnote (measured round 9: 3.8s → 0.6s for the
+    * sf0.1 signature build).
+    *
+    * Family-quality contract: each h_i is a multiply-mod universal
+    * hash of (u1, u2) with INDEPENDENT constants per i, so the argmin
+    * word DECORRELATES across functions — plain Kirsch–Mitzenmacher
+    * `h1 + i·h2` was measured here to correlate the winning word
+    * across all k functions (the per-band match probability rises
+    * from J^r toward J), inflating the sf0.01 candidate-pair surface
+    * 25% and collapsing verified-dedup clusters. The mod-2^40 wrap
+    * (products reach 2^59, so every value wraps ~2^19 times) is what
+    * breaks the monotonicity in (u1, u2) that would otherwise
+    * re-correlate the argmins.
+    *
+    * Overflow contract: A_i, B_i < 2^29 and u1, u2 < 2^30, so each
+    * product is < 2^59 and the sum < 2^60.6 — exact on a signed
+    * 64-bit in both engines, no wrap, and the DuckDB oracle
+    * ([[hashFamilySql]]) replays identical longs. */
+  def hashFamily(c: Column, k: Int): Seq[Column] = {
+    val u = hash60(c)
+    val u1 = shiftrightunsigned(u, 30)
+    val u2 = u.bitwiseAND(lit((1L << 30) - 1))
+    (0 until k).map { i =>
+      val (a, b, cc) = familyConsts(i)
+      (lit(a) * u1 + lit(b) * u2 + lit(cc)) % lit(1L << 40)
+    }
+  }
+
+  /** Oracle twin of [[hashFamily]](c, _)(i) — md5 form ONLY (the
+    * xxhash64 backend intentionally has no oracle; see
+    * [[hash60Sql]]). */
+  def hashFamilySql(e: String, i: Int): String = {
+    val (a, b, cc) = familyConsts(i)
+    val u = hash60Sql(e)
+    s"(($a * ($u >> 30) + $b * ($u & ${(1L << 30) - 1}) + $cc) " +
+      s"% ${1L << 40})"
+  }
 }

@@ -107,16 +107,16 @@ object CorpusPipeline {
           .select(col("id_b").as(idCol)).distinct()
       case Some(th) =>
         val k = cfg.minhashK
-        val banded0 = Dedup.bandSignatures(sigs, idCol, k, cfg.minhashBands)
-        // over-cap bucket exclusion (same census shape as
-        // minhashCandidatePairs: pigeonhole-small key set → broadcast
-        // anti join)
-        val overCap = banded0.groupBy(col("band"), col("sig"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > cfg.maxBucket)
-          .select(col("band"), col("sig"))
-        val banded = banded0
-          .join(broadcast(overCap), Seq("band", "sig"), "left_anti")
+        // over-cap bucket exclusion as a window count filter riding
+        // the (band, sig) exchange the self-join needs anyway — the
+        // zero-drop common case pays no census job and no anti join
+        // (same round-9 shape as minhashCandidatePairs)
+        val banded = Dedup.bandSignatures(sigs, idCol, k, cfg.minhashBands)
+          .withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("band"), col("sig"))))
+          .filter(col("__n") <= cfg.maxBucket)
+          .drop("__n")
         val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
         val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
         val aSigs = sigs.select(col(idCol).as("id_a") +:

@@ -105,8 +105,13 @@ object Dedup {
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
-  /** Per-doc MinHash signature: k seeded min-hashes over the word set,
-    * as k columns (seed i → column `mh_i`).
+  /** Per-doc MinHash signature: k min-hashes over the word set, as k
+    * columns (function i → column `mh_i`), the k hash functions
+    * derived from ONE md5 per word via
+    * [[graft.functions.PortableHash.hashFamily]] (per-function
+    * multiply-mod mixing; round 9, after the per-word k-md5 aggregate
+    * measured as ~90% of q33's wall time — see hashFamily's scaladoc
+    * for why plain h1 + i·h2 double hashing is NOT usable here).
     *
     * Deliberately NO distinct before the grouped min: a duplicate word
     * cannot change a min, so the result is bit-identical with or
@@ -121,7 +126,8 @@ object Dedup {
                         k: Int): DataFrame = {
     val words = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-    val mins = (0 until k).map(i => min(seeded(col("w"), i)).as(s"mh_$i"))
+    val hs = graft.functions.PortableHash.hashFamily(col("w"), k)
+    val mins = hs.zipWithIndex.map { case (h, i) => min(h).as(s"mh_$i") }
     words.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
@@ -144,58 +150,62 @@ object Dedup {
       nameCol = "band", valueCol = "sig")
   }
 
+  /** Over-cap (band, sig) bucket census for [[minhashCandidatePairs]]:
+    * the buckets whose membership exceeds `maxBucket` (and so are
+    * dropped from candidate generation), with their sizes. Diagnostic
+    * surface for flood monitoring — the pair generator itself applies
+    * the cap as a plan-level filter and never runs this census
+    * (VERDICT r8 #4: the zero-drop common case must pay nothing). The
+    * result is PROVABLY small: ≤ bands × docs / maxBucket rows by
+    * pigeonhole. */
+  def minhashOverCapBuckets(sigs: DataFrame, idCol: String, k: Int,
+                            bands: Int, maxBucket: Int = 1000): DataFrame =
+    bandSignatures(sigs, idCol, k, bands)
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+
   /** LSH candidate pairs: band the k-wide signature into `bands` groups
     * of k/bands rows, bucket on (band, concatenated band signature),
     * emit distinct (id_a < id_b) pairs sharing ≥1 bucket.
     *
-    * Cache lifecycle: the banded frame is cached because it escapes
-    * into BOTH sides of the returned self-join plan, so the operator
-    * cannot unpersist it before the caller's action. In a long-lived
-    * session, release it after consuming the result
-    * (`spark.catalog.clearCache()` or unpersist by plan) — the bench
-    * and verify harnesses do this between queries. */
-  /** Buckets dropped by the most recent [[minhashCandidatePairs]] cap
-    * (diagnostic twin of [[lastSimhashDroppedBuckets]]). */
-  @volatile var lastMinhashDroppedBuckets: Long = 0L
-
-  /** `maxBucket` is the same quadratic-blowup guard as
+    * `maxBucket` is the same quadratic-blowup guard as
     * [[simhashPairs]]'s: a (band, sig) bucket with more members than
-    * the cap is DROPPED from candidate generation, with the count
-    * logged. On a smoothly-similar corpus bucket co-membership
-    * percolates (measured round 8: 4,994 of 5,000 docs chained), so
-    * the pair SURFACE grows ~Σ bucket² with corpus density — 27k
-    * pairs at sf0.01 became 6.4M at sf0.1. A true near-dup pair that
-    * loses one over-cap band still collides in each remaining band
-    * with p = J^r (at J=0.9, r=4: ≈0.66 per band, ≥0.96 via the
-    * other three) — which is why a cap is safe where an all-pairs
-    * gate would not be. The cap is part of the operator SPEC (the
-    * oracle applies the same rule). Consumers that need clusters, not
-    * pairs, should use [[minhashComponents]] (star edges — linear in
-    * bucket size, no cap needed). */
+    * the cap is DROPPED from candidate generation. On a
+    * smoothly-similar corpus bucket co-membership percolates (measured
+    * round 8: 4,994 of 5,000 docs chained), so the pair SURFACE grows
+    * ~Σ bucket² with corpus density — 27k pairs at sf0.01 became 6.4M
+    * at sf0.1. A true near-dup pair that loses one over-cap band still
+    * collides in each remaining band with p = J^r (at J=0.9, r=4:
+    * ≈0.66 per band, ≥0.96 via the other three) — which is why a cap
+    * is safe where an all-pairs gate would not be. The cap is part of
+    * the operator SPEC (the oracle applies the same rule). Consumers
+    * that need clusters, not pairs, should use [[minhashComponents]]
+    * (star edges — linear in bucket size, no cap needed).
+    *
+    * Plan shape (round 9): the cap is a window `count(*) over
+    * (partition by band, sig)` filter, not a census job + anti join —
+    * the window rides the same (band, sig) hash-partitioning the
+    * self-join needs, so the zero-drop common case pays no separate
+    * census pass and no broadcast anti-join stage (the round-8 census
+    * cost q33 ~1s at sf0.1 with zero buckets over cap). The banded
+    * frame is materialized ONCE with an eager localCheckpoint — it
+    * feeds both self-join sides, and without a materialization
+    * barrier AQE's broadcast planning duplicates the whole signature
+    * aggregation into each side (measured here: 2× the 16-min md5
+    * aggregate, 4.2s vs 0.3s at sf0.1). localCheckpoint, not cache:
+    * a cache entry would escape into the returned plan and pile up
+    * across bench passes (the round-8 caller-must-release wart);
+    * checkpoint blocks free with the RDD. Flood diagnostics live in
+    * [[minhashOverCapBuckets]]. */
   def minhashCandidatePairs(sigs: DataFrame, idCol: String, k: Int,
                             bands: Int, maxBucket: Int = 1000): DataFrame = {
-    // cache: the banded frame feeds the bucket census and both sides
-    // of the self-join — the explicit materialization barrier
-    // (Catalyst does not dedupe common subtrees, so without it the
-    // signature aggregation runs twice; same pattern as the
-    // reference's cached spine)
-    val banded = bandSignatures(sigs, idCol, k, bands).cache()
-    // over-cap census: PROVABLY small (≤ bands × docs / maxBucket
-    // keys by pigeonhole) → broadcast anti join, never a join against
-    // the full census
-    val overCap = banded.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket)
-      .select(col("band"), col("sig"))
-    val dropped = overCap.count()
-    lastMinhashDroppedBuckets = dropped
-    if (dropped > 0)
-      org.apache.log4j.Logger.getLogger(getClass)
-        .warn(s"minhashCandidatePairs: dropped $dropped over-cap buckets " +
-          s"(> $maxBucket members) from candidate generation")
-    val kept =
-      if (dropped == 0) banded
-      else banded.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
+    val banded = bandSignatures(sigs, idCol, k, bands).localCheckpoint(true)
+    val kept = banded
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
     val a = kept.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val b = kept.select(col(idCol).as("id_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
@@ -236,10 +246,29 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Buckets dropped by the most recent [[simhashPairs]] cap — the
-    * quadratic-blowup tripwire. Diagnostic only (same contract as
-    * [[lastCcRounds]]). */
-  @volatile var lastSimhashDroppedBuckets: Long = -1
+  /** Chunk the 60-bit simhash signature into (chunk, v) bucket rows —
+    * shared by [[simhashPairs]] and [[simhashOverCapBuckets]] (one
+    * place to change the chunking). */
+  private def simhashChunkRows(sigs: DataFrame, idCol: String): DataFrame = {
+    val chunked = sigs.select(
+      col(idCol) +: col("simhash") +:
+        (0 until SimhashChunks).map(c =>
+          shiftright(col("simhash"), c * SimhashChunkBits)
+            .bitwiseAND(SimhashChunkMask).as(s"c_$c")): _*)
+    Relational.unpivot(chunked, Seq(idCol, "simhash"),
+      (0 until SimhashChunks).map(c => s"$c" -> s"c_$c"),
+      nameCol = "chunk", valueCol = "v")
+  }
+
+  /** Over-cap (chunk, value) bucket census for [[simhashPairs]] — the
+    * quadratic-blowup tripwire, as an explicit diagnostic query
+    * (pigeonhole-small result; see [[minhashOverCapBuckets]]). */
+  def simhashOverCapBuckets(sigs: DataFrame, idCol: String,
+                            maxBucket: Int = 1000): DataFrame =
+    simhashChunkRows(sigs, idCol)
+      .groupBy(col("chunk"), col("v"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
 
   /** SimHash near-dup pairs: band the 60-bit signature into four
     * 15-bit chunks; docs sharing any chunk value are candidates; keep
@@ -256,50 +285,30 @@ object Dedup {
     *
     * `maxBucket` is the quadratic-blowup guard: any (chunk, value)
     * bucket with more than `maxBucket` members is DROPPED from
-    * candidate generation (its count is logged and recorded in
-    * [[lastSimhashDroppedBuckets]]), so a degenerate corpus — all-same
+    * candidate generation, so a degenerate corpus — all-same
     * boilerplate, a hash-flooding adversary — costs O(n) skipped rows
     * instead of O(bucket²) pairs. Members of a dropped bucket can
     * still pair through their three other chunks (a true near-dup at
     * hamming ≤ maxHamming almost surely shares several chunks), which
     * is why a cap is safe where an all-pairs gate would not be. The
     * cap is part of the operator SPEC (the oracle applies the same
-    * rule), not a best-effort heuristic. */
+    * rule), not a best-effort heuristic. Flood diagnostics (which
+    * buckets were dropped, how big) live in [[simhashOverCapBuckets]].
+    *
+    * Plan shape (round 9, same as [[minhashCandidatePairs]]): the cap
+    * is a window count filter riding the (chunk, v) exchange the
+    * self-join needs anyway — no census job, no anti join in the
+    * zero-drop common case. The chunk rows are materialized once with
+    * an eager localCheckpoint (they feed both self-join sides; see
+    * the minhash twin for the measured duplication cost without the
+    * barrier and for why checkpoint beats cache here). */
   def simhashPairs(sigs: DataFrame, idCol: String,
                    maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
-    val chunked = sigs.select(
-      col(idCol) +: col("simhash") +:
-        (0 until SimhashChunks).map(c =>
-          shiftright(col("simhash"), c * SimhashChunkBits)
-            .bitwiseAND(SimhashChunkMask).as(s"c_$c")): _*)
-    // eager localCheckpoint, not cache: the banded frame feeds the
-    // bucket census AND both self-join sides, so it must materialize
-    // exactly once — and a cache entry would escape into the returned
-    // plan and pile up across bench passes (caller-must-release wart;
-    // see ngramJaccard for the same choice and the failure-domain note
-    // about executor-local blocks on a real cluster).
-    val banded = Relational.unpivot(chunked, Seq(idCol, "simhash"),
-      (0 until SimhashChunks).map(c => s"$c" -> s"c_$c"),
-      nameCol = "chunk", valueCol = "v")
-      .localCheckpoint(true)
-    // bucket census over the materialized banded rows: find the
-    // over-cap buckets. The over-cap set is PROVABLY small — buckets
-    // with > maxBucket members number at most (chunks × docs) /
-    // maxBucket by pigeonhole — so excluding them is a broadcast ANTI
-    // join against a tiny key set, never a join against the full
-    // bucket census.
-    val overCap = banded.groupBy(col("chunk"), col("v"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket)
-      .select(col("chunk"), col("v"))
-    val dropped = overCap.count()
-    lastSimhashDroppedBuckets = dropped
-    if (dropped > 0)
-      org.apache.log4j.Logger.getLogger(getClass)
-        .warn(s"simhashPairs: dropped $dropped over-cap buckets (> $maxBucket members) from candidate generation")
-    val kept =
-      if (dropped == 0) banded
-      else banded.join(broadcast(overCap), Seq("chunk", "v"), "left_anti")
+    val kept = simhashChunkRows(sigs, idCol).localCheckpoint(true)
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("chunk"), col("v"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
     val a = kept.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
       col("chunk"), col("v"))
     val b = kept.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),

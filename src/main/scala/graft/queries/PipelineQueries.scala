@@ -616,7 +616,8 @@ object PipelineQueries {
 
   private val minhashSigsSelect: String = {
     val mins = (0 until MinhashK)
-      .map(i => s"min(${PortableHash.seededSql("w", i)}) AS mh_$i").mkString(", ")
+      .map(i => s"min(${PortableHash.hashFamilySql("w", i)}) AS mh_$i")
+      .mkString(", ")
     s"SELECT doc_id, $mins FROM words GROUP BY doc_id"
   }
 
@@ -639,7 +640,8 @@ object PipelineQueries {
   private val incrDedupSql: String = {
     val rows = MinhashK / MinhashBands
     val mins = (0 until MinhashK)
-      .map(i => s"min(${PortableHash.seededSql("w", i)}) AS mh_$i").mkString(", ")
+      .map(i => s"min(${PortableHash.hashFamilySql("w", i)}) AS mh_$i")
+      .mkString(", ")
     def bandSel(src: String) = (0 until MinhashBands).map { b =>
       val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
       s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM $src"

@@ -52,7 +52,8 @@ object SimhashProbe {
       f"capped_per_doc=${capped / nDocs}%.1f")
     val t0 = System.nanoTime()
     val rows = Dedup.simhashPairs(sigs, "doc_id", 3, maxBucket).count()
-    println(f"  q35_time=${(System.nanoTime() - t0) / 1e9}%.2f out_rows=$rows dropped_buckets=${Dedup.lastSimhashDroppedBuckets}")
+    val droppedBuckets = Dedup.simhashOverCapBuckets(sigs, "doc_id", maxBucket).count()
+    println(f"  q35_time=${(System.nanoTime() - t0) / 1e9}%.2f out_rows=$rows dropped_buckets=$droppedBuckets")
     spark.stop(); sys.exit(0)
   }
 }

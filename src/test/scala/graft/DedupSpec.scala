@@ -122,22 +122,23 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
-    assert(Dedup.lastMinhashDroppedBuckets == 0L)
+    assert(Dedup.minhashOverCapBuckets(sigs, "doc_id", 16, 2).isEmpty)
   }
 
-  test("minhash pair surface: bucket cap drops flooded buckets and records the count") {
+  test("minhash pair surface: bucket cap drops flooded buckets; census names them") {
     // 12 identical docs share every band bucket; with maxBucket = 10
-    // both bands go over-cap, the quadratic 12x11/2 pair set is
-    // suppressed, and the drop is recorded — simhashPairs' flood
-    // contract on the minhash surface (the registry default 1000
-    // never triggers at oracle scale, but the rule is spec on both
-    // engine and oracle sides)
+    // both bands go over-cap and the quadratic 12x11/2 pair set is
+    // suppressed — simhashPairs' flood contract on the minhash
+    // surface (the registry default 1000 never triggers at oracle
+    // scale, but the rule is spec on both engine and oracle sides).
+    // The diagnostic census reports exactly the dropped buckets.
     val flood = docsDf((1L to 12L).map(i => i -> "same text every doc"): _*)
+    val sigs = Dedup.minhashSignatures(flood, "doc_id", "text", 16)
     val pairs = Dedup.minhashCandidatePairs(
-      Dedup.minhashSignatures(flood, "doc_id", "text", 16),
-      "doc_id", 16, 2, maxBucket = 10)
+      sigs, "doc_id", 16, 2, maxBucket = 10)
     assert(pairs.isEmpty)
-    assert(Dedup.lastMinhashDroppedBuckets == 2L)
+    assert(Dedup.minhashOverCapBuckets(sigs, "doc_id", 16, 2, maxBucket = 10)
+      .count() == 2L)
   }
 
   test("simhash of identical texts is identical; permuted word order too (set semantics)") {
@@ -148,23 +149,25 @@ class DedupSpec extends SparkTestBase {
     assert(sigs(1L) != sigs(3L))
   }
 
-  test("simhashPairs pairs identical docs; bucket cap drops flooded buckets and records the count") {
+  test("simhashPairs pairs identical docs; bucket cap drops flooded buckets; census names them") {
     val df = docsDf(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
     val sigs = Dedup.simhash60(df, "doc_id", "text")
     val pairs = Dedup.simhashPairs(sigs, "doc_id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
-    assert(Dedup.lastSimhashDroppedBuckets == 0L)
+    assert(Dedup.simhashOverCapBuckets(sigs, "doc_id").isEmpty)
 
     // flood: 12 identical docs share every (chunk, value) bucket; with
     // maxBucket = 10 all four of their buckets are over-cap, so the
-    // quadratic 12×11/2 pair set is suppressed and the drop is recorded
+    // quadratic 12×11/2 pair set is suppressed; the diagnostic census
+    // reports exactly the four dropped buckets
     val flood = docsDf((1L to 12L).map(i => i -> "same text every doc"): _*)
+    val floodSigs = Dedup.simhash60(flood, "doc_id", "text")
     val floodPairs = Dedup.simhashPairs(
-      Dedup.simhash60(flood, "doc_id", "text"), "doc_id",
-      maxHamming = 3, maxBucket = 10)
+      floodSigs, "doc_id", maxHamming = 3, maxBucket = 10)
     assert(floodPairs.isEmpty)
-    assert(Dedup.lastSimhashDroppedBuckets == 4L)
+    assert(Dedup.simhashOverCapBuckets(floodSigs, "doc_id", maxBucket = 10)
+      .count() == 4L)
   }
 
   test("verified components: bucket co-membership alone does not merge docs") {
