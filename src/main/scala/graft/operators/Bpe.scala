@@ -48,9 +48,23 @@ object Bpe {
         .as("pair"))
       .groupBy(col("pair")).agg(sum(col("wcount")).as("cnt"))
 
-  /** Greedy left-to-right merge of `pair` → `merged` applied to the
-    * padded token string; padding keeps the single-space invariant so
-    * applications chain without re-trimming between steps. */
+  /** Left-to-right non-overlapping merge of `pair` → `merged` applied
+    * to the padded token string; padding keeps the single-space
+    * invariant so applications chain without re-trimming between
+    * steps.
+    *
+    * SPEC NOTE (deliberate deviation from reference BPE): a single
+    * `replace` pass consumes the separator space, so back-to-back
+    * occurrences of the pair are skipped — `a a a a` becomes
+    * `aa a a`, where reference BPE's per-occurrence merge yields
+    * `aa aa`. Both engines implement the identical left-to-right
+    * replace, so the trained merge table and token counts are
+    * bit-identical across Spark and the DuckDB oracle — this is a
+    * deterministic "BPE-ish" tokenizer spec, NOT a drop-in
+    * reproduction of reference BPE on words with character runs
+    * (`aaaa`). A run-exact variant would need a fixpoint replace loop
+    * on both engines; the divergence only affects repeated-token runs
+    * and is accepted for the single-pass cost model. */
   private def applyMerge(seq: Column, pair: Column, merged: Column): Column =
     trim(call_function("replace",
       concat(lit(" "), seq, lit(" ")),
@@ -142,9 +156,12 @@ object Bpe {
          |  GROUP BY pair HAVING sum(wcount) >= $minPairCount),
          |b_$i AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, cnt
          |  FROM p_$i ORDER BY cnt DESC, pair LIMIT 1),
-         |w_$i AS MATERIALIZED (SELECT word, trim(replace(' ' || seq || ' ',
-         |    ' ' || b.pair || ' ', ' ' || b.merged || ' ')) AS seq, wcount
-         |  FROM w_${i - 1}, b_$i b)""".stripMargin
+         |w_$i AS MATERIALIZED (SELECT word,
+         |    CASE WHEN b.pair IS NULL THEN seq
+         |         ELSE trim(replace(' ' || seq || ' ',
+         |           ' ' || b.pair || ' ', ' ' || b.merged || ' ')) END AS seq,
+         |    wcount
+         |  FROM w_${i - 1} LEFT JOIN b_$i b ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$rounds"
   }

@@ -238,7 +238,20 @@ object Similarity {
     * (distinct offsets give INDEPENDENT hash tables). The dot products
     * are static ±element sums (no higher-order functions — plain
     * codegen'd Add chains), so this is a narrow, shuffle-free
-    * projection. */
+    * projection.
+    *
+    * EXPRESSION-SIZE CONTRACT (load-bearing; measured round 8, see
+    * SCALE.md "q57 expression-tree pathology"): this literal-Add-chain
+    * form is for a FEW HUNDRED terms at most — one signature of
+    * nPlanes × dim ≲ 400 (q57's 6 × 64 = 384 is fine). Past that,
+    * Catalyst analysis/codegen cost grows superlinearly in the tree
+    * size: the 8-table variant (8 × 6 × 64 = 3,072 terms) ran 46-60s
+    * on 2,000 rows as expressions vs 0.9s as a typed kernel. Do NOT
+    * "scale up" this Column by mapping it over tables — multi-table
+    * callers must use the fused mapPartitions kernel in
+    * [[lshNearDup]]. Rule of thumb for the whole engine: codegen'd
+    * expressions up to a few hundred literal terms, typed kernels
+    * beyond. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int,
                 planeOffset: Int = 0): Column =
     planeSigns(planeOffset + nPlanes, dim).drop(planeOffset)
@@ -289,8 +302,14 @@ object Similarity {
     val signs: Array[Array[Int]] =
       planeSigns(tables * nPlanes, dim).toArray
     val (nT, nP) = (tables, nPlanes)
-    val wb = base.select(col(idCol).cast("long"), col("v"))
-      .as[(Long, Array[Double])]
+    // ids stay OPAQUE through the typed kernel: the id is carried as
+    // its string rendering (injective for the integer/string id types
+    // this engine stores) and the ORIGINAL id column is recovered by
+    // the verify join below — a non-long id column must not crash the
+    // kernel's encoder (it did in round 8, when the kernel cast ids
+    // to long)
+    val wb = base.select(col(idCol).cast("string"), col("v"))
+      .as[(String, Array[Double])]
       .mapPartitions(_.flatMap { case (id, v) =>
         (0 until nT).iterator.map { t =>
           var bucket = 0L
@@ -305,19 +324,27 @@ object Similarity {
           }
           (id, t, bucket)
         }
-      }).toDF(idCol, "t", "bucket")
-    val a = wb.select(col("t"), col("bucket"), col(idCol).as("id_a"))
-    val bb = wb.select(col("t"), col("bucket"), col(idCol).as("id_b"))
+      }).toDF("__ids", "t", "bucket")
+    val a = wb.select(col("t"), col("bucket"), col("__ids").as("id_a"))
+    val bb = wb.select(col("t"), col("bucket"), col("__ids").as("id_b"))
     val cands = a.join(bb, Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     // a pair found by several tables must verify once: distinct on the
-    // 16-byte id pair, BEFORE the vectors join back (ids on the wire,
-    // never vectors)
+    // id pair, BEFORE the vectors join back (ids on the wire, never
+    // vectors). The verify joins key on the same string rendering and
+    // emit the ORIGINAL id values/types, re-oriented by the ORIGINAL
+    // type's ordering (the kernel's string `<` exists only to keep
+    // one row per unordered pair; "10" < "9" must not leak into the
+    // output orientation — cosine is symmetric, so only the id
+    // columns need the swap).
     cands.distinct()
-      .join(base.select(col(idCol).as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .join(base.select(col(idCol).cast("string").as("id_a"),
+        col(idCol).as("__orig_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col(idCol).cast("string").as("id_b"),
+        col(idCol).as("__orig_b"), col("v").as("vb")), Seq("id_b"))
+      .select(least(col("__orig_a"), col("__orig_b")).as("id_a"),
+        greatest(col("__orig_a"), col("__orig_b")).as("id_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }

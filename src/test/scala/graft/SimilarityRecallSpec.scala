@@ -183,4 +183,27 @@ class SimilarityRecallSpec extends SparkTestBase {
     // keep-one-representative rule, exactly SemDeDup's policy
     assert(out == Set(1L, 3L, 6L, 7L))
   }
+
+  test("lshNearDup keeps ids opaque: string ids work; long ids keep numeric orientation") {
+    import spark.implicits._
+    // round-8 regression: the typed kernel cast ids to long, so a
+    // string id column crashed the non-nullable tuple encoder; the
+    // kernel now carries the id's string rendering and the verify
+    // join restores original values and types
+    val v1 = Array(1f, 0f, 0f)
+    val strDf = Seq(("doc-a", v1), ("doc-b", v1), ("other", Array(0f, 1f, 0f)))
+      .toDF("name", "embedding")
+    val strPairs = Similarity.lshNearDup(strDf, "name", "embedding",
+        nPlanes = 4, dim = 3, minCos = 0.99)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strPairs == Set(("doc-a", "doc-b")))
+    // with >9 numeric ids the kernel's internal string "<" disagrees
+    // with numeric order ("10" < "9"); the OUTPUT must still orient
+    // pairs by the original type's ordering
+    val longDf = Seq((9L, v1), (10L, v1)).toDF("vec_id", "embedding")
+    val longPairs = Similarity.lshNearDup(longDf, "vec_id", "embedding",
+        nPlanes = 4, dim = 3, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(longPairs == Set((9L, 10L)))
+  }
 }
