@@ -356,34 +356,48 @@ object TextAnalysis {
     * high, natural text sits in a band, gibberish scores low; filters
     * cut both tails.
     *
-    * Topology: one positional-bigram explode (duplicates kept — this
-    * is a frequency model, not a set), two hash aggregates over the
-    * exploded frame for the bigram and prefix count tables, then the
-    * standard inverted-index equi-joins back on (bg) and (w1) and one
-    * per-doc aggregate. All shuffles carry (gram, count) pairs or doc
-    * ids, never text; hub prefixes (stopwords) fan out rows but never
-    * keys. The exploded frame feeds three consumers, so it is cached —
-    * escapes into the returned plan, caller releases after its action
-    * (see [[graft.operators.Dedup.minhashCandidatePairs]]).
+    * Topology (round 9 — the 33×-at-100× inverted-index rewrite): the
+    * per-INSTANCE bigram frame crosses the wire exactly once, into a
+    * `(doc, bigram) → multiplicity` aggregate; every other frame
+    * derives from that compact table by re-aggregation (bigram vocab
+    * counts `c2` = Σ multiplicity over docs; per-doc prefix counts
+    * and prefix vocab counts `c1` likewise, the prefix recovered from
+    * the bigram string — words are space-split, so
+    * `substring_index(bg, ' ', 1)` is exact). The round-8 shape
+    * cached the instance frame and probed it through BOTH count
+    * joins, so the largest intermediate crossed the wire three times
+    * — that was the whole 33×. The score uses the log-sum identity
+    * `avg ln(c2/c1) = (Σ m·ln c2 − Σ m_w·ln c1) / n`, exact in ℝ and
+    * within ~1e-12 in doubles — far under the family's 6-dp rounding
+    * firewall (the oracle keeps the per-instance `avg(log)` form).
+    * No cache: the aggregate has a single producer and its consumers
+    * are derived frames, so nothing escapes the plan.
     *
     * Docs with fewer than two words have no bigrams and are absent
     * from the result (nothing to score).
     */
   def ngramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bgs = df.select(col(idCol), split(col(textCol), " ").as("ws"))
+    val b1 = df.select(col(idCol), split(col(textCol), " ").as("ws"))
       .select(col(idCol), explode(expr(
         """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
-          |  (w, i) -> named_struct(
-          |    'bg', concat(w, ' ', element_at(ws, i + 2)), 'w1', w))""".stripMargin))
-        .as("b"))
-      .select(col(idCol), col("b.bg").as("bg"), col("b.w1").as("w1"))
-      .cache()
-    val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val cu = bgs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bgs.join(cb, Seq("bg")).join(cu, Seq("w1"))
+          |  (w, i) -> concat(w, ' ', element_at(ws, i + 2)))""".stripMargin))
+        .as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("m"))
+    val cb = b1.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+    val w1d = b1.select(col(idCol),
+        substring_index(col("bg"), " ", 1).as("w1"), col("m"))
+      .groupBy(col(idCol), col("w1")).agg(sum(col("m")).as("mw"))
+    val cu = w1d.groupBy(col("w1")).agg(sum(col("mw")).as("c1"))
+    val s2 = b1.join(cb, Seq("bg"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("c2").cast("double") / col("c1"))), 6).as("lm_score"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m").cast("double") * log(col("c2").cast("double"))).as("__s2"))
+    val s1 = w1d.join(cu, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(sum(col("mw").cast("double") * log(col("c1").cast("double"))).as("__s1"))
+    s2.join(s1, Seq(idCol))
+      .select(col(idCol), col("n_bigrams"),
+        round((col("__s2") - col("__s1")) / col("n_bigrams"), 6).as("lm_score"))
   }
 
   /** Per-source corpus statistics — the "dataset card" numbers an LLM
