@@ -39,8 +39,17 @@ object Multimodal {
   case class MediaMeta(width: Int, height: Int, sampleRate: Int, durationMs: Int)
   case class MediaRow(media_id: Long, modality: String, content: Array[Byte],
                       meta: MediaMeta)
+  /** `decode_status` is the honesty marker (VERDICT r8 #8): exactly
+    * which rung of [[decodeBatch]]'s fallback ladder produced the
+    * features, so a consumer can never mistake byte-stat stub
+    * features for decoded ones. Values: "decoded" (real pixel
+    * decode), "pcm_decoded" (real PCM decode), "header_dims" (header
+    * parsed, body not decodable — features are byte stats + true
+    * dims), "codec_unsupported" (nothing decodable — e.g. an
+    * inter-frame-coded video payload, the one declared stand-in in
+    * this build; features are byte stats + metadata dims). */
   case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int,
-                           features: Array[Double])
+                           features: Array[Double], decode_status: String)
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Int,
                    frame_bytes: Array[Byte])
 
@@ -1006,25 +1015,28 @@ object Multimodal {
         case Some(("jpeg", _, _)) if jpegComplete => decodeJpeg(bytes)
         case _ => None
       }
-      val features = fullyDecoded match {
+      val (features, status) = fullyDecoded match {
         case Some((w, h, px)) if px.nonEmpty =>
           val (mean, variance) = pixelStats(px)
-          Array(n.toDouble, round6(mean), round6(variance), w.toDouble, h.toDouble)
+          (Array(n.toDouble, round6(mean), round6(variance),
+            w.toDouble, h.toDouble), "decoded")
         case _ =>
-          val (w, h) = parseDims(bytes) match {
-            case Some((_, pw, ph)) => (pw.toDouble, ph.toDouble)
+          val (w, h, st) = parseDims(bytes) match {
+            case Some((_, pw, ph)) => (pw.toDouble, ph.toDouble, "header_dims")
             case None => decodePcm(bytes) match {
               case Some((_, s)) if s.nonEmpty =>
                 var sumSq = 0L; var peak = 0
                 s.foreach { v => sumSq += v.toLong * v
                   val a = math.abs(v); if (a > peak) peak = a }
-                (round6(math.sqrt(sumSq.toDouble / s.length)), peak.toDouble)
-              case _ => (r.meta.width.toDouble, r.meta.height.toDouble)
+                (round6(math.sqrt(sumSq.toDouble / s.length)),
+                  peak.toDouble, "pcm_decoded")
+              case _ => (r.meta.width.toDouble, r.meta.height.toDouble,
+                "codec_unsupported")
             }
           }
-          Array(n.toDouble, round6(byteMean), round6(byteVar), w, h)
+          (Array(n.toDouble, round6(byteMean), round6(byteVar), w, h), st)
       }
-      MediaFeatures(r.media_id, r.modality, n, features)
+      MediaFeatures(r.media_id, r.modality, n, features, status)
     }
 
   /** Batched feature extraction: one decoder per partition. */

@@ -304,8 +304,8 @@ class MultimodalSpec extends SparkTestBase {
       (5L to 9L).map(id => Multimodal.MediaRow(
         id, "image", Multimodal.buildJpeg(id),
         Multimodal.MediaMeta(0, 0, 0, 0)))
-    val feats = Multimodal.extractFeatures(rows.toDF())
-      .collect().map(f => f.media_id -> f.features).toMap
+    val collected = Multimodal.extractFeatures(rows.toDF()).collect()
+    val feats = collected.map(f => f.media_id -> f.features).toMap
     rows.foreach { r =>
       val (w, h, px) =
         (Multimodal.decodePng(r.content).map { case (a, b, p) => (a, b, p.map(_ & 0xff)) }
@@ -317,6 +317,29 @@ class MultimodalSpec extends SparkTestBase {
         s"id=${r.media_id}: feature mean ${f(1)} != true pixel mean $mean — " +
           "byte stats leaked into a decodable payload")
     }
+    // the honesty marker: every fully-decoded payload says so
+    assert(collected.forall(_.decode_status == "decoded"))
+  }
+
+  test("decode_status marks stub features explicitly (codec_unsupported)") {
+    import spark.implicits._
+    // an opaque payload no decoder in this build can open (stands in
+    // for an inter-frame-coded video body) must carry the explicit
+    // codec_unsupported marker, never silently pass off byte stats
+    val opaque = Multimodal.MediaRow(1L, "video",
+      Array.tabulate[Byte](256)(i => (i * 37 % 251).toByte),
+      Multimodal.MediaMeta(640, 360, 4000, 0))
+    // a bare PNG signature + IHDR (32x16) with no body: header parses,
+    // pixel decode cannot succeed
+    val pngHeaderBytes = ("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000020" + "00000010" + "0806000000" + "00000000")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val headerOnly = Multimodal.MediaRow(2L, "image", pngHeaderBytes,
+      Multimodal.MediaMeta(0, 0, 0, 0))
+    val out = Multimodal.extractFeatures(Seq(opaque, headerOnly).toDF())
+      .collect().map(f => f.media_id -> f.decode_status).toMap
+    assert(out(1L) == "codec_unsupported")
+    assert(out(2L) == "header_dims")
   }
 
   test("MJPEG demux refuses a corrupted sample table (no garbage rows)") {
