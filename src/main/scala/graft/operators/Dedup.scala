@@ -105,6 +105,72 @@ object Dedup {
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** Cross-document EXACT-SUBSTRING dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 — the
+    * ExactSubstr step of that pipeline, keep-first flavor): remove
+    * from every document each token span of length ≥ `w` whose text
+    * already occurred earlier in the corpus — across documents OR
+    * earlier in the same document. "Earlier" is lexicographic
+    * (doc_id, position), so the first occurrence always survives
+    * intact and the operator is deterministic under any partitioning.
+    *
+    * Mechanism — SLIDING w-token shingles, not the fixed tiles of
+    * [[segmentDedup]]: a span of length L ≥ w repeats iff all of its
+    * L−w+1 interior shingles repeat, and the union of those
+    * shingles' [pos, pos+w) windows covers EXACTLY the span — so
+    * "drop every position covered by a non-first shingle" removes
+    * precisely the duplicated substrings, with no tile-alignment
+    * misses (a repeat straddling a 10-word tile boundary escapes
+    * segmentDedup; it cannot escape this).
+    *
+    * Scale shape: the shingle frame carries (id, pos, 16-byte digest)
+    * — prose NEVER shuffles. One digest-keyed min-aggregate finds
+    * first occurrences, one digest-keyed join-back marks non-first
+    * occurrences, and the per-doc covered-start list rides a
+    * doc-keyed aggregate back onto the row, where a codegen'd array
+    * filter rebuilds the text in place. The in-row rebuild is
+    * O(tokens × covered-starts) per document — bounded by document
+    * length (the [[intraDocDedup]] bounded-small contract; chunk
+    * book-length outliers first).
+    *
+    * Documents shorter than `w` tokens have no shingles and pass
+    * through unchanged. Output: (idCol, clean_text, n_tokens,
+    * n_removed). */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame = {
+    require(w >= 2, "window must be at least 2 tokens")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("ws"))
+    // digest via the switchable PortableHash backend: md5-prefix
+    // (default — grouping is engine-INTERNAL, so the DuckDB oracle's
+    // own full-md5 grouping agrees without sharing bits) or xxhash64
+    // for production runs — the per-window digest is this operator's
+    // dominant cost at scale (measured: its SCALE.md 100× entry)
+    val ws = col("ws")
+    val sh = toks.select(col(idCol), posexplode(
+        when(size(ws) >= w,
+          transform(sequence(lit(0), size(ws) - w), i =>
+            graft.functions.PortableHash.hash60(
+              concat_ws(" ", slice(ws, i + 1, lit(w))))))
+          .otherwise(array().cast("array<bigint>"))))
+      .toDF(idCol, "pos", "dig")
+    val firsts = sh.groupBy(col("dig"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    val dupStarts = sh.join(firsts, Seq("dig"))
+      .filter(!(col(idCol) === col(s"f.$idCol") && col("pos") === col("f.pos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    toks.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), col("ws"),
+        when(col("__starts").isNull, col("ws"))
+          .otherwise(expr(
+            s"filter(ws, (t, p) -> NOT exists(__starts, s -> s <= p AND p < s + $w))"))
+          .as("__kept"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Per-doc MinHash signature: k min-hashes over the word set, as k
     * columns (function i → column `mh_i`), the k hash functions
     * derived from ONE md5 per word via

@@ -147,6 +147,67 @@ object TextAnalysis {
       qualityScoreCol(t).as("quality_score"))
   }
 
+  /** Gopher-style quality RULE FLAGS (Rae et al., "Scaling Language
+    * Models: ... Gopher", arXiv:2112.11446, §A1.1 quality filtering —
+    * the published rule set most corpus pipelines cite): per document,
+    * one boolean per rule plus the conjunction verdict, so a filter
+    * sweep can report WHICH rule fired (the flags are the audit trail;
+    * [[quality]]'s composite score is the rankable scalar — different
+    * jobs). Rules, with thresholds as parameters:
+    *
+    *  - `ok_n_words`:      minWords ≤ word count ≤ maxWords
+    *  - `ok_word_len`:     minMeanLen ≤ mean word length ≤ maxMeanLen
+    *  - `ok_alpha`:        fraction of words containing ≥1 ASCII
+    *                       letter ≥ minAlphaFrac
+    *  - `ok_symbols`:      ("#" + "…"/"...") per word ≤ maxSymbolRatio
+    *  - `ok_stopwords`:    ≥ minStopHits occurrences from a small
+    *                       English stopword list (the "has real
+    *                       sentences" proxy)
+    *
+    * Pure per-row scalar expressions — ZERO exchanges at any corpus
+    * size; composes in front of the corpus-wide passes like
+    * [[quality]]. Counting uses split-length arithmetic
+    * (`size(split(text, pat)) - 1` = occurrence count), identical in
+    * the DuckDB oracle via `len(string_split(...)) - 1`. Stopword
+    * matches are space-delimited and NON-overlapping, so adjacent
+    * repeats sharing one separator ("the the the") count ceil(n/2) —
+    * a deterministic proxy, bit-identical in both engines. */
+  val gopherStopwords = Seq("the", "be", "to", "of", "and", "that",
+    "have", "with")
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                         minAlphaFrac: Double = 0.8,
+                         maxSymbolRatio: Double = 0.1,
+                         minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    val nWords = size(words)
+    val meanLen = length(regexp_replace(t, " ", "")).cast("double") / nWords
+    val alphaFrac = size(filter(words, wd => wd.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val symbols = (size(split(t, "#", -1)) - 1) +
+      (size(split(t, "\\.\\.\\.", -1)) - 1) + (size(split(t, "…", -1)) - 1)
+    val stopHits = gopherStopwords.map(sw =>
+      size(split(concat(lit(" "), t, lit(" ")), " " + sw + " ", -1)) - 1)
+      .reduce(_ + _)
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      symbols.as("n_symbols"),
+      stopHits.as("stopword_hits"),
+      (nWords >= minWords && nWords <= maxWords).as("ok_n_words"),
+      (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("ok_word_len"),
+      (alphaFrac >= minAlphaFrac).as("ok_alpha"),
+      (symbols.cast("double") / nWords <= maxSymbolRatio).as("ok_symbols"),
+      (stopHits >= minStopHits).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_n_words") && col("ok_word_len") && col("ok_alpha") &&
+          col("ok_symbols") && col("ok_stopwords"))
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex tokenizer
     * (letter runs | digit runs | single non-alnum). */
   val tokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"

@@ -131,6 +131,12 @@ object PipelineQueries {
   // alphabet; pairs below 2 occurrences never merge
   val BpeMerges = 8
   val BpeMinPair = 2L
+  // exact-substring dedup (q130): sliding-window width in tokens. The
+  // corpus's planted cross-doc duplication repeats >= 10-word spans,
+  // so w=8 guarantees every planted span is fully covered by repeated
+  // shingles (a span of length L >= w is covered exactly); production
+  // pipelines use ~50 tokens — the operator is width-parametric
+  val ExactSubstrW = 8
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -148,6 +154,22 @@ object PipelineQueries {
     // pipeline; digests shuffle, prose crosses the wire once
     "q104_segment_dedup" -> ((s, dir) =>
       Dedup.segmentDedup(docs(s, dir), "doc_id", "text", windowWords = 10)),
+
+    // cross-document EXACT-SUBSTRING dedup (Lee et al. ACL'22,
+    // keep-first): sliding w-token shingles — every >= w-token span
+    // whose text occurred earlier in (doc_id, pos) order is removed
+    // in place; digests shuffle, prose never does. The sliding window
+    // catches repeats that straddle q104's fixed tile boundaries.
+    "q130_exact_substr_dedup" -> ((s, dir) =>
+      Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text",
+        ExactSubstrW)),
+
+    // Gopher rule-set quality flags (Rae et al. 2112.11446 §A1.1):
+    // one boolean per published rule + the conjunction verdict —
+    // the audit-trail companion to q40's composite score; pure
+    // scalar expressions, zero exchanges
+    "q131_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherQualityFlags(docs(s, dir), "doc_id", "text")),
 
     // INTRA-document segment dedup (Dedup.intraDocDedup): a doc's own
     // repeated passages keep only their first occurrence. The dedup
@@ -1026,6 +1048,64 @@ object PipelineQueries {
         |  max(n_segments) AS n_segments
         |FROM ranked WHERE rn = 1
         |GROUP BY doc_id""".stripMargin,
+    // replays the sliding-shingle keep-first rule: rn=1 per digest is
+    // Spark's min(struct(doc_id, pos)); every rn>1 shingle covers its
+    // [pos, pos+w) window; uncovered tokens reassemble in order
+    "q130_exact_substr_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    md5(array_to_string(ws[(i+1):(i+$ExactSubstrW)], ' ')) AS dig
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(generate_series(0, len(ws) - $ExactSubstrW)) AS i
+         |        FROM t WHERE len(ws) >= $ExactSubstrW)),
+         |ranked AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY dig ORDER BY doc_id, pos) AS rn
+         |  FROM sh),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS p
+         |  FROM (SELECT doc_id, pos,
+         |          unnest(generate_series(0, ${ExactSubstrW - 1})) AS j
+         |        FROM ranked WHERE rn > 1)),
+         |tok AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS p,
+         |    unnest(ws) AS tk FROM t),
+         |kept AS (SELECT tok.doc_id, tok.p, tok.tk
+         |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+    "q131_gopher_rules" -> {
+      val stopHits = graft.operators.TextAnalysis.gopherStopwords
+        .map(sw => s"(len(string_split(' ' || text || ' ', ' $sw ')) - 1)")
+        .mkString(" + ")
+      val meanLen = "CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(ws)"
+      val alphaFrac = "CAST(len(list_filter(ws, x -> regexp_matches(x, " +
+        "'[A-Za-z]'))) AS DOUBLE) / len(ws)"
+      val symbols = "(len(string_split(text, '#')) - 1) " +
+        "+ (len(string_split(text, '...')) - 1) " +
+        "+ (len(string_split(text, '…')) - 1)"
+      s"""SELECT doc_id,
+         |  CAST(len(ws) AS INTEGER) AS n_words,
+         |  round($meanLen, 6) AS mean_word_len,
+         |  round($alphaFrac, 6) AS alpha_word_frac,
+         |  CAST($symbols AS INTEGER) AS n_symbols,
+         |  CAST($stopHits AS INTEGER) AS stopword_hits,
+         |  len(ws) >= 50 AND len(ws) <= 100000 AS ok_n_words,
+         |  $meanLen >= 3.0 AND $meanLen <= 10.0 AS ok_word_len,
+         |  $alphaFrac >= 0.8 AS ok_alpha,
+         |  CAST($symbols AS DOUBLE) / len(ws) <= 0.1 AS ok_symbols,
+         |  $stopHits >= 2 AS ok_stopwords,
+         |  (len(ws) >= 50 AND len(ws) <= 100000)
+         |    AND ($meanLen >= 3.0 AND $meanLen <= 10.0)
+         |    AND ($alphaFrac >= 0.8)
+         |    AND (CAST($symbols AS DOUBLE) / len(ws) <= 0.1)
+         |    AND ($stopHits >= 2) AS keep
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |      FROM documents)""".stripMargin
+    },
     "q117_boilerplate" ->
       s"""WITH segs AS (
          |  SELECT doc_id, n_segments, CAST(i AS INTEGER) AS pos,

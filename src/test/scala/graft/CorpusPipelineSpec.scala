@@ -253,4 +253,35 @@ class CorpusPipelineSpec extends SparkTestBase {
       cfg.copy(minhashBands = 1))
     assert(strict.count() == 2)
   }
+
+  test("gopherQualityFlags: each rule fires on its planted violator only") {
+    import spark.implicits._
+    // a compliant base doc: 60 words, mean length in band, all alpha,
+    // no symbols, stopwords present
+    val good = ("the data " * 15 + "be to of and that have with " +
+      "table scan rows join " * 8).trim.split(" ").take(60).mkString(" ")
+    val docs = Seq(
+      (1L, good),                                    // passes all
+      (2L, "short doc the be"),                      // too few words
+      (3L, (1 to 60).map(_ => "a").mkString(" ") +
+        " the be to"),                               // mean word len < 3
+      (4L, (1 to 60).map(_ => "1234").mkString(" ") +
+        " the be to of"),                            // alpha frac low
+      (5L, good.split(" ").map(w => w + " #").mkString(" ")), // symbols
+      (6L, (1 to 60).map(i => s"w$i").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .gopherQualityFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("ok_n_words"), r.getAs[Boolean]("ok_word_len"),
+         r.getAs[Boolean]("ok_alpha"), r.getAs[Boolean]("ok_symbols"),
+         r.getAs[Boolean]("ok_stopwords"), r.getAs[Boolean]("keep")))
+      .toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._6)
+    assert(!out(3L)._2 && !out(3L)._6)
+    assert(!out(4L)._3 && !out(4L)._6)
+    assert(!out(5L)._4 && !out(5L)._6)
+    assert(!out(6L)._5 && !out(6L)._6)
+  }
 }

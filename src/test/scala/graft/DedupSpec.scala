@@ -103,6 +103,41 @@ class DedupSpec extends SparkTestBase {
     rows.toSeq.toDF("doc_id", "text")
   }
 
+  test("exactSubstringDedup removes repeated >=w spans exactly, keep-first") {
+    val w = 4
+    def run(rows: (Long, String)*): Map[Long, (String, Long, Long)] =
+      Dedup.exactSubstringDedup(docsDf(rows: _*), "doc_id", "text", w)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    // a 6-token span repeated across docs: the later doc loses exactly
+    // the span (all 6 tokens — sliding windows cover the full span,
+    // not just aligned tiles), the first keeps it
+    val out = run(
+      1L -> "p q r s t u v w",
+      2L -> "a b p q r s t u c d")
+    assert(out(1L) == ("p q r s t u v w", 8L, 0L))
+    assert(out(2L) == ("a b c d", 10L, 6L))
+    // tile-straddling repeat: segmentDedup's fixed 10-word tiles would
+    // miss a span crossing a tile boundary; the sliding window cannot
+    val tile = (1 to 10).map(i => s"x$i").mkString(" ") // one full tile
+    val span = "s1 s2 s3 s4 s5"
+    val straddle = run(
+      1L -> s"$tile $span y1 y2 y3",
+      2L -> s"z1 z2 z3 $span z4 z5") // span sits at tile offset 3
+    assert(straddle(2L) == ("z1 z2 z3 z4 z5", 10L, 5L))
+    // intra-doc repeat: the SECOND occurrence inside one doc drops
+    val intra = run(3L -> "m n o p k m n o p")
+    assert(intra(3L) == ("m n o p k", 9L, 4L))
+    // shorter than w: no shingles, row passes through
+    val short = run(4L -> "a b c")
+    assert(short(4L) == ("a b c", 3L, 0L))
+    // full duplicate: later doc empties but its row SURVIVES
+    val dup = run(5L -> "d1 d2 d3 d4 d5", 6L -> "d1 d2 d3 d4 d5")
+    assert(dup(5L) == ("d1 d2 d3 d4 d5", 5L, 0L))
+    assert(dup(6L) == ("", 5L, 5L))
+  }
+
   test("exact dedup groups identical content, keeps min id") {
     val df = docsDf(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(df, "doc_id", "text")
