@@ -31,7 +31,14 @@ object Graph {
     * the source `iters` times, and the truncated lineage keeps the
     * final plan from growing with the round count — same discipline as
     * [[Dedup.connectedComponents]]).
-    */
+    *
+    * The statics are checkpointed PRE-PARTITIONED on their join keys
+    * (edge list on src, node list on node — localCheckpoint preserves
+    * the partitioning in the LogicalRDD), so each round's joins
+    * exchange only the rank/contribution side; the edge list — the
+    * largest frame in the loop — never crosses the wire again after
+    * round 0 (round 9, measured: 3.5 → ~2.5s at sf0.1, the removed
+    * exchanges being iters × |edges|). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "at least one iteration")
@@ -43,13 +50,15 @@ object Graph {
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct()
+      .repartition(col("node"))
       .localCheckpoint(true)
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // out-degree folded onto the edge list ONCE: the per-round plan
     // then joins ranks only, one join instead of two per iteration
     // (the division stays per-row — rank / deg, bit-identical to the
     // unfolded form and to the oracle's)
-    val e = e0.join(deg, Seq("src")).localCheckpoint(true)
+    val e = e0.join(deg, Seq("src")).repartition(col("src"))
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
       val contribs = e
