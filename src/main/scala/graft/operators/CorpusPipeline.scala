@@ -36,12 +36,26 @@ object CorpusPipeline {
     // its agreement-join compute is Σ bucket², which percolation
     // makes corpus-density-quadratic; a true near-dup that loses one
     // over-cap band still collides per remaining band at p = J^r
-    maxBucket: Int = 1000)
+    maxBucket: Int = 1000,
+    // run [[Dedup.exactSubstringDedup]] at this window width as stage
+    // 0 (round 9): duplicated >= w-token spans are removed IN PLACE
+    // before the gates, so the language/quality/length checks judge
+    // the document's RESIDUAL original content — the order real
+    // pipelines use (a doc that is 90% lifted boilerplate should be
+    // gated on its own 10%). None = skip the stage (the q61 oracle
+    // pins the None path; the Some path has its own spec).
+    substrWindow: Option[Int] = None)
 
   /** Clean `df` down to surviving documents, with the metrics that
     * drove the decisions: (id, pred_lang, n_words, quality_score). */
-  def clean(df: DataFrame, idCol: String, textCol: String,
+  def clean(df0: DataFrame, idCol: String, textCol: String,
             cfg: Config): DataFrame = {
+    val df = cfg.substrWindow match {
+      case Some(w) =>
+        Dedup.exactSubstringDedup(df0, idCol, textCol, w)
+          .select(col(idCol), col("clean_text").as(textCol))
+      case None => df0
+    }
     // per-doc metrics AND language scores INLINE: every gate input —
     // n_words, quality, the TrigramScores vector — is a narrow scalar
     // expression, so the whole gate is ONE shuffle-free projection.

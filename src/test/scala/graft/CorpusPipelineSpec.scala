@@ -254,6 +254,29 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(strict.count() == 2)
   }
 
+  test("substrWindow stage: gates judge the residual after span removal") {
+    import spark.implicits._
+    // doc 11 survives intact; doc 12 lifts 11's 6-token span and adds
+    // only 3 original words — with the exact-substring stage on (w=4),
+    // the lifted span vanishes and the 3-word residual fails the
+    // minWords=4 gate; with the stage off, its full 9 words pass
+    val span = "the fast query scans wide tables"
+    val docs = Seq(
+      (11, s"$span of the rows here"),
+      (12, s"$span another the unique")
+    ).toDF("doc_id", "text")
+    val without = CorpusPipeline.clean(docs, "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getInt(0)).toSet
+    assert(without == Set(11, 12))
+    val withStage = CorpusPipeline.clean(docs, "doc_id", "text",
+      cfg.copy(substrWindow = Some(4)))
+    val rows = withStage.collect()
+      .map(r => r.getInt(0) -> r.getAs[Int]("n_words")).toMap
+    assert(rows.keySet == Set(11))
+    // and the survivor's metrics reflect its own (unchanged) text
+    assert(rows(11) == 10)
+  }
+
   test("gopherQualityFlags: each rule fires on its planted violator only") {
     import spark.implicits._
     // a compliant base doc: 60 words, mean length in band, all alpha,
