@@ -224,6 +224,50 @@ object Sampling {
     inMix.filter(bucket(col(idCol), 1000000, salt) < thrCol)
   }
 
+  /** Temperature-scaled domain mixing (the LLaMA/T5 multilingual
+    * mixing rule): target proportions p_s ∝ n_s^alpha, so alpha = 1
+    * reproduces the natural distribution and alpha → 0 flattens
+    * toward uniform — low-resource sources are UP-weighted relative
+    * to their share (never upsampled: [[mixToTarget]]'s binding-source
+    * rule sets the feasible size and thins everything else).
+    *
+    * Implementation: one O(#sources) count job derives the weights,
+    * then delegates to [[mixToTarget]] — same reproducible
+    * content-hash thinning, same scale shape. Weights are rounded to
+    * 6 decimals before use: `pow` is not correctly rounded on either
+    * engine, and the rounding firewall keeps the oracle's threshold
+    * arithmetic bit-identical. */
+  def mixByTemperature(df: DataFrame, idCol: String, sourceCol: String,
+                       alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no sources")
+    val weights = counts.toSeq.sortBy(_._1).map { case (s, n) =>
+      s -> BigDecimal(math.pow(n.toDouble, alpha))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    mixToTarget(df, idCol, sourceCol, weights, salt)
+  }
+
+  /** Oracle twin of [[mixByTemperature]]: the same counts → rounded
+    * pow weights → [[mixToTargetSql]] threshold arithmetic, entirely
+    * in SQL. */
+  def mixByTemperatureSql(table: String, idExpr: String,
+                          sourceExpr: String, alpha: Double,
+                          salt: String = ""): String = {
+    val h = bucketSql(idExpr, 1000000, salt)
+    s"""WITH c AS (SELECT $sourceExpr AS src, count(*) AS n FROM $table
+       |    GROUP BY 1),
+       |w AS (SELECT src, round(pow(CAST(n AS DOUBLE), $alpha), 6) AS wt,
+       |    n FROM c),
+       |tv AS (SELECT min(n / wt) AS t FROM w),
+       |thr AS (SELECT src, CAST(floor(t * wt / n * 1000000.0) AS BIGINT)
+       |    AS thr FROM w CROSS JOIN tv)
+       |SELECT d.* FROM $table d JOIN thr ON d.$sourceExpr = thr.src
+       |WHERE $h < thr""".stripMargin
+  }
+
   /** Oracle twin of [[mixToTarget]]: the same threshold arithmetic
     * (identical operation order, so IEEE doubles agree) computed in
     * SQL over the same counts. `w LEFT JOIN c` + coalesce(n, 0)

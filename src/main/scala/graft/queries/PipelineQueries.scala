@@ -164,6 +164,20 @@ object PipelineQueries {
       Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text",
         ExactSubstrW)),
 
+    // temperature-scaled domain mixing (LLaMA/T5 rule: p_s ∝ n_s^α,
+    // α=0.5): low-resource sources up-weighted relative to share,
+    // reproducible content-hash thinning, O(#sources) driver scalars.
+    // The corpus's source column is uniform (20 × 25 docs at sf0.01 —
+    // temperature would be the identity), so the demo derives a
+    // 60/30/10-skewed domain from doc_id; the oracle derives the same
+    "q132_temperature_mix" -> ((s, dir) =>
+      Sampling.mixByTemperature(
+        docs(s, dir).withColumn("domain",
+          when(col("doc_id") % 10 < 6, "web")
+            .when(col("doc_id") % 10 < 9, "code")
+            .otherwise("books")),
+        "doc_id", "domain", alpha = 0.5)),
+
     // Gopher rule-set quality flags (Rae et al. 2112.11446 §A1.1):
     // one boolean per published rule + the conjunction verdict —
     // the audit-trail companion to q40's composite score; pure
@@ -1077,6 +1091,11 @@ object PipelineQueries {
          |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
          |  CAST(len(t.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
          |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+    "q132_temperature_mix" -> Sampling.mixByTemperatureSql(
+      "(SELECT *, CASE WHEN doc_id % 10 < 6 THEN 'web' " +
+        "WHEN doc_id % 10 < 9 THEN 'code' ELSE 'books' END AS domain " +
+        "FROM documents)",
+      "doc_id", "domain", alpha = 0.5),
     "q131_gopher_rules" -> {
       val stopHits = graft.operators.TextAnalysis.gopherStopwords
         .map(sw => s"(len(string_split(' ' || text || ' ', ' $sw ')) - 1)")

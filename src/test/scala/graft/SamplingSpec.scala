@@ -87,6 +87,24 @@ class SamplingSpec extends SparkTestBase {
     assert(re == out.select("id").collect().map(_.getInt(0)).toSet)
   }
 
+  test("mixByTemperature flattens toward uniform; alpha=1 is the natural mix") {
+    import spark.implicits._
+    // 4000 web / 250 books: alpha=0.5 → weights 63.25/15.81, books
+    // binds (250/15.81 = 15.81), web thins to 15.81·63.25 = 1000 —
+    // the low-resource source's SHARE rises from 5.9% to ~20%
+    val rows = ((1 to 4000).map(i => (i, "web")) ++
+      (4001 to 4250).map(i => (i, "books"))).toDF("id", "src")
+    val n = Sampling.mixByTemperature(rows, "id", "src", alpha = 0.5)
+      .groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("books") == 250L) // binding source kept whole
+    assert(math.abs(n("web") - 1000.0) / 1000.0 < 0.1)
+    // alpha = 1: weights ∝ n, every threshold is the full bucket
+    // range — the natural distribution passes through untouched
+    val nat = Sampling.mixByTemperature(rows, "id", "src", alpha = 1.0)
+    assert(nat.count() == 4250L)
+  }
+
   test("weightedSample keeps ~w fraction per weight level; clips outside [0,1]") {
     import spark.implicits._
     val rows = (1 to 9000).map(i => (i, (i % 3) match {
