@@ -200,6 +200,72 @@ object Similarity {
     assigned.select(col("kid").as(idCol), col("cell"))
   }
 
+  /** Product quantization (Jégou, Douze, Schmid — "Product
+    * quantization for nearest neighbor search", IEEE PAMI 2011): the
+    * compression format large vector corpora actually store. Each
+    * vector splits into `m` contiguous sub-vectors of `dim/m`
+    * dimensions; an independent `ksub`-centroid codebook is
+    * Lloyd-trained PER SUBSPACE (seed = id mod ksub, `iters` rounds),
+    * and every vector is encoded as its m nearest-centroid codes —
+    * m·log2(ksub) bits instead of dim×32 (64-dim float32 at
+    * m=4/ksub=8: 256 bytes → 12 bits + codebooks).
+    *
+    * Distances are SQUARED L2 (the PQ-standard metric —
+    * sub-vector norms vary, so cosine is wrong here), computed as
+    * `a·a − 2a·b + b·b` from three sequential dot products — the
+    * identical arithmetic shape as DuckDB's `list_dot_product`, and
+    * rounded to 6 decimals with ties to the lowest code, the same
+    * determinism discipline as [[kmeansCells]]. Centroids round to 6
+    * decimals per round (float inputs summed in doubles — the
+    * [[graft.functions.Centroid]] contract the oracle's avg
+    * replays).
+    *
+    * Scale shape: ONE exploded (id, subspace, sub-vector) frame,
+    * checkpointed and reused per round; each round is one (s, code)
+    * aggregate — m×ksub centroid rows, broadcast back — and one
+    * narrow argmin window keyed (id, s). Nothing is ever pairwise in
+    * the corpus; training cost is m Lloyd problems of the SAME total
+    * row count as one full-dim k-means, each over vectors 1/m the
+    * width. Output: (idCol, subspace, code, sub_err) — sub_err is
+    * the squared quantization error of that subspace's encoding, so
+    * `sum(sub_err) group by id` audits the full reconstruction
+    * error (q88's recon_err analog, PQ form). */
+  def productQuantize(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub >= 2 && iters >= 1, "ksub >= 2, iters >= 1")
+    val subDim = dim / m
+    val sub = df.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv"))
+      .select(col("pid"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(pv, s * $subDim + 1, $subDim))")))
+      .toDF("pid", "s", "sv")
+      .localCheckpoint(true)
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def l2sq(a: Column, b: Column): Column =
+      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+    var assigned = sub
+      .withColumn("code", pmod(col("pid"), lit(ksub)).cast("int"))
+      .withColumn("d2", lit(0.0))
+    for (i <- 1 to iters) {
+      val cents = assigned.groupBy(col("s"), col("code"))
+        .agg(graft.functions.Centroid(col("sv").cast("array<float>")).as("raw"))
+        .select(col("s").as("c_s"), col("code").as("c_code"),
+          transform(col("raw"), v => round(v, 6)).as("centroid"))
+      val w = Window.partitionBy(col("pid"), col("s"))
+        .orderBy(col("d2").asc, col("c_code").asc)
+      assigned = assigned.drop("code", "d2")
+        .join(broadcast(cents), col("s") === col("c_s"))
+        .withColumn("d2", l2sq(col("sv"), col("centroid")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("pid"), col("s"), col("sv"), col("c_code").as("code"),
+          col("d2"))
+      if (i < iters) assigned = assigned.localCheckpoint(true)
+    }
+    assigned.select(col("pid").as(idCol), col("s").as("subspace"),
+      col("code"), col("d2").as("sub_err"))
+  }
+
   /** Session-scoped memo of trained cell tables, keyed by (context,
     * corpus key, cols, k, iters) — the in-session analog of the
     * production shape where the coarse quantizer is trained ONCE per

@@ -52,6 +52,12 @@ object PipelineQueries {
   // metadata `label` cells at the same probe budget)
   val KmeansK = 8
   val KmeansIters = 3
+  // product quantization (q133): 4 subspaces x 8 codes over the
+  // 64-dim embeddings; 2 Lloyd rounds keep the oracle's unrolled
+  // chain compact while exercising a full train->reassign cycle
+  val PqM = 4
+  val PqKsub = 8
+  val PqIters = 2
   val NearDupMinCos = 0.25
   // 8 planes = 256 buckets: the planes ~ log2(n/targetBucket) scale
   // contract applied at the sf0.1 corpus size (6 planes left ~300
@@ -163,6 +169,13 @@ object PipelineQueries {
     "q130_exact_substr_dedup" -> ((s, dir) =>
       Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text",
         ExactSubstrW)),
+
+    // product quantization (Jégou et al. PAMI'11): per-subspace
+    // Lloyd codebooks, each vector -> m codes + per-subspace squared
+    // quantization error; the PQ storage format's train+encode pass
+    "q133_product_quantize" -> ((s, dir) =>
+      Similarity.productQuantize(embs(s, dir), "vec_id", "embedding",
+        EmbeddingDim, PqM, PqKsub, PqIters)),
 
     // temperature-scaled domain mixing (LLaMA/T5 rule: p_s ∝ n_s^α,
     // α=0.5): low-resource sources up-weighted relative to share,
@@ -857,6 +870,39 @@ object PipelineQueries {
        |WHERE rn <= $TopK""".stripMargin
   }
 
+  /** Oracle twin of q133: [[Similarity.productQuantize]]'s
+    * per-subspace Lloyd unrolled as chained MATERIALIZED CTEs (each
+    * round's assignment feeds both the next centroid aggregate and
+    * the reassign join). Distances use the identical
+    * `a·a − 2a·b + b·b` three-dot form, centroids and distances
+    * round to 6 decimals, ties to the lowest code. */
+  private val productQuantizeSql: String = {
+    val subDim = EmbeddingDim / PqM
+    def l2sq(a: String, b: String): String =
+      s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
+        s" + list_dot_product($b, $b), 6)"
+    val centList = (0 until subDim)
+      .map(i => s"round(avg(sv[${i + 1}]), 6)").mkString(", ")
+    val rounds = (0 until PqIters).map { i =>
+      s"""pqc_$i AS MATERIALIZED (SELECT s, code, [$centList] AS c
+         |  FROM pqa_$i GROUP BY s, code),
+         |pqa_${i + 1} AS MATERIALIZED (SELECT vec_id, s, sv, code, d2 FROM (
+         |  SELECT v.vec_id, v.s, v.sv, c.code,
+         |    ${l2sq("v.sv", "c.c")} AS d2,
+         |    row_number() OVER (PARTITION BY v.vec_id, v.s
+         |      ORDER BY ${l2sq("v.sv", "c.c")} ASC, c.code) AS rn
+         |  FROM pqa_$i v JOIN pqc_$i c ON v.s = c.s) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH psv AS MATERIALIZED (SELECT vec_id, CAST(s AS INTEGER) AS s,
+       |    CAST(embedding[(s*$subDim+1):(s*$subDim+$subDim)] AS DOUBLE[]) AS sv
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(0, ${PqM - 1})) AS s FROM embeddings)),
+       |pqa_0 AS MATERIALIZED (SELECT vec_id, s, sv,
+       |    CAST(vec_id % $PqKsub AS INTEGER) AS code FROM psv),
+       |$rounds
+       |SELECT vec_id, s AS subspace, code, d2 AS sub_err FROM pqa_$PqIters""".stripMargin
+  }
+
   /** Oracle twin of q114: the same trained cells (shared CTE chain),
     * then the greedy lower-id drop rule at the same rounded-cosine
     * threshold. */
@@ -1091,6 +1137,7 @@ object PipelineQueries {
          |  CAST(len(t.ws) AS BIGINT) AS n_tokens,
          |  CAST(len(t.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
          |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+    "q133_product_quantize" -> productQuantizeSql,
     "q132_temperature_mix" -> Sampling.mixByTemperatureSql(
       "(SELECT *, CASE WHEN doc_id % 10 < 6 THEN 'web' " +
         "WHEN doc_id % 10 < 9 THEN 'code' ELSE 'books' END AS domain " +

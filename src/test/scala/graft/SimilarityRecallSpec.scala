@@ -184,6 +184,30 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(out == Set(1L, 3L, 6L, 7L))
   }
 
+  test("productQuantize: two-point corpus encodes exactly with zero error") {
+    import spark.implicits._
+    // 8-dim, m=2 subspaces, ksub=2: the corpus is copies of two
+    // distinct points, so after Lloyd training every copy's
+    // sub-vectors sit exactly ON their subspace centroid — codes
+    // separate the two groups in every subspace and sub_err is 0
+    val a = Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val b = Array(0f, 0f, 2f, 0f, 0f, 0f, 0f, 2f)
+    val rows = (0L to 9L).map(i => (i, if (i % 2 == 0) a else b))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.productQuantize(rows, "vec_id", "embedding",
+        dim = 8, m = 2, ksub = 2, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length == 20) // one row per (vector, subspace)
+    assert(out.forall(_._4 == 0.0), "every sub-vector sits on its centroid")
+    for (s <- 0 to 1) {
+      val evens = out.filter(r => r._1 % 2 == 0 && r._2 == s).map(_._3).toSet
+      val odds = out.filter(r => r._1 % 2 == 1 && r._2 == s).map(_._3).toSet
+      assert(evens.size == 1 && odds.size == 1 && evens != odds,
+        s"subspace $s must give each point group one distinct code")
+    }
+  }
+
   test("lshNearDup keeps ids opaque: string ids work; long ids keep numeric orientation") {
     import spark.implicits._
     // round-8 regression: the typed kernel cast ids to long, so a
