@@ -230,40 +230,98 @@ object Similarity {
     * the squared quantization error of that subspace's encoding, so
     * `sum(sub_err) group by id` audits the full reconstruction
     * error (q88's recon_err analog, PQ form). */
-  def productQuantize(df: DataFrame, idCol: String, vecCol: String,
-                      dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
-    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    require(ksub >= 2 && iters >= 1, "ksub >= 2, iters >= 1")
+  private def dotSeq(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Rounded squared L2 in the three-dot `a·a − 2a·b + b·b` form —
+    * the identical sequential arithmetic as DuckDB's
+    * `list_dot_product`, so PQ oracles replay it exactly. */
+  private def l2sqRounded(a: Column, b: Column): Column =
+    round(dotSeq(a, a) - lit(2.0) * dotSeq(a, b) + dotSeq(b, b), 6)
+
+  /** Per-subspace sub-vector rows (id, s, sv) for the PQ family. */
+  private def pqSubVectors(df: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, m: Int): DataFrame = {
     val subDim = dim / m
-    val sub = df.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv"))
+    df.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv"))
       .select(col("pid"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice(pv, s * $subDim + 1, $subDim))")))
       .toDF("pid", "s", "sv")
-      .localCheckpoint(true)
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    def l2sq(a: Column, b: Column): Column =
-      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+  }
+
+  /** Shared PQ train+encode: returns (assignment frame
+    * `(pid, s, sv, code, d2)` from the FINAL round, codebook
+    * `(c_s, c_code, centroid)` that assignment was made against). */
+  private def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int, ksub: Int,
+                      iters: Int): (DataFrame, DataFrame) = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub >= 2 && iters >= 1, "ksub >= 2, iters >= 1")
+    val sub = pqSubVectors(df, idCol, vecCol, dim, m).localCheckpoint(true)
     var assigned = sub
       .withColumn("code", pmod(col("pid"), lit(ksub)).cast("int"))
       .withColumn("d2", lit(0.0))
+    var codebook: DataFrame = null
     for (i <- 1 to iters) {
       val cents = assigned.groupBy(col("s"), col("code"))
         .agg(graft.functions.Centroid(col("sv").cast("array<float>")).as("raw"))
         .select(col("s").as("c_s"), col("code").as("c_code"),
           transform(col("raw"), v => round(v, 6)).as("centroid"))
+        .localCheckpoint(true) // m×ksub rows; reused by assignment + caller
       val w = Window.partitionBy(col("pid"), col("s"))
         .orderBy(col("d2").asc, col("c_code").asc)
       assigned = assigned.drop("code", "d2")
         .join(broadcast(cents), col("s") === col("c_s"))
-        .withColumn("d2", l2sq(col("sv"), col("centroid")))
+        .withColumn("d2", l2sqRounded(col("sv"), col("centroid")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("pid"), col("s"), col("sv"), col("c_code").as("code"),
           col("d2"))
       if (i < iters) assigned = assigned.localCheckpoint(true)
+      codebook = cents
     }
+    (assigned, codebook)
+  }
+
+  def productQuantize(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val (assigned, _) = pqTrain(df, idCol, vecCol, dim, m, ksub, iters)
     assigned.select(col("pid").as(idCol), col("s").as("subspace"),
       col("code"), col("d2").as("sub_err"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query-time half
+    * of [[productQuantize]] (Jégou et al. PAMI'11 §IV): each query
+    * vector computes one m×ksub lookup table of rounded sub-distances
+    * to the trained codebook (exact query sub-vectors vs quantized
+    * corpus — "asymmetric"), every corpus vector's approximate
+    * distance is then the SUM of m table lookups selected by its
+    * stored codes, and top-k ranks by that sum. No corpus vector is
+    * ever touched at query time — the scan reads m small-int codes
+    * per vector, which is the entire point of the format at 100 TB.
+    *
+    * Plan shape: the LUT is |queries|·m·ksub rows — broadcast to the
+    * code scan; the only corpus-sized work is one (s, code) equi-join
+    * against the code table and a (query, id) sum aggregate. Ranks
+    * round to 6 decimals, ties to the lowest neighbor id ([[ivfTopK]]
+    * discipline); self-matches are excluded. */
+  def pqSearch(df: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int, ksub: Int, iters: Int,
+               queryPred: Column, topK: Int): DataFrame = {
+    val (assigned, codebook) = pqTrain(df, idCol, vecCol, dim, m, ksub, iters)
+    val qs = pqSubVectors(df.filter(queryPred), idCol, vecCol, dim, m)
+      .toDF("query_id", "s", "qsv")
+    val lut = qs.join(broadcast(codebook), col("s") === col("c_s"))
+      .select(col("query_id"), col("s"), col("c_code").as("code"),
+        l2sqRounded(col("qsv"), col("centroid")).as("qd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    assigned.select(col("pid").as("neighbor_id"), col("s"), col("code"))
+      .join(broadcast(lut), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("qd")), 6).as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
   }
 
   /** Session-scoped memo of trained cell tables, keyed by (context,

@@ -177,6 +177,14 @@ object PipelineQueries {
       Similarity.productQuantize(embs(s, dir), "vec_id", "embedding",
         EmbeddingDim, PqM, PqKsub, PqIters)),
 
+    // PQ asymmetric-distance search (q133's query-time half): per
+    // query one m×ksub LUT vs the trained codebook; corpus vectors
+    // rank by the sum of code-selected lookups — the scan touches m
+    // small-int codes per vector, never the vectors
+    "q134_pq_search" -> ((s, dir) =>
+      Similarity.pqSearch(embs(s, dir), "vec_id", "embedding",
+        EmbeddingDim, PqM, PqKsub, PqIters, col("vec_id") < 10, TopK)),
+
     // temperature-scaled domain mixing (LLaMA/T5 rule: p_s ∝ n_s^α,
     // α=0.5): low-resource sources up-weighted relative to share,
     // reproducible content-hash thinning, O(#sources) driver scalars.
@@ -876,11 +884,16 @@ object PipelineQueries {
     * the reassign join). Distances use the identical
     * `a·a − 2a·b + b·b` three-dot form, centroids and distances
     * round to 6 decimals, ties to the lowest code. */
-  private val productQuantizeSql: String = {
+  private def pqL2Sql(a: String, b: String): String =
+    s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
+      s" + list_dot_product($b, $b), 6)"
+
+  /** The PQ train+encode CTE chain shared by q133/q134 (no leading
+    * WITH): sub-vector split, seed assignment, `PqIters` unrolled
+    * Lloyd rounds. Ends at `pqa_$PqIters` (final codes + d2) with
+    * `pqc_${PqIters - 1}` the codebook those codes index. */
+  private val pqCtes: String = {
     val subDim = EmbeddingDim / PqM
-    def l2sq(a: String, b: String): String =
-      s"round(list_dot_product($a, $a) - 2 * list_dot_product($a, $b)" +
-        s" + list_dot_product($b, $b), 6)"
     val centList = (0 until subDim)
       .map(i => s"round(avg(sv[${i + 1}]), 6)").mkString(", ")
     val rounds = (0 until PqIters).map { i =>
@@ -888,20 +901,45 @@ object PipelineQueries {
          |  FROM pqa_$i GROUP BY s, code),
          |pqa_${i + 1} AS MATERIALIZED (SELECT vec_id, s, sv, code, d2 FROM (
          |  SELECT v.vec_id, v.s, v.sv, c.code,
-         |    ${l2sq("v.sv", "c.c")} AS d2,
+         |    ${pqL2Sql("v.sv", "c.c")} AS d2,
          |    row_number() OVER (PARTITION BY v.vec_id, v.s
-         |      ORDER BY ${l2sq("v.sv", "c.c")} ASC, c.code) AS rn
+         |      ORDER BY ${pqL2Sql("v.sv", "c.c")} ASC, c.code) AS rn
          |  FROM pqa_$i v JOIN pqc_$i c ON v.s = c.s) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH psv AS MATERIALIZED (SELECT vec_id, CAST(s AS INTEGER) AS s,
+    s"""psv AS MATERIALIZED (SELECT vec_id, CAST(s AS INTEGER) AS s,
        |    CAST(embedding[(s*$subDim+1):(s*$subDim+$subDim)] AS DOUBLE[]) AS sv
        |  FROM (SELECT vec_id, embedding,
        |          unnest(generate_series(0, ${PqM - 1})) AS s FROM embeddings)),
        |pqa_0 AS MATERIALIZED (SELECT vec_id, s, sv,
        |    CAST(vec_id % $PqKsub AS INTEGER) AS code FROM psv),
-       |$rounds
-       |SELECT vec_id, s AS subspace, code, d2 AS sub_err FROM pqa_$PqIters""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private val productQuantizeSql: String =
+    s"""WITH $pqCtes
+       |SELECT vec_id, s AS subspace, code, d2 AS sub_err FROM pqa_$PqIters""".stripMargin
+
+  /** Oracle twin of q134: the same trained chain, then the ADC rule —
+    * per query an m×ksub LUT of rounded sub-distances against the
+    * final codebook, approximate distance = rounded sum of the m
+    * lookups selected by each vector's codes, top-k ascending with
+    * lowest-id ties, self excluded. */
+  private val pqSearchSql: String =
+    s"""WITH $pqCtes,
+       |lut AS (SELECT q.vec_id AS query_id, c.s, c.code,
+       |    ${pqL2Sql("q.sv", "c.c")} AS qd
+       |  FROM psv q JOIN pqc_${PqIters - 1} c ON q.s = c.s
+       |  WHERE q.vec_id < 10),
+       |sc AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+       |    round(sum(l.qd), 6) AS adist
+       |  FROM pqa_$PqIters a JOIN lut l ON a.s = l.s AND a.code = l.code
+       |  WHERE a.vec_id != l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adist, rn FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id) AS rn
+       |  FROM sc) WHERE rn <= $TopK""".stripMargin
 
   /** Oracle twin of q114: the same trained cells (shared CTE chain),
     * then the greedy lower-id drop rule at the same rounded-cosine
@@ -1138,6 +1176,7 @@ object PipelineQueries {
          |  CAST(len(t.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
          |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
     "q133_product_quantize" -> productQuantizeSql,
+    "q134_pq_search" -> pqSearchSql,
     "q132_temperature_mix" -> Sampling.mixByTemperatureSql(
       "(SELECT *, CASE WHEN doc_id % 10 < 6 THEN 'web' " +
         "WHEN doc_id % 10 < 9 THEN 'code' ELSE 'books' END AS domain " +

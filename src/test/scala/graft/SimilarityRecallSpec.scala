@@ -208,6 +208,24 @@ class SimilarityRecallSpec extends SparkTestBase {
     }
   }
 
+  test("pqSearch: ADC ranks same-group vectors first with zero distance") {
+    import spark.implicits._
+    val a = Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val b = Array(0f, 0f, 2f, 0f, 0f, 0f, 0f, 2f)
+    val rows = (0L to 9L).map(i => (i, if (i % 2 == 0) a else b))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqSearch(rows, "vec_id", "embedding",
+        dim = 8, m = 2, ksub = 2, iters = 2,
+        queryPred = col("vec_id") === 0L, topK = 4)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // query 0 is an even (group a): its 4 nearest under ADC are the
+    // other evens, all at exactly 0 approximate distance (their codes
+    // select the query's own centroid), ranked by id tiebreak
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 6L, 8L))
+    assert(out.forall(_._2 == 0.0))
+  }
+
   test("lshNearDup keeps ids opaque: string ids work; long ids keep numeric orientation") {
     import spark.implicits._
     // round-8 regression: the typed kernel cast ids to long, so a
