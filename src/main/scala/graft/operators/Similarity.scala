@@ -282,10 +282,39 @@ object Similarity {
     (assigned, codebook)
   }
 
+  /** Session-scoped memo of trained PQ artifacts — the
+    * [[cellsOf]] pattern applied to the PQ codebook: production
+    * trains ONCE per corpus snapshot and every encode/search batch
+    * reuses the artifact ((codes, codebook); codes keep only
+    * (pid, s, code, d2) — the sub-vectors do not persist). Same
+    * lifecycle contract as [[cellsOf]]: applicationId keys the
+    * entry, `clearCache()` does not drop it, [[releasePq]] resets. */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  def pqOf(df: DataFrame, corpusKey: String, idCol: String, vecCol: String,
+           dim: Int, m: Int, ksub: Int, iters: Int): (DataFrame, DataFrame) =
+    pqMemo.computeIfAbsent(
+      s"${df.sparkSession.sparkContext.applicationId}|$corpusKey|$idCol|$vecCol|$dim|$m|$ksub|$iters",
+      _ => {
+        val (assigned, codebook) = pqTrain(df, idCol, vecCol, dim, m, ksub, iters)
+        (assigned.select(col("pid"), col("s"), col("code"), col("d2"))
+          .localCheckpoint(true), codebook)
+      })
+
+  /** Drop every memoized PQ artifact. */
+  def releasePq(): Unit = pqMemo.clear()
+
   def productQuantize(df: DataFrame, idCol: String, vecCol: String,
-                      dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
-    val (assigned, _) = pqTrain(df, idCol, vecCol, dim, m, ksub, iters)
-    assigned.select(col("pid").as(idCol), col("s").as("subspace"),
+                      dim: Int, m: Int, ksub: Int, iters: Int,
+                      corpusKey: Option[String] = None): DataFrame = {
+    val codes = corpusKey match {
+      case Some(k) => pqOf(df, k, idCol, vecCol, dim, m, ksub, iters)._1
+      case None =>
+        pqTrain(df, idCol, vecCol, dim, m, ksub, iters)._1
+          .select(col("pid"), col("s"), col("code"), col("d2"))
+    }
+    codes.select(col("pid").as(idCol), col("s").as("subspace"),
       col("code"), col("d2").as("sub_err"))
   }
 
@@ -306,8 +335,12 @@ object Similarity {
     * discipline); self-matches are excluded. */
   def pqSearch(df: DataFrame, idCol: String, vecCol: String,
                dim: Int, m: Int, ksub: Int, iters: Int,
-               queryPred: Column, topK: Int): DataFrame = {
-    val (assigned, codebook) = pqTrain(df, idCol, vecCol, dim, m, ksub, iters)
+               queryPred: Column, topK: Int,
+               corpusKey: Option[String] = None): DataFrame = {
+    val (assigned, codebook) = corpusKey match {
+      case Some(k) => pqOf(df, k, idCol, vecCol, dim, m, ksub, iters)
+      case None => pqTrain(df, idCol, vecCol, dim, m, ksub, iters)
+    }
     val qs = pqSubVectors(df.filter(queryPred), idCol, vecCol, dim, m)
       .toDF("query_id", "s", "qsv")
     val lut = qs.join(broadcast(codebook), col("s") === col("c_s"))

@@ -173,9 +173,13 @@ object PipelineQueries {
     // product quantization (Jégou et al. PAMI'11): per-subspace
     // Lloyd codebooks, each vector -> m codes + per-subspace squared
     // quantization error; the PQ storage format's train+encode pass
+    // the memoized corpusKey makes q133/q134 share ONE trained
+    // artifact per corpus — the cellsOf production shape (train once
+    // per snapshot, every encode/search batch probes it), same as
+    // q38/q114 sharing the k-means cells
     "q133_product_quantize" -> ((s, dir) =>
       Similarity.productQuantize(embs(s, dir), "vec_id", "embedding",
-        EmbeddingDim, PqM, PqKsub, PqIters)),
+        EmbeddingDim, PqM, PqKsub, PqIters, corpusKey = Some(dir))),
 
     // PQ asymmetric-distance search (q133's query-time half): per
     // query one m×ksub LUT vs the trained codebook; corpus vectors
@@ -183,7 +187,8 @@ object PipelineQueries {
     // small-int codes per vector, never the vectors
     "q134_pq_search" -> ((s, dir) =>
       Similarity.pqSearch(embs(s, dir), "vec_id", "embedding",
-        EmbeddingDim, PqM, PqKsub, PqIters, col("vec_id") < 10, TopK)),
+        EmbeddingDim, PqM, PqKsub, PqIters, col("vec_id") < 10, TopK,
+        corpusKey = Some(dir))),
 
     // temperature-scaled domain mixing (LLaMA/T5 rule: p_s ∝ n_s^α,
     // α=0.5): low-resource sources up-weighted relative to share,
