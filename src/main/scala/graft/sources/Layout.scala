@@ -54,6 +54,28 @@ object Layout {
     df.coalesce(n)
   }
 
+  /** Hash-bucketed managed-table write — the layout that makes the
+    * recurring 100 TB JOIN exchange-free: two tables bucketed on the
+    * same key into the same bucket count are co-partitioned at REST,
+    * so a sort-merge join between them needs NO shuffle of either
+    * side (and with `sortBy` on the bucket key, no sort either —
+    * the scan feeds SMJ directly). This is the persistent form of
+    * what `repartition` buys for one query: pay the partitioning
+    * once at write, amortize it over every subsequent join/aggregate
+    * on that key — fact-to-fact joins too big to broadcast are
+    * exactly where a 100 TB pipeline lives. (Spark's bucketing is
+    * metastore metadata — `bucketBy` requires `saveAsTable`, not a
+    * path write; LayoutSpec asserts the exchange-free plan.) */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    key: String, moreKeys: String*): Unit = {
+    require(buckets >= 1, "buckets >= 1")
+    df.write.format("parquet")
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
   /** Z-order clustering for MULTI-dimensional pruning: [[clusteredBy]]
     * on (a, b) prunes perfectly on `a` but barely on `b` (lexicographic
     * ranges leave b's per-file span at full width). Interleaving the

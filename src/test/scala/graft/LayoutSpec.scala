@@ -83,4 +83,37 @@ class LayoutSpec extends SparkTestBase {
     val planStr = compact.queryExecution.executedPlan.toString
     assert(!planStr.contains("Exchange"), s"compaction must not shuffle:\n$planStr")
   }
+
+  test("writeBucketed: co-bucketed tables join with ZERO exchanges") {
+    import spark.implicits._
+    val left = (1 to 5000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 5000).map(i => (i.toLong, i * 2)).toDF("k", "rv")
+    graft.sources.Layout.writeBucketed(left, "graft_bkt_l", 8, "k")
+    graft.sources.Layout.writeBucketed(right, "graft_bkt_r", 8, "k")
+    try {
+      // force SMJ so the assertion is about bucketing, not broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val j = spark.table("graft_bkt_l")
+        .join(spark.table("graft_bkt_r"), Seq("k"))
+      assert(j.count() == 5000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must be exchange-free:\n$plan")
+      // the same join over plain (unbucketed) reads DOES exchange —
+      // the delta is what the at-rest layout buys
+      val plainL = java.nio.file.Files.createTempDirectory("graft_pl").toString
+      val plainR = java.nio.file.Files.createTempDirectory("graft_pr").toString
+      left.write.mode("overwrite").parquet(plainL)
+      right.write.mode("overwrite").parquet(plainR)
+      val pj = spark.read.parquet(plainL)
+        .join(spark.read.parquet(plainR), Seq("k"))
+      pj.count()
+      assert(pj.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_r")
+    }
+  }
 }
