@@ -212,6 +212,30 @@ class PropertySpec extends SparkTestBase {
     assert(base.nonEmpty)
   }
 
+  test("exactSubstringDedup is partition-invariant and conserves token counts") {
+    // keep-first = min (doc_id, pos) per shingle digest — a data
+    // property like segmentDedup's, so any partitioning reproduces
+    // the identical residual text; and every doc's n_tokens must
+    // equal its input token count with n_removed = dropped tokens
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.exactSubstringDedup(df, "doc_id", "text", 8)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val base = run(docs)
+    assert(base == run(docs.repartition(7)))
+    val inTokens = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    assert(base.nonEmpty && base.forall { case (id, (txt, n, rem)) =>
+      n == inTokens(id) &&
+        (txt.isEmpty && n == rem ||
+          txt.split(" ").length == n - rem)
+    })
+  }
+
   test("heavyHitters: sketch prunes, never reports — output equals the exact aggregation") {
     import spark.implicits._
     // skewed planted corpus: token "hot_i" appears (10-i)*40 times,
