@@ -436,10 +436,22 @@ object Similarity {
     * per-table bucket size constant (the same k ∝ n contract as
     * [[semanticDedup]]); `tables` multiplies candidate volume
     * linearly, never quadratically. Complements [[nearDupPairs]]
-    * (pre-assigned cells) and [[ivfTopK]] (centroid probing). */
+    * (pre-assigned cells) and [[ivfTopK]] (centroid probing).
+    *
+    * `maxBucket` (round 9) is the flood guard for when planes are
+    * FIXED below the contract — any (table, bucket) group past the
+    * cap is dropped from candidate generation (window count filter
+    * riding the self-join's own exchange, the
+    * [[graft.operators.Dedup.simhashPairs]] shape; the oracle applies
+    * the identical HAVING). Measured necessity: the registered
+    * 8-plane q57 at 100× embeddings (200k vectors, mean bucket ~780)
+    * built a multi-billion-row candidate spill that filled the DISK
+    * without the cap; a true near-dup dropped from one table's
+    * over-cap bucket still collides in each remaining table at
+    * p = (1−θ/π)^planes. */
   def lshNearDup(df: DataFrame, idCol: String, vecCol: String,
                  nPlanes: Int, dim: Int, minCos: Double,
-                 tables: Int = 1): DataFrame = {
+                 tables: Int = 1, maxBucket: Int = 1000): DataFrame = {
     val base = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .cache() // feeds every table's self-join sides + the verify
                // joins; escapes into the returned plan → caller
@@ -482,8 +494,14 @@ object Similarity {
           (id, t, bucket)
         }
       }).toDF("__ids", "t", "bucket")
-    val a = wb.select(col("t"), col("bucket"), col("__ids").as("id_a"))
-    val bb = wb.select(col("t"), col("bucket"), col("__ids").as("id_b"))
+    val kept = wb
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("t"), col("bucket"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val a = kept.select(col("t"), col("bucket"), col("__ids").as("id_a"))
+    val bb = kept.select(col("t"), col("bucket"), col("__ids").as("id_b"))
     val cands = a.join(bb, Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -504,6 +522,31 @@ object Similarity {
         greatest(col("__orig_a"), col("__orig_b")).as("id_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
+  }
+
+  /** [[lshNearDup]] with the planes-∝-log2(n) scale contract ENFORCED
+    * instead of documented: planes = max(minPlanes,
+    * ceil(log2(n / targetBucket))), from one driver-scalar count.
+    * This is the fix the round-9 100× sweep demanded — at 200k
+    * vectors the fixed-8-plane registered form kept a ~780-vector
+    * MEAN bucket, and a mean-bucket quadratic is precisely what a
+    * per-bucket cap cannot fix (the cap guards skewed outliers; only
+    * bucket-width growth shrinks the mean). At the driver's sf0.01
+    * gate (500 vectors, targetBucket 2) the formula instantiates to
+    * exactly 8 planes — the static oracle's planes — so the
+    * cross-engine compare stays exact where it runs; at larger
+    * corpora planes grow and per-table recall falls as
+    * (1−θ/π)^planes, the standard LSH trade a production caller
+    * counters by raising `tables`. */
+  def lshNearDupAuto(df: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, minCos: Double, tables: Int,
+                     targetBucket: Int = 2, minPlanes: Int = 4,
+                     maxBucket: Int = 1000): DataFrame = {
+    require(targetBucket >= 1 && minPlanes >= 1)
+    val n = math.max(df.count(), 1L)
+    val planes = math.min(62, math.max(minPlanes,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+    lshNearDup(df, idCol, vecCol, planes, dim, minCos, tables, maxBucket)
   }
 
   /** Embedding near-duplicate pairs: intra-cell pairs with cosine above

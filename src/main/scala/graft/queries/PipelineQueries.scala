@@ -71,6 +71,12 @@ object PipelineQueries {
   // 0.996 at 8 tables) — one signature is a candidate generator, not
   // a near-dup gate
   val LshTables = 8
+  // lshNearDup's flood guard (round 9): (table, bucket) groups past
+  // this size drop from candidate generation — the fixed-8-plane q57
+  // at 100x embeddings spilled a multi-billion-row candidate set to
+  // disk exhaustion without it (SCALE.md); spec'd in the oracle's
+  // identical HAVING
+  val LshMaxBucket = 1000
   val EmbeddingDim = 64
   val CentroidClusters = 5
   val CorpusLangs = Seq("en", "es")
@@ -535,9 +541,17 @@ object PipelineQueries {
           expr("aggregate(q_vec, 0L, (a, x) -> a + x)").as("q_sum"),
           round(col("recon_err"), 6).as("recon_err"))),
 
+    // auto-planes (round 9): planes = ceil(log2(n / 2)), which
+    // instantiates to EXACTLY the oracle's LshPlanes=8 at the
+    // driver's sf0.01 gate (500 vectors) and grows with the corpus —
+    // the fixed-8-plane form kept a ~780-vector MEAN bucket at 100×
+    // and spilled a multi-billion-row candidate set to disk
+    // exhaustion (SCALE.md; a mean-bucket quadratic is what the
+    // per-bucket cap cannot fix)
     "q57_ann_lsh" -> ((s, dir) =>
-      Similarity.lshNearDup(embs(s, dir), "vec_id", "embedding",
-        LshPlanes, EmbeddingDim, NearDupMinCos, LshTables)),
+      Similarity.lshNearDupAuto(embs(s, dir), "vec_id", "embedding",
+        EmbeddingDim, NearDupMinCos, LshTables,
+        targetBucket = 2, minPlanes = LshPlanes, maxBucket = LshMaxBucket)),
 
     "q39_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
@@ -1041,8 +1055,10 @@ object PipelineQueries {
        |  FROM embeddings),
        |wb AS MATERIALIZED (SELECT vec_id, t, bs[t + 1] AS bucket
        |  FROM b, (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t)),
+       |capped AS (SELECT t, bucket FROM wb GROUP BY t, bucket
+       |           HAVING count(*) <= $LshMaxBucket),
        |c AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-       |  FROM wb a JOIN wb b2
+       |  FROM wb a JOIN capped USING (t, bucket) JOIN wb b2
        |  ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
        |SELECT * FROM (
        |  SELECT c.id_a, c.id_b,
