@@ -357,6 +357,39 @@ object Similarity {
       .filter(col("rn") <= topK)
   }
 
+  /** Scale-refinement for a FIXED-k coarse clustering (round 9, the
+    * q43/q114 companion to q57's auto-planes): subdivide each coarse
+    * cell by an SRP bucket of depth ceil(log2(n / (coarseK ·
+    * targetCell))), so leaf-cell size stays ~targetCell while the
+    * LLOYD TRAINING stays the linear fixed-k problem — measured at
+    * 100× embeddings, the fixed 8 cells hold ~25k vectors each and
+    * the intra-cell pair surface is 2.50 BILLION (probed via cell
+    * sizes, not materialized), the same mean-bucket quadratic that
+    * killed q57. The depth instantiates to ZERO at the driver's
+    * sf0.01 gate (500 ≤ 8·63), where the refined key equals the
+    * coarse cell and the static Lloyd oracles stay exact.
+    *
+    * SRP splits are cosine-coherent (near-dup vectors share sign bits
+    * with probability (1−θ/π) per plane), so the refinement's missed
+    * pairs are the same boundary class as the coarse cells' own —
+    * the documented SemDeDup approximation, now depth-bounded. The
+    * bucket expression stays within [[lshBucket]]'s few-hundred-term
+    * codegen contract for any realistic depth (9 planes × 64 dims =
+    * 576 terms at 100×); plane offset 100 keeps the splitting
+    * hyperplanes independent of q57's search tables. */
+  def subdivideCells(df: DataFrame, vecCol: String, cellCol: String,
+                     dim: Int, coarseK: Int,
+                     targetCell: Int = 63): DataFrame = {
+    require(coarseK >= 1 && targetCell >= 1)
+    val n = math.max(df.count(), 1L)
+    val p = math.min(20, math.max(0, math.ceil(
+      math.log(n.toDouble / (coarseK.toLong * targetCell)) / math.log(2.0)).toInt))
+    if (p == 0) df
+    else df.withColumn(cellCol,
+      col(cellCol) * (1L << p) +
+        lshBucket(asDouble(col(vecCol)), p, dim, planeOffset = 100))
+  }
+
   /** Session-scoped memo of trained cell tables, keyed by (context,
     * corpus key, cols, k, iters) — the in-session analog of the
     * production shape where the coarse quantizer is trained ONCE per

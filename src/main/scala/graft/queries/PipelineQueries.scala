@@ -386,8 +386,14 @@ object PipelineQueries {
       val e = embs(s, dir)
       val cells = Similarity.cellsOf(e, dir, "vec_id", "embedding",
         KmeansK, KmeansIters)
-      Similarity.nearDupPairs(e.join(cells, Seq("vec_id")), "vec_id",
-        "embedding", "cell", NearDupMinCos)
+      // SRP subdivision keeps leaf cells ~63 vectors while Lloyd
+      // training stays fixed-k linear; depth 0 at the sf0.01 gate
+      // (oracle-exact), depth 9 at 100x where the raw 8 cells hold a
+      // probed 2.5e9 intra-cell pairs (SCALE.md round-9)
+      Similarity.nearDupPairs(
+        Similarity.subdivideCells(e.join(cells, Seq("vec_id")),
+          "embedding", "cell", EmbeddingDim, KmeansK),
+        "vec_id", "embedding", "cell", NearDupMinCos)
     }),
 
     // SemDeDup semantic dedup (Similarity.semanticDedup): the
@@ -404,7 +410,11 @@ object PipelineQueries {
       val k = sys.env.get("GRAFT_KMEANS_K").map(_.toInt).getOrElse(KmeansK)
       val cells = Similarity.cellsOf(e, dir, "vec_id", "embedding",
         k, KmeansIters)
-      Similarity.semanticDedup(e.join(cells, Seq("vec_id")),
+      // same SRP subdivision as q43: leaf ~63 vectors at any scale,
+      // depth 0 (oracle-exact cell ids) at the sf0.01 gate
+      Similarity.semanticDedup(
+          Similarity.subdivideCells(e.join(cells, Seq("vec_id")),
+            "embedding", "cell", EmbeddingDim, k),
           "vec_id", "embedding", "cell", SemDedupTau)
         .select(col("vec_id"), col("cell"), col("label"))
     }),
