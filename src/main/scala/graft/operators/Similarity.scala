@@ -357,6 +357,69 @@ object Similarity {
       .filter(col("rn") <= topK)
   }
 
+  /** 1-bit binary quantization — the third rung of the storage ladder
+    * (float32 → [[quantizeInt8]] int8 → [[productQuantize]] PQ codes
+    * → this, 1 bit/dim): bit i is the SIGN of dimension i (the
+    * embeddings are zero-centered, so sign bits carry ~1 bit of
+    * direction each — the classic binary-embedding scheme whose
+    * Hamming distance estimates angle, same SRP theory as
+    * [[lshBucket]] with axis-aligned planes). Bits pack 60 per long
+    * (shifts stay below the sign bit, so every literal is positive
+    * and the DuckDB oracle replays them verbatim — the [[hash60]]
+    * width convention). Output: (idCol, bq_0..bq_{w-1}).
+    * Pure per-row projection, zero exchanges. */
+  def binaryQuantize(df: DataFrame, idCol: String, vecCol: String,
+                     dim: Int): DataFrame = {
+    require(dim >= 1)
+    val words = (dim + 59) / 60
+    val v = asDouble(col(vecCol))
+    val cols = (0 until words).map { w =>
+      ((w * 60) until math.min(dim, w * 60 + 60)).map { i =>
+        when(element_at(v, i + 1) > 0.0, lit(1L << (i - w * 60)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bq_$w")
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
+
+  /** Hamming top-k over [[binaryQuantize]] codes with an exact-cosine
+    * rerank of the winners — the query pattern binary embeddings
+    * exist for: the SCAN reads dim/8 bytes per vector and ranks by
+    * popcount(xor), touching no floats; only the k survivors load
+    * their vectors for the exact rerank (asymmetric two-stage, the
+    * [[pqSearch]] shape at 1 bit). Query codes broadcast (the q37
+    * discipline); ranks tie to the lowest neighbor id; self
+    * excluded. Output: (query_id, neighbor_id, hamming, cos_sim, rn)
+    * ordered by the BINARY stage (rn is the hamming rank — the
+    * rerank annotates, it does not reorder, so the oracle replays
+    * the two stages independently). */
+  def hammingTopK(df: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, queryPred: Column, topK: Int): DataFrame = {
+    val words = (dim + 59) / 60
+    val corpus = binaryQuantize(df, idCol, vecCol, dim)
+    val qs = binaryQuantize(df.filter(queryPred), idCol, vecCol, dim)
+      .select(col(idCol).as("query_id") +:
+        (0 until words).map(w => col(s"bq_$w").as(s"qb_$w")): _*)
+    val hamming = (0 until words).map(w =>
+      bit_count(col(s"bq_$w").bitwiseXOR(col(s"qb_$w"))))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val top = corpus.crossJoin(broadcast(qs))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        hamming.as("hamming"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+    top
+      .join(df.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv")), Seq("query_id"))
+      .join(df.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("nv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"), col("rn"))
+  }
+
   /** Scale-refinement for a FIXED-k coarse clustering (round 9, the
     * q43/q114 companion to q57's auto-planes): subdivide each coarse
     * cell by an SRP bucket of depth ceil(log2(n / (coarseK ·

@@ -196,6 +196,14 @@ object PipelineQueries {
         EmbeddingDim, PqM, PqKsub, PqIters, col("vec_id") < 10, TopK,
         corpusKey = Some(dir))),
 
+    // binary (1-bit) quantization + Hamming top-k with exact-cosine
+    // rerank: the third storage-ladder rung (float32→int8→PQ→1-bit);
+    // the scan ranks by popcount(xor) over packed sign bits and only
+    // the k winners load their vectors
+    "q135_hamming_topk" -> ((s, dir) =>
+      Similarity.hammingTopK(embs(s, dir), "vec_id", "embedding",
+        EmbeddingDim, col("vec_id") < 10, TopK)),
+
     // temperature-scaled domain mixing (LLaMA/T5 rule: p_s ∝ n_s^α,
     // α=0.5): low-resource sources up-weighted relative to share,
     // reproducible content-hash thinning, O(#sources) driver scalars.
@@ -970,6 +978,38 @@ object PipelineQueries {
        |      ORDER BY adist ASC, neighbor_id) AS rn
        |  FROM sc) WHERE rn <= $TopK""".stripMargin
 
+  /** Oracle twin of q135: the same 60-bit sign-bit packing (every
+    * shift literal below the sign bit, so the words replay verbatim),
+    * popcount-of-xor Hamming ranking with lowest-id ties, and the
+    * exact-cosine rerank annotation on the winners. */
+  private val hammingTopkSql: String = {
+    val words = (EmbeddingDim + 59) / 60
+    val packs = (0 until words).map { w =>
+      ((w * 60) until math.min(EmbeddingDim, w * 60 + 60)).map { i =>
+        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << (i - w * 60)} ELSE 0 END)"
+      }.mkString(" + ") + s" AS bq_$w"
+    }.mkString(",\n    ")
+    val ham = (0 until words)
+      .map(w => s"bit_count(xor(c.bq_$w, q.qb_$w))").mkString(" + ")
+    val qsel = (0 until words).map(w => s"bq_$w AS qb_$w").mkString(", ")
+    s"""WITH bc AS MATERIALIZED (SELECT vec_id,
+       |    $packs
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, $qsel FROM bc WHERE vec_id < 10),
+       |top AS (SELECT query_id, neighbor_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, neighbor_id) AS rn
+       |  FROM (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |          CAST($ham AS INTEGER) AS hamming
+       |        FROM bc c, q WHERE c.vec_id != q.query_id))
+       |SELECT t.query_id, t.neighbor_id, t.hamming,
+       |  round(${cosSql("CAST(eq.embedding AS DOUBLE[])", "CAST(en.embedding AS DOUBLE[])")}, 6) AS cos_sim,
+       |  t.rn
+       |FROM top t JOIN embeddings eq ON eq.vec_id = t.query_id
+       |  JOIN embeddings en ON en.vec_id = t.neighbor_id
+       |WHERE t.rn <= $TopK""".stripMargin
+  }
+
   /** Oracle twin of q114: the same trained cells (shared CTE chain),
     * then the greedy lower-id drop rule at the same rounded-cosine
     * threshold. */
@@ -1208,6 +1248,7 @@ object PipelineQueries {
          |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
     "q133_product_quantize" -> productQuantizeSql,
     "q134_pq_search" -> pqSearchSql,
+    "q135_hamming_topk" -> hammingTopkSql,
     "q132_temperature_mix" -> Sampling.mixByTemperatureSql(
       "(SELECT *, CASE WHEN doc_id % 10 < 6 THEN 'web' " +
         "WHEN doc_id % 10 < 9 THEN 'code' ELSE 'books' END AS domain " +

@@ -226,6 +226,27 @@ class SimilarityRecallSpec extends SparkTestBase {
     assert(out.forall(_._2 == 0.0))
   }
 
+  test("hammingTopK ranks by sign-bit agreement; rerank annotates exact cosine") {
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, v(1, 1, 1, 1, -1, -1, -1, -1)),  // query
+      (1L, v(2, 3, 1, 2, -2, -1, -3, -2)),  // same signs -> hamming 0
+      (2L, v(1, 1, 1, -1, -1, -1, -1, 1)),  // 2 flipped bits
+      (3L, v(-1, -1, -1, -1, 1, 1, 1, 1))   // all flipped -> hamming 8
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(rows, "vec_id", "embedding",
+        dim = 8, queryPred = col("vec_id") === 0L, topK = 3)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_._2).toSeq == Seq(0, 2, 8))
+    // the exact rerank annotation agrees with the binary ordering on
+    // this planted geometry: same-sign neighbor has the top cosine,
+    // the all-flipped one is exactly opposite
+    assert(out.head._3 > 0.9 && out.last._3 == -1.0)
+  }
+
   test("lshNearDup keeps ids opaque: string ids work; long ids keep numeric orientation") {
     import spark.implicits._
     // round-8 regression: the typed kernel cast ids to long, so a
