@@ -238,7 +238,7 @@ class SimilarityRecallSpec extends SparkTestBase {
     val out = Similarity.hammingTopK(rows, "vec_id", "embedding",
         dim = 8, queryPred = col("vec_id") === 0L, topK = 3)
       .orderBy("rn").collect()
-      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
     assert(out.map(_._2).toSeq == Seq(0, 2, 8))
     // the exact rerank annotation agrees with the binary ordering on
