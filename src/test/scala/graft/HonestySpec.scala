@@ -63,6 +63,17 @@ class HonestySpec extends SparkTestBase {
     assert(t2 == 1.0 && f2.isEmpty)
   }
 
+  test("registry: every query has an oracle and every oracle has a query") {
+    // a queries-entry without an oracleSql twin silently downgrades
+    // the driver's gate to a rows-only check; an orphaned oracle is a
+    // stale key the comparer would report as missing. Exact set
+    // equality keeps the strongest gate on all 100% of the registry.
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((qs -- os).isEmpty, s"queries without oracles: ${qs -- os}")
+    assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
+  }
+
   test("registry: no registered query emits a top-level array/map/struct column") {
     // The driver's comparer row-sorts with pandas, which cannot hash
     // array cells — round 8 shipped four queries with top-level array
