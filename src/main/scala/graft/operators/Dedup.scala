@@ -200,19 +200,22 @@ object Dedup {
   /** Band a k-wide signature frame into (idCol, band, sig) bucket rows
     * — the shared LSH banding used by the pair generator, the
     * component builder, and the cross-run state builder (ONE place to
-    * change banding, or the three would silently disagree). */
+    * change banding, or the three would silently disagree). `carry`
+    * names extra columns to ride along on every band row (e.g. the
+    * full signature, so a downstream bucket join can verify map-side
+    * without a join back — [[incrementalDedup]]'s probe). */
   def bandSignatures(sigs: DataFrame, idCol: String, k: Int,
-                     bands: Int): DataFrame = {
+                     bands: Int, carry: Seq[String] = Nil): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"signature width $k must divide evenly into $bands bands " +
         "(a truncated last band would silently weaken the LSH guarantee)")
     val rows = k / bands
     Relational.unpivot(
-      sigs.select(col(idCol) +: (0 until bands).map { b =>
+      sigs.select((idCol +: carry).map(col) ++ (0 until bands).map { b =>
         concat_ws("-", ((b * rows) until ((b + 1) * rows)).map(i => col(s"mh_$i")): _*)
           .as(s"band_$b")
       }: _*),
-      Seq(idCol), (0 until bands).map(b => s"$b" -> s"band_$b"),
+      idCol +: carry, (0 until bands).map(b => s"$b" -> s"band_$b"),
       nameCol = "band", valueCol = "sig")
   }
 
@@ -720,19 +723,15 @@ object Dedup {
   def dedupState(df: DataFrame, idCol: String, textCol: String,
                  k: Int, bands: Int): (DataFrame, DataFrame) = {
     val digests = df.select(md5(col(textCol)).as("content_hash")).distinct()
-    // two consumers (banding + the signature join below) share the
-    // aggregation subtree UNMATERIALIZED on purpose: at test scale the
-    // parallel recompute inside one job beats a serializing eager
-    // checkpoint (measured ~0.5s worse with one), and in production
-    // the state tables this returns are PERSISTED between runs anyway
-    // (the operator's whole contract), making in-query sharing moot
+    // signatures ride the banding in ONE pass: banding needs only the
+    // k mh_* columns it concatenates, and the full signature the state
+    // row must carry is the same k columns — so carrying them through
+    // the unpivot replaces the former bandSignatures⋈sigs join-back
+    // (which recomputed the signature aggregate twice and shuffled the
+    // band rows a second time; round-10 q95 profile, SCALE.md)
     val sigs = minhashSignatures(df, idCol, textCol, k)
-    // the band table carries the producing doc's FULL signature
-    // (k ints — still a compact state row): a probe hit can then be
-    // VERIFIED by signature agreement instead of trusting bucket
-    // co-membership alone (see incrementalDedup's minAgree)
-    val banded = bandSignatures(sigs, idCol, k, bands)
-      .join(sigs, Seq(idCol))
+    val banded = bandSignatures(sigs, idCol, k, bands,
+        carry = (0 until k).map(i => s"mh_$i"))
       .select(col("band") +: col("sig") +:
         (0 until k).map(i => col(s"mh_$i")): _*)
       .distinct()
@@ -756,26 +755,47 @@ object Dedup {
     * [[dedupState]]). The batch-mode twin of
     * [[graft.streaming.IncrementalAlerts.antiJoinIncrement]]'s
     * exclusion maintenance and of [[graft.streaming.IncrementalAlerts
-    * .dedupStream]]'s ingest gate. */
+    * .dedupStream]]'s ingest gate.
+    *
+    * Scale shape (round-10 rework — the q95 100× profile named two
+    * floors; SCALE.md "q95 profile"): (1) `fresh` is consumed by the
+    * signature build AND the final anti join, and its lineage holds
+    * the exact-dedup shuffle plus the digest anti probe — left
+    * unmaterialized it recomputed ~3× (cold wall 138s at 100×, 26s
+    * with the frame materialized). It is now checkpointed once,
+    * eagerly. (2) the verified path joined the bucket-hit stream
+    * (quadratic in per-bucket density: 101M rows at 100× for a 166k
+    * batch — duplicate-heavy corpora make MEAN buckets dense, the
+    * round-9 width lesson) back to the batch signatures, SHUFFLING
+    * the 101M wide intermediate. The batch's own signature now rides
+    * the band rows into the single bucket join, so agreement is a
+    * map-side filter on the join output — the dense-bucket hit stream
+    * is consumed inside one codegen stage and never crosses the wire.
+    * Same rows, same rule, same output; 100× wall 38.4s → ~8s.
+    *
+    * `checkpointDir`: reliable-FS checkpoint path (HDFS/S3) for the
+    * barriers — executor-local blocks die with an executor; at
+    * cluster scale pass a dir (same contract as
+    * [[connectedComponents]]). Local default is the fast path. */
   def incrementalDedup(newBatch: DataFrame, idCol: String, textCol: String,
                        seenDigests: DataFrame, seenBands: DataFrame,
                        k: Int, bands: Int,
-                       minAgree: Option[Int] = None): DataFrame = {
+                       minAgree: Option[Int] = None,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(d =>
+      GraftCheckpoint.ensureDir(newBatch.sparkSession, d))
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val hashed = newBatch.withColumn("__ch", md5(col(textCol)))
     // within-batch exact dedup: canonical row = min id per digest
     // (same shape as [[exact]]'s keep rule)
     val selfDeduped = hashed.join(
       hashed.groupBy(col("__ch")).agg(min(col(idCol)).as(idCol)),
       Seq("__ch", idCol), "left_semi")
-    val fresh = selfDeduped.join(seenDigests,
+    val fresh = barrier(selfDeduped.join(seenDigests,
       col("__ch") === seenDigests("content_hash"), "left_anti")
-      .drop("__ch")
-    // fresh signatures feed banding and (verified path) the agreement
-    // join — left unmaterialized like dedupState's: the batch side is
-    // small by contract and the parallel in-job recompute beats a
-    // serializing checkpoint at this scale
+      .drop("__ch"))
     val freshSigs = minhashSignatures(fresh, idCol, textCol, k)
-    val freshBands = bandSignatures(freshSigs, idCol, k, bands)
     // probe hit = shared bucket; with minAgree set, a hit must ALSO
     // verify by signature agreement against the state row's stored
     // signature (dedupState carries it) — a bucket collision with a
@@ -784,15 +804,20 @@ object Dedup {
     // [[minhashComponents]]'s edge verification)
     val nearSeen = minAgree match {
       case None =>
-        freshBands.join(seenBands, Seq("band", "sig"), "left_semi")
+        bandSignatures(freshSigs, idCol, k, bands)
+          .join(seenBands, Seq("band", "sig"), "left_semi")
           .select(col(idCol)).distinct()
       case Some(th) =>
+        // the batch signature rides the band rows (k ints per row —
+        // batch-linear), so the dense bucket-hit stream is verified
+        // map-side and reduced to ids before any further exchange
+        val aBands = bandSignatures(
+          freshSigs.select(col(idCol) +: ((0 until k).map(i => col(s"mh_$i")) ++
+            (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i"))): _*),
+          idCol, k, bands, carry = (0 until k).map(i => s"a_mh_$i"))
         val seenPref = seenBands.select(col("band") +: col("sig") +:
           (0 until k).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
-        val aSigs = freshSigs.select(col(idCol) +:
-          (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
-        freshBands.join(seenPref, Seq("band", "sig"))
-          .join(aSigs, Seq(idCol))
+        aBands.join(seenPref, Seq("band", "sig"))
           .filter(sigAgreement(k) >= th)
           .select(col(idCol)).distinct()
     }
@@ -884,28 +909,32 @@ object Dedup {
     * filter, both join sides) and `filtered` twice — eager
     * `localCheckpoint` truncates each to a block scan (a `.cache()`
     * alone left the explode subtree re-planned at every reference:
-    * 142 codegen stages at sf0.1, the round-5 finding). Same
-    * failure-domain note as [[connectedComponents]]: executor-local
-    * blocks; a production run persists the index to reliable
-    * storage. */
+    * 142 codegen stages at sf0.1, the round-5 finding).
+    *
+    * `checkpointDir`: reliable-FS path (HDFS/S3) for those barriers —
+    * executor-local blocks die with their executor, and the truncated
+    * lineage cannot recompute them; at cluster scale pass a dir (the
+    * [[connectedComponents]] contract). Local default = fast path. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, maxDocFreq: Int, minJaccard: Double): DataFrame = {
-    val shingles = df
+                   n: Int, maxDocFreq: Int, minJaccard: Double,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(d => GraftCheckpoint.ensureDir(df.sparkSession, d))
+    def barrier(b: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) b.checkpoint() else b.localCheckpoint()
+    val shingles = barrier(df
       .select(col(idCol), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col(idCol), explode(expr(
         s"transform(sequence(1, size(ws) - ${n - 1}), " +
           s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(ws, i + $j)").mkString(", ")}))"))
         .as("g"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val perDoc = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_g"))
-    val filtered = shingles.join(
+    val filtered = barrier(shingles.join(
       shingles.groupBy("g").agg(count(lit(1)).as("df_g"))
         .filter(col("df_g") <= maxDocFreq).select("g"),
       Seq("g"))
-      .join(perDoc, Seq(idCol))
-      .localCheckpoint(true)
+      .join(perDoc, Seq(idCol)))
     val a = filtered.select(col(idCol).as("id_a"), col("n_g").as("n_a"), col("g"))
     val b = filtered.select(col(idCol).as("id_b"), col("n_g").as("n_b"), col("g"))
     a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))

@@ -38,27 +38,41 @@ object Graph {
     * exchange only the rank/contribution side; the edge list — the
     * largest frame in the loop — never crosses the wire again after
     * round 0 (round 9, measured: 3.5 → ~2.5s at sf0.1, the removed
-    * exchanges being iters × |edges|). */
+    * exchanges being iters × |edges|).
+    *
+    * `checkpointDir`: reliable-FS path (HDFS/S3) for the barriers.
+    * Executor-local checkpoint blocks die with their executor, and an
+    * iterative job whose statics are pinned to lost blocks cannot
+    * recompute them (lineage is truncated) — at cluster scale pass a
+    * dir, exactly as [[Dedup.connectedComponents]] /
+    * [[graft.operators.Similarity]]'s kmeansCells take one. The local
+    * default keeps the fast executor-memory path for tests/local mode.
+    * (Reliable `checkpoint()` repartitions nothing but does not
+    * preserve a partitioner hint the way LogicalRDD does — the
+    * repartition stays ahead of the barrier in both modes, so round
+    * joins reuse the exchange either way.) */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85): DataFrame = {
+               iters: Int, damping: Double = 0.85,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val e0 = edges
+    checkpointDir.foreach(d =>
+      GraftCheckpoint.ensureDir(edges.sparkSession, d))
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e0 = barrier(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    val nodes = e0.select(col("src").as("node"))
+      .distinct())
+    val nodes = barrier(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct()
-      .repartition(col("node"))
-      .localCheckpoint(true)
+      .repartition(col("node")))
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // out-degree folded onto the edge list ONCE: the per-round plan
     // then joins ranks only, one join instead of two per iteration
     // (the division stays per-row — rank / deg, bit-identical to the
     // unfolded form and to the oracle's)
-    val e = e0.join(deg, Seq("src")).repartition(col("src"))
-      .localCheckpoint(true)
+    val e = barrier(e0.join(deg, Seq("src")).repartition(col("src")))
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
       val contribs = e
@@ -71,7 +85,7 @@ object Graph {
             lit(damping) * coalesce(col("__in"), lit(0.0)), 6).as("rank"))
       // truncate lineage every few rounds so the plan depth stays
       // bounded in the iteration count (values are unchanged)
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+      if (i % 3 == 0 && i < iters) ranks = barrier(ranks)
     }
     ranks
   }

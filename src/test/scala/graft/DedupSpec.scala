@@ -264,6 +264,37 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set(12L))
   }
 
+  test("incrementalDedup and ngramJaccard reliable-checkpoint paths match local") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd-ckpt").toString
+    val seen = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six")
+    val newBatch = docsDf(
+      10L -> "alpha beta gamma delta epsilon zeta",
+      11L -> "six five four three two one",
+      12L -> "totally different fresh content here now")
+    val (digests, bands) = Dedup.dedupState(seen, "doc_id", "text", 16, 2)
+    val viaLocal = Dedup.incrementalDedup(newBatch, "doc_id", "text",
+        digests, bands, 16, 2, minAgree = Some(13))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaReliable = Dedup.incrementalDedup(newBatch, "doc_id", "text",
+        digests, bands, 16, 2, minAgree = Some(13),
+        checkpointDir = Some(dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaReliable == viaLocal && viaLocal == Set(12L))
+    val jacDocs = docsDf(1L -> "a b c d e", 2L -> "a b c d e",
+      3L -> "p q r s t")
+    val viaLocalJ = Dedup.ngramJaccard(jacDocs, "doc_id", "text", 3, 100, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaReliableJ = Dedup.ngramJaccard(jacDocs, "doc_id", "text", 3, 100,
+        0.0, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaReliableJ == viaLocalJ && viaLocalJ == Set((1L, 2L)))
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "expected reliable checkpoint files under the dir")
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 2.0)))

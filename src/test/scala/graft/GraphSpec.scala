@@ -44,6 +44,25 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> 1.0, 2L -> 1.0))
   }
 
+  test("pageRank with a reliable checkpoint dir: same ranks, files written") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    val edges = Seq((1L, 2L), (3L, 4L), (4L, 3L), (5L, 8L), (6L, 8L),
+      (7L, 8L)).toDF("src", "dst")
+    // iters=4 so the periodic in-loop barrier (i % 3) also takes the
+    // reliable path, not just the three static checkpoints
+    val local = Graph.pageRank(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val reliable = Graph.pageRank(edges, "src", "dst", iters = 4,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reliable == local,
+      s"reliable-checkpoint path changed ranks: $reliable vs $local")
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "expected reliable checkpoint files under the dir")
+  }
+
   test("bm25 matches the closed-form score on a planted corpus") {
     import spark.implicits._
     val docs = Seq((1L, "x x y"), (2L, "x z z z")).toDF("doc_id", "text")
