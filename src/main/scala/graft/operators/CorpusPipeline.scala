@@ -37,6 +37,13 @@ object CorpusPipeline {
     // makes corpus-density-quadratic; a true near-dup that loses one
     // over-cap band still collides per remaining band at p = J^r
     maxBucket: Int = 1000,
+    // run [[Html.extractText]] as the TRUE stage 0 (before even the
+    // substring stage): web corpora arrive as markup, and every gate
+    // below must judge visible text, not tag soup — a page that is
+    // 95% markup would otherwise fail the quality gate on its HTML,
+    // not its prose (C4 §2.1 extracts first for exactly this reason).
+    // Zero-shuffle scalar chain; false = input is already plain text
+    htmlExtract: Boolean = false,
     // run [[Dedup.exactSubstringDedup]] at this window width as stage
     // 0 (round 9): duplicated >= w-token spans are removed IN PLACE
     // before the gates, so the language/quality/length checks judge
@@ -48,8 +55,12 @@ object CorpusPipeline {
 
   /** Clean `df` down to surviving documents, with the metrics that
     * drove the decisions: (id, pred_lang, n_words, quality_score). */
-  def clean(df0: DataFrame, idCol: String, textCol: String,
+  def clean(dfRaw: DataFrame, idCol: String, textCol: String,
             cfg: Config): DataFrame = {
+    val df0 =
+      if (cfg.htmlExtract)
+        dfRaw.withColumn(textCol, Html.extractText(col(textCol)))
+      else dfRaw
     val df = cfg.substrWindow match {
       case Some(w) =>
         Dedup.exactSubstringDedup(df0, idCol, textCol, w)

@@ -176,6 +176,32 @@ object PipelineQueries {
       Dedup.exactSubstringDedup(docs(s, dir), "doc_id", "text",
         ExactSubstrW)),
 
+    // HTML → visible-text extraction (operators/Html): the web-corpus
+    // step-0 ingest rung (C4 §2.1 / RefinedWeb §3.1 start from raw
+    // markup). The corpus is plain text, so the demo PLANTS real HTML
+    // around each document — doctype, head with title, a script whose
+    // body contains a decoy </div> and comparison operators, a style
+    // block, a comment, attributes holding '>' in quotes, and the
+    // fixed entity set including the &amp;lt; double-decode trap —
+    // and the oracle replays the PLANTING formula (the Multimodal
+    // discipline): the extractor must recover exactly the closed-form
+    // visible text. Pure codegen'd scalar chain, zero exchanges.
+    "q136_html_extract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<!DOCTYPE html>\n<html><head><title>Doc "), id,
+        lit("</title><script type=\"text/javascript\">\nif (a<b && c>d) { track(\"</div>\"); }\n</script>"),
+        lit("<style>.nav > li { width: 10px; }</style></head>\n<body>"),
+        lit("<!-- generated page "), id, lit(" -->"),
+        lit("<h1 class=\"hd\" title=\"a > b\">Heading &amp; "), id,
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p><div data-x='1'>tail &lt;"), id,
+        lit("&gt;&nbsp;&amp;lt;end</div></body></html>"))
+      d.select(col("doc_id"),
+        graft.operators.Html.extractText(html).as("clean_text"))
+    }),
+
     // product quantization (Jégou et al. PAMI'11): per-subspace
     // Lloyd codebooks, each vector -> m codes + per-subspace squared
     // quantization error; the PQ storage format's train+encode pass
@@ -1249,6 +1275,15 @@ object PipelineQueries {
     "q133_product_quantize" -> productQuantizeSql,
     "q134_pq_search" -> pqSearchSql,
     "q135_hamming_topk" -> hammingTopkSql,
+    // replays the q136 PLANTING formula: the extractor's five-step
+    // contract (script/style/comment drop, attribute-safe tag strip,
+    // fixed entity table with &amp; last, whitespace collapse) must
+    // reduce the planted page to exactly this closed form
+    "q136_html_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' tail <' || doc_id || '> &lt;end' AS clean_text
+        |FROM documents""".stripMargin,
     "q132_temperature_mix" -> Sampling.mixByTemperatureSql(
       "(SELECT *, CASE WHEN doc_id % 10 < 6 THEN 'web' " +
         "WHEN doc_id % 10 < 9 THEN 'code' ELSE 'books' END AS domain " +

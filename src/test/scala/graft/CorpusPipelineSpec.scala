@@ -31,6 +31,22 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.filter($"pred_lang" =!= "en").isEmpty)
   }
 
+  test("htmlExtract stage: gates judge visible text, not tag soup") {
+    import spark.implicits._
+    val en = "the quick fast query scans a wide table of rows"
+    val docs = Seq(
+      // markup-heavy page whose VISIBLE text is good English — must
+      // survive once extracted (raw, it fails the quality/lang gates)
+      (1, s"<html><head><script>var x = 1 &amp;&amp; 2;</script></head>" +
+        s"<body><div class='c'><p>$en</p></div></body></html>"),
+      // page whose visible text is too short — dropped by the gate
+      (2, "<html><body><p>the a and</p><!-- lots of hidden markup --></body></html>")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, "doc_id", "text",
+      cfg.copy(htmlExtract = true))
+    assert(out.select("doc_id").collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
   test("trigram language ID classifies real sentences in all five languages") {
     import spark.implicits._
     val docs = Seq(

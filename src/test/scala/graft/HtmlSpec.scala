@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Html
+
+/** Hand-written HTML fixtures the q136 synthesizer never emits —
+  * pins [[Html.extractText]]'s five-step contract including its
+  * documented limitations (numeric-entity passthrough, prose `<`). */
+class HtmlSpec extends SparkTestBase {
+
+  private def extract(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(Html.extractText(col("h")).as("t"))
+      .head.getString(0)
+  }
+
+  test("nested and uppercase tags strip; block structure collapses to spaces") {
+    assert(extract("<DIV><UL><li>one</li>\n<li>two</li></UL></DIV>")
+      == "one two")
+  }
+
+  test("script content drops even with decoy closers in strings and case-mixed tags") {
+    assert(extract(
+      "before<SCRIPT a=\"x\">var s = '</div>'; if (1<2) go();</ScRiPt >after")
+      == "before after")
+  }
+
+  test("style blocks and comments drop; comment may contain tags") {
+    assert(extract(
+      "a<style media='all'>p > b { x: 1 }</style>b<!-- <p>hidden</p> -->c")
+      == "a b c")
+  }
+
+  test("attributes holding > in quotes do not truncate the tag") {
+    assert(extract("""<a href="u" title="5 > 3" data-x='a > b'>link</a>""")
+      == "link")
+  }
+
+  test("bare less-than in prose is not markup and survives") {
+    // '<' followed by a non-letter is prose (HTML5 tokenizer: only a
+    // letter after '<' opens a tag) — survives the tag strip
+    assert(extract("<p>x < y and 1<2 holds</p>") == "x < y and 1<2 holds")
+    // ...whereas '<z' IS a (bogus) tag open: browsers consume it to
+    // the next '>', and so does the extractor — pinned deliberately
+    assert(extract("<p>y<z holds</p>x") == "y x")
+  }
+
+  test("entity table decodes; &amp;lt; must NOT double-decode; numeric passthrough") {
+    assert(extract("&lt;tag&gt; &quot;q&quot; &apos;a&apos; &#39;b&#39; A&nbsp;B")
+      == "<tag> \"q\" 'a' 'b' A B")
+    assert(extract("&amp;lt;literal") == "&lt;literal")
+    // documented limitation: arbitrary numeric entities pass through
+    assert(extract("&#8212;dash") == "&#8212;dash")
+  }
+
+  test("doctype and xml-ish declarations strip; whitespace collapses and trims") {
+    assert(extract("<!DOCTYPE html>\n <html>\n\n<body>  hi\t there </body></html> ")
+      == "hi there")
+  }
+
+  test("full page: head title text is visible text (kept)") {
+    assert(extract(
+      "<html><head><title>T</title><script>s</script></head><body>B</body></html>")
+      == "T B")
+  }
+}
