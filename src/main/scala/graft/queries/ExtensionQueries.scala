@@ -17,6 +17,18 @@ object ExtensionQueries {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // WARC length-framed record walk (sources/Warc): one file per doc
+    // with REAL ISO 28500 framing — a variable-length warcinfo record
+    // then a response record carrying the doc text; every doc_id%50==0
+    // file plants a Content-Length lie and must yield NO rows (the
+    // broken-file contract). Oracle replays the planting formula.
+    "q137_warc_records" -> ((s, dir) =>
+      graft.sources.Warc.records(
+        graft.sources.Warc.synthesizeWarc(Tables.load(s, dir, "documents")))
+        .select(col("file_id"), col("rec_idx"), col("rec_type"),
+          col("target_uri"), col("warc_date"), col("content_length"),
+          decode(col("payload"), "ISO-8859-1").as("payload_text"))),
+
     // mapPartitions batched "decode" over binary media columns.
     // The feature vector is flattened to scalar columns for the oracle
     // compare (the gate's comparator cannot hash array cells); the
@@ -221,6 +233,27 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays synthesizeWarc's planting: two records per clean file
+    // (warcinfo payload 'software: graft-<id>\r\n', response payload =
+    // the doc text); corrupted files (doc_id % 50 = 0, the planted
+    // Content-Length lie) contribute nothing. A missing header field
+    // (warcinfo has no Target-URI) reads as '' per the reader contract
+    "q137_warc_records" ->
+      """WITH clean AS (SELECT doc_id, text,
+        |    '2026-01-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
+        |      || 'T00:00:00Z' AS wdate
+        |  FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+        |  'warcinfo' AS rec_type, '' AS target_uri, wdate AS warc_date,
+        |  CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+        |    AS content_length,
+        |  'software: graft-' || doc_id || chr(13) || chr(10) AS payload_text
+        |FROM clean
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER), 'response',
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id,
+        |  wdate, CAST(length(text) AS BIGINT), text
+        |FROM clean""".stripMargin,
     "q45_multimodal_features" ->
       """WITH chars AS (
         |  SELECT doc_id, ord(substr(text, i, 1)) AS b
