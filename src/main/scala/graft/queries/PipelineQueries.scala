@@ -330,6 +330,29 @@ object PipelineQueries {
       UrlNormalize.dedupByUrl(
         UrlNormalize.synthesizeUrls(docs(s, dir)), "url")),
 
+    // UT1-style URL category gate (UrlNormalize.categoryGate): host
+    // suffixes explode (bounded label fan-out), the planted
+    // (domain, category) blocklist joins BROADCAST on the suffix,
+    // one id-keyed aggregate folds the verdict. The planting derives
+    // hosts from doc_id (every third doc gets a subdomain) so the
+    // oracle replays both match modes: exact host and dot-suffix —
+    // and the sub.example6.com entry proves specificity (it must NOT
+    // block bare example6.com)
+    "q138_url_category_gate" -> ((s, dir) => {
+      import s.implicits._
+      val urls = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("sub."))
+            .otherwise(lit("")),
+          lit("example"), pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")).as("url"))
+      val blocklist = Seq(
+        ("example3.com", "ads"), ("example7.com", "adult"),
+        ("sub.example6.com", "tracking"), ("example6.org", "inert"))
+        .toDF("domain", "category")
+      UrlNormalize.categoryGate(urls, "doc_id", "url", blocklist)
+    }),
+
     "q32_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK)),
 
@@ -1275,6 +1298,27 @@ object PipelineQueries {
     "q133_product_quantize" -> productQuantizeSql,
     "q134_pq_search" -> pqSearchSql,
     "q135_hamming_topk" -> hammingTopkSql,
+    // replays the q138 planting: closed-form host per doc, each
+    // blocklist entry as an exact-or-dot-suffix CASE, min() across
+    // matches (NULL when none — the keep flag)
+    "q138_url_category_gate" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END)
+        |    || 'example' || (doc_id % 20) || '.com' AS host
+        |  FROM documents),
+        |m AS (SELECT doc_id, host, unnest([
+        |    CASE WHEN host = 'example3.com'
+        |      OR host LIKE '%.example3.com' THEN 'ads' END,
+        |    CASE WHEN host = 'example7.com'
+        |      OR host LIKE '%.example7.com' THEN 'adult' END,
+        |    CASE WHEN host = 'sub.example6.com'
+        |      OR host LIKE '%.sub.example6.com' THEN 'tracking' END,
+        |    CASE WHEN host = 'example6.org'
+        |      OR host LIKE '%.example6.org' THEN 'inert' END]) AS cat
+        |  FROM u)
+        |SELECT doc_id, host, min(cat) AS category,
+        |  min(cat) IS NULL AS keep
+        |FROM m GROUP BY doc_id, host""".stripMargin,
     // replays the q136 PLANTING formula: the extractor's five-step
     // contract (script/style/comment drop, attribute-safe tag strip,
     // fixed entity table with &amp; last, whitespace collapse) must

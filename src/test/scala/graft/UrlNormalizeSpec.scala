@@ -77,4 +77,30 @@ class UrlNormalizeSpec extends SparkTestBase {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
     assert(!plan.contains("Exchange"))
   }
+
+  test("categoryGate: suffix match, specificity, multi-match min, scheme-less pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://ads.example.com/x"),        // suffix match -> ads
+      (2L, "https://example.com/x"),            // exact match -> ads
+      (3L, "https://user:pw@Sub.Tracker.NET:8443/p"), // userinfo+port+case
+      (4L, "https://safe.org/x"),               // no match -> keep
+      (5L, "https://both.example.com/x"),       // matches 2 entries -> min
+      (6L, "mailto:a@tracker.net")              // scheme-less contract: host ''
+    ).toDF("doc_id", "url")
+    val bl = Seq(
+      ("example.com", "ads"),
+      ("tracker.net", "tracking"),
+      ("both.example.com", "zzz-specific")      // min() picks 'ads', not this
+    ).toDF("domain", "category")
+    val out = UrlNormalize.categoryGate(docs, "doc_id", "url", bl)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(out(1L) == (Some("ads"), false))
+    assert(out(2L) == (Some("ads"), false))
+    assert(out(3L) == (Some("tracking"), false), "host must lower-case and strip userinfo/port")
+    assert(out(4L) == (None, true))
+    assert(out(5L) == (Some("ads"), false), "multi-match takes the alphabetical min")
+    assert(out(6L) == (None, true), "non-hierarchical URLs match nothing")
+  }
 }
