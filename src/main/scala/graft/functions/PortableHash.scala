@@ -48,6 +48,25 @@ object PortableHash {
   def hash60Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** 120-bit digest as a (d1, d2) struct of two independent 60-bit
+    * halves — for groupings whose CONTRACT is exactness (e.g.
+    * [[graft.operators.Dedup.exactSubstringDedup]], round-9 ADVICE:
+    * a 60-bit digest is statistically expected to collide somewhere
+    * in 10^12 production shingles, and a collision there silently
+    * deletes a non-duplicate span). Expected collisions over n items
+    * are ~n²/2^121: ≈ 4×10^-13 at n = 10^12 — negligible where 60
+    * bits (~4×10^5 expected) is not. md5: both halves of the one
+    * digest (subexpression elimination computes md5 once per row);
+    * xxhash64: a second pass over a sentinel-prefixed copy. Costs 8
+    * extra bytes per shuffled row vs [[hash60]]. */
+  def hash120(c: Column): Column =
+    if (xxBackend) struct(
+      shiftrightunsigned(xxhash64(c), 4).as("d1"),
+      shiftrightunsigned(xxhash64(concat(lit("\u0001"), c)), 4).as("d2"))
+    else struct(
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long").as("d1"),
+      conv(substring(md5(c), 17, 15), 16, 10).cast("long").as("d2"))
+
   /** 32-bit hash for simhash bit sampling. */
   def hash32(c: Column): Column =
     if (xxBackend) shiftrightunsigned(xxhash64(c), 32)

@@ -140,18 +140,23 @@ object Dedup {
                           w: Int): DataFrame = {
     require(w >= 2, "window must be at least 2 tokens")
     val toks = df.select(col(idCol), split(col(textCol), " ").as("ws"))
-    // digest via the switchable PortableHash backend: md5-prefix
-    // (default — grouping is engine-INTERNAL, so the DuckDB oracle's
-    // own full-md5 grouping agrees without sharing bits) or xxhash64
-    // for production runs — the per-window digest is this operator's
-    // dominant cost at scale (measured: its SCALE.md 100× entry)
+    // digest via the switchable PortableHash backend, at FULL
+    // 120-bit width (round-9 ADVICE: an operator named 'exact' must
+    // not silently delete a non-duplicate span on a digest collision
+    // — 60 bits statistically collides within 10^12 production
+    // shingles, 120 bits does not; see hash120's bound). Grouping is
+    // engine-INTERNAL, so the DuckDB oracle's own full-md5 grouping
+    // agrees without sharing bits. The per-window digest is this
+    // operator's dominant cost at scale (SCALE.md 100× entry); the
+    // width upgrade costs 8 bytes per shuffled shingle row
     val ws = col("ws")
+    val digType = "array<struct<d1:bigint,d2:bigint>>"
     val sh = toks.select(col(idCol), posexplode(
         when(size(ws) >= w,
           transform(sequence(lit(0), size(ws) - w), i =>
-            graft.functions.PortableHash.hash60(
+            graft.functions.PortableHash.hash120(
               concat_ws(" ", slice(ws, i + 1, lit(w))))))
-          .otherwise(array().cast("array<bigint>"))))
+          .otherwise(expr(s"cast(array() as $digType)"))))
       .toDF(idCol, "pos", "dig")
     val firsts = sh.groupBy(col("dig"))
       .agg(min(struct(col(idCol), col("pos"))).as("f"))

@@ -233,10 +233,22 @@ object Sampling {
     *
     * Implementation: one O(#sources) count job derives the weights,
     * then delegates to [[mixToTarget]] — same reproducible
-    * content-hash thinning, same scale shape. Weights are rounded to
-    * 6 decimals before use: `pow` is not correctly rounded on either
-    * engine, and the rounding firewall keeps the oracle's threshold
-    * arithmetic bit-identical. */
+    * content-hash thinning, same scale shape.
+    *
+    * Cross-engine weight determinism (round-9 ADVICE — the weights
+    * CANNOT be driver-interpolated literals here, because unlike
+    * [[mixToTargetSql]]'s config weights they derive from the DATA's
+    * counts and the oracle is a static string): at alpha = 0.5 — the
+    * LLaMA default and the registered q132 point — both engines
+    * compute `sqrt(n)`, which IEEE 754 requires CORRECTLY ROUNDED, so
+    * the pre-rounding weights are bit-identical and the 6-dp
+    * quantization cannot straddle engines (an exact-decimal …5 at the
+    * 7th digit would need the dyadic double to be a multiple of
+    * 5×10⁻⁷, which a full-mantissa sqrt output is not). At other
+    * alphas `pow` is only within-1-ulp on each engine and a
+    * quantization-boundary flip, while ~1e-9-improbable per source,
+    * is possible — documented residual risk, carried by the operator
+    * rather than hidden in the oracle. */
   def mixByTemperature(df: DataFrame, idCol: String, sourceCol: String,
                        alpha: Double, salt: String = ""): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
@@ -244,7 +256,9 @@ object Sampling {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "no sources")
     val weights = counts.toSeq.sortBy(_._1).map { case (s, n) =>
-      s -> BigDecimal(math.pow(n.toDouble, alpha))
+      val raw = if (alpha == 0.5) math.sqrt(n.toDouble)
+                else math.pow(n.toDouble, alpha)
+      s -> BigDecimal(raw)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     mixToTarget(df, idCol, sourceCol, weights, salt)
@@ -252,14 +266,18 @@ object Sampling {
 
   /** Oracle twin of [[mixByTemperature]]: the same counts → rounded
     * pow weights → [[mixToTargetSql]] threshold arithmetic, entirely
-    * in SQL. */
+    * in SQL. alpha = 0.5 emits `sqrt` for the correctly-rounded
+    * bit-identical path (see [[mixByTemperature]]'s determinism
+    * note). */
   def mixByTemperatureSql(table: String, idExpr: String,
                           sourceExpr: String, alpha: Double,
                           salt: String = ""): String = {
     val h = bucketSql(idExpr, 1000000, salt)
+    val powExpr = if (alpha == 0.5) "sqrt(CAST(n AS DOUBLE))"
+                  else s"pow(CAST(n AS DOUBLE), $alpha)"
     s"""WITH c AS (SELECT $sourceExpr AS src, count(*) AS n FROM $table
        |    GROUP BY 1),
-       |w AS (SELECT src, round(pow(CAST(n AS DOUBLE), $alpha), 6) AS wt,
+       |w AS (SELECT src, round($powExpr, 6) AS wt,
        |    n FROM c),
        |tv AS (SELECT min(n / wt) AS t FROM w),
        |thr AS (SELECT src, CAST(floor(t * wt / n * 1000000.0) AS BIGINT)

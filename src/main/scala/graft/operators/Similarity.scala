@@ -288,7 +288,19 @@ object Similarity {
     * reuses the artifact ((codes, codebook); codes keep only
     * (pid, s, code, d2) — the sub-vectors do not persist). Same
     * lifecycle contract as [[cellsOf]]: applicationId keys the
-    * entry, `clearCache()` does not drop it, [[releasePq]] resets. */
+    * entry, `clearCache()` does not drop it, [[releasePq]] resets.
+    *
+    * CALLER CONTRACT (round-9 ADVICE): `corpusKey` must uniquely
+    * identify an IMMUTABLE corpus snapshot — the memo is keyed by
+    * (key, cols, params), never by the data, so a caller passing a
+    * filtered or refreshed corpus under an old key silently reuses
+    * the old snapshot's codes, and [[pqSearch]] then scores queries
+    * against stale code rows. Version the key like a table snapshot
+    * ("corpus@2026-08-14" / a commit id), or call [[releasePq]] on
+    * refresh. A data fingerprint (count/max-id) in the key was
+    * considered and rejected: it costs an extra corpus pass per
+    * LOOKUP — exactly what the memo exists to avoid — and a
+    * same-count-same-max edit would still slip it. */
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
@@ -435,11 +447,19 @@ object Similarity {
     * SRP splits are cosine-coherent (near-dup vectors share sign bits
     * with probability (1−θ/π) per plane), so the refinement's missed
     * pairs are the same boundary class as the coarse cells' own —
-    * the documented SemDeDup approximation, now depth-bounded. The
-    * bucket expression stays within [[lshBucket]]'s few-hundred-term
-    * codegen contract for any realistic depth (9 planes × 64 dims =
-    * 576 terms at 100×); plane offset 100 keeps the splitting
-    * hyperplanes independent of q57's search tables. */
+    * the documented SemDeDup approximation, now depth-bounded. Plane
+    * offset 100 keeps the splitting hyperplanes independent of q57's
+    * search tables.
+    *
+    * The bucket is computed as the [[lshBucket]] expression only
+    * while p × dim fits the ~400-term codegen contract documented
+    * there (round-9 ADVICE: the former p ≤ 20 cap alone admits
+    * 1,280-term trees at dim 64 — the measured Catalyst pathology);
+    * deeper refinement routes through the same typed mapPartitions
+    * kernel as [[lshNearDup]], identical float order (left-to-right
+    * ±multiply-add, `dot > 0` bit rule), so the two paths produce
+    * the SAME buckets bit-for-bit. Depth still instantiates to 0 at
+    * the sf0.01 gate either way. */
   def subdivideCells(df: DataFrame, vecCol: String, cellCol: String,
                      dim: Int, coarseK: Int,
                      targetCell: Int = 63): DataFrame = {
@@ -448,9 +468,45 @@ object Similarity {
     val p = math.min(20, math.max(0, math.ceil(
       math.log(n.toDouble / (coarseK.toLong * targetCell)) / math.log(2.0)).toInt))
     if (p == 0) df
-    else df.withColumn(cellCol,
-      col(cellCol) * (1L << p) +
-        lshBucket(asDouble(col(vecCol)), p, dim, planeOffset = 100))
+    else if (p * dim <= 400)
+      df.withColumn(cellCol,
+        col(cellCol) * (1L << p) +
+          lshBucket(asDouble(col(vecCol)), p, dim, planeOffset = 100))
+    else {
+      val signs: Array[Array[Int]] = planeSigns(100 + p, dim).drop(100).toArray
+      val schema = org.apache.spark.sql.types.StructType(df.schema.fields.map {
+        case f if f.name == cellCol =>
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+      val ci = df.schema.fieldIndex(cellCol)
+      val vi = df.schema.fieldIndex(vecCol)
+      val nP = p
+      df.map { r =>
+        val v = r.getSeq[Any](vi).map {
+          case d: java.lang.Double => d.doubleValue
+          case f: java.lang.Float => f.doubleValue
+          case x: Number => x.doubleValue
+        }.toArray
+        var bucket = 0L
+        var j = 0
+        while (j < nP) {
+          val s = signs(j)
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i) * s(i); i += 1 }
+          if (dot > 0) bucket |= 1L << j
+          j += 1
+        }
+        val coarse = r.get(ci) match {
+          case l: java.lang.Long => l.longValue
+          case x: Number => x.longValue
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(ci, coarse * (1L << nP) + bucket))
+      }(org.apache.spark.sql.Encoders.row(schema))
+        .toDF(df.columns: _*)
+    }
   }
 
   /** Session-scoped memo of trained cell tables, keyed by (context,

@@ -429,8 +429,14 @@ object TextAnalysis {
     * joins, so the largest intermediate crossed the wire three times
     * — that was the whole 33×. The score uses the log-sum identity
     * `avg ln(c2/c1) = (Σ m·ln c2 − Σ m_w·ln c1) / n`, exact in ℝ and
-    * within ~1e-12 in doubles — far under the family's 6-dp rounding
-    * firewall (the oracle keeps the per-instance `avg(log)` form).
+    * within ~1e-12 in doubles. The ORACLE replays this same two-sum
+    * identity (round-10; it previously kept the per-instance
+    * `avg(log)` form, and a score landing within ~1e-12 of a 0.5e-6
+    * rounding boundary could flip the 6th decimal between engines —
+    * a cross-engine flake whose probability grows with corpus size).
+    * With both engines sharing the identity, only
+    * summation-association noise (~1e-15) remains under the family's
+    * 6-dp rounding firewall.
     * No cache: the aggregate has a single producer and its consumers
     * are derived frames, so nothing escapes the plan.
     *

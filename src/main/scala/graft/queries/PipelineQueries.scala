@@ -1516,17 +1516,33 @@ object PipelineQueries {
          |SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
          |HAVING count(*) >= $NgramCountMin""".stripMargin
     },
+    // replays the OPERATOR's log-sum identity (Σ m·ln c2 − Σ mw·ln c1)/n
+    // rather than the mathematically-equal avg(ln(c2/c1)) — the two
+    // compute different floating point, and a score landing within
+    // ~1e-12 of a 0.5e-6 rounding boundary would flip the 6th decimal
+    // between engines (round-9 ADVICE). Sharing the identity leaves
+    // only summation-association noise (~1e-15), three orders more
+    // margin under the rounding firewall
     "q94_ngram_lm" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |bgs AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, ws[i] AS w1
         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
         |        FROM d WHERE len(ws) >= 2)),
-        |cb AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
-        |cu AS (SELECT w1, count(*) AS c1 FROM bgs GROUP BY w1)
-        |SELECT b.doc_id, count(*) AS n_bigrams,
-        |  round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 6) AS lm_score
-        |FROM bgs b JOIN cb USING (bg) JOIN cu USING (w1)
-        |GROUP BY b.doc_id""".stripMargin,
+        |b1 AS (SELECT doc_id, bg, w1, count(*) AS m
+        |  FROM bgs GROUP BY doc_id, bg, w1),
+        |cb AS (SELECT bg, CAST(sum(m) AS BIGINT) AS c2 FROM b1 GROUP BY bg),
+        |w1d AS (SELECT doc_id, w1, CAST(sum(m) AS BIGINT) AS mw
+        |  FROM b1 GROUP BY doc_id, w1),
+        |cu AS (SELECT w1, CAST(sum(mw) AS BIGINT) AS c1 FROM w1d GROUP BY w1),
+        |s2 AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |    sum(CAST(m AS DOUBLE) * ln(CAST(c2 AS DOUBLE))) AS s2
+        |  FROM b1 JOIN cb USING (bg) GROUP BY doc_id),
+        |s1 AS (SELECT doc_id,
+        |    sum(CAST(mw AS DOUBLE) * ln(CAST(c1 AS DOUBLE))) AS s1
+        |  FROM w1d JOIN cu USING (w1) GROUP BY doc_id)
+        |SELECT s2.doc_id, n_bigrams,
+        |  round((s2 - s1) / n_bigrams, 6) AS lm_score
+        |FROM s2 JOIN s1 USING (doc_id)""".stripMargin,
     "q95_incr_dedup" -> incrDedupSql,
     "q99_token_budget" -> Sampling.tokenBudgetMixSql(
       "documents", "doc_id", "source", "n_chars",

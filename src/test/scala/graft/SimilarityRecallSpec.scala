@@ -269,4 +269,33 @@ class SimilarityRecallSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(longPairs == Set((9L, 10L)))
   }
+
+  test("subdivideCells: expression and typed-kernel paths bucket identically") {
+    import spark.implicits._
+    // dim 48, 5000 rows, coarseK=1, targetCell=4 -> p = ceil(log2(1250))
+    // = 11 planes; 11*48 = 528 > 400 budget -> the KERNEL path runs.
+    // The expression path is forced on the same data by lshBucket
+    // directly (the formula subdivideCells uses when within budget).
+    val dim = 48
+    val df = (0 until 5000).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        math.sin(i * 31 + d * 7).toFloat), 3L)
+    }.toDF("vec_id", "embedding", "cell")
+    val viaKernel = graft.operators.Similarity
+      .subdivideCells(df, "embedding", "cell", dim, coarseK = 1,
+        targetCell = 4)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = 11
+    val viaExpr = df.select(col("vec_id"),
+        (col("cell") * (1L << p) + graft.operators.Similarity.lshBucket(
+          col("embedding").cast("array<double>"), p, dim,
+          planeOffset = 100)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel.size == 5000)
+    assert(viaKernel == viaExpr,
+      "kernel must replicate the expression's float order bit-for-bit")
+    // refined keys nest under the coarse cell
+    assert(viaKernel.values.forall(c => (c >> p) == 3L))
+  }
 }
