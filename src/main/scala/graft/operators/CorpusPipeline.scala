@@ -135,26 +135,39 @@ object CorpusPipeline {
         // over-cap bucket exclusion as a window count filter riding
         // the (band, sig) exchange the self-join needs anyway — the
         // zero-drop common case pays no census job and no anti join
-        // (same round-9 shape as minhashCandidatePairs)
-        val banded = Dedup.bandSignatures(sigs, idCol, k, cfg.minhashBands)
+        // (same round-9 shape as minhashCandidatePairs). Each side's
+        // signature rides its band rows (round-10, the q95 carry
+        // medicine), so agreement filters map-side on the self-join's
+        // output: the pair stream — quadratic in bucket density —
+        // never re-crosses the wire into signature join-backs (the
+        // old shape shuffled it twice)
+        val banded = Dedup.bandSignatures(
+            sigs.select(col(idCol) +:
+              ((0 until k).map(i => col(s"mh_$i")) ++
+               (0 until k).map(i => col(s"mh_$i").as(s"c_mh_$i"))): _*),
+            idCol, k, cfg.minhashBands,
+            carry = (0 until k).map(i => s"c_mh_$i"))
           .withColumn("__n", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("band"), col("sig"))))
           .filter(col("__n") <= cfg.maxBucket)
           .drop("__n")
-        val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
-        val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
-        val aSigs = sigs.select(col(idCol).as("id_a") +:
-          (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
-        val bSigs = sigs.select(col(idCol).as("id_b") +:
-          (0 until k).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+          // materialized ONCE: both self-join sides consume it, and
+          // unmaterialized each would re-run the cap window's
+          // (band, sig) shuffle over the carry-widened rows — measured
+          // round 10: 28.1s vs 19.8s at 100× (SCALE.md)
+          .localCheckpoint(true)
+        val a = banded.select(Seq(col(idCol).as("id_a"), col("band"),
+          col("sig")) ++
+          (0 until k).map(i => col(s"c_mh_$i").as(s"a_mh_$i")): _*)
+        val b = banded.select(Seq(col(idCol).as("id_b"), col("band"),
+          col("sig")) ++
+          (0 until k).map(i => col(s"c_mh_$i").as(s"b_mh_$i")): _*)
         val agree = (0 until k).map(i =>
           when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
           .reduce(_ + _)
         a.join(b, Seq("band", "sig"))
-          .filter(col("id_a") < col("id_b"))
-          .join(aSigs, Seq("id_a")).join(bSigs, Seq("id_b"))
-          .filter(agree >= th)
+          .filter(col("id_a") < col("id_b") && agree >= th)
           .select(col("id_b").as(idCol)).distinct()
     }
     exact

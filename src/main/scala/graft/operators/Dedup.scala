@@ -451,32 +451,48 @@ object Dedup {
     // stack over checkpoint blocks — cheaper to recompute per consumer
     // than to pay a cache-fill job; without (unverified path), the
     // cache is the materialization barrier for the two consumers
-    val banded =
-      if (minAgree.isDefined) bandSignatures(sigsM, idCol, k, bands)
-      else {
-        val b = bandSignatures(sigsM, idCol, k, bands).cache()
-        b.count() // populate before TWO consumers scan it in one job
-        b
-      }
-    val centers = banded.groupBy(col("band"), col("sig"))
-      .agg(min(col(idCol)).as("center"))
-    val starEdges = banded.join(centers, Seq("band", "sig"))
-      .filter(col(idCol) =!= col("center")) // size-1 buckets drop out
-      .select(col(idCol).as("id_a"), col("center").as("id_b"))
     val edges = minAgree match {
-      case None => starEdges
+      case None =>
+        val banded = bandSignatures(sigsM, idCol, k, bands).cache()
+        banded.count() // populate before TWO consumers scan it in one job
+        val centers = banded.groupBy(col("band"), col("sig"))
+          .agg(min(col(idCol)).as("center"))
+        try banded.join(centers, Seq("band", "sig"))
+          .filter(col(idCol) =!= col("center")) // size-1 buckets drop out
+          .select(col(idCol).as("id_a"), col("center").as("id_b"))
+          .localCheckpoint(true)
+        finally banded.unpersist()
       case Some(th) =>
-        val aSigs = sigsM.select(col(idCol).as("id_a") +:
-          (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
-        val bSigs = sigsM.select(col(idCol).as("id_b") +:
-          (0 until k).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
-        starEdges.join(aSigs, Seq("id_a")).join(bSigs, Seq("id_b"))
+        // verified path, round-10 shape (the q95 carry medicine): the
+        // member's OWN signature rides the band rows, and the center
+        // aggregate is min(struct(id, sig…)) — same center as min(id),
+        // with its signature dragged along atomically — so agreement
+        // filters map-side on the star join's output and the edge
+        // stream never re-crosses the wire into signature join-backs
+        // (the old shape shuffled it twice; q67 at 100× measured the
+        // cost). Band rows carry k extra ints — corpus-linear.
+        val banded = bandSignatures(
+          sigsM.select(col(idCol) +: ((0 until k).map(i => col(s"mh_$i")) ++
+            (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i"))): _*),
+          idCol, k, bands, carry = (0 until k).map(i => s"a_mh_$i"))
+          // both consumers (center aggregate + star join) would
+          // otherwise re-derive the carry-widened band table from the
+          // signature checkpoint
+          .localCheckpoint(true)
+        val centers = banded.groupBy(col("band"), col("sig"))
+          .agg(min(struct(col(idCol) +:
+            (0 until k).map(i => col(s"a_mh_$i").as(s"b_mh_$i")): _*))
+            .as("__c"))
+        banded.join(centers, Seq("band", "sig"))
+          .filter(col(idCol) =!= col(s"__c.$idCol"))
+          .select(Seq(col(idCol).as("id_a"), col(s"__c.$idCol").as("id_b")) ++
+            (0 until k).map(i => col(s"a_mh_$i")) ++
+            (0 until k).map(i => col(s"__c.b_mh_$i").as(s"b_mh_$i")): _*)
           .filter(sigAgreement(k) >= th)
           .select(col("id_a"), col("id_b"))
     }
-    try connectedComponents(edges, "id_a", "id_b",
+    connectedComponents(edges, "id_a", "id_b",
       checkpointDir = checkpointDir)
-    finally banded.unpersist()
   }
 
   /** Connected components over candidate pairs: every doc in a
