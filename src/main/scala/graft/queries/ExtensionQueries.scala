@@ -29,6 +29,31 @@ object ExtensionQueries {
           col("target_uri"), col("warc_date"), col("content_length"),
           decode(col("payload"), "ISO-8859-1").as("payload_text"))),
 
+    // crawl front-end composed (q137 × q136): WARC record walk feeds
+    // HTML extraction in ONE chain — the synthesizer wraps each doc's
+    // q136-style planted page in real WARC framing, the reader
+    // length-frames it out, the extractor recovers the closed-form
+    // visible text. Corrupt files (doc_id%50==0) vanish at the WARC
+    // rung, before the extractor ever runs — the staged-rejection
+    // order a real ingest uses
+    "q139_crawl_ingest" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><script>if (a<b) { track(\"</div>\"); }</script></head>"),
+        lit("<body><!-- c --><h1 title=\"a > b\">Heading &amp; "), id,
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p><div>tail &lt;"), id, lit("&gt;</div></body></html>"))
+      val files = graft.sources.Warc.synthesizeWarc(
+        d.select(col("doc_id"), page.as("text")))
+      graft.sources.Warc.records(files)
+        .filter(col("rec_type") === "response")
+        .select(col("file_id"),
+          graft.operators.Html.extractText(
+            decode(col("payload"), "ISO-8859-1")).as("clean_text"))
+    }),
+
     // mapPartitions batched "decode" over binary media columns.
     // The feature vector is flattened to scalar columns for the oracle
     // compare (the gate's comparator cannot hash array cells); the
@@ -254,6 +279,14 @@ object ExtensionQueries {
         |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id,
         |  wdate, CAST(length(text) AS BIGINT), text
         |FROM clean""".stripMargin,
+    // replays BOTH plantings composed: only clean files survive the
+    // WARC rung, and the extractor reduces each planted page to its
+    // q136-style closed form
+    "q139_crawl_ingest" ->
+      """SELECT doc_id AS file_id,
+        |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' tail <' || doc_id || '>' AS clean_text
+        |FROM documents WHERE doc_id % 50 <> 0""".stripMargin,
     "q45_multimodal_features" ->
       """WITH chars AS (
         |  SELECT doc_id, ord(substr(text, i, 1)) AS b
