@@ -96,6 +96,30 @@ class DedupSpec extends SparkTestBase {
     assert(viaMd5.nonEmpty && viaXx.nonEmpty)
   }
 
+  test("exactSubstringDedup output is backend-invariant (120-bit digests group only identical text)") {
+    val docs = docsDf(
+      1L -> "a b c d e f g h i j k l",
+      2L -> "x y a b c d e f g h i j", // 10-token repeat of 1's prefix
+      3L -> "p q r s t u v w z0 z1 z2 z3")
+    val prop = graft.functions.PortableHash.BackendProp
+    def run(): Map[Long, String] = {
+      val m = Dedup.exactSubstringDedup(docs, "doc_id", "text", 10)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      spark.catalog.clearCache(); m
+    }
+    val viaMd5 = try { System.setProperty(prop, "md5"); run() }
+      finally System.clearProperty(prop)
+    val viaXx = try { System.setProperty(prop, "xxhash64"); run() }
+      finally System.clearProperty(prop)
+    // the digest is engine-internal: BOTH backends must group exactly
+    // the identical shingles, so the cleaned text is equal, not just
+    // similar (this is what the 120-bit width buys at scale — the
+    // grouping cannot merge distinct spans)
+    assert(viaMd5 == viaXx)
+    assert(viaMd5(2L) == "x y", s"repeat span must drop: ${viaMd5(2L)}")
+    assert(viaMd5(3L) == "p q r s t u v w z0 z1 z2 z3")
+  }
+
   import scala.jdk.CollectionConverters._
 
   private def docsDf(rows: (Long, String)*) = {
