@@ -309,6 +309,40 @@ object Sampling {
        |WHERE ${bucketSql(idExpr, 1000000, salt)} < thr""".stripMargin
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020 §4.4): split the corpus into head / middle /
+    * tail TERCILES by language-model score — CCNet keeps "head" (the
+    * best-scoring third under the reference LM) as its quality tier,
+    * and downstream mixes sample per tier. The LM here is the
+    * engine's own corpus-bigram scorer
+    * ([[TextAnalysis.ngramLmScore]]; higher avg log-prob = more
+    * probable = head).
+    *
+    * Determinism and scale in one move: tier assignment is by GLOBAL
+    * RANK over the total order (lm_score, id) — ties broken by id —
+    * via [[Relational.globalRowNumber]] (range repartition +
+    * broadcast offsets; NO single-partition sort), then the tercile
+    * is exact integer arithmetic `((rn-1)·3) div n` — bit-portable,
+    * no float quantile thresholds to straddle engines (an
+    * interpolated-percentile cut would reintroduce exactly the
+    * boundary-flip class the q94 oracle rework removed). The corpus
+    * size joins as a broadcast 1-row max over the already-ranked
+    * frame, riding its checkpoint — never a driver collect of data.
+    * Docs with fewer than two words have no bigrams and are absent
+    * (nothing to score), as in the scorer itself. */
+  def perplexityBuckets(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val scored = graft.operators.TextAnalysis.ngramLmScore(df, idCol, textCol)
+    val ranked = graft.operators.Relational.globalRowNumber(
+      scored, Seq("lm_score", idCol), "__rn")
+    ranked
+      .crossJoin(broadcast(ranked.agg(max(col("__rn")).as("__n"))))
+      .select(col(idCol), col("n_bigrams"), col("lm_score"),
+        expr("CASE ((__rn - 1) * 3) div __n WHEN 0 THEN 'tail' " +
+          "WHEN 1 THEN 'middle' ELSE 'head' END").as("bucket"))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", 2023): score every
     * document by how much more likely its hashed-bigram features are

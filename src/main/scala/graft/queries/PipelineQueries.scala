@@ -557,6 +557,14 @@ object PipelineQueries {
     "q94_ngram_lm" -> ((s, dir) =>
       TextAnalysis.ngramLmScore(docs(s, dir), "doc_id", "text")),
 
+    // CCNet head/middle/tail perplexity terciles
+    // (Sampling.perplexityBuckets, Wenzek et al. LREC'20 §4.4): tier
+    // by GLOBAL RANK over (lm_score, doc_id) via the scalable
+    // row-number machinery (q129) + exact integer tercile arithmetic
+    // — no float quantile threshold to straddle engines
+    "q140_perplexity_buckets" -> ((s, dir) =>
+      Sampling.perplexityBuckets(docs(s, dir), "doc_id", "text")),
+
     // corpus-wide heavy hitters via sketch-prune + exact-verify
     // (TextAnalysis.heavyHitters): freqItems candidates (superset
     // guarantee, <= 1/support of them) exactly counted and filtered —
@@ -777,6 +785,29 @@ object PipelineQueries {
        |FROM bands a JOIN capped USING (band, sig)
        |JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
   }
+
+  /** Oracle twin of q94, shared by q140: the operator's log-sum
+    * identity (see the q94 map comment). */
+  private val ngramLmOracleSql: String =
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bgs AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, ws[i] AS w1
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM d WHERE len(ws) >= 2)),
+        |b1 AS (SELECT doc_id, bg, w1, count(*) AS m
+        |  FROM bgs GROUP BY doc_id, bg, w1),
+        |cb AS (SELECT bg, CAST(sum(m) AS BIGINT) AS c2 FROM b1 GROUP BY bg),
+        |w1d AS (SELECT doc_id, w1, CAST(sum(m) AS BIGINT) AS mw
+        |  FROM b1 GROUP BY doc_id, w1),
+        |cu AS (SELECT w1, CAST(sum(mw) AS BIGINT) AS c1 FROM w1d GROUP BY w1),
+        |s2 AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |    sum(CAST(m AS DOUBLE) * ln(CAST(c2 AS DOUBLE))) AS s2
+        |  FROM b1 JOIN cb USING (bg) GROUP BY doc_id),
+        |s1 AS (SELECT doc_id,
+        |    sum(CAST(mw AS DOUBLE) * ln(CAST(c1 AS DOUBLE))) AS s1
+        |  FROM w1d JOIN cu USING (w1) GROUP BY doc_id)
+        |SELECT s2.doc_id, n_bigrams,
+        |  round((s2 - s1) / n_bigrams, 6) AS lm_score
+        |FROM s2 JOIN s1 USING (doc_id)""".stripMargin
 
   /** Oracle twin of q95: same md5 exact-drop, same seeded-minhash band
     * probe, over the same deterministic doc_id%3 corpus split. */
@@ -1523,26 +1554,19 @@ object PipelineQueries {
     // between engines (round-9 ADVICE). Sharing the identity leaves
     // only summation-association noise (~1e-15), three orders more
     // margin under the rounding firewall
-    "q94_ngram_lm" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |bgs AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, ws[i] AS w1
-        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
-        |        FROM d WHERE len(ws) >= 2)),
-        |b1 AS (SELECT doc_id, bg, w1, count(*) AS m
-        |  FROM bgs GROUP BY doc_id, bg, w1),
-        |cb AS (SELECT bg, CAST(sum(m) AS BIGINT) AS c2 FROM b1 GROUP BY bg),
-        |w1d AS (SELECT doc_id, w1, CAST(sum(m) AS BIGINT) AS mw
-        |  FROM b1 GROUP BY doc_id, w1),
-        |cu AS (SELECT w1, CAST(sum(mw) AS BIGINT) AS c1 FROM w1d GROUP BY w1),
-        |s2 AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-        |    sum(CAST(m AS DOUBLE) * ln(CAST(c2 AS DOUBLE))) AS s2
-        |  FROM b1 JOIN cb USING (bg) GROUP BY doc_id),
-        |s1 AS (SELECT doc_id,
-        |    sum(CAST(mw AS DOUBLE) * ln(CAST(c1 AS DOUBLE))) AS s1
-        |  FROM w1d JOIN cu USING (w1) GROUP BY doc_id)
-        |SELECT s2.doc_id, n_bigrams,
-        |  round((s2 - s1) / n_bigrams, 6) AS lm_score
-        |FROM s2 JOIN s1 USING (doc_id)""".stripMargin,
+    "q94_ngram_lm" -> ngramLmOracleSql,
+    // CCNet terciles over the q94 scores: identical rounded scores on
+    // both engines → identical (lm_score, doc_id) total order →
+    // identical ranks; the tercile is exact integer division, so no
+    // float threshold exists to straddle
+    "q140_perplexity_buckets" ->
+      s"""WITH s AS (SELECT * FROM ($ngramLmOracleSql) q),
+         |r AS (SELECT *, row_number() OVER (ORDER BY lm_score, doc_id)
+         |    AS rn, count(*) OVER () AS n FROM s)
+         |SELECT doc_id, n_bigrams, lm_score,
+         |  CASE ((rn - 1) * 3) // n WHEN 0 THEN 'tail'
+         |    WHEN 1 THEN 'middle' ELSE 'head' END AS bucket
+         |FROM r""".stripMargin,
     "q95_incr_dedup" -> incrDedupSql,
     "q99_token_budget" -> Sampling.tokenBudgetMixSql(
       "documents", "doc_id", "source", "n_chars",

@@ -213,4 +213,33 @@ class SamplingSpec extends SparkTestBase {
     assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
       s"rank-limit pushdown missing:\n$plan")
   }
+
+  test("perplexityBuckets: terciles by rank, ties by id, sub-bigram docs absent") {
+    import spark.implicits._
+    // Score semantics: lm_score = avg ln P(w2|w1) under the corpus's
+    // own bigram counts, so a doc whose bigrams are fully predictable
+    // from their prefix scores 0 (the maximum). Docs 6-9 use globally
+    // unique words -> every P(w2|w1) = 1 -> all tie at 0.0 (head,
+    // tiebroken by id). The clones 1-4 share prefix 'alpha' with doc
+    // 5's different continuation, so their P(beta|alpha) < 1; doc 5
+    // mixes the diluted prefix with its own branches and scores
+    // lowest. One 1-word doc must be absent (nothing to score).
+    val docs = ((1L to 4L).map(i => (i, "alpha beta alpha beta gamma")) ++
+      Seq((5L, "alpha beta delta epsilon zeta"),
+        (6L, "eta theta iota kappa lam"),
+        (7L, "mu nu xi omicron pi"),
+        (8L, "rho sigma tau upsilon phi"),
+        (9L, "chi psi omega aleph bet"),
+        (10L, "solo"))).toDF("doc_id", "text")
+    val out = graft.operators.Sampling
+      .perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(!out.contains(10L), "1-word doc has no bigrams")
+    assert(out.size == 9)
+    // ascending rank: 5 (lowest), clones 1-4 (shared score, id ties),
+    // then the four 0.0 docs 6-9 (id ties) -> exact terciles of 3:
+    assert(out == Map(5L -> "tail", 1L -> "tail", 2L -> "tail",
+      3L -> "middle", 4L -> "middle", 6L -> "middle",
+      7L -> "head", 8L -> "head", 9L -> "head"), s"$out")
+  }
 }
