@@ -44,6 +44,11 @@ object CorpusPipeline {
     // not its prose (C4 §2.1 extracts first for exactly this reason).
     // Zero-shuffle scalar chain; false = input is already plain text
     htmlExtract: Boolean = false,
+    // run [[Html.cleanLines]] right after extraction (C4's order,
+    // Raffel et al. §2.1): line-level rules the doc-level gates below
+    // cannot express — a page keeping zero lines (or tripping the
+    // lorem-ipsum / curly-brace page rules) drops HERE. None = skip
+    c4LineMinWords: Option[Int] = None,
     // run [[Dedup.exactSubstringDedup]] at this window width as stage
     // 0 (round 9): duplicated >= w-token spans are removed IN PLACE
     // before the gates, so the language/quality/length checks judge
@@ -57,10 +62,19 @@ object CorpusPipeline {
     * drove the decisions: (id, pred_lang, n_words, quality_score). */
   def clean(dfRaw: DataFrame, idCol: String, textCol: String,
             cfg: Config): DataFrame = {
-    val df0 =
+    val extracted =
       if (cfg.htmlExtract)
-        dfRaw.withColumn(textCol, Html.extractText(col(textCol)))
+        // line breaks survive extraction exactly when the line-level
+        // stage below will consume them (C4's extract→line order)
+        dfRaw.withColumn(textCol, Html.extractText(col(textCol),
+          keepLineBreaks = cfg.c4LineMinWords.isDefined))
       else dfRaw
+    val df0 = cfg.c4LineMinWords match {
+      case Some(mw) =>
+        Html.cleanLines(extracted, idCol, textCol, mw)
+          .select(col(idCol), col("clean_text").as(textCol))
+      case None => extracted
+    }
     val df = cfg.substrWindow match {
       case Some(w) =>
         Dedup.exactSubstringDedup(df0, idCol, textCol, w)

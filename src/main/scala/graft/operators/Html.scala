@@ -53,17 +53,77 @@ object Html {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
     "&#39;" -> "'", "&#34;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
 
-  /** Visible text of an HTML column per the five-step contract. */
-  def extractText(html: Column): Column = {
+  /** C4's LINE-level cleaning rules (Raffel et al., "Exploring the
+    * Limits of Transfer Learning…", JMLR 2020 §2.1) — the step C4
+    * applies right after HTML extraction, and the one rule set here
+    * that works BELOW document granularity (every other gate in the
+    * engine judges whole docs):
+    *
+    *  - keep only lines ending in terminal punctuation (`. ! ? "`),
+    *  - drop lines with fewer than `minWords` words,
+    *  - drop lines containing the word "javascript" (the
+    *    enable-javascript boilerplate marker),
+    *  - drop the WHOLE page if it contains "lorem ipsum" or a curly
+    *    brace (placeholder text / leftover code).
+    *
+    * Pure scalar work: one split + one higher-order `filter` per row,
+    * zero shuffle; the page-level drops are plain filters. Returns
+    * (idCol, clean_text, n_kept, n_dropped) with clean_text the
+    * surviving lines rejoined by '\n'; pages failing the page rules —
+    * or keeping zero lines — are absent from the result (C4 drops
+    * them). Word counting is whitespace-split, matching
+    * [[TextAnalysis]]'s convention and bit-portable to a SQL oracle. */
+  def cleanLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, minWords: Int = 3):
+      org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val keep = filter(lines, l =>
+      size(split(trim(l), " ")) >= minWords &&
+        l.rlike("[.!?\"]$") &&
+        !lower(l).contains("javascript"))
+    df.filter(!lower(t).contains("lorem ipsum") &&
+        !t.contains("{") && !t.contains("}"))
+      .select(col(idCol), keep.as("__k"), size(lines).as("__n"))
+      .filter(size(col("__k")) > 0)
+      .select(col(idCol),
+        array_join(col("__k"), "\n").as("clean_text"),
+        size(col("__k")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__k"))).cast("long").as("n_dropped"))
+  }
+
+  /** Block-boundary tags that become line breaks under
+    * `keepLineBreaks` — the C4-extractor behavior [[cleanLines]]
+    * needs upstream (its rules are LINE-level; an extractor that
+    * flattens the page to one line starves them). */
+  private[graft] val blockBreakPattern =
+    "(?i)<br\\s*/?>|</(?:p|div|li|tr|h[1-6])\\s*>"
+
+  /** Visible text of an HTML column per the five-step contract.
+    * `keepLineBreaks = true` turns block-closing tags (`</p>`,
+    * `</div>`, `</li>`, `</tr>`, `</h1..6>`, `<br>`) into newlines
+    * and collapses whitespace WITHIN lines only — feed this form to
+    * [[cleanLines]]; the default flattens to one space-collapsed
+    * line (the q136 oracle's closed form). */
+  def extractText(html: Column, keepLineBreaks: Boolean = false): Column = {
     val noScript = regexp_replace(html, scriptPattern, " ")
     val noStyle = regexp_replace(noScript, stylePattern, " ")
     val noComment = regexp_replace(noStyle, commentPattern, " ")
-    val noTags = regexp_replace(noComment, tagPattern, " ")
+    val broken =
+      if (keepLineBreaks) regexp_replace(noComment, blockBreakPattern, "\n")
+      else noComment
+    val noTags = regexp_replace(broken, tagPattern, " ")
     val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
       // literal replace (not regexp): left-to-right non-overlapping,
       // identical semantics in Spark and DuckDB (SCALE.md portable set)
       replace(c, lit(from), lit(to))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    if (keepLineBreaks)
+      // collapse within lines, trim each line, drop blank lines —
+      // the result's lines are exactly the page's block runs
+      array_join(filter(transform(split(decoded, "\n"),
+        l => trim(regexp_replace(l, "[ \\t\\r\\f]+", " "))),
+        l => l =!= ""), "\n")
+    else trim(regexp_replace(decoded, "\\s+", " "))
   }
 }

@@ -557,6 +557,29 @@ object PipelineQueries {
     "q94_ngram_lm" -> ((s, dir) =>
       TextAnalysis.ngramLmScore(docs(s, dir), "doc_id", "text")),
 
+    // C4 line-level cleaning (Html.cleanLines, Raffel et al. JMLR'20
+    // §2.1): the corpus has no line structure, so the demo PLANTS it —
+    // a terminal-punct line (kept), the enable-javascript boilerplate
+    // (dropped), a no-punctuation line (dropped), a 1-word line
+    // (dropped), a second kept line, plus page-kill plants (curly
+    // brace every 40th doc, lorem ipsum every 30th+7) that erase the
+    // whole page. Oracle replays the planting: 2 kept / 3 dropped per
+    // surviving page. concat_ws skips the NULL plant slots
+    "q141_c4_line_clean" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val planted = docs(s, dir).filter(size(ws) >= 18)
+        .select(col("doc_id"), concat_ws("\n",
+          concat(concat_ws(" ", slice(ws, 1, 6)), lit(".")),
+          lit("please enable javascript to view this page."),
+          concat_ws(" ", slice(ws, 7, 6)),
+          lit("ok."),
+          concat(concat_ws(" ", slice(ws, 13, 6)), lit("?")),
+          when(pmod(col("doc_id"), lit(40)) === 0, lit("function() {")),
+          when(pmod(col("doc_id"), lit(30)) === 7,
+            lit("standard lorem ipsum passage here."))).as("text"))
+      graft.operators.Html.cleanLines(planted, "doc_id", "text")
+    }),
+
     // CCNet head/middle/tail perplexity terciles
     // (Sampling.perplexityBuckets, Wenzek et al. LREC'20 §4.4): tier
     // by GLOBAL RANK over (lm_score, doc_id) via the scalable
@@ -1559,6 +1582,18 @@ object PipelineQueries {
     // both engines → identical (lm_score, doc_id) total order →
     // identical ranks; the tercile is exact integer division, so no
     // float threshold exists to straddle
+    // replays the q141 planting: lines 1 and 5 survive the C4 rules,
+    // page-kill plants erase their docs, short docs never planted
+    "q141_c4_line_clean" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |    array_to_string(ws[1:6], ' ') || '.' AS l1,
+        |    array_to_string(ws[13:18], ' ') || '?' AS l5
+        |  FROM d WHERE len(ws) >= 18)
+        |SELECT doc_id, l1 || chr(10) || l5 AS clean_text,
+        |  CAST(2 AS BIGINT) AS n_kept, CAST(3 AS BIGINT) AS n_dropped
+        |FROM e WHERE doc_id % 40 <> 0 AND doc_id % 30 <> 7""".stripMargin,
     "q140_perplexity_buckets" ->
       s"""WITH s AS (SELECT * FROM ($ngramLmOracleSql) q),
          |r AS (SELECT *, row_number() OVER (ORDER BY lm_score, doc_id)

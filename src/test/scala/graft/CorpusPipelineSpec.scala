@@ -47,6 +47,26 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.select("doc_id").collect().map(_.getInt(0)).toSet == Set(1))
   }
 
+  test("htmlExtract + c4 line stage composed: block breaks survive to the line rules") {
+    import spark.implicits._
+    val en = "the quick fast query scans a wide table of rows."
+    val docs = Seq(
+      // good prose in <p> blocks + a boilerplate block the LINE rules
+      // must drop (doc-level gates alone could not remove just it)
+      (1, s"<html><body><p>$en</p>" +
+        "<p>Please enable javascript to continue.</p>" +
+        s"<p>$en</p></body></html>"),
+      // every block fails the line rules -> zero lines -> page dropped
+      (2, "<html><body><p>no punct block</p><p>x.</p></body></html>")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.clean(docs, "doc_id", "text",
+      cfg.copy(htmlExtract = true, c4LineMinWords = Some(3),
+        // the two surviving identical lines make doc 1 self-similar,
+        // not cross-doc duplicated; keep near-dup verification on
+        minAgree = Some(13)))
+    assert(out.select("doc_id").collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
   test("trigram language ID classifies real sentences in all five languages") {
     import spark.implicits._
     val docs = Seq(

@@ -63,4 +63,26 @@ class HtmlSpec extends SparkTestBase {
       "<html><head><title>T</title><script>s</script></head><body>B</body></html>")
       == "T B")
   }
+
+  test("cleanLines: C4 rules on hand-written pages the planting never emits") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "A good sentence here.\nShort.\nno terminal punct\n" +
+        "He said \"stop\"\nPlease enable JAVASCRIPT now.\nAnother fine keeper!"),
+      (2L, "only lorem ipsum filler.\nA fine line."),   // page killed
+      (3L, "var f = function() { return 1; }\nGood line."), // brace kill
+      (4L, "no punct at all\nme neither"),              // zero kept -> absent
+      (5L, "Tiny page here.\n\n\nWith some blanks?")            // blanks dropped
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Html.cleanLines(pages, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: keeps the '.' line, the quote-terminal line, and the '!'
+    // line; drops the 1-word line, the no-punct line, the javascript
+    // line (case-insensitive)
+    assert(out(1L) == (("A good sentence here.\nHe said \"stop\"\nAnother fine keeper!", 3L, 3L)), s"${out(1L)}")
+    assert(!out.contains(2L) && !out.contains(3L), "page-level kills")
+    assert(!out.contains(4L), "zero surviving lines -> page absent")
+    assert(out(5L) == (("Tiny page here.\nWith some blanks?", 2L, 2L)))
+  }
 }
