@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTML → visible-text extraction: the step-0 ingest rung of every
@@ -99,6 +99,78 @@ object Html {
   private[graft] val blockBreakPattern =
     "(?i)<br\\s*/?>|</(?:p|div|li|tr|h[1-6])\\s*>"
 
+  /** Anchor-element pattern for [[extractLinks]]: group 1 captures a
+    * DOUBLE-quoted href value, group 2 the raw anchor body. Contract
+    * choices, each pinned in HtmlSpec:
+    *  - `<a\s` requires whitespace after the tag name, so `<abbr>` /
+    *    `<area>` never match;
+    *  - the lazy pre-href run tolerates other attributes (quoted runs
+    *    consumed atomically, so an `href` INSIDE another attribute's
+    *    quotes cannot terminate it) but — like [[tagPattern]] — can
+    *    never cross the tag-closing `>`; when present it must end in
+    *    whitespace, so `href` binds only as an attribute NAME, never
+    *    as the tail of one (`data-href="…"` cannot match);
+    *  - href must be double-quoted (the dominant form); single-quoted
+    *    or unquoted hrefs and href-less anchors (`<a name=…>`) are
+    *    skipped, not misparsed — documented, lookaround-free (RE2-safe)
+    *    in exchange;
+    *  - `(?s)` lets anchors span lines; `</a\s*>` tolerates the
+    *    whitespace-before-`>` close the tag pattern accepts. */
+  private[graft] val anchorPattern =
+    "(?is)<a\\s(?:(?:[^>\"']|\"[^\"]*\"|'[^']*')*?\\s)?href\\s*=\\s*\"([^\"]*)\"" +
+      "(?:[^>\"']|\"[^\"]*\"|'[^']*')*>(.*?)</a\\s*>"
+
+  /** Steps 1-2 of the contract, shared by [[extractText]] and
+    * [[extractLinks]]: drop script/style elements with their content,
+    * then comments — BEFORE any tag or anchor matching, so markup
+    * inside code or commented-out regions can never leak out. */
+  private def stripNonContent(html: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html, scriptPattern, " "),
+        stylePattern, " "),
+      commentPattern, " ")
+
+  /** Entity decode per the fixed table (contract step 4). */
+  private def decodeEntities(c: Column): Column =
+    entities.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+
+  /** Hyperlink extraction — the web-graph construction rung (the link
+    * structure Common Crawl-style pipelines feed to
+    * [[Graph.pageRank]], and the anchor-text signal IR pipelines
+    * aggregate per target). One row per matched anchor:
+    * `(idCol, link_no, href, anchor)` with `link_no` the 0-based
+    * document order, `href` the entity-decoded raw target (NOT
+    * resolved/normalized — compose [[UrlNormalize]] for that), and
+    * `anchor` the anchor body with inner tags stripped, entities
+    * decoded, and whitespace collapsed (the [[extractText]] steps 3-5
+    * applied inside the anchor). Anchors inside scripts, styles, or
+    * comments never match (they are stripped first); docs with no
+    * links contribute no rows.
+    *
+    * Scale shape: two `regexp_extract_all` passes over the same
+    * pattern (hrefs then anchors — Spark's extract-all surfaces one
+    * group per call), zipped positionally and exploded. All scalar
+    * expressions on the scan — the only rows that survive into any
+    * downstream shuffle are the links themselves, so at 100 TB this
+    * rides the ingest scan like [[extractText]]. */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val content = stripNonContent(col(htmlCol))
+    val pairs = zip_with(
+      regexp_extract_all(content, lit(anchorPattern), lit(1)),
+      regexp_extract_all(content, lit(anchorPattern), lit(2)),
+      (h, a) => struct(h.as("href"), a.as("anchor")))
+    df.select(col(idCol), posexplode(pairs).as(Seq("link_no", "link")))
+      .select(col(idCol),
+        col("link_no").cast("int").as("link_no"),
+        trim(decodeEntities(col("link.href"))).as("href"),
+        trim(regexp_replace(
+          decodeEntities(regexp_replace(col("link.anchor"), tagPattern, " ")),
+          "\\s+", " ")).as("anchor"))
+  }
+
   /** Visible text of an HTML column per the five-step contract.
     * `keepLineBreaks = true` turns block-closing tags (`</p>`,
     * `</div>`, `</li>`, `</tr>`, `</h1..6>`, `<br>`) into newlines
@@ -106,18 +178,14 @@ object Html {
     * [[cleanLines]]; the default flattens to one space-collapsed
     * line (the q136 oracle's closed form). */
   def extractText(html: Column, keepLineBreaks: Boolean = false): Column = {
-    val noScript = regexp_replace(html, scriptPattern, " ")
-    val noStyle = regexp_replace(noScript, stylePattern, " ")
-    val noComment = regexp_replace(noStyle, commentPattern, " ")
+    val noComment = stripNonContent(html)
     val broken =
       if (keepLineBreaks) regexp_replace(noComment, blockBreakPattern, "\n")
       else noComment
     val noTags = regexp_replace(broken, tagPattern, " ")
-    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
-      // literal replace (not regexp): left-to-right non-overlapping,
-      // identical semantics in Spark and DuckDB (SCALE.md portable set)
-      replace(c, lit(from), lit(to))
-    }
+    // literal replace (not regexp): left-to-right non-overlapping,
+    // identical semantics in Spark and DuckDB (SCALE.md portable set)
+    val decoded = decodeEntities(noTags)
     if (keepLineBreaks)
       // collapse within lines, trim each line, drop blank lines —
       // the result's lines are exactly the page's block runs

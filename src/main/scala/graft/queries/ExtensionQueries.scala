@@ -54,6 +54,42 @@ object ExtensionQueries {
             decode(col("payload"), "ISO-8859-1")).as("clean_text"))
     }),
 
+    // web-graph construction composed end-to-end (q137 × q142 ×
+    // host aggregation): WARC walk → response payloads → hyperlink
+    // extraction → (src_host, dst_host) edge aggregation — the chain
+    // that turns a crawl batch into [[Graph.pageRank]] input. Each
+    // planted page carries two absolute links with closed-form target
+    // hosts plus a script-decoy link; corrupt files (doc_id%50==0)
+    // vanish at the WARC rung. The only exchange in the whole chain
+    // is the final edge GROUP BY — synth, walk, extraction, and host
+    // parsing all ride the scan.
+    "q143_link_graph" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val h1 = pmod(col("doc_id") * 3 + 1, lit(7)).cast("string")
+      val h2 = pmod(col("doc_id") * 5 + 2, lit(7)).cast("string")
+      val page = concat(
+        lit("<html><body><p>Doc "), id,
+        lit("</p><a href=\"http://site"), h1, lit(".example/p/"), id,
+        lit("\">fwd</a>\n<a rel=\"x\" href=\"http://site"), h2,
+        lit(".example/p/"), id, lit("\">alt</a><script>var s = "),
+        lit("'<a href=\"http://evil.example/\">spam</a>';</script>"),
+        lit("</body></html>"))
+      val recs = graft.sources.Warc.records(
+        graft.sources.Warc.synthesizeWarc(
+          d.select(col("doc_id"), page.as("text"))))
+        .filter(col("rec_type") === "response")
+        .select(col("file_id"),
+          regexp_extract(col("target_uri"), "^https?://([^/]+)", 1)
+            .as("src_host"),
+          decode(col("payload"), "ISO-8859-1").as("html"))
+      graft.operators.Html.extractLinks(recs, "src_host", "html")
+        .select(col("src_host"),
+          regexp_extract(col("href"), "^https?://([^/]+)", 1).as("dst_host"))
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
+    }),
+
     // mapPartitions batched "decode" over binary media columns.
     // The feature vector is flattened to scalar columns for the oracle
     // compare (the gate's comparator cannot hash array cells); the
@@ -287,6 +323,22 @@ object ExtensionQueries {
         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
         |  ' tail <' || doc_id || '>' AS clean_text
         |FROM documents WHERE doc_id % 50 <> 0""".stripMargin,
+    // replays the q143 planting composed through all three rungs:
+    // only clean files survive the WARC walk, each contributes its
+    // two planted edges (the script decoy never extracts), and hosts
+    // come from the synthesizer's target_uri / the planted hrefs
+    "q143_link_graph" ->
+      """WITH clean AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |e AS (
+        |  SELECT 'site' || (doc_id % 7) || '.example' AS src_host,
+        |    'site' || ((doc_id * 3 + 1) % 7) || '.example' AS dst_host
+        |  FROM clean
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 7) || '.example',
+        |    'site' || ((doc_id * 5 + 2) % 7) || '.example'
+        |  FROM clean)
+        |SELECT src_host, dst_host, count(*) AS n_links
+        |FROM e GROUP BY src_host, dst_host""".stripMargin,
     "q45_multimodal_features" ->
       """WITH chars AS (
         |  SELECT doc_id, ord(substr(text, i, 1)) AS b

@@ -202,6 +202,33 @@ object PipelineQueries {
         graft.operators.Html.extractText(html).as("clean_text"))
     }),
 
+    // hyperlink extraction (Html.extractLinks): the web-graph
+    // construction rung between q136's text extraction and the Graph
+    // operators. The demo PLANTS anchors with closed-form targets —
+    // a full absolute link with other attributes and inner markup, a
+    // relative link whose href carries the &amp; entity and whose body
+    // carries extra whitespace + nested tags — plus every decoy class
+    // the contract skips: an anchor inside a script, one inside a
+    // comment, an href-less <a name=…>, and a single-quoted href.
+    // The oracle replays the planting formula: exactly two links per
+    // doc, in document order. Pure scalar chain, zero exchanges.
+    "q142_link_extract" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val id = col("doc_id").cast("string")
+      val nxt = ((col("doc_id") * 7 + 3) % 1000).cast("string")
+      val html = concat(
+        lit("<html><head><script>var x = '<a href=\"http://evil.example/x\">spam</a>';</script>"),
+        lit("<!-- <a href=\"http://c.example/\">commented out</a> --></head><body>"),
+        lit("<a class=\"m\" href=\"https://ex.com/doc/"), nxt,
+        lit("\" title=\"a > b\">next &amp; <b>doc</b> "), nxt, lit("</a>"),
+        lit("<a name=\"frag\">anchorless</a>"),
+        lit("<a href='http://single.example/"), id, lit("'>skipped</a>"),
+        lit("<a href=\"/p?a="), id, lit("&amp;b=2\">\n deep  <i>page</i> "),
+        id, lit(" </a></body></html>"))
+      graft.operators.Html.extractLinks(
+        d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+    }),
+
     // product quantization (Jégou et al. PAMI'11): per-subspace
     // Lloyd codebooks, each vector -> m codes + per-subspace squared
     // quantization error; the PQ storage format's train+encode pass
@@ -1381,6 +1408,18 @@ object PipelineQueries {
       """SELECT doc_id,
         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
         |  ' tail <' || doc_id || '> &lt;end' AS clean_text
+        |FROM documents""".stripMargin,
+    // replays q142's planting: two surviving links per doc, in
+    // document order; the script/comment/anchorless/single-quote
+    // decoys contribute nothing by contract
+    "q142_link_extract" ->
+      """SELECT doc_id, CAST(0 AS INTEGER) AS link_no,
+        |  'https://ex.com/doc/' || ((doc_id * 7 + 3) % 1000) AS href,
+        |  'next & doc ' || ((doc_id * 7 + 3) % 1000) AS anchor
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER),
+        |  '/p?a=' || doc_id || '&b=2', 'deep page ' || doc_id
         |FROM documents""".stripMargin,
     "q132_temperature_mix" -> Sampling.mixByTemperatureSql(
       "(SELECT *, CASE WHEN doc_id % 10 < 6 THEN 'web' " +

@@ -64,6 +64,50 @@ class HtmlSpec extends SparkTestBase {
       == "T B")
   }
 
+  private def links(html: String): Seq[(Int, String, String)] = {
+    import spark.implicits._
+    Html.extractLinks(Seq((1L, html)).toDF("doc_id", "h"), "doc_id", "h")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSeq
+  }
+
+  test("extractLinks: basic anchor, attribute order and inner markup") {
+    assert(links("""<a href="http://x.example/1">one</a>""")
+      == Seq((0, "http://x.example/1", "one")))
+    // href not first; quoted '>' in another attribute; nested tags and
+    // entities in the body; multiline body
+    assert(links("<a title=\"a > b\" class='k' href=\"/p?x=1&amp;y=2\">\n " +
+      "see <b>this &amp; that</b> now </a>")
+      == Seq((0, "/p?x=1&y=2", "see this & that now")))
+  }
+
+  test("extractLinks: document order and per-doc numbering") {
+    assert(links("""<a href="u1">a</a> text <a href="u2">b</a>""")
+      == Seq((0, "u1", "a"), (1, "u2", "b")))
+  }
+
+  test("extractLinks: contract skips — script/comment/anchorless/single-quoted") {
+    assert(links(
+      "<script>document.write('<a href=\"spam\">x</a>');</script>" +
+        "<!-- <a href=\"c\">hidden</a> -->" +
+        "<a name=\"frag\">no href</a>" +
+        "<a href='single'>quoted</a>" +
+        "<a href=\"keep\">kept</a>")
+      == Seq((0, "keep", "kept")))
+  }
+
+  test("extractLinks: href inside another attribute's quotes cannot bind") {
+    // data-href's VALUE contains href=; the matcher must consume the
+    // quoted run atomically and bind the real href attribute
+    assert(links("""<a data-href="href=decoy" href="real">t</a>""")
+      == Seq((0, "real", "t")))
+    // <abbr>/<area> never match the <a\s requirement
+    assert(links("""<abbr href="u">x</abbr><area href="v">""") == Seq())
+  }
+
+  test("extractLinks: docs with no links emit no rows") {
+    assert(links("<p>plain text, no anchors</p>") == Seq())
+  }
+
   test("cleanLines: C4 rules on hand-written pages the planting never emits") {
     import spark.implicits._
     val pages = Seq(
