@@ -143,6 +143,11 @@ object PipelineQueries {
   // alphabet; pairs below 2 occurrences never merge
   val BpeMerges = 8
   val BpeMinPair = 2L
+  // prefix-filter set-similarity join (q144): high-threshold regime —
+  // the corpus's shared vocabulary puts thousands of doc pairs above
+  // 0.9 word-set jaccard at sf0.01, so 0.95 keeps the result ~1.9k
+  // rows while exercising the prefix at its designed (1-t) width
+  val PrefixJoinT = 0.95
   // exact-substring dedup (q130): sliding-window width in tokens. The
   // corpus's planted cross-doc duplication repeats >= 10-word spans,
   // so w=8 guarantees every planted span is fully covered by repeated
@@ -201,6 +206,16 @@ object PipelineQueries {
       d.select(col("doc_id"),
         graft.operators.Html.extractText(html).as("clean_text"))
     }),
+
+    // EXACT set-similarity join via prefix filtering (Bayardo WWW'07 /
+    // Vernica SIGMOD'10; Dedup.prefixFilterJoin): lossless candidate
+    // generation — docs index only the rarest (1-t) fraction of their
+    // tokens, the prefix-filter lemma guarantees every true pair
+    // collides, exact verification prunes the rest. The oracle is the
+    // DEFINITION: brute-force exact word-set jaccard in DuckDB — a
+    // hash match proves the prefix path is complete AND sound
+    "q144_prefix_join" -> ((s, dir) =>
+      Dedup.prefixFilterJoin(docs(s, dir), "doc_id", "text", PrefixJoinT)),
 
     // hyperlink extraction (Html.extractLinks): the web-graph
     // construction rung between q136's text extraction and the Graph
@@ -1409,6 +1424,22 @@ object PipelineQueries {
         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
         |  ' tail <' || doc_id || '> &lt;end' AS clean_text
         |FROM documents""".stripMargin,
+    // the definition q144 must reproduce: brute-force exact word-set
+    // jaccard over distinct non-empty tokens, rounded like the engine
+    "q144_prefix_join" ->
+      s"""WITH w AS (SELECT doc_id, t FROM (
+         |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |    FROM documents) WHERE t <> ''),
+         |sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+         |      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, sh AS n_shared,
+         |  round(CAST(sh AS DOUBLE) / (sa.n + sb.n - sh), 6) AS jaccard
+         |FROM p JOIN sz sa ON id_a = sa.doc_id
+         |  JOIN sz sb ON id_b = sb.doc_id
+         |WHERE round(CAST(sh AS DOUBLE) / (sa.n + sb.n - sh), 6)
+         |  >= $PrefixJoinT""".stripMargin,
     // replays q142's planting: two surviving links per doc, in
     // document order; the script/comment/anchorless/single-quote
     // decoys contribute nothing by contract

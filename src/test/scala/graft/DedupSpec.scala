@@ -397,6 +397,38 @@ class DedupSpec extends SparkTestBase {
     assert(top.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("prefixFilterJoin equals brute-force exact jaccard (lossless candidates)") {
+    import spark.implicits._
+    // crafted around the t=0.6 boundary: (1,2) jaccard 3/5=0.6 (kept,
+    // boundary-exact), (1,3) 2/6=0.333 (dropped in VERIFY — its pair
+    // may still be a candidate), (4,5) identical sets => 1.0, doc 6
+    // disjoint, doc 7 repeated tokens (set semantics: n counts
+    // distinct), (8,9) 0.5 just under t
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a f g h"),
+      (4L, "k l m"), (5L, "m l k"), (6L, "z y x w"),
+      (7L, "a a b b c c d d"), (8L, "p q"), (9L, "q r")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // brute-force truth: every pair with exact jaccard >= 0.6
+    val sets = Seq(1L -> "abcd", 2L -> "abce", 3L -> "afgh", 4L -> "klm",
+      5L -> "mlk", 6L -> "zyxw", 7L -> "abcd", 8L -> "pq", 9L -> "qr")
+      .map { case (i, s) => i -> s.toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      sh = (sa & sb).size
+      j = sh.toDouble / (sa.size + sb.size - sh) if j >= 0.6
+    } yield (ia, ib) -> (sa.size.toLong, sb.size.toLong, sh.toLong,
+      math.rint(j * 1e6) / 1e6)).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the boundary pair survived the float discipline
+    assert(got.contains((1L, 2L)) && got((1L, 2L))._4 == 0.6)
+    // set semantics: repeated tokens collapse, (1,7) is identical-set
+    assert(got((1L, 7L)) == ((4L, 4L, 4L, 1.0)))
+  }
+
   test("intraDocDedup keeps first occurrences per doc and never shuffles") {
     import spark.implicits._
     val docs = Seq(
