@@ -156,6 +156,65 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rn")
   }
 
+  /** Semantic benchmark decontamination: the embedding-level
+    * complement of [[Dedup.contamination]]'s n-gram gate. Each BENCH
+    * vector is scored by its maximum cosine similarity against the
+    * TRAIN corpus, probed IVF-style over cells Lloyd-trained on the
+    * train side ([[kmeansCells]]); `contaminated` flags rows whose
+    * max reaches `threshold` — the eval-set leakage a paraphrase
+    * slips past exact n-gram matching (the reason modern eval
+    * hygiene adds an embedding pass on top of the GPT-3-style
+    * n-gram decontamination q87 implements).
+    *
+    * Scale shape — sized for the real asymmetry (train is the
+    * 100 TB side, bench corpora are thousands of rows): train
+    * crosses the wire only through the linear Lloyd rounds and one
+    * cell-keyed equi-join probe; the bench set, the k centroids,
+    * and the probe table all ride broadcasts. Nothing is pairwise
+    * in the train corpus; per bench vector the exact scoring
+    * touches only its `nProbe` probed cells. Contract: bench and
+    * train must be id-disjoint slices (no self-exclusion is
+    * applied — a shared id would match itself at sim 1.0).
+    * `checkpointDir` = reliable-FS Lloyd barriers at cluster
+    * scale. Output: (idCol, max_train_sim, contaminated), one row
+    * per bench vector. Probing is approximate exactly as IVF
+    * search is: the oracle replays the same trained cells and
+    * probe rule, so the demo checks the DESIGN, not a weaker
+    * brute-force bound. */
+  def semanticContamination(bench: DataFrame, train: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double, k: Int, iters: Int,
+                            nProbe: Int,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    val dim = 64
+    val cells = kmeansCells(train, idCol, vecCol, k, iters, checkpointDir)
+    val t = train.join(cells, Seq(idCol))
+    val centAggs = (0 until dim).map(i =>
+      round(avg(element_at(asDouble(col(vecCol)), i + 1)), 6).as(s"c_$i"))
+    val cents = t.groupBy(col("cell"))
+      .agg(centAggs.head, centAggs.tail: _*)
+      .select(col("cell"),
+        array((0 until dim).map(i => col(s"c_$i")): _*).as("centroid"))
+    val q = bench.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cell"),
+        round(cosine(col("qv"), col("centroid")), 6).as("cell_sim"))
+      .withColumn("cell_rn", row_number().over(wc))
+      .filter(col("cell_rn") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val c = t.select(col("cell"), asDouble(col(vecCol)).as("cv"))
+    c.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(max(col("cos_sim")).as("max_train_sim"))
+      .select(col("query_id").as(idCol), col("max_train_sim"),
+        (col("max_train_sim") >= lit(threshold)).as("contaminated"))
+  }
+
   /** Train IVF cells with Lloyd iterations (k-means, cosine
     * objective): deterministic seed assignment (`id mod k`), then per
     * iteration (a) cell centroids via the [[graft.functions.Centroid]]

@@ -135,6 +135,126 @@ object UrlNormalize {
       .withColumn("keep", col("category").isNull)
   }
 
+  /** Parse robots.txt bodies into a per-domain applicable-rule table
+    * (RFC 9309). Grouping follows the RFC: consecutive `User-agent:`
+    * lines open ONE group that the following Allow/Disallow rules
+    * belong to; a later `User-agent:` after at least one rule starts
+    * a new group. Comments (`#…`) and blank lines are ignored; an
+    * empty rule value (`Disallow:` alone = allow everything)
+    * contributes no rule. Group selection per the RFC's
+    * most-specific-agent rule, restricted to the two tiers crawlers
+    * actually publish: a domain with a group naming `agent` exactly
+    * (case-insensitive) uses ONLY those groups; otherwise the `*`
+    * groups apply.
+    *
+    * Rules compile to anchored regexes ONCE here, on the small rule
+    * table — `*` matches any octet run and a trailing `$` anchors the
+    * end (the RFC's two metacharacters); every other regex special is
+    * escaped. `specificity` is the rule-path octet length, the RFC's
+    * longest-match precedence key.
+    *
+    * Output: (domain, allow, rule_path, specificity, rule_regex). */
+  def parseRobots(robots: DataFrame, domainCol: String,
+                  robotsCol: String, agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lined = robots.select(col(domainCol).as("__dom"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("__pos", "__raw")))
+      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .filter(col("__line").contains(":"))
+      .withColumn("__key",
+        lower(trim(substring_index(col("__line"), ":", 1))))
+      .withColumn("__val",
+        trim(regexp_extract(col("__line"), "^[^:]*:(.*)$", 1)))
+      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+    val byPos = Window.partitionBy(col("__dom")).orderBy(col("__pos"))
+    val grouped = lined
+      .withColumn("__ua", col("__key") === "user-agent")
+      // a UA line starts a new group unless the previous kept line
+      // was also a UA line (consecutive UA lines share one group)
+      .withColumn("__start",
+        (col("__ua") && !coalesce(lag(col("__ua"), 1).over(byPos),
+          lit(false))).cast("int"))
+      .withColumn("__gid", sum(col("__start")).over(byPos))
+    val agents = grouped.filter(col("__ua"))
+      .groupBy(col("__dom"), col("__gid"))
+      .agg(collect_set(lower(col("__val"))).as("__agents"))
+    val rules = grouped.filter(!col("__ua") && col("__val") =!= "")
+      .select(col("__dom"), col("__gid"),
+        (col("__key") === "allow").as("allow"),
+        col("__val").as("rule_path"))
+    val tiered = rules.join(agents, Seq("__dom", "__gid"))
+      .withColumn("__exact", array_contains(col("__agents"),
+        lit(agent.toLowerCase)))
+      .withColumn("__star", array_contains(col("__agents"), lit("*")))
+      .filter(col("__exact") || col("__star"))
+    val byDom = Window.partitionBy(col("__dom"))
+    val selected = tiered
+      .withColumn("__hasExact", max(col("__exact")).over(byDom))
+      .filter((col("__hasExact") && col("__exact")) ||
+        (!col("__hasExact") && col("__star")))
+    // rule → anchored regex: escape specials, '*' → '.*', trailing
+    // '$' anchors; specificity = octet length of the published rule
+    val anchored = col("rule_path").endsWith("$")
+    val body = when(anchored, expr(
+        "substring(rule_path, 1, length(rule_path) - 1)"))
+      .otherwise(col("rule_path"))
+    val escaped = regexp_replace(body,
+      "([.?+^$(){}\\[\\]|\\\\])", "\\\\$1")
+    selected.select(col("__dom").as(domainCol), col("allow"),
+      col("rule_path"), length(col("rule_path")).as("specificity"),
+      concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+        when(anchored, lit("$")).otherwise(lit(""))).as("rule_regex"))
+  }
+
+  /** Path+query of a URL (the RFC 9309 match target); empty → "/". */
+  def pathOf(url: Column): Column = {
+    val pq = regexp_replace(regexp_replace(url, "#.*$", ""),
+      "^[^:/?#]+://[^/?]*", "")
+    when(pq === "", lit("/")).otherwise(pq)
+  }
+
+  /** robots.txt gate (RFC 9309): each URL's verdict under `agent`
+    * against its domain's published policy — the crawl-politeness
+    * rung between q138's category gate and fetching. Longest
+    * (octet-length) matching rule wins; `Allow` beats `Disallow` on
+    * a specificity tie; no matching rule, no applicable group, or no
+    * robots.txt at all → allowed (the RFC's defaults).
+    *
+    * Scale shape: robots bodies parse ONCE into a per-domain rule
+    * table ([[parseRobots]] — lines explode only the robots corpus,
+    * orders of magnitude under the URL corpus), URLs join it on the
+    * domain equi-key (AQE broadcasts when small; at web scale both
+    * sides hash-partition on domain and rules-per-domain stays a
+    * handful, so the join output is a small constant fan-out of the
+    * URL side, never quadratic), the regex match runs on the joined
+    * rows only, and ONE id-keyed max(struct(specificity, allow))
+    * aggregate folds the verdict. The dynamic per-rule regex is
+    * deliberately confined to this post-join sliver — the URL-side
+    * scan stays whole-stage codegen.
+    *
+    * Output: (idCol, url, allowed, rule) — `rule` is the winning
+    * published rule path, NULL when the default applied. */
+  def robotsGate(urls: DataFrame, idCol: String, urlCol: String,
+                 robots: DataFrame, agent: String,
+                 domainCol: String = "domain",
+                 robotsCol: String = "robots_txt"): DataFrame = {
+    val rules = parseRobots(robots, domainCol, robotsCol, agent)
+    val withDom = urls.select(col(idCol), col(urlCol),
+      hostOf(col(urlCol)).as("__dom"), pathOf(col(urlCol)).as("__path"))
+    withDom
+      .join(rules.withColumnRenamed(domainCol, "__dom"), Seq("__dom"),
+        "left")
+      .withColumn("__hit", col("rule_regex").isNotNull &&
+        regexp_like(col("__path"), col("rule_regex")))
+      .groupBy(col(idCol), col(urlCol))
+      .agg(max(when(col("__hit"), struct(col("specificity"),
+        col("allow").cast("int").as("a"),
+        col("rule_path")))).as("__win"))
+      .select(col(idCol), col(urlCol),
+        coalesce(col("__win.a") === 1, lit(true)).as("allowed"),
+        col("__win.rule_path").as("rule"))
+  }
+
   /** URL-level dedup over (doc_id, url): group by canonical form, keep
     * the smallest doc_id as the canonical record (first-crawled wins
     * under a monotone id), count the dupes. The shuffle carries only

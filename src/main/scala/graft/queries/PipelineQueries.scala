@@ -52,6 +52,13 @@ object PipelineQueries {
   // metadata `label` cells at the same probe budget)
   val KmeansK = 8
   val KmeansIters = 3
+  // semantic decontamination (q145): bench = vec_id%3==0 slice,
+  // train = the rest; 0.36 sits mid-distribution of the measured
+  // bench-vs-train max-cosine spread at the gate (0.267-0.474,
+  // median 0.354) so both verdicts appear. The compare runs on
+  // identically 6-decimal-rounded values in both engines against
+  // the same double literal, so no cross-engine boundary flake
+  val SemanticDeconT = 0.36
   // product quantization (q133): 4 subspaces x 8 codes over the
   // 64-dim embeddings; 2 Lloyd rounds keep the oracle's unrolled
   // chain compact while exercising a full train->reassign cycle
@@ -406,6 +413,48 @@ object PipelineQueries {
       UrlNormalize.categoryGate(urls, "doc_id", "url", blocklist)
     }),
 
+    // robots.txt crawl-politeness gate (RFC 9309; UrlNormalize
+    // .robotsGate): per-domain policies parse once into a rule table,
+    // URLs join on the domain equi-key, longest-octet match wins with
+    // Allow beating Disallow on ties. The planting covers group
+    // EXCLUSIVITY (every 4th domain publishes an exact graftbot group
+    // whose selection must suppress the * group entirely),
+    // longest-match precedence (/private/ok over /private, /q/ok
+    // over /q — note /q, NOT /p: RFC matching is by PREFIX, so a
+    // /p rule would swallow every /private path too, which the
+    // first draft of this planting learned the hard way), a
+    // wildcard+anchored rule (/tmp*.html$), a badbot
+    // decoy group that must never apply, and comment/blank noise.
+    // The oracle states the closed-form verdicts from the planting
+    // arithmetic — it never re-parses.
+    "q146_robots_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val h = pmod(col("doc_id"), lit(20)).cast("string")
+      val v = pmod(col("doc_id"), lit(6))
+      val ids = col("doc_id").cast("string")
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://example"), h, lit(".com"),
+          when(v === 0, concat(lit("/q/"), ids))
+            .when(v === 1, concat(lit("/private/x"), ids))
+            .when(v === 2, concat(lit("/private/ok/"), ids))
+            .when(v === 3, concat(lit("/ok/"), ids))
+            .when(v === 4, concat(lit("/tmp"), ids, lit(".html")))
+            .otherwise(concat(lit("/q/ok/"), ids))).as("url"))
+      val robots = d.select(pmod(col("doc_id"), lit(20)).as("dnum"))
+        .distinct()
+        .select(
+          concat(lit("example"), col("dnum").cast("string"),
+            lit(".com")).as("domain"),
+          concat(
+            lit("# crawl policy\nUser-agent: badbot\nDisallow: /\n\n" +
+              "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+              "Disallow: /tmp*.html$\n"),
+            when(pmod(col("dnum"), lit(4)) === 0,
+              lit("\nUser-agent: graftbot\nDisallow: /q\nAllow: /q/ok\n"))
+              .otherwise(lit(""))).as("robots_txt"))
+      UrlNormalize.robotsGate(urls, "doc_id", "url", robots, "graftbot")
+    }),
+
     "q32_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK)),
 
@@ -741,6 +790,21 @@ object PipelineQueries {
         "doc_id", "text", ContamN)
     }),
 
+    // embedding-level benchmark decontamination (Similarity
+    // .semanticContamination): max IVF-probed cosine of each bench
+    // vector against cells Lloyd-trained on the TRAIN slice — the
+    // paraphrase-robust complement of q87's n-gram containment gate.
+    // Bench/train derive from the deterministic vec_id%3 split so
+    // the oracle replays training, probing, and threshold exactly
+    "q145_semantic_decon" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.semanticContamination(
+        e.filter(pmod(col("vec_id"), lit(3)) === 0),
+        e.filter(pmod(col("vec_id"), lit(3)) =!= 0),
+        "vec_id", "embedding", SemanticDeconT, KmeansK, KmeansIters,
+        IvfProbes)
+    }),
+
     // domain mixing to target proportions (operators/Sampling
     // .mixToTarget): per-source counts reduce to driver scalars, the
     // keep decision is a million-bucket content-hash threshold
@@ -1016,10 +1080,14 @@ object PipelineQueries {
        |WHERE rn <= $TopK""".stripMargin
 
   /** The trained-cells CTE chain shared by every oracle that consumes
-    * [[Similarity.cellsOf]]'s artifact (q38, q114): seed assignment +
-    * `KmeansIters` unrolled Lloyd rounds, ending in a `cells(vec_id,
-    * cell)` CTE. Returned WITHOUT a leading WITH. */
-  private def lloydCellsCtes: String = {
+    * [[Similarity.cellsOf]]'s artifact (q38, q114) or a fresh
+    * [[Similarity.kmeansCells]] over a corpus slice (q145's
+    * train-side `where`): seed assignment + `KmeansIters` unrolled
+    * Lloyd rounds, ending in a `cells(vec_id, cell)` CTE. The
+    * optional `where` restricts the TRAINED corpus (empty = all of
+    * embeddings, the q38/q114 artifact). Returned WITHOUT a leading
+    * WITH. */
+  private def lloydCellsCtes(where: String = ""): String = {
     val dim = EmbeddingDim
     def centCols(src: String) = (0 until dim)
       .map(i => s"round(avg($src.embedding[${i + 1}]), 6) AS c_$i").mkString(", ")
@@ -1036,8 +1104,8 @@ object PipelineQueries {
          |      ORDER BY round(${cosSql("v.kv", "c.centroid")}, 6) DESC, c.cell) AS rn
          |  FROM v, cents_$i c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS kv FROM embeddings),
-       |a_0 AS (SELECT vec_id, CAST(vec_id % $KmeansK AS INT) AS cell FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS kv FROM embeddings $where),
+       |a_0 AS (SELECT vec_id, CAST(vec_id % $KmeansK AS INT) AS cell FROM embeddings $where),
        |$lloyd,
        |cells AS (SELECT vec_id, cell FROM a_$KmeansIters)""".stripMargin
   }
@@ -1051,7 +1119,7 @@ object PipelineQueries {
     def centCols(src: String) = (0 until dim)
       .map(i => s"round(avg($src.embedding[${i + 1}]), 6) AS c_$i").mkString(", ")
     val centList = (0 until dim).map(i => s"c_$i").mkString(", ")
-    s"""WITH $lloydCellsCtes,
+    s"""WITH ${lloydCellsCtes()},
        |cents AS (SELECT cell, [$centList] AS centroid FROM (
        |  SELECT cells.cell, ${centCols("e")}
        |  FROM embeddings e JOIN cells USING (vec_id) GROUP BY cells.cell)),
@@ -1069,6 +1137,35 @@ object PipelineQueries {
        |      ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, neighbor_id) AS rn
        |  FROM c JOIN probes USING (cell) WHERE query_id != neighbor_id)
        |WHERE rn <= $TopK""".stripMargin
+  }
+
+  /** Oracle twin of q145: Lloyd over the TRAIN slice (vec_id%3<>0 —
+    * [[lloydCellsCtes]]'s `where`), then the identical probe rule
+    * (nProbe nearest trained cells by rounded centroid cosine) and
+    * the max aggregate over rounded similarities; the threshold
+    * compares the same 6-decimal-rounded values in both engines. */
+  private val semanticDeconSql: String = {
+    val dim = EmbeddingDim
+    def centCols(src: String) = (0 until dim)
+      .map(i => s"round(avg($src.embedding[${i + 1}]), 6) AS c_$i").mkString(", ")
+    val centList = (0 until dim).map(i => s"c_$i").mkString(", ")
+    s"""WITH ${lloydCellsCtes("WHERE vec_id % 3 <> 0")},
+       |cents AS (SELECT cell, [$centList] AS centroid FROM (
+       |  SELECT cells.cell, ${centCols("e")}
+       |  FROM embeddings e JOIN cells USING (vec_id) GROUP BY cells.cell)),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 3 = 0),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |  SELECT query_id, qv, cell,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(${cosSql("qv", "centroid")}, 6) DESC, cell) AS cell_rn
+       |  FROM q, cents) WHERE cell_rn <= $IvfProbes),
+       |c AS (SELECT cells.cell, CAST(e.embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id)
+       |SELECT query_id AS vec_id, max_train_sim,
+       |  max_train_sim >= $SemanticDeconT AS contaminated FROM (
+       |  SELECT query_id, max(round(${cosSql("qv", "cv")}, 6)) AS max_train_sim
+       |  FROM c JOIN probes USING (cell) GROUP BY query_id)""".stripMargin
   }
 
   /** Oracle twin of q133: [[Similarity.productQuantize]]'s
@@ -1170,7 +1267,7 @@ object PipelineQueries {
     * then the greedy lower-id drop rule at the same rounded-cosine
     * threshold. */
   private val semanticDedupSql: String =
-    s"""WITH $lloydCellsCtes,
+    s"""WITH ${lloydCellsCtes()},
        |m AS (SELECT e.vec_id, cells.cell, e.label, CAST(e.embedding AS DOUBLE[]) AS ev
        |  FROM embeddings e JOIN cells USING (vec_id)),
        |drops AS (SELECT DISTINCT b.vec_id
@@ -1230,7 +1327,7 @@ object PipelineQueries {
   /** Oracle twin of q43: the same trained cells (shared Lloyd CTE
     * chain as q38/q114), then intra-cell pairs at the threshold. */
   private val embedNearDupSql: String =
-    s"""WITH $lloydCellsCtes,
+    s"""WITH ${lloydCellsCtes()},
        |m AS (SELECT e.vec_id, cells.cell, CAST(e.embedding AS DOUBLE[]) AS ev
        |  FROM embeddings e JOIN cells USING (vec_id))
        |SELECT * FROM (
@@ -1426,6 +1523,29 @@ object PipelineQueries {
         |SELECT doc_id, host, min(cat) AS category,
         |  min(cat) IS NULL AS keep
         |FROM m GROUP BY doc_id, host""".stripMargin,
+    // states the q146 planting's closed-form verdicts: exact-group
+    // domains (doc_id%4=0; (doc_id%20)%4 = doc_id%4) answer to the
+    // graftbot rules only, the rest to the * group; the winning rule
+    // path is stated per case, NULL when the RFC default applied
+    "q146_robots_gate" ->
+      """SELECT doc_id,
+        |  'https://example' || (doc_id % 20) || '.com' ||
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN '/q/' || doc_id
+        |    WHEN 1 THEN '/private/x' || doc_id
+        |    WHEN 2 THEN '/private/ok/' || doc_id
+        |    WHEN 3 THEN '/ok/' || doc_id
+        |    WHEN 4 THEN '/tmp' || doc_id || '.html'
+        |    ELSE '/q/ok/' || doc_id END AS url,
+        |  CASE WHEN doc_id % 4 = 0 THEN doc_id % 6 <> 0
+        |       ELSE doc_id % 6 NOT IN (1, 4) END AS allowed,
+        |  CASE WHEN doc_id % 4 = 0 AND doc_id % 6 = 0 THEN '/q'
+        |       WHEN doc_id % 4 = 0 AND doc_id % 6 = 5 THEN '/q/ok'
+        |       WHEN doc_id % 4 <> 0 AND doc_id % 6 = 1 THEN '/private'
+        |       WHEN doc_id % 4 <> 0 AND doc_id % 6 = 2 THEN '/private/ok'
+        |       WHEN doc_id % 4 <> 0 AND doc_id % 6 = 4 THEN '/tmp*.html$'
+        |       END AS rule
+        |FROM documents""".stripMargin,
     // replays the q136 PLANTING formula: the extractor's five-step
     // contract (script/style/comment drop, attribute-safe tag strip,
     // fixed entity table with &amp; last, whitespace collapse) must
@@ -1779,6 +1899,7 @@ object PipelineQueries {
          |  round(CAST(coalesce(matched, 0) AS DOUBLE) / total, 6) AS overlap
          |FROM t LEFT JOIN m USING (doc_id)""".stripMargin
     },
+    "q145_semantic_decon" -> semanticDeconSql,
 
     // replays the planting (even docs re-append their first passage),
     // then the same segmentation as q117's oracle; keep-first via

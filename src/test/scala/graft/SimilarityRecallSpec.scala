@@ -298,4 +298,27 @@ class SimilarityRecallSpec extends SparkTestBase {
     // refined keys nest under the coarse cell
     assert(viaKernel.values.forall(c => (c >> p) == 3L))
   }
+
+  test("semanticContamination: planted copy flagged, orthogonal cleared") {
+    import spark.implicits._
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    // train: four one-hot axes; seed cells (id mod 2) both nonempty
+    val train = Seq((100L, oneHot(0)), (101L, oneHot(1)),
+      (102L, oneHot(2)), (103L, oneHot(3))).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (1L, oneHot(0)), // exact copy of train vector 100
+      (2L, oneHot(10)) // orthogonal to every train vector
+    ).toDF("vec_id", "embedding")
+    // nProbe = k makes the probe exhaustive: the output max IS the
+    // brute-force max, so the planted values are exact
+    val out = Similarity.semanticContamination(bench, train,
+        "vec_id", "embedding", threshold = 0.9, k = 2, iters = 1,
+        nProbe = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(out(1L) == ((1.0, true)))
+    assert(out(2L) == ((0.0, false)))
+  }
 }

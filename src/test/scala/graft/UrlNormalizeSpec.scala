@@ -103,4 +103,50 @@ class UrlNormalizeSpec extends SparkTestBase {
     assert(out(5L) == (Some("ads"), false), "multi-match takes the alphabetical min")
     assert(out(6L) == (None, true), "non-hierarchical URLs match nothing")
   }
+
+  test("robotsGate: RFC 9309 edges the q146 planting never exercises") {
+    import spark.implicits._
+    val robots = Seq(
+      // consecutive UA lines share ONE group; CRLF + comments ignored;
+      // empty Disallow contributes no rule; tie: Allow wins at equal
+      // octet length (/dir vs /dir)
+      ("a.com",
+        "# policy\r\nUser-agent: one\r\nUser-agent: *\r\n" +
+          "Disallow:\r\nDisallow: /dir\r\nAllow: /dir\r\n"),
+      // exact group selected even when it appears AFTER the * group,
+      // and * rules must not leak into the verdict
+      ("b.com",
+        "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\n" +
+          "Allow: /only\nDisallow: /only/sub\n"),
+      // agent match is case-insensitive; regex specials in rules are
+      // literals (the '.' must not match 'xhtml')
+      ("c.com", "User-agent: GRAFTBOT\nDisallow: /a.b\n")
+    ).toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "https://a.com/dir/x"),    // tie -> Allow wins
+      (2L, "https://a.com/other"),    // no rule -> allowed
+      (3L, "https://b.com/only/page"),// exact group Allow /only
+      (4L, "https://b.com/only/sub/p"),// longer Disallow wins inside it
+      (5L, "https://b.com/elsewhere"),// * Disallow / must NOT apply
+      (6L, "https://c.com/a.b/z"),    // literal dot blocks
+      (7L, "https://c.com/axb/z"),    // '.' is not a regex any-char
+      (8L, "https://d.com/whatever")  // no robots.txt -> allowed
+    ).toDF("doc_id", "url")
+    val out = UrlNormalize.robotsGate(urls, "doc_id", "url", robots,
+        "graftbot")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(out(1L) == ((true, Some("/dir"))),
+      "Allow must beat Disallow on an octet-length tie")
+    assert(out(2L) == ((true, None)))
+    assert(out(3L) == ((true, Some("/only"))))
+    assert(out(4L) == ((false, Some("/only/sub"))),
+      "longest octet match must win")
+    assert(out(5L) == ((true, None)),
+      "* group must not apply when an exact group exists")
+    assert(out(6L) == ((false, Some("/a.b"))))
+    assert(out(7L) == ((true, None)),
+      "a '.' in a rule is a literal octet, not a regex metachar")
+    assert(out(8L) == ((true, None)), "no robots.txt defaults to allow")
+  }
 }
