@@ -89,4 +89,74 @@ object Graph {
     }
     ranks
   }
+
+  /** Fixed-iteration HITS (Kleinberg, JACM 1999): hubs point to good
+    * authorities, authorities are pointed to by good hubs. Kleinberg's
+    * in-place update order per iteration — authorities first from the
+    * previous hubs, then hubs from the NEW authorities:
+    * `auth(v) = Σ_{u→v} hub(u)`, `hub(u) = Σ_{u→v} auth(v)` — with
+    * each score vector normalized by its MAX. (Max-normalization
+    * converges to the same principal-eigenvector direction as the
+    * textbook L2 norm and is exactly reproducible cross-engine; an L2
+    * norm would put a sqrt-of-float-sum on every score.)
+    *
+    * Determinism: the same discipline as [[pageRank]] — every
+    * aggregate and every normalized score rounds to 6 decimals, each
+    * iteration, so float-sum association noise cannot compound; the
+    * oracle unrolls identical CTEs.
+    *
+    * Scale shape: the deduped edge list is checkpointed TWICE,
+    * pre-partitioned on src for the hub-side join and on dst for the
+    * authority-side join, so neither per-round join re-exchanges the
+    * edges — each iteration moves only the two score vectors (two
+    * shuffles: the dst and src aggregates; the max is a scalar
+    * broadcast). `checkpointDir` = reliable-FS barriers at cluster
+    * scale, exactly as [[pageRank]]. Output: (node, hub, auth). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int,
+           checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    checkpointDir.foreach(d =>
+      GraftCheckpoint.ensureDir(edges.sparkSession, d))
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e0 = barrier(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    val nodes = barrier(e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct()
+      .repartition(col("node")))
+    val eBySrc = barrier(e0.repartition(col("src")))
+    val eByDst = barrier(e0.repartition(col("dst")))
+    def maxNorm(scores: DataFrame, valCol: String): DataFrame = {
+      val m = scores.agg(max(col(valCol)).as("__m"))
+      scores.crossJoin(broadcast(m))
+        .select(col("node"),
+          round(col(valCol) / col("__m"), 6).as(valCol))
+    }
+    var hubs = nodes.withColumn("hub", lit(1.0))
+    var auths = nodes.withColumn("auth", lit(1.0))
+    for (i <- 1 to iters) {
+      val aRaw = eBySrc
+        .join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(round(sum(col("hub")), 6).as("auth"))
+      auths = maxNorm(nodes.join(aRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")),
+        "auth")
+      val hRaw = eByDst
+        .join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(round(sum(col("auth")), 6).as("hub"))
+      hubs = maxNorm(nodes.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub")
+      if (i % 3 == 0 && i < iters) {
+        hubs = barrier(hubs); auths = barrier(auths)
+      }
+    }
+    nodes.join(hubs, Seq("node")).join(auths, Seq("node"))
+  }
 }

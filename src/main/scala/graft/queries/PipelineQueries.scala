@@ -114,6 +114,10 @@ object PipelineQueries {
   val FuzzyMaxDist = 1
   val PageRankIters = 5
   val PageRankDamping = 0.85
+  // HITS (q147): 3 rounds surface the hub/authority split on the
+  // bipartite supplier→part graph while keeping the oracle's
+  // unrolled CTE chain compact (each round is 4 CTEs)
+  val HitsIters = 3
   // part-node id offset in the q115 link graph: must exceed every
   // suppkey/partkey at any testdata SF (sf1 tops out at 200k parts)
   val PageRankPartOffset = 10000000L
@@ -626,6 +630,19 @@ object PipelineQueries {
         .union(li.select(col("pn").as("src"), col("sn").as("dst")))
       graft.operators.Graph.pageRank(edges, "src", "dst",
         PageRankIters, PageRankDamping)
+    }),
+
+    // HITS hubs/authorities (Graph.hits) over the DIRECTED
+    // supplier→part graph (q115 doubles it; here direction is the
+    // point: suppliers can only be hubs, parts only authorities —
+    // the bipartite structure HITS was designed to expose). Same
+    // round-each-iteration determinism contract as q115; the oracle
+    // unrolls identical max-normalized CTEs
+    "q147_hits" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + lit(PageRankPartOffset)).as("dst"))
+      graft.operators.Graph.hits(li, "src", "dst", HitsIters)
     }),
 
     // BM25 ranked retrieval for a literal probe query
@@ -1305,6 +1322,34 @@ object PipelineQueries {
        |SELECT node, rank FROM r_$PageRankIters""".stripMargin
   }
 
+  /** Oracle twin of q147: [[graft.operators.Graph.hits]]'s
+    * fixed-iteration max-normalized updates unrolled — authorities
+    * from the previous hubs, hubs from the NEW authorities, every
+    * aggregate and normalized score rounded to 6 decimals exactly as
+    * the operator does. */
+  private val hitsSql: String = {
+    val iters = (1 to HitsIters).map { i =>
+      s"""araw_$i AS (SELECT e.dst AS node, round(sum(h.hub), 6) AS x
+         |  FROM e JOIN h_${i - 1} h ON e.src = h.node GROUP BY e.dst),
+         |a_$i AS (SELECT n.node,
+         |    round(coalesce(r.x, 0.0) / (SELECT max(x) FROM araw_$i), 6) AS auth
+         |  FROM nodes n LEFT JOIN araw_$i r USING (node)),
+         |hraw_$i AS (SELECT e.src AS node, round(sum(a.auth), 6) AS x
+         |  FROM e JOIN a_$i a ON e.dst = a.node GROUP BY e.src),
+         |h_$i AS (SELECT n.node,
+         |    round(coalesce(r.x, 0.0) / (SELECT max(x) FROM hraw_$i), 6) AS hub
+         |  FROM nodes n LEFT JOIN hraw_$i r USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |    CAST(l_partkey AS BIGINT) + $PageRankPartOffset AS dst
+       |  FROM lineitem),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h_0 AS (SELECT node, 1.0 AS hub FROM nodes),
+       |$iters
+       |SELECT h.node, h.hub, a.auth
+       |FROM h_$HitsIters h JOIN a_$HitsIters a USING (node)""".stripMargin
+  }
+
   /** Oracle twin of q116: same IDF form, same literal constants
     * (interpolated from the SAME Scala doubles the operator folds into
     * its expressions), same association order. */
@@ -1697,6 +1742,7 @@ object PipelineQueries {
     "q43_embed_neardup" -> embedNearDupSql,
     "q114_semantic_dedup" -> semanticDedupSql,
     "q115_pagerank" -> pageRankSql,
+    "q147_hits" -> hitsSql,
     "q116_bm25" -> bm25Sql,
     "q113_domain_cap" ->
       s"""SELECT doc_id, source, n_chars FROM (

@@ -80,4 +80,22 @@ class GraphSpec extends SparkTestBase {
     // the doc matching the rare term must outrank the common-term doc
     assert(got(1L) > got(2L))
   }
+
+  test("hits matches the hand-computed fixed point on a planted graph") {
+    import spark.implicits._
+    // 1→3, 2→3, 2→4: node 3 is the stronger authority (two in-links),
+    // node 2 the stronger hub (points at both authorities).
+    // Hand-unrolled with the operator's round-each-step contract:
+    //   iter1: auth 3=1.0 4=0.5; hub 1=0.666667 2=1.0
+    //   iter2: araw 3=1.666667 4=1.0 → auth 3=1.0 4=0.6
+    //          hraw 1=1.0 2=1.6     → hub 1=0.625 2=1.0
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((0.625, 0.0)))
+    assert(out(2L) == ((1.0, 0.0)))
+    assert(out(3L) == ((0.0, 1.0)))
+    assert(out(4L) == ((0.0, 0.6)))
+  }
 }
