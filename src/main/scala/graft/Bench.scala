@@ -41,8 +41,31 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
   }
 
+  /** Machine-speed witness: a fixed 200M-step LCG, single-threaded,
+    * pure JVM — no IO, no Spark, no allocation. Identical code on
+    * identical hardware should produce the same number every run, so
+    * when two rounds' totals differ the calib cell says how much is
+    * the MACHINE (round 10 measured the same commit's warm q01 cell
+    * at 0.16s and 0.48s hours apart on this shared VM — a 3× swing
+    * pure host state). Min of 3 reps; published as "calib_s". */
+  def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 1442695040888963407L
+      var i = 0L
+      while (i < 200000000L) {
+        acc = acc * 6364136223846793005L + i; i += 1L
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) println("") // defeat dead-code elimination
+      dt
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val calib = calibrate()
     val spark = graft.core.GraftSession.build("graft-bench", graft.core.GraftSession.envCores)
     // Several operators cache internal fan-out frames that escape into
     // the returned plan (documented caller-must-unpersist: Dedup
@@ -86,7 +109,7 @@ object Bench {
       .mkString("{", ",", "}")
     val (total, failed) = summarize(results.toSeq)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query JSON to a file as well: the driver keeps only the
     // last 2000 chars of stdout, which truncates ~25 of the 110+ query
     // timings — the file makes round-over-round comparison possible on
@@ -106,7 +129,7 @@ object Bench {
     // null (seen in BENCH_r07). Print a short summary line LAST — it
     // always fits the tail, and carries every headline field; the
     // complete per-query record lives in bench_full.json above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"n_queries":${results.size},"sf":"$sfDir","queries_in":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"n_failed":${failed.size},"failed":$failedJson,"n_queries":${results.size},"sf":"$sfDir","queries_in":"bench_full.json"}""")
     // forked JVM: exit deterministically once the JSON line is out —
     // leftover non-daemon threads from streaming drains otherwise keep
     // the process alive long after the harness has its result

@@ -117,6 +117,75 @@ object Sampling {
     s"row_number() OVER (PARTITION BY $groupExpr ORDER BY " +
       s"${PortableHash.hash60Sql(s"concat(CAST($idExpr AS VARCHAR), '${sq(salt)}')")}, $idExpr)"
 
+  /** Priority sampling (Duffield, Lund, Thorup — "Priority sampling
+    * for estimation of arbitrary subset sums", JACM 2007): EXACTLY k
+    * rows per stratum, drawn without replacement with probability
+    * increasing in weight, plus the scheme's unbiased subset-sum
+    * estimator. Each row gets priority `q = w / u` with `u` uniform
+    * in (0, 1]; the k highest priorities per stratum win, and the
+    * (k+1)-th priority `τ` prices the winners: `weight_est =
+    * max(w, τ)` is unbiased for the stratum's total weight over any
+    * subset (the paper's Theorem 1) — a stratum with ≤ k rows is
+    * taken whole with `weight_est = w` exactly.
+    *
+    * Chosen over the Efraimidis–Spirakis `u^(1/w)` reservoir
+    * DELIBERATELY: the priority needs one IEEE-exact division
+    * (`u` is the million-bucket content hash as everywhere — here
+    * `w · 10⁶ / (bucket+1)`, multiply + divide, both correctly
+    * rounded), so the cross-engine ORDER is bit-reproducible, where
+    * a pow/ln key would hang the k-th-place cut on last-ulp libm
+    * agreement (the q94/temperature-mix advice class). Rounding
+    * touches display columns only, never the ranking key.
+    *
+    * Scale shape: one shuffle on the stratum key; both rank
+    * consumers filter on `row_number ≤ k(+1)`, so Spark's
+    * WindowGroupLimit caps each map-side group at k+1 rows before
+    * the exchange — the window never sees a stratum's full extent.
+    * τ rides a broadcast back onto the winners. */
+  def prioritySample(df: DataFrame, idCol: String, strataCol: String,
+                     weightCol: Column, k: Int,
+                     salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val u = (bucket(col(idCol), 1000000, salt) + lit(1L)).cast("double")
+    val prio = weightCol.cast("double") * lit(1000000.0) / u
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(prio.desc, col(idCol).asc)
+    val ranked = df.withColumn("__prio", prio)
+      .withColumn("__rn", row_number().over(w))
+    val tau = ranked.filter(col("__rn") === k + 1)
+      .select(col(strataCol), col("__prio").as("__tau"))
+    ranked.filter(col("__rn") <= k)
+      .join(broadcast(tau), Seq(strataCol), "left")
+      .select(col(strataCol), col(idCol),
+        weightCol.cast("double").as("weight"),
+        round(col("__prio"), 6).as("priority"),
+        col("__rn").as("rn"),
+        round(when(col("__tau").isNull, weightCol.cast("double"))
+          .otherwise(greatest(weightCol.cast("double"), col("__tau"))), 6)
+          .as("weight_est"))
+  }
+
+  /** Oracle twin of [[prioritySample]]: the same priority formula,
+    * ranking, τ rule, and display rounding as one SQL string over
+    * `fromExpr`. */
+  def prioritySampleSql(fromExpr: String, idExpr: String,
+                        strataExpr: String, weightExpr: String, k: Int,
+                        salt: String = ""): String = {
+    val b = bucketSql(idExpr, 1000000, salt)
+    s"""WITH pr AS (SELECT $strataExpr AS strata, $idExpr AS id,
+       |    CAST($weightExpr AS DOUBLE) AS w,
+       |    CAST($weightExpr AS DOUBLE) * 1000000.0 / ($b + 1) AS prio
+       |  FROM $fromExpr),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY strata
+       |    ORDER BY prio DESC, id) AS rn FROM pr),
+       |tau AS (SELECT strata, prio AS tau FROM rk WHERE rn = ${k + 1})
+       |SELECT rk.strata AS $strataExpr, rk.id AS $idExpr,
+       |  rk.w AS weight, round(rk.prio, 6) AS priority, rk.rn,
+       |  round(CASE WHEN tau.tau IS NULL THEN rk.w
+       |    ELSE greatest(rk.w, tau.tau) END, 6) AS weight_est
+       |FROM rk LEFT JOIN tau USING (strata) WHERE rk.rn <= $k""".stripMargin
+  }
+
   /** Weighted (soft) sampling: keep each row with probability equal to
     * a per-row weight column in [0, 1] — the "soft filter" form of
     * quality filtering (a doc scoring 0.9 survives 9x more often than

@@ -114,6 +114,9 @@ object PipelineQueries {
   val FuzzyMaxDist = 1
   val PageRankIters = 5
   val PageRankDamping = 0.85
+  // priority sampling (q148): 5 winners per language stratum —
+  // small enough that τ (the 6th priority) always exists at the gate
+  val PriorityK = 5
   // HITS (q147): 3 rounds surface the hub/authority split on the
   // bipartite supplier→part graph while keeping the oracle's
   // unrolled CTE chain compact (each round is 4 CTEs)
@@ -458,6 +461,15 @@ object PipelineQueries {
               .otherwise(lit(""))).as("robots_txt"))
       UrlNormalize.robotsGate(urls, "doc_id", "url", robots, "graftbot")
     }),
+
+    // priority sampling (Duffield-Lund-Thorup JACM'07; Sampling
+    // .prioritySample): exactly PriorityK docs per language, drawn
+    // without replacement ∝ n_chars, with the scheme's unbiased
+    // subset-sum estimator (weight_est = max(w, τ)). The ranking key
+    // is one IEEE-exact division — no pow/ln on the cut boundary
+    "q148_priority_sample" -> ((s, dir) =>
+      Sampling.prioritySample(docs(s, dir), "doc_id", "lang",
+        col("n_chars"), PriorityK)),
 
     "q32_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", MinhashK)),
@@ -1946,6 +1958,8 @@ object PipelineQueries {
          |FROM t LEFT JOIN m USING (doc_id)""".stripMargin
     },
     "q145_semantic_decon" -> semanticDeconSql,
+    "q148_priority_sample" -> Sampling.prioritySampleSql(
+      "documents", "doc_id", "lang", "n_chars", PriorityK),
 
     // replays the planting (even docs re-append their first passage),
     // then the same segmentation as q117's oracle; keep-first via

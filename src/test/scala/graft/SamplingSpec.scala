@@ -242,4 +242,55 @@ class SamplingSpec extends SparkTestBase {
       3L -> "middle", 4L -> "middle", 6L -> "middle",
       7L -> "head", 8L -> "head", 9L -> "head"), s"$out")
   }
+
+  test("prioritySample: exact-k winners replay the w/u formula; " +
+    "small strata pass whole; partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i, if (i <= 30) "big" else "small", (i % 7 + 1).toDouble)) ++
+      (41L to 43L).map(i => (i, "tiny", i.toDouble))
+    val df = rows.toDF("doc_id", "strata", "w")
+    val k = 4
+    val out = Sampling.prioritySample(df, "doc_id", "strata",
+      col("w"), k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(4), r.getDouble(5)))
+    // local replay of the exact priority formula over the same hash
+    val hashed = df.select(col("doc_id"), col("strata"), col("w"),
+        (pmod(graft.functions.PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit(""))),
+          lit(1000000)) + lit(1L)).cast("double").as("u6"))
+      .collect().map(r => (r.getString(1), r.getLong(0),
+        r.getDouble(2), r.getDouble(2) * 1000000.0 / r.getDouble(3)))
+    def expectStratum(s: String): (Seq[(Long, Double, Double)], Option[Double]) = {
+      val ranked = hashed.filter(_._1 == s)
+        .sortBy { case (_, id, _, p) => (-p, id) }
+      val tau = ranked.drop(k).headOption.map(_._4)
+      (ranked.take(k).map { case (_, id, w, p) => (id, w, p) }, tau)
+    }
+    for (s <- Seq("big", "small", "tiny")) {
+      val (want, tau) = expectStratum(s)
+      val got = out.filter(_._1 == s).sortBy(_._4)
+      assert(got.map(_._2).toSeq == want.map(_._1),
+        s"winners in $s must be the k highest priorities")
+      // the estimator: max(w, tau), plain w when no (k+1)-th row
+      got.zip(want).foreach { case ((_, _, wgt, _, est), (_, w, _)) =>
+        val e = tau.map(t => math.max(w, t)).getOrElse(w)
+        assert(math.abs(est - BigDecimal(e)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+        assert(wgt == w)
+      }
+    }
+    assert(out.count(_._1 == "big") == k)
+    assert(out.count(_._1 == "small") == k,
+      "10-row stratum still yields k=4 winners with a real tau")
+    assert(out.count(_._1 == "tiny") == 3,
+      "a stratum below k passes whole, weight_est = w exactly")
+    // partition-layout invariance of the whole output
+    val re = Sampling.prioritySample(df.repartition(7, col("w")),
+      "doc_id", "strata", col("w"), k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(4), r.getDouble(5))).sortBy(t => (t._1, t._4))
+    assert(re.toSeq == out.sortBy(t => (t._1, t._4)).toSeq)
+  }
 }
