@@ -59,6 +59,13 @@ object PipelineQueries {
   // identically 6-decimal-rounded values in both engines against
   // the same double literal, so no cross-engine boundary flake
   val SemanticDeconT = 0.36
+  // the bench side is CAPPED at the base-copy id range: a benchmark
+  // suite is a fixed artifact — it does not grow with the crawl. The
+  // 100× sweep that scaled BOTH sides measured the violation directly
+  // (703s at 100×: 166k bench rows × ~41k-vector cells through 8 cell
+  // keys ≈ 1.4e10 pairs); with the cap the sweep exercises the
+  // operator's designed asymmetry — train 100×, bench fixed
+  val SemanticDeconBenchCap = 2000L
   // product quantization (q133): 4 subspaces x 8 codes over the
   // 64-dim embeddings; 2 Lloyd rounds keep the oracle's unrolled
   // chain compact while exercising a full train->reassign cycle
@@ -828,7 +835,8 @@ object PipelineQueries {
     "q145_semantic_decon" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.semanticContamination(
-        e.filter(pmod(col("vec_id"), lit(3)) === 0),
+        e.filter(pmod(col("vec_id"), lit(3)) === 0 &&
+          col("vec_id") < SemanticDeconBenchCap),
         e.filter(pmod(col("vec_id"), lit(3)) =!= 0),
         "vec_id", "embedding", SemanticDeconT, KmeansK, KmeansIters,
         IvfProbes)
@@ -1183,7 +1191,8 @@ object PipelineQueries {
        |  SELECT cells.cell, ${centCols("e")}
        |  FROM embeddings e JOIN cells USING (vec_id) GROUP BY cells.cell)),
        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-       |  FROM embeddings WHERE vec_id % 3 = 0),
+       |  FROM embeddings
+       |  WHERE vec_id % 3 = 0 AND vec_id < $SemanticDeconBenchCap),
        |probes AS (SELECT query_id, qv, cell FROM (
        |  SELECT query_id, qv, cell,
        |    row_number() OVER (PARTITION BY query_id
