@@ -153,9 +153,13 @@ object Graph {
       hubs = maxNorm(nodes.join(hRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
         "hub")
-      if (i % 3 == 0 && i < iters) {
-        hubs = barrier(hubs); auths = barrier(auths)
-      }
+      // barrier EVERY round, unlike pageRank's every-3: maxNorm's
+      // broadcast-of-own-aggregate gives each score frame TWO
+      // consumers of its full lineage, so an unbarriered plan grows
+      // ~4× per iteration (measured: 829 exchanges / 101 bnlj in the
+      // AQE-final plan at iters=3 before this barrier; 14.8s of
+      // mostly optimizer time). The frames are one row per node.
+      hubs = barrier(hubs); auths = barrier(auths)
     }
     nodes.join(hubs, Seq("node")).join(auths, Seq("node"))
   }
