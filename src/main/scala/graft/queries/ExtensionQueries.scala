@@ -90,6 +90,59 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_links"))
     }),
 
+    // the FULL crawl front-end composed as one plan (q137 × q136 ×
+    // q146 × q138): WARC walk → response payloads → per-URL robots
+    // verdict (site3 publishes Disallow: /page) → category gate
+    // (site5 is blocklisted 'ads') → HTML→text extraction of the
+    // survivors. Corrupt files (doc_id%50==0) vanish at the framing
+    // rung; blocked hosts vanish at their gates; the two gate
+    // verdicts come back as left-semi probes on the record id so the
+    // payload column never rides through the verdict aggregates.
+    // Oracle states the closed-form survivors.
+    "q149_crawl_gate" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><script>if (a<b) { track(\"</div>\"); }</script></head>"),
+        lit("<body><!-- c --><h1 title=\"a > b\">Heading &amp; "), id,
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p><div>tail &lt;"), id, lit("&gt;</div></body></html>"))
+      val recs = graft.sources.Warc.records(
+          graft.sources.Warc.synthesizeWarc(
+            d.select(col("doc_id"), page.as("text"))))
+        .filter(col("rec_type") === "response")
+        .select(col("file_id"), col("target_uri").as("url"),
+          col("payload"))
+      // both gates consume only (id, url): barrier the SKINNY frame
+      // once so the WARC synth+walk runs for the payload path alone,
+      // not once per gate (3x walk measured 544s cold at 100x)
+      val urls = recs.select("file_id", "url").localCheckpoint()
+      val robots = d.select(pmod(col("doc_id"), lit(7)).as("h")).distinct()
+        .select(
+          concat(lit("site"), col("h").cast("string"), lit(".example"))
+            .as("domain"),
+          concat(lit("User-agent: *\nDisallow: /private\n"),
+            when(col("h") === 3, lit("Disallow: /page\n"))
+              .otherwise(lit(""))).as("robots_txt"))
+      val blocklist = {
+        import s.implicits._
+        Seq(("site5.example", "ads")).toDF("domain", "category")
+      }
+      val robotsOk = graft.operators.UrlNormalize
+        .robotsGate(urls, "file_id", "url", robots, "graftbot")
+        .filter(col("allowed")).select("file_id")
+      val catOk = graft.operators.UrlNormalize
+        .categoryGate(urls, "file_id", "url", blocklist)
+        .filter(col("keep")).select("file_id")
+      recs
+        .join(robotsOk, Seq("file_id"), "left_semi")
+        .join(catOk, Seq("file_id"), "left_semi")
+        .select(col("file_id"), col("url"),
+          graft.operators.Html.extractText(
+            decode(col("payload"), "ISO-8859-1")).as("clean_text"))
+    }),
+
     // mapPartitions batched "decode" over binary media columns.
     // The feature vector is flattened to scalar columns for the oracle
     // compare (the gate's comparator cannot hash array cells); the
@@ -323,6 +376,19 @@ object ExtensionQueries {
         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
         |  ' tail <' || doc_id || '>' AS clean_text
         |FROM documents WHERE doc_id % 50 <> 0""".stripMargin,
+    // the composed front-end's closed-form survivors: corrupt files
+    // die at the WARC rung (%50), site3 dies at the robots rung
+    // (Disallow: /page matches every planted path), site5 dies at
+    // the category rung (blocklisted 'ads'); survivors carry the
+    // q139 extraction form and the synthesizer's target URI
+    "q149_crawl_gate" ->
+      """SELECT doc_id AS file_id,
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+        |    AS url,
+        |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' tail <' || doc_id || '>' AS clean_text
+        |FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)""".stripMargin,
     // replays the q143 planting composed through all three rungs:
     // only clean files survive the WARC walk, each contributes its
     // two planted edges (the script decoy never extracts), and hosts
