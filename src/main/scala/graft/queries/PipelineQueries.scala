@@ -121,6 +121,14 @@ object PipelineQueries {
   val FuzzyMaxDist = 1
   val PageRankIters = 5
   val PageRankDamping = 0.85
+  // count-min sketch (q150): 3 hash rows x 1024 buckets (ε=e/1024,
+  // δ=e^-3) over the corpus word counts; probes are the words with
+  // exact count >= 50 so the demo surfaces real heavy items. The
+  // PortableHash rows make the whole matrix deterministic — the
+  // oracle replays it exactly, no tolerance band needed
+  val CmsD = 3
+  val CmsW = 1024
+  val CmsProbeMin = 50L
   // priority sampling (q148): 5 winners per language stratum —
   // small enough that τ (the 6th priority) always exists at the gate
   val PriorityK = 5
@@ -467,6 +475,27 @@ object PipelineQueries {
               lit("\nUser-agent: graftbot\nDisallow: /q\nAllow: /q/ok\n"))
               .otherwise(lit(""))).as("robots_txt"))
       UrlNormalize.robotsGate(urls, "doc_id", "url", robots, "graftbot")
+    }),
+
+    // count-min sketch point queries (Sketches.cmsSketch/.cmsEstimate,
+    // Cormode-Muthukrishnan 2005): the d×w counter matrix built from
+    // the per-word exact-count aggregate, probed for every word with
+    // exact count >= CmsProbeMin; the one-sided bound (est >= exact)
+    // is pinned per probe and the deterministic hash rows let the
+    // oracle replay the matrix exactly
+    "q150_cms_counts" -> ((s, dir) => {
+      val cnt = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("wd").agg(count(lit(1)).as("exact_n"))
+      val sketch = graft.operators.Sketches
+        .cmsSketch(cnt, "wd", "exact_n", CmsD, CmsW)
+      val probes = cnt.filter(col("exact_n") >= CmsProbeMin)
+      graft.operators.Sketches
+        .cmsEstimate(sketch, probes, "wd", CmsD, CmsW)
+        .join(probes, Seq("wd"))
+        .select(col("wd").as("word"), col("exact_n"), col("cms_est"),
+          (col("cms_est") >= col("exact_n")).as("within_bound"))
     }),
 
     // priority sampling (Duffield-Lund-Thorup JACM'07; Sampling
@@ -1969,6 +1998,30 @@ object PipelineQueries {
     "q145_semantic_decon" -> semanticDeconSql,
     "q148_priority_sample" -> Sampling.prioritySampleSql(
       "documents", "doc_id", "lang", "n_chars", PriorityK),
+    // replays the CMS matrix exactly: same d hash rows (row-salted
+    // PortableHash), same bucket sums, same min-over-rows estimate
+    "q150_cms_counts" -> {
+      import graft.operators.Sketches.cmsBucketSql
+      val cells = (0 until CmsD).map(i =>
+        s"SELECT $i AS r, ${cmsBucketSql("wd", i, CmsW)} AS b, n FROM cnt")
+        .mkString("\n  UNION ALL ")
+      val probeRows = (0 until CmsD).map(i =>
+        s"SELECT wd, n, $i AS r, ${cmsBucketSql("wd", i, CmsW)} AS b FROM probes")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS wd
+         |  FROM documents),
+         |cnt AS (SELECT wd, count(*) AS n FROM tok WHERE wd <> ''
+         |  GROUP BY wd),
+         |cells AS (SELECT r, b, sum(n) AS cnt FROM (
+         |  $cells) GROUP BY r, b),
+         |probes AS (SELECT wd, n FROM cnt WHERE n >= $CmsProbeMin),
+         |pr AS ($probeRows)
+         |SELECT pr.wd AS word, pr.n AS exact_n,
+         |  min(cells.cnt) AS cms_est,
+         |  min(cells.cnt) >= pr.n AS within_bound
+         |FROM pr JOIN cells ON pr.r = cells.r AND pr.b = cells.b
+         |GROUP BY pr.wd, pr.n""".stripMargin
+    },
 
     // replays the planting (even docs re-append their first passage),
     // then the same segmentation as q117's oracle; keep-first via

@@ -164,4 +164,34 @@ class ScaleSpec extends SparkTestBase {
       s"expected shuffle-free co-located join, found ${shuffles.size} exchanges")
     assert(joined.count() > 0)
   }
+
+  test("cmsSketch: one-sided bound under forced collisions; " +
+    "batch matrices merge cell-wise to the whole-corpus matrix") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val (d, w) = (3, 8) // tiny width FORCES collisions
+    val items = (1 to 40).map(i => (s"item$i", (i * 3 + 1).toLong))
+    val cnt = items.toDF("item", "n")
+    val sk = Sketches.cmsSketch(cnt, "item", "n", d, w)
+    val est = Sketches.cmsEstimate(sk, cnt, "item", d, w)
+      .join(cnt, Seq("item"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.length == 40)
+    est.foreach { case (it, e, n) =>
+      assert(e >= n, s"$it: CMS must never underestimate ($e < $n)") }
+    // at w=8 with 40 items some bucket MUST collide: at least one
+    // estimate strictly over — otherwise the test proves nothing
+    assert(est.exists { case (_, e, n) => e > n })
+    // mergeability: split every item's count across two batches,
+    // sketch each, cell-wise sum == the whole-corpus matrix, and the
+    // merged estimates match exactly
+    val b1 = items.map { case (it, n) => (it, n / 2) }.toDF("item", "n")
+    val b2 = items.map { case (it, n) => (it, n - n / 2) }.toDF("item", "n")
+    val merged = Sketches.cmsSketch(b1, "item", "n", d, w)
+      .union(Sketches.cmsSketch(b2, "item", "n", d, w))
+      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+    val mm = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ss = sk.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mm == ss, "cell-wise summed batch matrices must equal the whole-corpus matrix")
+  }
 }
