@@ -235,6 +235,52 @@ object Relational {
       .drop("__lbin", "__rbin")
   }
 
+  /** Ordered-funnel analysis — the step-conversion query every
+    * event-analytics workload runs ("viewed, then clicked, then
+    * purchased — each strictly after the previous, within W of the
+    * first"). A user reaches step i when an event of that type
+    * exists strictly after their step-(i−1) time, taking the
+    * EARLIEST qualifying event at each step (the standard greedy
+    * funnel — earliest-first maximizes remaining window, so it never
+    * under-counts conversions). `windowMicros` bounds the whole
+    * journey from the step-0 anchor; None = unbounded.
+    *
+    * Scale shape: one staged min-after aggregate per step, each
+    * keyed on the user — the frame entering step i is ONE ROW per
+    * user that survived step i−1, so the join side shrinks
+    * monotonically down the funnel while the event side is pruned
+    * to that step's type at the scan (pushed filter). No window
+    * over the raw event stream, no per-user event arrays, no
+    * self-join of events against events: step count × (filtered
+    * scan + user-keyed shuffle), at most. Output: (step_idx, step,
+    * users). */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String],
+             windowMicros: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      unix_micros(col(tsCol)).as("__m"))
+    var cur = base.filter(col("__t") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__m")).as("__m0"))
+      .withColumn("__mp", col("__m0"))
+    var out = cur.select(lit(0).as("step_idx"),
+      lit(steps.head).as("step"), col("__u"))
+    for (i <- 1 until steps.length) {
+      val within = windowMicros
+        .map(w => col("__m") <= col("__m0") + lit(w))
+        .getOrElse(lit(true))
+      cur = base.filter(col("__t") === steps(i))
+        .join(cur.select("__u", "__m0", "__mp"), Seq("__u"))
+        .filter(col("__m") > col("__mp") && within)
+        .groupBy(col("__u"), col("__m0"))
+        .agg(min(col("__m")).as("__mp"))
+      out = out.union(cur.select(lit(i).as("step_idx"),
+        lit(steps(i)).as("step"), col("__u")))
+    }
+    out.groupBy(col("step_idx"), col("step"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** Scalable global row numbering — `row_number() OVER (ORDER BY …)`
     * without its 100 TB failure mode. Spark plans the windowed form as
     * a SINGLE-partition sort: every row moves to one task, which is

@@ -16,6 +16,12 @@ object SqlFeatureQueries {
 
   /** Session gap for q77 (seconds). */
   val SessionGapSecs = 1800L
+  // funnel (q151): the classic view→click→purchase journey, each step
+  // strictly after the previous, the whole journey within 3 days of
+  // the first view (150 → 115 → 65 users at the gate — a real funnel
+  // shape, both the window and the ordering constraint bind)
+  val FunnelSteps = Seq("view", "click", "purchase")
+  val FunnelWindowMicros = 3L * 24 * 3600 * 1000000L
 
   /** Constraint set for the q89 quality audit (shared with its
     * generated oracle so the two can't drift). */
@@ -188,6 +194,14 @@ object SqlFeatureQueries {
           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
             .as("duration_us"))),
 
+    // ordered-funnel analysis (Relational.funnel): staged min-after
+    // aggregates — one user-keyed shuffle per step over a
+    // monotonically shrinking frame, the event side pruned to the
+    // step's type at the scan; no event-stream window, no arrays
+    "q151_funnel" -> ((s, dir) =>
+      Relational.funnel(Tables.load(s, dir, "events"), "user_id",
+        "event_type", "ts", FunnelSteps, Some(FunnelWindowMicros))),
+
     // SCD2 dimension build (operators/Relational.scd2): change-row
     // collapse + effective ranges, two windows on one shuffle
     "q80_scd2" -> ((s, dir) =>
@@ -276,6 +290,27 @@ object SqlFeatureQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))""".stripMargin,
+    // replays the staged min-after funnel: earliest step-0 anchor,
+    // each later step the earliest event strictly after the previous
+    // step's time and within the window of the anchor
+    "q151_funnel" -> {
+      val (w, st) = (FunnelWindowMicros, FunnelSteps)
+      s"""WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS m
+         |  FROM events),
+         |s0 AS (SELECT u, min(m) AS m0 FROM e WHERE t = '${st(0)}'
+         |  GROUP BY u),
+         |s1 AS (SELECT e.u, m0, min(m) AS mp FROM e JOIN s0 USING (u)
+         |  WHERE t = '${st(1)}' AND m > m0 AND m <= m0 + $w
+         |  GROUP BY e.u, m0),
+         |s2 AS (SELECT e.u, s1.m0, min(m) AS mp2 FROM e JOIN s1 USING (u)
+         |  WHERE t = '${st(2)}' AND m > mp AND m <= s1.m0 + $w
+         |  GROUP BY e.u, s1.m0)
+         |SELECT step_idx, step, users FROM (
+         |  SELECT CAST(0 AS INTEGER) AS step_idx, '${st(0)}' AS step,
+         |    count(*) AS users FROM s0
+         |  UNION ALL SELECT CAST(1 AS INTEGER), '${st(1)}', count(*) FROM s1
+         |  UNION ALL SELECT CAST(2 AS INTEGER), '${st(2)}', count(*) FROM s2)""".stripMargin
+    },
     "q77_sessionize" ->
       s"""WITH x AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

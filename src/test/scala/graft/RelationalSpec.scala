@@ -235,4 +235,27 @@ class RelationalSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"),
       s"global rank went through one partition:\n$plan")
   }
+
+  test("funnel: strict ordering, earliest-anchor window, greedy steps") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // u1 converts fully in order: A(10) B(20) C(30)
+      (1L, "A", t(10)), (1L, "B", t(20)), (1L, "C", t(30)),
+      // u2: B BEFORE its A — strict ordering must reject step B
+      (2L, "B", t(5)), (2L, "A", t(10)),
+      // u3: B inside the window, C outside it (window = 100s from A)
+      (3L, "A", t(0)), (3L, "B", t(50)), (3L, "C", t(200)),
+      // u4: B ties A's timestamp exactly — strictly-after rejects it
+      (4L, "A", t(10)), (4L, "B", t(10)),
+      // u5: two A's; the EARLIEST anchors the window, so B(90) is in
+      // (90 <= 0+100) even though the later A(80) is closer
+      (5L, "A", t(0)), (5L, "A", t(80)), (5L, "B", t(90)), (5L, "C", t(95))
+    ).toDF("u", "t", "ts")
+    val got = Relational.funnel(ev, "u", "t", "ts", Seq("A", "B", "C"),
+        Some(100L * 1000000L))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // step0: u1..u5 all have an A; step1: u1, u3, u5; step2: u1, u5
+    assert(got == Map(0 -> 5L, 1 -> 3L, 2 -> 2L), s"$got")
+  }
 }
