@@ -154,8 +154,13 @@ object UrlNormalize {
     * longest-match precedence key.
     *
     * Output: (domain, allow, rule_path, specificity, rule_regex). */
-  def parseRobots(robots: DataFrame, domainCol: String,
-                  robotsCol: String, agent: String): DataFrame = {
+  /** Shared robots.txt group machinery: lines → (grouped directives,
+    * per-group agent sets). Recognized keys only (user-agent, allow,
+    * disallow, crawl-delay); a crawl-delay line ends a User-agent run
+    * exactly as a rule does (the original REP treats it as part of
+    * the group record). */
+  private def robotsGroups(robots: DataFrame, domainCol: String,
+                           robotsCol: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val lined = robots.select(col(domainCol).as("__dom"),
         posexplode(split(col(robotsCol), "\n")).as(Seq("__pos", "__raw")))
@@ -165,7 +170,8 @@ object UrlNormalize {
         lower(trim(substring_index(col("__line"), ":", 1))))
       .withColumn("__val",
         trim(regexp_extract(col("__line"), "^[^:]*:(.*)$", 1)))
-      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+      .filter(col("__key").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
     val byPos = Window.partitionBy(col("__dom")).orderBy(col("__pos"))
     val grouped = lined
       .withColumn("__ua", col("__key") === "user-agent")
@@ -178,20 +184,36 @@ object UrlNormalize {
     val agents = grouped.filter(col("__ua"))
       .groupBy(col("__dom"), col("__gid"))
       .agg(collect_set(lower(col("__val"))).as("__agents"))
-    val rules = grouped.filter(!col("__ua") && col("__val") =!= "")
-      .select(col("__dom"), col("__gid"),
-        (col("__key") === "allow").as("allow"),
-        col("__val").as("rule_path"))
-    val tiered = rules.join(agents, Seq("__dom", "__gid"))
+    (grouped, agents)
+  }
+
+  /** The exact-beats-star tier selection shared by every directive
+    * consumer: keep a domain's exact-`agent` groups when any exist,
+    * else its `*` groups. */
+  private def selectTier(directives: DataFrame, agents: DataFrame,
+                         agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tiered = directives.join(agents, Seq("__dom", "__gid"))
       .withColumn("__exact", array_contains(col("__agents"),
         lit(agent.toLowerCase)))
       .withColumn("__star", array_contains(col("__agents"), lit("*")))
       .filter(col("__exact") || col("__star"))
     val byDom = Window.partitionBy(col("__dom"))
-    val selected = tiered
-      .withColumn("__hasExact", max(col("__exact")).over(byDom))
+    tiered.withColumn("__hasExact", max(col("__exact")).over(byDom))
       .filter((col("__hasExact") && col("__exact")) ||
         (!col("__hasExact") && col("__star")))
+  }
+
+  def parseRobots(robots: DataFrame, domainCol: String,
+                  robotsCol: String, agent: String): DataFrame = {
+    val (grouped, agents) = robotsGroups(robots, domainCol, robotsCol)
+    val rules = grouped
+      .filter(col("__key").isin("allow", "disallow") &&
+        col("__val") =!= "")
+      .select(col("__dom"), col("__gid"),
+        (col("__key") === "allow").as("allow"),
+        col("__val").as("rule_path"))
+    val selected = selectTier(rules, agents, agent)
     // rule → anchored regex: escape specials, '*' → '.*', trailing
     // '$' anchors; specificity = octet length of the published rule
     val anchored = col("rule_path").endsWith("$")
@@ -204,6 +226,28 @@ object UrlNormalize {
       col("rule_path"), length(col("rule_path")).as("specificity"),
       concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
         when(anchored, lit("$")).otherwise(lit(""))).as("rule_regex"))
+  }
+
+  /** Per-domain Crawl-delay under `agent` (original REP extension —
+    * the politeness interval a crawl SCHEDULER feeds its per-host
+    * token bucket; RFC 9309 leaves it to implementations, the field
+    * is ubiquitous in published robots.txt). Same group semantics and
+    * exact-beats-star tier as [[parseRobots]]; non-numeric values are
+    * ignored; when several values apply, the LARGEST wins — the
+    * conservative (most polite) reading of an ambiguous policy.
+    * Domains publishing no applicable delay are absent — the caller
+    * applies its own default politeness. Output: (domainCol,
+    * crawl_delay: double seconds). */
+  def crawlDelay(robots: DataFrame, domainCol: String,
+                 robotsCol: String, agent: String): DataFrame = {
+    val (grouped, agents) = robotsGroups(robots, domainCol, robotsCol)
+    val ds = grouped
+      .filter(col("__key") === "crawl-delay" &&
+        col("__val").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("__dom"), col("__gid"), col("__val"))
+    selectTier(ds, agents, agent)
+      .groupBy(col("__dom").as(domainCol))
+      .agg(max(col("__val").cast("double")).as("crawl_delay"))
   }
 
   /** Path+query of a URL (the RFC 9309 match target); empty → "/". */

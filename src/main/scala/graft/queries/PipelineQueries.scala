@@ -477,6 +477,36 @@ object PipelineQueries {
       UrlNormalize.robotsGate(urls, "doc_id", "url", robots, "graftbot")
     }),
 
+    // Crawl-delay extraction (UrlNormalize.crawlDelay): the per-host
+    // politeness interval a crawl scheduler feeds its token bucket.
+    // Planting: every domain's * group publishes delay dnum%5+1;
+    // every 4th domain adds an exact graftbot group with delay 0.5
+    // (exact tier must SUPPRESS the * value); every domain with
+    // dnum%5==2 adds a second * value 10 (largest-wins rule) and a
+    // non-numeric decoy that must be ignored; dnum%7==6 domains
+    // (outside the exact tier) publish no * delay and must be absent
+    "q152_crawl_delay" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val robots = d.select(pmod(col("doc_id"), lit(20)).as("dnum"))
+        .distinct()
+        .select(
+          concat(lit("example"), col("dnum").cast("string"),
+            lit(".com")).as("domain"),
+          concat(
+            lit("User-agent: *\nDisallow: /private\n"),
+            when(pmod(col("dnum"), lit(7)) === 6, lit(""))
+              .otherwise(concat(lit("Crawl-delay: "),
+                (pmod(col("dnum"), lit(5)) + 1).cast("string"),
+                lit("\n"))),
+            when(pmod(col("dnum"), lit(5)) === 2,
+              lit("Crawl-delay: 10\nCrawl-delay: fast\n"))
+              .otherwise(lit("")),
+            when(pmod(col("dnum"), lit(4)) === 0,
+              lit("\nUser-agent: graftbot\nCrawl-delay: 0.5\n"))
+              .otherwise(lit(""))).as("robots_txt"))
+      UrlNormalize.crawlDelay(robots, "domain", "robots_txt", "graftbot")
+    }),
+
     // count-min sketch point queries (Sketches.cmsSketch/.cmsEstimate,
     // Cormode-Muthukrishnan 2005): the d×w counter matrix built from
     // the per-word exact-count aggregate, probed for every word with
@@ -1641,6 +1671,17 @@ object PipelineQueries {
         |       WHEN doc_id % 4 <> 0 AND doc_id % 6 = 4 THEN '/tmp*.html$'
         |       END AS rule
         |FROM documents""".stripMargin,
+    // states q152's closed-form verdicts: exact tier (dn%4=0) reads
+    // graftbot's 0.5 and suppresses *; largest-wins where the second
+    // * value was planted (dn%5=2); the no-delay domains are absent
+    "q152_crawl_delay" ->
+      """WITH d AS (SELECT DISTINCT doc_id % 20 AS dn FROM documents)
+        |SELECT 'example' || dn || '.com' AS domain,
+        |  CASE WHEN dn % 4 = 0 THEN 0.5
+        |       WHEN dn % 5 = 2 THEN 10.0
+        |       ELSE CAST(dn % 5 + 1 AS DOUBLE) END AS crawl_delay
+        |FROM d
+        |WHERE dn % 4 = 0 OR dn % 5 = 2 OR dn % 7 <> 6""".stripMargin,
     // replays the q136 PLANTING formula: the extractor's five-step
     // contract (script/style/comment drop, attribute-safe tag strip,
     // fixed entity table with &amp; last, whitespace collapse) must

@@ -149,4 +149,24 @@ class UrlNormalizeSpec extends SparkTestBase {
       "a '.' in a rule is a literal octet, not a regex metachar")
     assert(out(8L) == ((true, None)), "no robots.txt defaults to allow")
   }
+
+  test("crawlDelay: tier suppression, largest-wins, non-numeric ignored") {
+    import spark.implicits._
+    val robots = Seq(
+      // exact group wins over * even with a larger * value
+      ("a.com", "User-agent: *\nCrawl-delay: 30\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 2\n"),
+      // two applicable values -> largest; 'fast' ignored
+      ("b.com", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 5\n" +
+        "Crawl-delay: fast\n"),
+      // delay in a group for ANOTHER agent only -> absent
+      ("c.com", "User-agent: otherbot\nCrawl-delay: 9\n"),
+      // fractional seconds parse
+      ("d.com", "User-agent: *\nCrawl-delay: 0.25\n")
+    ).toDF("domain", "robots_txt")
+    val got = UrlNormalize.crawlDelay(robots, "domain", "robots_txt",
+        "graftbot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a.com" -> 2.0, "b.com" -> 5.0, "d.com" -> 0.25))
+  }
 }
