@@ -18,6 +18,11 @@ object Scale {
     val reps = args(0).toInt
     val names = args(1).split(",").toSeq
     val dirs = args.drop(2).toSeq
+    // machine-speed witness FIRST (shared [[graft.Bench.calibrate]]):
+    // this VM's same-commit walls have measured 3x apart hours apart,
+    // so a sweep without its calib anchor cannot be compared against
+    // any other sweep — including this repo's own earlier sections
+    println(f"SCALE_CALIB ${graft.Bench.calibrate()}%.3f s")
     val spark = graft.core.GraftSession.build("graft-scale",
       graft.core.GraftSession.envCores)
     // warmup on the FIRST (smallest) dir so no measured cell pays JIT
