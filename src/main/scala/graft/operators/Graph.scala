@@ -105,10 +105,26 @@ object Graph {
     * iteration, so float-sum association noise cannot compound; the
     * oracle unrolls identical CTEs.
     *
+    * The per-round auth normalization is FACTORED OUT of the loop:
+    * dividing every auth by max(auth) before the hub sum only scales
+    * hRaw uniformly, and the hub's own max-normalization cancels any
+    * uniform scale — so the recurrence carries the UN-normalized
+    * auth aggregate into the hub sum and normalizes hubs once per
+    * round (the only normalization the next round's input needs).
+    * Auths are normalized ONCE, from the final round's aggregate.
+    * Round-10 measured the inlined form's cost: two
+    * broadcast-of-own-aggregate maxNorms + two nodes-joins + two
+    * barriers per round; this form runs one scalar max, zero
+    * nodes-joins, and one barrier per round on the same two
+    * structural shuffles. (Magnitudes stay bounded — auth ≤
+    * in-degree, hub ∈ [0,1] — so the 6-decimal rounding still
+    * genuinely quantizes and the unrolled-CTE oracle stays
+    * bit-stable.)
+    *
     * Scale shape: the deduped edge list is checkpointed TWICE,
     * pre-partitioned on src for the hub-side join and on dst for the
     * authority-side join, so neither per-round join re-exchanges the
-    * edges — each iteration moves only the two score vectors (two
+    * edges — each iteration moves only the score vector (two
     * shuffles: the dst and src aggregates; the max is a scalar
     * broadcast). `checkpointDir` = reliable-FS barriers at cluster
     * scale, exactly as [[pageRank]]. Output: (node, hub, auth). */
@@ -130,37 +146,36 @@ object Graph {
       .repartition(col("node")))
     val eBySrc = barrier(e0.repartition(col("src")))
     val eByDst = barrier(e0.repartition(col("dst")))
-    def maxNorm(scores: DataFrame, valCol: String): DataFrame = {
-      val m = scores.agg(max(col(valCol)).as("__m"))
-      scores.crossJoin(broadcast(m))
-        .select(col("node"),
-          round(col(valCol) / col("__m"), 6).as(valCol))
-    }
     var hubs = nodes.withColumn("hub", lit(1.0))
-    var auths = nodes.withColumn("auth", lit(1.0))
+    var aRaw: DataFrame = null
     for (i <- 1 to iters) {
-      val aRaw = eBySrc
+      aRaw = eBySrc
         .join(hubs.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(round(sum(col("hub")), 6).as("auth"))
-      auths = maxNorm(nodes.join(aRaw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")),
-        "auth")
+        .agg(round(sum(col("hub")), 6).as("__ar"))
+      // the final round's aggregate has TWO consumers (the hub sum
+      // and the auth output) — barrier it there so the dst aggregate
+      // runs once, not per consumer; mid-loop it has one consumer
+      // and rides the barriered hubs' short lineage
+      if (i == iters) aRaw = barrier(aRaw)
       val hRaw = eByDst
-        .join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+        .join(aRaw.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
-        .agg(round(sum(col("auth")), 6).as("hub"))
-      hubs = maxNorm(nodes.join(hRaw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
-        "hub")
-      // barrier EVERY round, unlike pageRank's every-3: maxNorm's
-      // broadcast-of-own-aggregate gives each score frame TWO
-      // consumers of its full lineage, so an unbarriered plan grows
-      // ~4× per iteration (measured: 829 exchanges / 101 bnlj in the
-      // AQE-final plan at iters=3 before this barrier; 14.8s of
-      // mostly optimizer time). The frames are one row per node.
-      hubs = barrier(hubs); auths = barrier(auths)
+        .agg(round(sum(col("__ar")), 6).as("__hr"))
+      val mH = hRaw.agg(max(col("__hr")).as("__m"))
+      // barrier every round: hubs feed the next round's join AND the
+      // max aggregate — the same two-consumers-of-own-lineage growth
+      // the round-10 form barriered against (829 exchanges measured
+      // unbarriered at iters=3); the frame is one row per node
+      hubs = barrier(hRaw.crossJoin(broadcast(mH))
+        .select(col("node"), round(col("__hr") / col("__m"), 6).as("hub")))
     }
-    nodes.join(hubs, Seq("node")).join(auths, Seq("node"))
+    val mA = aRaw.agg(max(col("__ar")).as("__m"))
+    val auths = aRaw.crossJoin(broadcast(mA))
+      .select(col("node"), round(col("__ar") / col("__m"), 6).as("auth"))
+    nodes.join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 }

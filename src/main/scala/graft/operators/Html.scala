@@ -115,10 +115,18 @@ object Html {
     *    skipped, not misparsed — documented, lookaround-free (RE2-safe)
     *    in exchange;
     *  - `(?s)` lets anchors span lines; `</a\s*>` tolerates the
-    *    whitespace-before-`>` close the tag pattern accepts. */
+    *    whitespace-before-`>` close the tag pattern accepts;
+    *  - the body run cannot cross a NEW anchor opener (`<a` followed
+    *    by whitespace or `>`): real crawl HTML routinely drops `</a>`,
+    *    and a lazy `.*?` body would swallow the next anchor whole —
+    *    one unclosed tag eating its well-formed neighbor. Instead the
+    *    unclosed anchor itself fails to match (dropped — it has no
+    *    close) and the following anchor is found intact. Literal
+    *    `<<` inside a body also terminates the run (vanishingly rare;
+    *    the match then fails like any other unclosed anchor). */
   private[graft] val anchorPattern =
     "(?is)<a\\s(?:(?:[^>\"']|\"[^\"]*\"|'[^']*')*?\\s)?href\\s*=\\s*\"([^\"]*)\"" +
-      "(?:[^>\"']|\"[^\"]*\"|'[^']*')*>(.*?)</a\\s*>"
+      "(?:[^>\"']|\"[^\"]*\"|'[^']*')*>((?:[^<]+|<(?:[^aA<]|[aA][^\\s>]))*?)</a\\s*>"
 
   /** Steps 1-2 of the contract, shared by [[extractText]] and
     * [[extractLinks]]: drop script/style elements with their content,

@@ -240,10 +240,21 @@ object Relational {
     * purchased — each strictly after the previous, within W of the
     * first"). A user reaches step i when an event of that type
     * exists strictly after their step-(i−1) time, taking the
-    * EARLIEST qualifying event at each step (the standard greedy
-    * funnel — earliest-first maximizes remaining window, so it never
-    * under-counts conversions). `windowMicros` bounds the whole
-    * journey from the step-0 anchor; None = unbounded.
+    * EARLIEST qualifying event at each step. `windowMicros` bounds
+    * the whole journey from the step-0 anchor; None = unbounded.
+    *
+    * CONTRACT: the anchor is the user's EARLIEST step-0 event,
+    * fixed. With `windowMicros` set this UNDER-COUNTS relative to
+    * sliding-anchor semantics (ClickHouse `windowFunnel`): a user
+    * whose first step-0 event's window expires but whose LATER
+    * step-0 event completes in-window (A@0, A@150, B@160, W=100)
+    * counts only at step 0 here, though A@150→B@160 converts. When
+    * every step-0 occurrence must be tried as an anchor, use
+    * [[funnelSliding]] — it pays one extra join fan-out (rows ∝
+    * step-0 events, not users) for the exact semantics. With
+    * `windowMicros = None` the two agree (greedy earliest-first
+    * maximizes the remaining suffix, so a fixed earliest anchor is
+    * optimal when nothing expires).
     *
     * Scale shape: one staged min-after aggregate per step, each
     * keyed on the user — the frame entering step i is ONE ROW per
@@ -279,6 +290,49 @@ object Relational {
     }
     out.groupBy(col("step_idx"), col("step"))
       .agg(count(lit(1)).as("users"))
+  }
+
+  /** Sliding-anchor windowed funnel — ClickHouse-`windowFunnel`
+    * semantics: EVERY step-0 event is tried as an anchor, and a user
+    * counts at step i when ANY anchor's greedy chain (earliest
+    * qualifying event per step, each strictly after the previous,
+    * all within `windowMicros` of that anchor) reaches step i. This
+    * is the exact windowed-funnel answer [[funnel]]'s fixed earliest
+    * anchor under-counts (see its contract note); per anchor, greedy
+    * earliest-first is optimal, and maximizing over anchors is
+    * exactly "some window converts".
+    *
+    * Scale shape: the same staged min-after aggregates as [[funnel]],
+    * keyed on (user, anchor) instead of user — the frame entering
+    * step i is one row per SURVIVING anchor, so the extra cost over
+    * [[funnel]] is the step-0 event multiplicity, not the event
+    * volume; the event side is still pruned to each step's type at
+    * the scan, and anchors only ever shrink down the funnel. The
+    * final count is one distinct-user aggregate over the small
+    * (step, user) surface. Output: (step_idx, step, users). */
+  def funnelSliding(df: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String],
+                    windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMicros > 0, "windowMicros must be positive")
+    val base = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      unix_micros(col(tsCol)).as("__m"))
+    var cur = base.filter(col("__t") === steps.head)
+      .select(col("__u"), col("__m").as("__m0"), col("__m").as("__mp"))
+    var out = cur.select(lit(0).as("step_idx"),
+      lit(steps.head).as("step"), col("__u"))
+    for (i <- 1 until steps.length) {
+      cur = base.filter(col("__t") === steps(i))
+        .join(cur.select("__u", "__m0", "__mp"), Seq("__u"))
+        .filter(col("__m") > col("__mp") &&
+          col("__m") <= col("__m0") + lit(windowMicros))
+        .groupBy(col("__u"), col("__m0"))
+        .agg(min(col("__m")).as("__mp"))
+      out = out.union(cur.select(lit(i).as("step_idx"),
+        lit(steps(i)).as("step"), col("__u")))
+    }
+    out.groupBy(col("step_idx"), col("step"))
+      .agg(countDistinct(col("__u")).as("users"))
   }
 
   /** Scalable global row numbering — `row_number() OVER (ORDER BY …)`

@@ -141,7 +141,12 @@ object Sampling {
     * consumers filter on `row_number ≤ k(+1)`, so Spark's
     * WindowGroupLimit caps each map-side group at k+1 rows before
     * the exchange — the window never sees a stratum's full extent.
-    * τ rides a broadcast back onto the winners. */
+    * τ rides a broadcast back onto the winners.
+    *
+    * Rows with non-positive (or NULL) weight are dropped up front:
+    * the scheme's unbiasedness (Theorem 1) assumes w > 0 — a zero or
+    * negative weight would still rank and could become τ, silently
+    * voiding the `weight_est` guarantee for the whole stratum. */
   def prioritySample(df: DataFrame, idCol: String, strataCol: String,
                      weightCol: Column, k: Int,
                      salt: String = ""): DataFrame = {
@@ -150,7 +155,8 @@ object Sampling {
     val prio = weightCol.cast("double") * lit(1000000.0) / u
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(prio.desc, col(idCol).asc)
-    val ranked = df.withColumn("__prio", prio)
+    val ranked = df.filter(weightCol.cast("double") > 0.0)
+      .withColumn("__prio", prio)
       .withColumn("__rn", row_number().over(w))
     val tau = ranked.filter(col("__rn") === k + 1)
       .select(col(strataCol), col("__prio").as("__tau"))
@@ -175,12 +181,13 @@ object Sampling {
     s"""WITH pr AS (SELECT $strataExpr AS strata, $idExpr AS id,
        |    CAST($weightExpr AS DOUBLE) AS w,
        |    CAST($weightExpr AS DOUBLE) * 1000000.0 / ($b + 1) AS prio
-       |  FROM $fromExpr),
+       |  FROM $fromExpr WHERE CAST($weightExpr AS DOUBLE) > 0.0),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY strata
        |    ORDER BY prio DESC, id) AS rn FROM pr),
        |tau AS (SELECT strata, prio AS tau FROM rk WHERE rn = ${k + 1})
        |SELECT rk.strata AS $strataExpr, rk.id AS $idExpr,
-       |  rk.w AS weight, round(rk.prio, 6) AS priority, rk.rn,
+       |  rk.w AS weight, round(rk.prio, 6) AS priority,
+       |  CAST(rk.rn AS INTEGER) AS rn,
        |  round(CASE WHEN tau.tau IS NULL THEN rk.w
        |    ELSE greatest(rk.w, tau.tau) END, 6) AS weight_est
        |FROM rk LEFT JOIN tau USING (strata) WHERE rk.rn <= $k""".stripMargin

@@ -204,28 +204,38 @@ object UrlNormalize {
         (!col("__hasExact") && col("__star")))
   }
 
-  def parseRobots(robots: DataFrame, domainCol: String,
-                  robotsCol: String, agent: String): DataFrame = {
-    val (grouped, agents) = robotsGroups(robots, domainCol, robotsCol)
+  /** Tier-selected, regex-compiled rule rows from an already-grouped
+    * parse: (__dom, allow, rule_path, specificity, rule_regex).
+    * Rule → anchored regex: escape specials, '*' → '.*', trailing
+    * '$' anchors; specificity = OCTET length of the published rule
+    * (RFC 9309 longest-match precedence is by octets — a non-ASCII
+    * rule path has more octets than chars). */
+  private def compiledRules(grouped: DataFrame, agents: DataFrame,
+                            agent: String): DataFrame = {
     val rules = grouped
       .filter(col("__key").isin("allow", "disallow") &&
         col("__val") =!= "")
       .select(col("__dom"), col("__gid"),
         (col("__key") === "allow").as("allow"),
         col("__val").as("rule_path"))
-    val selected = selectTier(rules, agents, agent)
-    // rule → anchored regex: escape specials, '*' → '.*', trailing
-    // '$' anchors; specificity = octet length of the published rule
     val anchored = col("rule_path").endsWith("$")
     val body = when(anchored, expr(
         "substring(rule_path, 1, length(rule_path) - 1)"))
       .otherwise(col("rule_path"))
     val escaped = regexp_replace(body,
       "([.?+^$(){}\\[\\]|\\\\])", "\\\\$1")
-    selected.select(col("__dom").as(domainCol), col("allow"),
-      col("rule_path"), length(col("rule_path")).as("specificity"),
-      concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
-        when(anchored, lit("$")).otherwise(lit(""))).as("rule_regex"))
+    selectTier(rules, agents, agent)
+      .select(col("__dom"), col("allow"), col("rule_path"),
+        octet_length(col("rule_path")).as("specificity"),
+        concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+          when(anchored, lit("$")).otherwise(lit(""))).as("rule_regex"))
+  }
+
+  def parseRobots(robots: DataFrame, domainCol: String,
+                  robotsCol: String, agent: String): DataFrame = {
+    val (grouped, agents) = robotsGroups(robots, domainCol, robotsCol)
+    compiledRules(grouped, agents, agent)
+      .withColumnRenamed("__dom", domainCol)
   }
 
   /** Per-domain Crawl-delay under `agent` (original REP extension —
@@ -248,6 +258,80 @@ object UrlNormalize {
     selectTier(ds, agents, agent)
       .groupBy(col("__dom").as(domainCol))
       .agg(max(col("__val").cast("double")).as("crawl_delay"))
+  }
+
+  /** One-parse robots POLICY: the verdict rules AND the Crawl-delay
+    * per domain from a SINGLE parse of the robots corpus — the
+    * surface a crawl pipeline wanting both the q146 gate and the
+    * q152 scheduler signal composes (calling [[parseRobots]] and
+    * [[crawlDelay]] separately parses every robots body twice).
+    *
+    * Tier selection stays PER DIRECTIVE TYPE, exactly as the two
+    * standalone operators behave: an agent-specific group publishing
+    * only a Crawl-delay does not erase the `*` group's access rules
+    * (the conservative reading — a policy that says nothing about
+    * access for the agent falls back to the generic rules), and vice
+    * versa. The expensive shared work — line explode, comment strip,
+    * group-id window — runs once; the two tier selections run on the
+    * small directive rows.
+    *
+    * Output: one row per domain that publishes EITHER applicable
+    * rules or an applicable delay — (domainCol,
+    * rules: array<struct<allow, rule_path, specificity, rule_regex>>
+    * (sorted, possibly empty), crawl_delay: double (NULL when
+    * unpublished)). The frame is domain-sized (tiny next to any URL
+    * corpus) — checkpoint or broadcast it once and feed every
+    * consumer, e.g. [[robotsGateFromPolicy]]. */
+  def robotsPolicy(robots: DataFrame, domainCol: String,
+                   robotsCol: String, agent: String): DataFrame = {
+    val (grouped, agents) = robotsGroups(robots, domainCol, robotsCol)
+    val rules = compiledRules(grouped, agents, agent)
+      .select(col("__dom"), struct(col("allow"), col("rule_path"),
+        col("specificity"), col("rule_regex")).as("__r"))
+      .groupBy(col("__dom"))
+      .agg(array_sort(collect_list(col("__r"))).as("rules"))
+    val delayRows = grouped
+      .filter(col("__key") === "crawl-delay" &&
+        col("__val").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("__dom"), col("__gid"), col("__val"))
+    val delays = selectTier(delayRows, agents, agent)
+      .groupBy(col("__dom"))
+      .agg(max(col("__val").cast("double")).as("crawl_delay"))
+    rules.join(delays, Seq("__dom"), "full_outer")
+      .select(col("__dom").as(domainCol),
+        coalesce(col("rules"),
+          array().cast("array<struct<allow:boolean,rule_path:string," +
+            "specificity:int,rule_regex:string>>")).as("rules"),
+        col("crawl_delay"))
+  }
+
+  /** The [[robotsGate]] verdict evaluated against a prebuilt
+    * [[robotsPolicy]] frame — so a pipeline consuming the policy for
+    * BOTH the gate and the scheduler delay parses the robots corpus
+    * once. Semantics and output are identical to [[robotsGate]]:
+    * the per-domain rule array explodes AFTER the domain join (the
+    * same small constant fan-out as joining the rule table directly),
+    * longest-octet-match wins, Allow beats Disallow on a tie, no
+    * rule / no policy → allowed. */
+  def robotsGateFromPolicy(urls: DataFrame, idCol: String, urlCol: String,
+                           policy: DataFrame,
+                           domainCol: String = "domain"): DataFrame = {
+    val withDom = urls.select(col(idCol), col(urlCol),
+      hostOf(col(urlCol)).as("__dom"), pathOf(col(urlCol)).as("__path"))
+    withDom
+      .join(policy.select(col(domainCol).as("__dom"), col("rules")),
+        Seq("__dom"), "left")
+      .select(col(idCol), col(urlCol), col("__path"),
+        explode_outer(col("rules")).as("__rule"))
+      .withColumn("__hit", col("__rule").isNotNull &&
+        regexp_like(col("__path"), col("__rule.rule_regex")))
+      .groupBy(col(idCol), col(urlCol))
+      .agg(max(when(col("__hit"), struct(col("__rule.specificity"),
+        col("__rule.allow").cast("int").as("a"),
+        col("__rule.rule_path")))).as("__win"))
+      .select(col(idCol), col(urlCol),
+        coalesce(col("__win.a") === 1, lit(true)).as("allowed"),
+        col("__win.rule_path").as("rule"))
   }
 
   /** Path+query of a URL (the RFC 9309 match target); empty → "/". */

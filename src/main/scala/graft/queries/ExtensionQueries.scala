@@ -91,14 +91,19 @@ object ExtensionQueries {
     }),
 
     // the FULL crawl front-end composed as one plan (q137 × q136 ×
-    // q146 × q138): WARC walk → response payloads → per-URL robots
-    // verdict (site3 publishes Disallow: /page) → category gate
-    // (site5 is blocklisted 'ads') → HTML→text extraction of the
-    // survivors. Corrupt files (doc_id%50==0) vanish at the framing
-    // rung; blocked hosts vanish at their gates; the two gate
-    // verdicts come back as left-semi probes on the record id so the
-    // payload column never rides through the verdict aggregates.
-    // Oracle states the closed-form survivors.
+    // q146 × q152 × q138): WARC walk → response payloads → per-URL
+    // robots verdict (site3 publishes Disallow: /page) → category
+    // gate (site5 is blocklisted 'ads') → HTML→text extraction of
+    // the survivors, each carrying its domain's Crawl-delay (even
+    // sites publish one). The robots corpus is parsed ONCE into a
+    // checkpointed robotsPolicy frame that feeds BOTH the verdict
+    // and the delay — the single-parse composition the standalone
+    // q146+q152 pair would pay twice for. Corrupt files
+    // (doc_id%50==0) vanish at the framing rung; blocked hosts
+    // vanish at their gates; the two gate verdicts come back as
+    // left-semi probes on the record id so the payload column never
+    // rides through the verdict aggregates. Oracle states the
+    // closed-form survivors.
     "q149_crawl_gate" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val id = col("doc_id").cast("string")
@@ -124,13 +129,21 @@ object ExtensionQueries {
             .as("domain"),
           concat(lit("User-agent: *\nDisallow: /private\n"),
             when(col("h") === 3, lit("Disallow: /page\n"))
-              .otherwise(lit(""))).as("robots_txt"))
+              .otherwise(lit("")),
+            when(col("h") % 2 === 0,
+              concat(lit("Crawl-delay: "), (col("h") + 1).cast("string"),
+                lit("\n"))).otherwise(lit(""))).as("robots_txt"))
       val blocklist = {
         import s.implicits._
         Seq(("site5.example", "ads")).toDF("domain", "category")
       }
+      // ONE robots parse: the checkpointed per-domain policy frame
+      // feeds both the verdict gate and the scheduler-delay join
+      val policy = graft.operators.UrlNormalize
+        .robotsPolicy(robots, "domain", "robots_txt", "graftbot")
+        .localCheckpoint()
       val robotsOk = graft.operators.UrlNormalize
-        .robotsGate(urls, "file_id", "url", robots, "graftbot")
+        .robotsGateFromPolicy(urls, "file_id", "url", policy)
         .filter(col("allowed")).select("file_id")
       val catOk = graft.operators.UrlNormalize
         .categoryGate(urls, "file_id", "url", blocklist)
@@ -140,7 +153,11 @@ object ExtensionQueries {
         .join(catOk, Seq("file_id"), "left_semi")
         .select(col("file_id"), col("url"),
           graft.operators.Html.extractText(
-            decode(col("payload"), "ISO-8859-1")).as("clean_text"))
+            decode(col("payload"), "ISO-8859-1")).as("clean_text"),
+          graft.operators.UrlNormalize.hostOf(col("url")).as("__dom"))
+        .join(broadcast(policy.select(col("domain").as("__dom"),
+          col("crawl_delay"))), Seq("__dom"), "left")
+        .drop("__dom")
     }),
 
     // mapPartitions batched "decode" over binary media columns.
@@ -380,13 +397,16 @@ object ExtensionQueries {
     // die at the WARC rung (%50), site3 dies at the robots rung
     // (Disallow: /page matches every planted path), site5 dies at
     // the category rung (blocklisted 'ads'); survivors carry the
-    // q139 extraction form and the synthesizer's target URI
+    // q139 extraction form, the synthesizer's target URI, and the
+    // planted Crawl-delay (h+1 on even sites, NULL elsewhere)
     "q149_crawl_gate" ->
       """SELECT doc_id AS file_id,
         |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
         |    AS url,
         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
-        |  ' tail <' || doc_id || '>' AS clean_text
+        |  ' tail <' || doc_id || '>' AS clean_text,
+        |  CASE WHEN (doc_id % 7) % 2 = 0
+        |    THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
         |FROM documents
         |WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)""".stripMargin,
     // replays the q143 planting composed through all three rungs:
@@ -625,7 +645,8 @@ object ExtensionQueries {
       // row while Spark's left_anti keeps it (null key never matches)
       """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents
         |  WHERE doc_id % 3 != 0)
-        |SELECT DISTINCT md5(text) AS content_hash, length(text) AS n
+        |SELECT DISTINCT md5(text) AS content_hash,
+        |  CAST(length(text) AS INTEGER) AS n
         |FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = md5(d.text))""".stripMargin,
     "q58_sliding_window" ->

@@ -69,6 +69,48 @@ object HarnessQueries {
             .as("alrt_dias_referencia"))
       AlertConform(built, "OVRD", SchemaConform.Mgp,
         keyCols = Seq("alrt_docu_dk"), keyHash = AlertKey.limpaSha256)
+    }),
+
+    // The FULL lifecycle under the driver's oracle (reference
+    // jobs.py:284-320): three harness runs over run-specific orders
+    // subsets — first-create (partitioned hist write), a second day in
+    // the same month (month-merge keeps both days), and a SAME-day
+    // re-run (that day's rows replaced via the staging table + dynamic
+    // partition overwrite; the first day untouched). The emitted hist
+    // table's closed form: run-1 rows under dt_calculo 20201110 plus
+    // run-3 rows under 20201111 — run-2's rows must be GONE. Each call
+    // rebuilds the fixture database from scratch (fresh location), so
+    // the query is idempotent across Verify/Bench passes.
+    "q153_hist_merge" -> ((s, dir) => {
+      import java.time.LocalDateTime
+      import graft.harness.{Alert, AlertHarness, RunClock}
+      val db = "graft_q153"
+      s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val loc = java.nio.file.Files.createTempDirectory("graft_q153_wh")
+      s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+      def alert(runMod: Int): Alert = new Alert {
+        val sigla = "HMRG"
+        val family = SchemaConform.Mgp
+        val keyCols = Seq("alrt_docu_dk")
+        def build(sp: SparkSession): DataFrame =
+          Tables.load(sp, dir, "orders")
+            .filter(col("o_orderkey") % 100 === runMod)
+            .select(col("o_orderkey").cast("int").as("alrt_docu_dk"),
+              col("o_custkey").cast("int").as("alrt_orgi_orga_dk"))
+      }
+      def run(clock: RunClock, runMod: Int): Unit = {
+        val h = new AlertHarness(s, db, clock,
+          keyHash = AlertKey.limpaSha256)
+        h.dropTemps(Seq("alerts"))
+        h.appendTemp(alert(runMod), "alerts")
+        h.finalize("alerts")
+      }
+      run(RunClock(LocalDateTime.of(2020, 11, 10, 9, 0)), 1)
+      run(RunClock(LocalDateTime.of(2020, 11, 11, 9, 0)), 2)
+      run(RunClock(LocalDateTime.of(2020, 11, 11, 18, 0)), 3)
+      s.table(s"$db.hist_alerts")
+        .select("alrt_key", "alrt_sigla", "alrt_orgi_orga_dk",
+          "alrt_docu_dk", "dt_calculo", "dt_partition")
     })
   )
 
@@ -105,9 +147,28 @@ object HarnessQueries {
         |  CAST(o_orderkey AS INTEGER) AS alrt_docu_dk,
         |  CAST(NULL AS VARCHAR) AS alrt_docu_nr_mp,
         |  o_orderdate AS alrt_date_referencia,
-        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS alrt_dias_referencia,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS INTEGER) AS alrt_dias_referencia,
         |  CAST(NULL AS INTEGER) AS alrt_dk_referencia,
         |  CAST(NULL AS VARCHAR) AS alrt_info_adicional
-        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    // the hist table's closed form after run1(day10,%100=1),
+    // run2(day11,%100=2), run3(SAME day11,%100=3): the same-day
+    // replace must have erased run2 entirely, kept run1's day intact
+    "q153_hist_merge" ->
+      """WITH k AS (SELECT o_orderkey, o_custkey,
+        |    concat('HMRG', '.',
+        |      sha256(CAST(CAST(o_orderkey AS INTEGER) AS VARCHAR)),
+        |      '.', CAST(CAST(o_custkey AS INTEGER) AS VARCHAR)) AS alrt_key
+        |  FROM orders)
+        |SELECT alrt_key, 'HMRG' AS alrt_sigla,
+        |  CAST(o_custkey AS INTEGER) AS alrt_orgi_orga_dk,
+        |  CAST(o_orderkey AS INTEGER) AS alrt_docu_dk,
+        |  '20201110' AS dt_calculo, '202011' AS dt_partition
+        |FROM k WHERE o_orderkey % 100 = 1
+        |UNION ALL
+        |SELECT alrt_key, 'HMRG',
+        |  CAST(o_custkey AS INTEGER), CAST(o_orderkey AS INTEGER),
+        |  '20201111', '202011'
+        |FROM k WHERE o_orderkey % 100 = 3""".stripMargin
   )
 }

@@ -995,7 +995,7 @@ object PipelineQueries {
        |  ws FROM d)
        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
        |  array_to_string(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens], ' ') AS chunk_text,
-       |  len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens]) AS n_tokens
+       |  CAST(len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkMaxTokens]) AS INTEGER) AS n_tokens
        |FROM c""".stripMargin
   /** distinct (doc_id, word) pairs */
   private val wordsCte =
@@ -1135,7 +1135,7 @@ object PipelineQueries {
        |k AS (SELECT c.* FROM chunks c JOIN keep USING (chunk, v))
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |  FROM k a JOIN k b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id)
        |WHERE hamming <= $SimhashMaxHamming""".stripMargin
   }
@@ -1168,7 +1168,7 @@ object PipelineQueries {
   private val cosineTopkSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
-       |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
        |  SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, neighbor_id) AS rn
@@ -1227,7 +1227,7 @@ object PipelineQueries {
        |  FROM q, cents) WHERE cell_rn <= $IvfProbes),
        |c AS (SELECT e.vec_id AS neighbor_id, cells.cell, CAST(e.embedding AS DOUBLE[]) AS cv
        |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id)
-       |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
        |  SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, neighbor_id) AS rn
@@ -1322,7 +1322,7 @@ object PipelineQueries {
        |  FROM pqa_$PqIters a JOIN lut l ON a.s = l.s AND a.code = l.code
        |  WHERE a.vec_id != l.query_id
        |  GROUP BY 1, 2)
-       |SELECT query_id, neighbor_id, adist, rn FROM (
+       |SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rn FROM (
        |  SELECT query_id, neighbor_id, adist,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY adist ASC, neighbor_id) AS rn
@@ -1354,7 +1354,7 @@ object PipelineQueries {
        |        FROM bc c, q WHERE c.vec_id != q.query_id))
        |SELECT t.query_id, t.neighbor_id, t.hamming,
        |  round(${cosSql("CAST(eq.embedding AS DOUBLE[])", "CAST(en.embedding AS DOUBLE[])")}, 6) AS cos_sim,
-       |  t.rn
+       |  CAST(t.rn AS INTEGER) AS rn
        |FROM top t JOIN embeddings eq ON eq.vec_id = t.query_id
        |  JOIN embeddings en ON en.vec_id = t.neighbor_id
        |WHERE t.rn <= $TopK""".stripMargin
@@ -1402,32 +1402,36 @@ object PipelineQueries {
        |SELECT node, rank FROM r_$PageRankIters""".stripMargin
   }
 
-  /** Oracle twin of q147: [[graft.operators.Graph.hits]]'s
-    * fixed-iteration max-normalized updates unrolled — authorities
-    * from the previous hubs, hubs from the NEW authorities, every
+  /** Oracle twin of q147: [[graft.operators.Graph.hits]]'s factored
+    * recurrence unrolled — the UN-normalized authority aggregate
+    * feeds the hub sum (per-round auth normalization cancels through
+    * the hub's own max-normalization), hubs max-normalize once per
+    * round, auths once from the final round's aggregate; every
     * aggregate and normalized score rounded to 6 decimals exactly as
     * the operator does. */
   private val hitsSql: String = {
     val iters = (1 to HitsIters).map { i =>
       s"""araw_$i AS (SELECT e.dst AS node, round(sum(h.hub), 6) AS x
          |  FROM e JOIN h_${i - 1} h ON e.src = h.node GROUP BY e.dst),
-         |a_$i AS (SELECT n.node,
-         |    round(coalesce(r.x, 0.0) / (SELECT max(x) FROM araw_$i), 6) AS auth
-         |  FROM nodes n LEFT JOIN araw_$i r USING (node)),
-         |hraw_$i AS (SELECT e.src AS node, round(sum(a.auth), 6) AS x
-         |  FROM e JOIN a_$i a ON e.dst = a.node GROUP BY e.src),
-         |h_$i AS (SELECT n.node,
-         |    round(coalesce(r.x, 0.0) / (SELECT max(x) FROM hraw_$i), 6) AS hub
-         |  FROM nodes n LEFT JOIN hraw_$i r USING (node))""".stripMargin
+         |hraw_$i AS (SELECT e.src AS node, round(sum(a.x), 6) AS x
+         |  FROM e JOIN araw_$i a ON e.dst = a.node GROUP BY e.src),
+         |h_$i AS (SELECT node,
+         |    round(x / (SELECT max(x) FROM hraw_$i), 6) AS hub
+         |  FROM hraw_$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
        |    CAST(l_partkey AS BIGINT) + $PageRankPartOffset AS dst
        |  FROM lineitem),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |h_0 AS (SELECT node, 1.0 AS hub FROM nodes),
-       |$iters
-       |SELECT h.node, h.hub, a.auth
-       |FROM h_$HitsIters h JOIN a_$HitsIters a USING (node)""".stripMargin
+       |$iters,
+       |a_fin AS (SELECT node,
+       |    round(x / (SELECT max(x) FROM araw_$HitsIters), 6) AS auth
+       |  FROM araw_$HitsIters)
+       |SELECT n.node, coalesce(h.hub, 0.0) AS hub,
+       |  coalesce(a.auth, 0.0) AS auth
+       |FROM nodes n LEFT JOIN h_$HitsIters h USING (node)
+       |LEFT JOIN a_fin a USING (node)""".stripMargin
   }
 
   /** Oracle twin of q116: same IDF form, same literal constants
@@ -1503,8 +1507,9 @@ object PipelineQueries {
   }
 
   private val qualitySql: String =
-    s"""SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_words,
-       |len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+    s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+       |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_words,
        |round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS ttr,
        |round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
        |round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
@@ -1512,8 +1517,8 @@ object PipelineQueries {
        |FROM documents""".stripMargin
 
   private val tokenizeSql: String =
-    s"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
-       |len(regexp_extract_all(text, '${TextAnalysis.tokenRegex}')) AS re_tokens
+    s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       |CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenRegex}')) AS INTEGER) AS re_tokens
        |FROM documents""".stripMargin
 
   private val fingerprintSql: String =
@@ -1558,7 +1563,8 @@ object PipelineQueries {
        |  JOIN sigs sa ON a.doc_id = sa.doc_id
        |  JOIN sigs sb ON b.doc_id = sb.doc_id
        |  WHERE (${agreeSql("sa", "sb")}) >= $MinhashVerifyAgree)
-       |SELECT doc_id, pred_lang, n_words, quality_score FROM exact
+       |SELECT doc_id, pred_lang, CAST(n_words AS INTEGER) AS n_words,
+       |  quality_score FROM exact
        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
   }
 
@@ -1849,7 +1855,7 @@ object PipelineQueries {
          |    substr(name, 1, ((clean_id % length(name)) + 1) - 1) ||
          |    substr(name, ((clean_id % length(name)) + 1) + 1) AS dirty_name
          |  FROM clean)
-         |SELECT dirty_id, clean_id, levenshtein(dirty_name, name) AS dist
+         |SELECT dirty_id, clean_id, CAST(levenshtein(dirty_name, name) AS INTEGER) AS dist
          |FROM dirty, clean
          |WHERE levenshtein(dirty_name, name) <= $FuzzyMaxDist""".stripMargin,
     "q72_embed_centroid" ->
@@ -1884,9 +1890,9 @@ object PipelineQueries {
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(text, '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
          |    '${TextAnalysis.numberPattern}', '<NUM>', 'g') AS clean_text,
-         |  length(text) - length(regexp_replace(regexp_replace(text,
+         |  CAST(length(text) - length(regexp_replace(regexp_replace(text,
          |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
-         |    '${TextAnalysis.numberPattern}', '<NUM>', 'g')) AS n_chars_removed
+         |    '${TextAnalysis.numberPattern}', '<NUM>', 'g')) AS INTEGER) AS n_chars_removed
          |FROM documents""".stripMargin,
     "q78_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -2058,7 +2064,7 @@ object PipelineQueries {
          |probes AS (SELECT wd, n FROM cnt WHERE n >= $CmsProbeMin),
          |pr AS ($probeRows)
          |SELECT pr.wd AS word, pr.n AS exact_n,
-         |  min(cells.cnt) AS cms_est,
+         |  CAST(min(cells.cnt) AS BIGINT) AS cms_est,
          |  min(cells.cnt) >= pr.n AS within_bound
          |FROM pr JOIN cells ON pr.r = cells.r AND pr.b = cells.b
          |GROUP BY pr.wd, pr.n""".stripMargin

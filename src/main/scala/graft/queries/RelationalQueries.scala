@@ -425,7 +425,7 @@ object RelationalQueries {
         |FROM customer""".stripMargin,
     "q24_date_arith" ->
       """SELECT o_orderkey,
-        |date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-12-31') AS age_days,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-12-31') AS INTEGER) AS age_days,
         |strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
         |strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
         |strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
@@ -466,13 +466,13 @@ object RelationalQueries {
         |SELECT DISTINCT
         |  c.o_custkey AS cust,
         |  strftime(CAST(c.l_shipdate AS DATE) + c.prazo, '%Y-%m-%d') AS dt_fim,
-        |  date_diff('day', CAST(c.l_shipdate AS DATE) + c.prazo, DATE '2002-06-01') AS elapsed
+        |  CAST(date_diff('day', CAST(c.l_shipdate AS DATE) + c.prazo, DATE '2002-06-01') AS INTEGER) AS elapsed
         |FROM cand c
         |JOIN last_s ON c.o_custkey = last_s.k2 AND c.l_shipdate = last_s.s
         |WHERE date_diff('day', CAST(c.l_shipdate AS DATE) + c.prazo, DATE '2002-06-01') > 0""".stripMargin,
     "q30_window_funcs" ->
       """SELECT event_id, user_id,
-        |rank() OVER (PARTITION BY user_id ORDER BY event_type, event_id) AS type_rank,
+        |CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type, event_id) AS INTEGER) AS type_rank,
         |round(coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 2) AS prev_value,
         |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value

@@ -202,6 +202,15 @@ object SqlFeatureQueries {
       Relational.funnel(Tables.load(s, dir, "events"), "user_id",
         "event_type", "ts", FunnelSteps, Some(FunnelWindowMicros))),
 
+    // sliding-anchor windowed funnel (Relational.funnelSliding):
+    // every step-0 event tried as an anchor — the exact ClickHouse
+    // windowFunnel semantics the fixed-anchor q151 under-counts;
+    // staged (user, anchor)-keyed min-after aggregates, anchors only
+    // shrink down the funnel
+    "q154_funnel_sliding" -> ((s, dir) =>
+      Relational.funnelSliding(Tables.load(s, dir, "events"), "user_id",
+        "event_type", "ts", FunnelSteps, FunnelWindowMicros)),
+
     // SCD2 dimension build (operators/Relational.scd2): change-row
     // collapse + effective ranges, two windows on one shuffle
     "q80_scd2" -> ((s, dir) =>
@@ -307,9 +316,34 @@ object SqlFeatureQueries {
          |  GROUP BY e.u, s1.m0)
          |SELECT step_idx, step, users FROM (
          |  SELECT CAST(0 AS INTEGER) AS step_idx, '${st(0)}' AS step,
-         |    count(*) AS users FROM s0
+         |    count(*) AS users FROM s0 HAVING count(*) > 0
          |  UNION ALL SELECT CAST(1 AS INTEGER), '${st(1)}', count(*) FROM s1
-         |  UNION ALL SELECT CAST(2 AS INTEGER), '${st(2)}', count(*) FROM s2)""".stripMargin
+         |    HAVING count(*) > 0
+         |  UNION ALL SELECT CAST(2 AS INTEGER), '${st(2)}', count(*) FROM s2
+         |    HAVING count(*) > 0)""".stripMargin
+    },
+    // replays the sliding-anchor recurrence: s0 keeps EVERY step-0
+    // event as an anchor, each later step the earliest qualifying
+    // event per (user, anchor); a user counts once per step via the
+    // distinct-user aggregate
+    "q154_funnel_sliding" -> {
+      val (w, st) = (FunnelWindowMicros, FunnelSteps)
+      s"""WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS m
+         |  FROM events),
+         |s0 AS (SELECT u, m AS m0, m AS mp FROM e WHERE t = '${st(0)}'),
+         |s1 AS (SELECT e.u, s0.m0, min(e.m) AS mp FROM e JOIN s0 ON e.u = s0.u
+         |  WHERE e.t = '${st(1)}' AND e.m > s0.mp AND e.m <= s0.m0 + $w
+         |  GROUP BY e.u, s0.m0),
+         |s2 AS (SELECT e.u, s1.m0, min(e.m) AS mp FROM e JOIN s1 ON e.u = s1.u
+         |  WHERE e.t = '${st(2)}' AND e.m > s1.mp AND e.m <= s1.m0 + $w
+         |  GROUP BY e.u, s1.m0)
+         |SELECT step_idx, step, users FROM (
+         |  SELECT CAST(0 AS INTEGER) AS step_idx, '${st(0)}' AS step,
+         |    count(DISTINCT u) AS users FROM s0 HAVING count(DISTINCT u) > 0
+         |  UNION ALL SELECT CAST(1 AS INTEGER), '${st(1)}',
+         |    count(DISTINCT u) FROM s1 HAVING count(DISTINCT u) > 0
+         |  UNION ALL SELECT CAST(2 AS INTEGER), '${st(2)}',
+         |    count(DISTINCT u) FROM s2 HAVING count(DISTINCT u) > 0)""".stripMargin
     },
     "q77_sessionize" ->
       s"""WITH x AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,

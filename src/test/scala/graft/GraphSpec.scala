@@ -85,10 +85,12 @@ class GraphSpec extends SparkTestBase {
     import spark.implicits._
     // 1→3, 2→3, 2→4: node 3 is the stronger authority (two in-links),
     // node 2 the stronger hub (points at both authorities).
-    // Hand-unrolled with the operator's round-each-step contract:
-    //   iter1: auth 3=1.0 4=0.5; hub 1=0.666667 2=1.0
-    //   iter2: araw 3=1.666667 4=1.0 → auth 3=1.0 4=0.6
-    //          hraw 1=1.0 2=1.6     → hub 1=0.625 2=1.0
+    // Hand-unrolled with the FACTORED recurrence (un-normalized auth
+    // aggregate feeds the hub sum; hubs normalize per round, auths
+    // once at the end):
+    //   iter1: araw 3=2.0 4=1.0; hraw 1=2.0 2=3.0 → hub 1=0.666667 2=1.0
+    //   iter2: araw 3=1.666667 4=1.0; hraw 1=1.666667 2=2.666667
+    //          → hub 1=0.625 2=1.0; auth (from araw_2) 3=1.0 4=0.6
     val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
     val out = Graph.hits(edges, "src", "dst", iters = 2)
       .collect().map(r => r.getLong(0) ->

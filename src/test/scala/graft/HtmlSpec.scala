@@ -108,6 +108,21 @@ class HtmlSpec extends SparkTestBase {
     assert(links("<p>plain text, no anchors</p>") == Seq())
   }
 
+  test("extractLinks: an unclosed anchor cannot swallow its neighbor") {
+    // real crawl HTML drops </a> constantly: the unclosed anchor is
+    // itself dropped (it has no close), and the following well-formed
+    // anchor survives intact — a lazy .*? body would instead emit ONE
+    // link (u1, body "a b") and lose u2 entirely
+    assert(links("""<a href="u1">a <a href="u2">b</a>""")
+      == Seq((0, "u2", "b")))
+    // uppercase opener terminates the run the same way
+    assert(links("""<a href="u1">a <A HREF="u2">b</A>""")
+      == Seq((0, "u2", "b")))
+    // a non-anchor tag starting with 'a' does NOT terminate the body
+    assert(links("""<a href="u">x <abbr>y</abbr> z</a>""")
+      == Seq((0, "u", "x y z")))
+  }
+
   test("cleanLines: C4 rules on hand-written pages the planting never emits") {
     import spark.implicits._
     val pages = Seq(

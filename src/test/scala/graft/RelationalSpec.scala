@@ -258,4 +258,33 @@ class RelationalSpec extends SparkTestBase {
     // step0: u1..u5 all have an A; step1: u1, u3, u5; step2: u1, u5
     assert(got == Map(0 -> 5L, 1 -> 3L, 2 -> 2L), s"$got")
   }
+
+  test("funnelSliding: a later anchor converts where the fixed " +
+      "earliest anchor expires") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val W = 100L * 1000000L
+    val ev = Seq(
+      // the contract-note example: A@0's window expires before B@160,
+      // but A@150 -> B@160 converts; fixed-anchor counts u1 at step 0
+      // only, sliding counts it at step 1
+      (1L, "A", t(0)), (1L, "A", t(150)), (1L, "B", t(160)),
+      // u2: full conversion from the first anchor — both agree
+      (2L, "A", t(10)), (2L, "B", t(20)), (2L, "C", t(30)),
+      // u3: NO anchor works (each B precedes its nearest A)
+      (3L, "B", t(5)), (3L, "A", t(10)),
+      // u4: only the SECOND anchor reaches C (A@0: B@90 ok, C@130
+      // out of window; A@80: B@90, C@130 both inside)
+      (4L, "A", t(0)), (4L, "A", t(80)), (4L, "B", t(90)), (4L, "C", t(130))
+    ).toDF("u", "t", "ts")
+    val sliding = Relational.funnelSliding(ev, "u", "t", "ts",
+        Seq("A", "B", "C"), W)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(sliding == Map(0 -> 4L, 1 -> 3L, 2 -> 2L), s"$sliding")
+    // the fixed-anchor form under-counts exactly u1@step1 and u4@step2
+    val fixed = Relational.funnel(ev, "u", "t", "ts",
+        Seq("A", "B", "C"), Some(W))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(fixed == Map(0 -> 4L, 1 -> 2L, 2 -> 1L), s"$fixed")
+  }
 }

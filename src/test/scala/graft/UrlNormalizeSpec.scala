@@ -169,4 +169,79 @@ class UrlNormalizeSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == Map("a.com" -> 2.0, "b.com" -> 5.0, "d.com" -> 0.25))
   }
+
+  test("robotsPolicy: one parse reproduces the gate AND the delay; " +
+      "per-directive-type tiering preserved") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com",
+        "User-agent: *\nDisallow: /dir\nAllow: /dir\nCrawl-delay: 3\n"),
+      // exact group publishes ONLY a delay: the * group's access
+      // rules must still apply (per-directive-type tiering — the
+      // standalone parseRobots/crawlDelay behavior, preserved)
+      ("b.com", "User-agent: *\nDisallow: /blocked\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 7\n"),
+      // rules only, no delay
+      ("c.com", "User-agent: graftbot\nDisallow: /x\n")
+    ).toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "https://a.com/dir/p"),
+      (2L, "https://b.com/blocked/p"),
+      (3L, "https://b.com/open"),
+      (4L, "https://c.com/x/y"),
+      (5L, "https://d.com/any")
+    ).toDF("doc_id", "url")
+    val policy = UrlNormalize.robotsPolicy(robots, "domain",
+      "robots_txt", "graftbot")
+    // the gate evaluated against the policy == the standalone gate
+    val viaPolicy = UrlNormalize
+      .robotsGateFromPolicy(urls, "doc_id", "url", policy)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    val standalone = UrlNormalize
+      .robotsGate(urls, "doc_id", "url", robots, "graftbot")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(viaPolicy == standalone,
+      s"policy gate diverged: $viaPolicy vs $standalone")
+    assert(viaPolicy(2L) == ((false, Some("/blocked"))),
+      "* rules must survive an exact group publishing only a delay")
+    assert(viaPolicy(5L) == ((true, None)))
+    // the delay column == the standalone crawlDelay
+    val dViaPolicy = policy.filter(col("crawl_delay").isNotNull)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val dStandalone = UrlNormalize
+      .crawlDelay(robots, "domain", "robots_txt", "graftbot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dViaPolicy == dStandalone && dViaPolicy ==
+      Map("a.com" -> 3.0, "b.com" -> 7.0))
+    // c.com publishes rules but no delay: present with NULL delay
+    val cRow = policy.filter(col("domain") === "c.com").collect()
+    assert(cRow.length == 1 && cRow(0).isNullAt(2))
+  }
+
+  test("specificity is octet length: a non-ASCII rule outranks an " +
+      "ASCII rule of equal character count") {
+    import spark.implicits._
+    // 'é' is 2 octets in UTF-8: Allow /aé (4 octets) must beat
+    // Disallow /abc (4 chars but tie... use /ab, 3 octets) — plant
+    // Disallow /aéx? Simplest: /é (3 octets) vs /ab (3 octets) tie;
+    // use Allow: /é + Disallow: /a — /é = 3 octets > /a = 2 octets.
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /é\nAllow: /éb\n")
+    ).toDF("domain", "robots_txt")
+    val rules = UrlNormalize.parseRobots(robots, "domain",
+        "robots_txt", "graftbot")
+      .collect().map(r => r.getString(2) -> r.getInt(3)).toMap
+    // /é = 1 + 2 octets = 3; /éb = 1 + 2 + 1 = 4
+    assert(rules == Map("/é" -> 3, "/éb" -> 4),
+      s"octet specificity wrong: $rules")
+    val urls = Seq((1L, "https://a.com/éb/x")).toDF("doc_id", "url")
+    val out = UrlNormalize.robotsGate(urls, "doc_id", "url", robots,
+        "graftbot")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(out(1L) == ((true, Some("/éb"))),
+      "longer-octet Allow must win")
+  }
 }
