@@ -507,6 +507,44 @@ object PipelineQueries {
       UrlNormalize.crawlDelay(robots, "domain", "robots_txt", "graftbot")
     }),
 
+    // one-parse robots POLICY (UrlNormalize.robotsPolicy): the q146
+    // rule table AND the q152 Crawl-delay from a single parse of the
+    // robots corpus — exploded flat so the driver can hash it. The
+    // planting merges both fixtures' regimes: every domain's * group
+    // carries the three q146-style rules and a q152-style delay
+    // ladder; every 4th domain adds an exact graftbot group (rules
+    // /q + /q/ok and delay 0.5) whose selection suppresses the *
+    // values per directive type; badbot decoy group never applies
+    "q155_robots_policy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val robots = d.select(pmod(col("doc_id"), lit(20)).as("dnum"))
+        .distinct()
+        .select(
+          concat(lit("example"), col("dnum").cast("string"),
+            lit(".com")).as("domain"),
+          concat(
+            lit("# crawl policy\nUser-agent: badbot\nDisallow: /\n\n" +
+              "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+              "Disallow: /tmp*.html$\n"),
+            when(pmod(col("dnum"), lit(7)) === 6, lit(""))
+              .otherwise(concat(lit("Crawl-delay: "),
+                (pmod(col("dnum"), lit(5)) + 1).cast("string"),
+                lit("\n"))),
+            when(pmod(col("dnum"), lit(5)) === 2,
+              lit("Crawl-delay: 10\nCrawl-delay: fast\n"))
+              .otherwise(lit("")),
+            when(pmod(col("dnum"), lit(4)) === 0,
+              lit("\nUser-agent: graftbot\nDisallow: /q\n" +
+                "Allow: /q/ok\nCrawl-delay: 0.5\n"))
+              .otherwise(lit(""))).as("robots_txt"))
+      UrlNormalize.robotsPolicy(robots, "domain", "robots_txt", "graftbot")
+        .select(col("domain"), explode(col("rules")).as("r"),
+          col("crawl_delay"))
+        .select(col("domain"), col("r.allow").as("allow"),
+          col("r.rule_path").as("rule_path"),
+          col("r.specificity").as("specificity"), col("crawl_delay"))
+    }),
+
     // count-min sketch point queries (Sketches.cmsSketch/.cmsEstimate,
     // Cormode-Muthukrishnan 2005): the d×w counter matrix built from
     // the per-word exact-count aggregate, probed for every word with
@@ -1688,6 +1726,31 @@ object PipelineQueries {
         |       ELSE CAST(dn % 5 + 1 AS DOUBLE) END AS crawl_delay
         |FROM d
         |WHERE dn % 4 = 0 OR dn % 5 = 2 OR dn % 7 <> 6""".stripMargin,
+    // states the q155 planting's closed-form policy: exact-tier
+    // domains (dn%4=0) read the graftbot rules + 0.5 delay, the rest
+    // the * rules + the q152-style delay ladder (NULL where no
+    // applicable delay was published)
+    "q155_robots_policy" ->
+      """WITH d AS (SELECT DISTINCT doc_id % 20 AS dn FROM documents),
+        |delay AS (SELECT dn,
+        |    CASE WHEN dn % 4 = 0 THEN 0.5
+        |         WHEN dn % 5 = 2 THEN 10.0
+        |         WHEN dn % 7 = 6 THEN NULL
+        |         ELSE CAST(dn % 5 + 1 AS DOUBLE) END AS crawl_delay
+        |  FROM d),
+        |rules AS (
+        |  SELECT dn, false AS allow,
+        |    CASE WHEN dn % 4 = 0 THEN '/q' ELSE '/private' END AS rule_path
+        |  FROM d
+        |  UNION ALL
+        |  SELECT dn, true,
+        |    CASE WHEN dn % 4 = 0 THEN '/q/ok' ELSE '/private/ok' END
+        |  FROM d
+        |  UNION ALL
+        |  SELECT dn, false, '/tmp*.html$' FROM d WHERE dn % 4 <> 0)
+        |SELECT 'example' || dn || '.com' AS domain, allow, rule_path,
+        |  CAST(strlen(rule_path) AS INTEGER) AS specificity, crawl_delay
+        |FROM rules JOIN delay USING (dn)""".stripMargin,
     // replays the q136 PLANTING formula: the extractor's five-step
     // contract (script/style/comment drop, attribute-safe tag strip,
     // fixed entity table with &amp; last, whitespace collapse) must

@@ -42,12 +42,16 @@ object CrawlScale {
       val d = graft.core.Tables.load(spark, dir, "documents")
       val id = col("doc_id").cast("string")
       // the q149 planted page over the full corpus text
+      // the q149 planted page, with the <p> content ending in a
+      // period so the C4 line rung has a keepable line per page (the
+      // synthetic corpus has no sentence punctuation of its own — the
+      // same reason q141 plants its line structure)
       val page = concat(
         lit("<html><head><title>Doc "), id,
         lit("</title><script>if (a<b) { track(\"</div>\"); }</script></head>"),
         lit("<body><!-- c --><h1 title=\"a > b\">Heading &amp; "), id,
         lit("</h1>\n<p>"), col("text"),
-        lit("</p><div>tail &lt;"), id, lit("&gt;</div></body></html>"))
+        lit(".</p><div>tail &lt;"), id, lit("&gt;</div></body></html>"))
       val recs = graft.sources.Warc.records(
           graft.sources.Warc.synthesizeWarc(
             d.select(col("doc_id"), page.as("text"))))
@@ -86,7 +90,12 @@ object CrawlScale {
           MinhashK, MinhashBands, Some(MinhashVerifyAgree), MinhashMaxBucket,
           htmlExtract = true, c4LineMinWords = Some(3),
           substrWindow = Some(ExactSubstrW)))
+      // downstream stages consume the EXTRACTED text (one more scalar
+      // extract pass on the survivors — rides the scan), never the
+      // raw markup
       val kept = fetched.join(survivors.select("doc_id"), Seq("doc_id"))
+        .select(col("doc_id"),
+          graft.operators.Html.extractText(col("text")).as("text"))
       // benchmark decontamination: n-gram containment vs the held-out
       // slice; keep docs under 50% overlap
       val contam = Dedup.contamination(

@@ -63,6 +63,34 @@ class PlanBudgetSpec extends SparkTestBase {
     }
   }
 
+  test("q149 parses the robots corpus ONCE (policy checkpoint): no " +
+      "robots parse subtree in the composed plan") {
+    // the robots line parse consumes the robots_txt column (split ->
+    // posexplode -> group window); with robotsPolicy checkpointed up
+    // front, BOTH consumers (verdict gate + crawl-delay join) read
+    // the materialized policy, so the composed per-URL plan must not
+    // reference robots_txt at all — a second parse sneaking in (e.g.
+    // someone re-deriving rules from the raw corpus) would. (The
+    // plan's one legitimate posexplode is the WARC record walk, so
+    // the generator itself is not a usable marker.)
+    val df = SparkEntry.queries("q149_crawl_gate")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!plan.contains("robots_txt"),
+      s"robots corpus parsed inside the composed q149 plan:\n$plan")
+    // anti-vacuity: the policy's OWN plan does contain the parse
+    val robots = spark.createDataFrame(Seq(
+      ("a.com", "User-agent: *\nDisallow: /x\nCrawl-delay: 2\n")))
+      .toDF("domain", "robots_txt")
+    val policyPlan = graft.operators.UrlNormalize
+      .robotsPolicy(robots, "domain", "robots_txt", "graftbot")
+      .queryExecution.executedPlan.toString
+    assert(policyPlan.contains("robots_txt") &&
+      policyPlan.contains("posexplode"),
+      s"parse marker moved? policy plan:\n$policyPlan")
+  }
+
   test("the exchange counter actually sees exchanges (anti-vacuity)") {
     // if the regex or the AQE-materialization discipline ever breaks,
     // every budget above would pass vacuously at 0 — pin a known
