@@ -126,6 +126,17 @@ object CrawlScale {
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"STAGE $dir%-28s $wall%.2f s -> packs=${census.getLong(0)} " +
         f"chunks=${census.getLong(1)} tokens=${census.getLong(2)}")
+      // per-stage row census (verdict r11 record): DIAGNOSTIC second
+      // pass — each count re-evaluates its chain prefix, so it is
+      // deliberately outside the timed single-job wall above
+      if (sys.env.contains("GRAFT_CRAWL_STAGE_ROWS")) {
+        val rows = Seq(
+          "fetched" -> fetched.count(), "survivors" -> survivors.count(),
+          "decontaminated" -> decon.count(), "ppl_gated" -> gated.count(),
+          "mixed" -> mixed.count(), "chunks" -> chunks.count())
+        println(s"ROWS $dir " +
+          rows.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      }
       dir -> ((wall, census.getLong(0), census.getLong(1), census.getLong(2)))
     }
     println(results.map { case (d, (w, p, c, t)) =>
