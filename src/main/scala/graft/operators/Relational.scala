@@ -302,17 +302,128 @@ object Relational {
     * earliest-first is optimal, and maximizing over anchors is
     * exactly "some window converts".
     *
-    * Scale shape: the same staged min-after aggregates as [[funnel]],
-    * keyed on (user, anchor) instead of user — the frame entering
-    * step i is one row per SURVIVING anchor, so the extra cost over
-    * [[funnel]] is the step-0 event multiplicity, not the event
-    * volume; the event side is still pruned to each step's type at
-    * the scan, and anchors only ever shrink down the funnel. The
-    * final count is one distinct-user aggregate over the small
-    * (step, user) surface. Output: (step_idx, step, users). */
+    * Implementation: a LINEAR frontier scan per user, not the
+    * per-anchor join chain ([[funnelSlidingJoins]], kept as the
+    * validation reference — its step joins fan out anchors × events
+    * per user, a quadratic that measured 35s at 100× events where
+    * q151's chain took 2.1s). The scan keeps, per funnel level, the
+    * frontier of live greedy chains as an (anchor, completion-time)
+    * staircase — greedy completion times are MONOTONE in the anchor,
+    * so both arrays stay sorted, extraction of "extendable by an
+    * event at time m" is a contiguous range (completion < m for
+    * strict ordering, m − anchor ≤ W for the window), every chain
+    * extends at its earliest valid event (= the greedy time), and
+    * expired anchors drop off the head. Each event touches each of
+    * its type's levels once: O(events·log + anchors·levels) per
+    * user, zero risk of the join form's per-user blow-up.
+    *
+    * Scale shape: ONE user-keyed shuffle (groupByKey), per-user
+    * memory bounded by that user's funnel-typed event count (the
+    * same bound as any sessionization that must see a user's events
+    * together); the event side is pruned to the step types at the
+    * scan. The per-level count table is at most steps.length+1 rows
+    * — reduced on the driver by contract, like
+    * [[globalRowNumber]]'s partition-count list. Output:
+    * (step_idx, step, users), rows only for non-empty steps. */
   def funnelSliding(df: DataFrame, userCol: String, typeCol: String,
                     tsCol: String, steps: Seq[String],
                     windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMicros > 0, "windowMicros must be positive")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val n = steps.length
+    val stepsArr = steps.toArray
+    // type -> the levels (>= 1) an event of that type can extend INTO
+    val extendLevels: Map[String, Array[Int]] =
+      steps.zipWithIndex.filter(_._2 >= 1)
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+    val w = windowMicros
+    val ev = df.select(col(userCol).cast("string").as("u"),
+        col(typeCol).as("t"), unix_micros(col(tsCol)).as("m"))
+      .filter(col("t").isin(steps.distinct: _*) && col("m").isNotNull)
+      .as[(String, String, Long)]
+    val maxLevels: org.apache.spark.sql.Dataset[Int] =
+      ev.groupByKey(_._1).mapGroups { (_, it) =>
+        val evs = it.map(e => (e._3, e._2)).toArray.sortBy(_._1)
+        // frontier per level: parallel (anchor, completion) arrays,
+        // both ascending; head = live start (expired anchors skipped)
+        val fa = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
+        val fp = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
+        val head = new Array[Int](n)
+        var maxLevel = -1
+        var i = 0
+        while (i < evs.length) {
+          val m = evs(i)._1
+          var j = i // the equal-timestamp batch [i, j)
+          while (j < evs.length && evs(j)._1 == m) j += 1
+          // extensions first: only states with completion < m are
+          // available (strictly-after), so states created in THIS
+          // batch (completion == m) can never serve it
+          var b = i
+          while (b < j) {
+            val lvls = extendLevels.getOrElse(evs(b)._2, null)
+            if (lvls != null) {
+              var li = lvls.length - 1
+              while (li >= 0) {
+                val k = lvls(li); val src = k - 1
+                val aB = fa(src); val pB = fp(src)
+                var h = head(src)
+                // expired: window closed before m (m - a > W) —
+                // subtraction form, no a + W overflow
+                while (h < aB.length && m - aB(h) > w) h += 1
+                head(src) = h
+                var e = h
+                while (e < pB.length && pB(e) < m) e += 1
+                if (e > h) {
+                  var x = h
+                  while (x < e) { fa(k) += aB(x); fp(k) += m; x += 1 }
+                  if (k > maxLevel) maxLevel = k
+                  head(src) = e
+                }
+                li -= 1
+              }
+            }
+            b += 1
+          }
+          // anchors last: an anchor at time m may only serve events
+          // strictly after m, which the completion==m rule enforces
+          b = i
+          while (b < j) {
+            if (evs(b)._2 == stepsArr(0)) {
+              if (fa(0).isEmpty || fa(0).last != m) {
+                fa(0) += m; fp(0) += m
+                if (maxLevel < 0) maxLevel = 0
+              }
+            }
+            b += 1
+          }
+          i = j
+        }
+        maxLevel
+      }
+    // per-level histogram: at most steps.length+1 rows by contract
+    val hist = maxLevels.toDF("lvl").filter(col("lvl") >= 0)
+      .groupBy(col("lvl")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = (0 until n).map { i =>
+      (i, stepsArr(i), hist.filter(_._1 >= i).values.sum)
+    }.filter(_._3 > 0)
+    sp.createDataFrame(rows).toDF("step_idx", "step", "users")
+  }
+
+  /** The per-anchor join-chain form of [[funnelSliding]] — same
+    * staged min-after aggregates as [[funnel]], keyed on
+    * (user, anchor). Kept as the VALIDATION REFERENCE for the scan
+    * (RelationalSpec cross-checks them on randomized event sets):
+    * its semantics are transparently the per-anchor definition, but
+    * each step join fans out anchors × events per user, so it is
+    * quadratic in per-user activity — measured 35s at 100× events
+    * (SCALE.md round 11) and unbounded under a hyperactive user.
+    * Use [[funnelSliding]]. */
+  def funnelSlidingJoins(df: DataFrame, userCol: String, typeCol: String,
+                         tsCol: String, steps: Seq[String],
+                         windowMicros: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(windowMicros > 0, "windowMicros must be positive")
     val base = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),

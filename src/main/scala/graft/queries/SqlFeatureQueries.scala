@@ -205,8 +205,9 @@ object SqlFeatureQueries {
     // sliding-anchor windowed funnel (Relational.funnelSliding):
     // every step-0 event tried as an anchor — the exact ClickHouse
     // windowFunnel semantics the fixed-anchor q151 under-counts;
-    // staged (user, anchor)-keyed min-after aggregates, anchors only
-    // shrink down the funnel
+    // one user-keyed shuffle + a linear per-user frontier scan
+    // (the per-anchor join chain is the validation reference,
+    // RelationalSpec cross-checks them on randomized event sets)
     "q154_funnel_sliding" -> ((s, dir) =>
       Relational.funnelSliding(Tables.load(s, dir, "events"), "user_id",
         "event_type", "ts", FunnelSteps, FunnelWindowMicros)),

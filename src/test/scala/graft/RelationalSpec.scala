@@ -287,4 +287,35 @@ class RelationalSpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(fixed == Map(0 -> 4L, 1 -> 2L, 2 -> 1L), s"$fixed")
   }
+
+  test("funnelSliding: the linear frontier scan equals the per-anchor " +
+      "join-chain reference on randomized event sets (incl. ties and " +
+      "repeated step types)") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // small timestamp range FORCES equal-timestamp collisions, the
+    // strictness edge the two formulations could plausibly disagree on
+    for (seed <- Seq(7, 41, 1999)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Array("A", "B", "C", "X") // X = noise type
+      val ev = Seq.fill(400)((rnd.nextInt(25).toLong,
+          types(rnd.nextInt(types.length)),
+          t(rnd.nextInt(120).toLong)))
+        .toDF("u", "t", "ts")
+      for ((steps, w) <- Seq(
+          (Seq("A", "B", "C"), 30L * 1000000L),
+          (Seq("A", "B", "C"), 5L * 1000000L),
+          (Seq("A", "B", "A"), 20L * 1000000L), // repeated step type
+          (Seq("A", "B", "C", "A", "B", "C"), 60L * 1000000L))) {
+        val scan = Relational.funnelSliding(ev, "u", "t", "ts", steps, w)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+          .toSet
+        val joins = Relational.funnelSlidingJoins(ev, "u", "t", "ts", steps, w)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+          .toSet
+        assert(scan == joins,
+          s"seed=$seed steps=$steps w=$w: scan=$scan joins=$joins")
+      }
+    }
+  }
 }
