@@ -75,7 +75,7 @@ object DataGen {
         concat(col("p_name"), lit(s"_c$c")).as("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
     }.reduce(_ union _)
-    all.repartition(math.max(4, copies))
+    all.repartition(math.max(32, copies))
       .write.mode("overwrite")
       .parquet(new java.io.File(out, "part.parquet").getAbsolutePath)
     val n = spark.read.parquet(
@@ -109,7 +109,7 @@ object DataGen {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
     }.reduce(_ union _)
-    all.repartition(math.max(4, copies * 2))
+    all.repartition(math.max(32, copies * 2))
       .write.mode("overwrite")
       .parquet(new java.io.File(out, "lineitem.parquet").getAbsolutePath)
     val n = spark.read.parquet(
@@ -142,7 +142,7 @@ object DataGen {
           col("label"))
       }
     }.reduce(_ union _)
-    all.repartition(math.max(4, copies))
+    all.repartition(math.max(32, copies))
       .write.mode("overwrite")
       .parquet(new java.io.File(out, "embeddings.parquet").getAbsolutePath)
     val n = spark.read.parquet(
@@ -165,7 +165,7 @@ object DataGen {
         (col("user_id") + lit(c * userStride)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ union _)
-    val nFiles = math.max(4, (copies * baseCount / 200000L).toInt + 1)
+    val nFiles = math.max(32, (copies * baseCount / 200000L).toInt + 1)
     all.repartition(nFiles)
       .write.mode("overwrite")
       .parquet(new java.io.File(out, "events.parquet").getAbsolutePath)
@@ -202,8 +202,13 @@ object DataGen {
     }.reduce(_ union _)
     // one output file per ~50k docs (from the OBSERVED base count, not
     // an assumed one) keeps scan parallelism reasonable at every
-    // generated size without thousands of tiny files
-    val nFiles = math.max(4, (copies * baseCount / 50000L).toInt + 1)
+    // generated size without thousands of tiny files. FLOOR = 32, the
+    // local core count: round 11 measured the old floor of 4 making
+    // the 10x composed-crawl sweep SLOWER than the 100x one (546s vs
+    // 476s) — every scan-bound stage ran 4-wide on a 32-core box.
+    // Input partition count is a first-class throughput knob
+    // (SCALE.md round 11, the read-side partition law).
+    val nFiles = math.max(32, (copies * baseCount / 50000L).toInt + 1)
     all.repartition(nFiles)
       .write.mode("overwrite")
       .parquet(new java.io.File(out, "documents.parquet").getAbsolutePath)
