@@ -22,6 +22,14 @@ object Bench {
     (results.collect { case (_, v) if v >= 0.0 => v }.sum,
      results.collect { case (k, v) if v < 0.0 => k })
 
+  /** Calib-normalized cell (time / calib_s, 4 decimals): the
+    * round-over-round comparison surface — raw cells swing 2-3× with
+    * this shared VM's state. A -1.0 failure sentinel passes through
+    * UNSCALED so a breakage can never read as a (normalized) speedup.
+    * (Unit-tested by HonestySpec.) */
+  def normCell(v: Double, calib: Double): Double =
+    if (v < 0.0) -1.0 else math.rint(v / calib * 10000) / 10000
+
   /** One timed pass; a FAILED query returns -1.0, not its
     * elapsed-until-crash time — a breakage must read as a visibly
     * negative entry in the JSON, never as a fake speedup.
@@ -112,12 +120,11 @@ object Bench {
     // comparable within one run — the normalized cells are the
     // round-over-round per-query comparison surface (the 2x letter is
     // evaluated on these; see VERDICT r10 item 5). Failures stay -1.
-    def norm(v: Double): Double =
-      if (v < 0.0) -1.0 else math.rint(v / calib * 10000) / 10000
-    val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + norm(v) }
-      .mkString("{", ",", "}")
+    val qsNorm = results.map { case (k, v) =>
+      s"\"" + k + "\":" + normCell(v, calib)
+    }.mkString("{", ",", "}")
     val (total, failed) = summarize(results.toSeq)
-    val totalNorm = math.rint(total / calib * 10000) / 10000
+    val totalNorm = normCell(total, calib)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"value_norm":$totalNorm,"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}"""
     // Full per-query JSON to a file as well: the driver keeps only the

@@ -54,6 +54,16 @@ class HonestySpec extends SparkTestBase {
     assert(Bench.minOk(Seq(-1.0, -1.0)) == -1.0)
   }
 
+  test("Bench: calib normalization scales passes, passes failures through") {
+    assert(Bench.normCell(0.6, 0.3) == 2.0)
+    assert(Bench.normCell(0.0, 0.3) == 0.0)
+    // the -1.0 sentinel must NOT be divided (it would read as a
+    // plausible normalized time, hiding the breakage)
+    assert(Bench.normCell(-1.0, 0.3) == -1.0)
+    // 4-decimal rounding keeps the JSON compact and stable
+    assert(Bench.normCell(1.0, 3.0) == 0.3333)
+  }
+
   test("Bench: the total sums passing queries only; failures are named") {
     val (total, failed) = Bench.summarize(
       Seq("a" -> 1.5, "b" -> -1.0, "c" -> 0.5))
