@@ -383,6 +383,44 @@ object UrlNormalize {
         col("__win.rule_path").as("rule"))
   }
 
+  /** Per-host politeness SCHEDULE — the rung that turns
+    * [[crawlDelay]]/[[robotsPolicy]] into an actionable fetch plan: a
+    * crawler must space same-host requests by that host's
+    * Crawl-delay, so each URL gets a slot index within its host and a
+    * relative fetch time `slot_idx * delay` (seconds, from the
+    * host's first fetch). Slot order is the million-bucket content
+    * hash of the id (the engine's standard deterministic,
+    * partitioning-invariant "random but reproducible" order — a
+    * crawl wants to avoid path-locality bursts, and the oracle must
+    * replay the order exactly); ties broken by id. Hosts absent from
+    * `delays` use `defaultDelaySecs` (the caller's politeness
+    * default, exactly the [[crawlDelay]] contract).
+    *
+    * Scale shape: ONE host-keyed shuffle for the ranking window (the
+    * same shape as sessionize), the delay table joins broadcast-small
+    * or hash on the host equi-key, and the schedule columns are
+    * scalar arithmetic on the rank. A mega-host produces a long
+    * sequential schedule — that is the POLITENESS CONTRACT, not skew:
+    * the slots are what a fetcher may actually issue. Output:
+    * (idCol, urlCol, host, slot_idx, fetch_at_s). */
+  def politenessSchedule(urls: DataFrame, idCol: String, urlCol: String,
+                         delays: DataFrame, domainCol: String = "domain",
+                         delayCol: String = "crawl_delay",
+                         defaultDelaySecs: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = pmod(graft.functions.PortableHash.hash60(col(idCol).cast("string")),
+      lit(1000000))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(order.asc, col(idCol).asc)
+    urls.select(col(idCol), col(urlCol), hostOf(col(urlCol)).as("host"))
+      .withColumn("slot_idx", (row_number().over(w) - 1).cast("int"))
+      .join(delays.select(col(domainCol).as("host"),
+        col(delayCol).as("__d")), Seq("host"), "left")
+      .select(col(idCol), col(urlCol), col("host"), col("slot_idx"),
+        round(col("slot_idx") *
+          coalesce(col("__d"), lit(defaultDelaySecs)), 6).as("fetch_at_s"))
+  }
+
   /** URL-level dedup over (doc_id, url): group by canonical form, keep
     * the smallest doc_id as the canonical record (first-crawled wins
     * under a monotone id), count the dupes. The shuffle carries only

@@ -507,6 +507,47 @@ object PipelineQueries {
       UrlNormalize.crawlDelay(robots, "domain", "robots_txt", "graftbot")
     }),
 
+    // per-host politeness schedule (UrlNormalize.politenessSchedule):
+    // the q146 URL surface slotted under the q152 delay table — each
+    // URL gets its host-local slot (content-hash order, the
+    // deterministic crawl order) and a relative fetch time
+    // slot × delay, hosts without a published delay at the 1.0s
+    // default; one host-keyed window + a broadcast delay join
+    "q156_crawl_schedule" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val h = pmod(col("doc_id"), lit(20)).cast("string")
+      val v = pmod(col("doc_id"), lit(6))
+      val ids = col("doc_id").cast("string")
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://example"), h, lit(".com"),
+          when(v === 0, concat(lit("/q/"), ids))
+            .when(v === 1, concat(lit("/private/x"), ids))
+            .when(v === 2, concat(lit("/private/ok/"), ids))
+            .when(v === 3, concat(lit("/ok/"), ids))
+            .when(v === 4, concat(lit("/tmp"), ids, lit(".html")))
+            .otherwise(concat(lit("/q/ok/"), ids))).as("url"))
+      val robots = d.select(pmod(col("doc_id"), lit(20)).as("dnum"))
+        .distinct()
+        .select(
+          concat(lit("example"), col("dnum").cast("string"),
+            lit(".com")).as("domain"),
+          concat(
+            lit("User-agent: *\nDisallow: /private\n"),
+            when(pmod(col("dnum"), lit(7)) === 6, lit(""))
+              .otherwise(concat(lit("Crawl-delay: "),
+                (pmod(col("dnum"), lit(5)) + 1).cast("string"),
+                lit("\n"))),
+            when(pmod(col("dnum"), lit(5)) === 2,
+              lit("Crawl-delay: 10\nCrawl-delay: fast\n"))
+              .otherwise(lit("")),
+            when(pmod(col("dnum"), lit(4)) === 0,
+              lit("\nUser-agent: graftbot\nCrawl-delay: 0.5\n"))
+              .otherwise(lit(""))).as("robots_txt"))
+      val delays = UrlNormalize.crawlDelay(robots, "domain",
+        "robots_txt", "graftbot")
+      UrlNormalize.politenessSchedule(urls, "doc_id", "url", delays)
+    }),
+
     // one-parse robots POLICY (UrlNormalize.robotsPolicy): the q146
     // rule table AND the q152 Crawl-delay from a single parse of the
     // robots corpus — exploded flat so the driver can hash it. The
@@ -1726,6 +1767,34 @@ object PipelineQueries {
         |       ELSE CAST(dn % 5 + 1 AS DOUBLE) END AS crawl_delay
         |FROM d
         |WHERE dn % 4 = 0 OR dn % 5 = 2 OR dn % 7 <> 6""".stripMargin,
+    // replays the schedule: the q146 planted URL per doc, host-local
+    // rank in the SAME hash order, slot × the q152 closed-form delay
+    // (1.0 default where no delay was published)
+    "q156_crawl_schedule" -> {
+      val order = graft.functions.PortableHash
+        .hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH u AS (SELECT doc_id,
+         |    'https://example' || (doc_id % 20) || '.com' ||
+         |    CASE doc_id % 6
+         |      WHEN 0 THEN '/q/' || doc_id
+         |      WHEN 1 THEN '/private/x' || doc_id
+         |      WHEN 2 THEN '/private/ok/' || doc_id
+         |      WHEN 3 THEN '/ok/' || doc_id
+         |      WHEN 4 THEN '/tmp' || doc_id || '.html'
+         |      ELSE '/q/ok/' || doc_id END AS url,
+         |    'example' || (doc_id % 20) || '.com' AS host,
+         |    doc_id % 20 AS dn
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY ($order) % 1000000, doc_id) - 1 AS slot
+         |  FROM u)
+         |SELECT doc_id, url, host, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN dn % 4 = 0 THEN 0.5
+         |    WHEN dn % 5 = 2 THEN 10.0
+         |    WHEN dn % 7 = 6 THEN 1.0
+         |    ELSE CAST(dn % 5 + 1 AS DOUBLE) END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
     // states the q155 planting's closed-form policy: exact-tier
     // domains (dn%4=0) read the graftbot rules + 0.5 delay, the rest
     // the * rules + the q152-style delay ladder (NULL where no

@@ -220,6 +220,35 @@ class UrlNormalizeSpec extends SparkTestBase {
     assert(cRow.length == 1 && cRow(0).isNullAt(2))
   }
 
+  test("politenessSchedule: host-local slots, delay spacing, default " +
+      "for unpublished hosts") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://a.com/x"), (2L, "https://a.com/y"),
+      (3L, "https://a.com/z"), (4L, "https://b.com/only")
+    ).toDF("doc_id", "url")
+    val delays = Seq(("a.com", 2.5)).toDF("domain", "crawl_delay")
+    val out = UrlNormalize.politenessSchedule(urls, "doc_id", "url",
+        delays)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getInt(3), r.getDouble(4)))).toMap
+    // a.com: three URLs get slots 0,1,2 spaced by its 2.5s delay
+    val aSlots = Seq(1L, 2L, 3L).map(out(_)).sortBy(_._2)
+    assert(aSlots.map(_._1).forall(_ == "a.com"))
+    assert(aSlots.map(_._2) == Seq(0, 1, 2))
+    assert(aSlots.map(_._3) == Seq(0.0, 2.5, 5.0),
+      s"delay spacing wrong: $aSlots")
+    // b.com published no delay: the 1.0s default prices its slots
+    assert(out(4L) == (("b.com", 0, 0.0)))
+    // determinism: the slot order is the content hash, not input order
+    val rev = UrlNormalize.politenessSchedule(
+        urls.orderBy(col("doc_id").desc).repartition(7),
+        "doc_id", "url", delays)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(id => rev(id) == out(id)._2),
+      "slot assignment must be partitioning/order-invariant")
+  }
+
   test("specificity is octet length: a non-ASCII rule outranks an " +
       "ASCII rule of equal character count") {
     import spark.implicits._
