@@ -182,14 +182,18 @@ class UrlNormalizeSpec extends SparkTestBase {
       ("b.com", "User-agent: *\nDisallow: /blocked\n\n" +
         "User-agent: graftbot\nCrawl-delay: 7\n"),
       // rules only, no delay
-      ("c.com", "User-agent: graftbot\nDisallow: /x\n")
+      ("c.com", "User-agent: graftbot\nDisallow: /x\n"),
+      // delay only, NO rules anywhere: the policy row must exist
+      // (empty rules array) and the gate must read it as allow-all
+      ("e.com", "User-agent: *\nCrawl-delay: 4\n")
     ).toDF("domain", "robots_txt")
     val urls = Seq(
       (1L, "https://a.com/dir/p"),
       (2L, "https://b.com/blocked/p"),
       (3L, "https://b.com/open"),
       (4L, "https://c.com/x/y"),
-      (5L, "https://d.com/any")
+      (5L, "https://d.com/any"),
+      (6L, "https://e.com/anything")
     ).toDF("doc_id", "url")
     val policy = UrlNormalize.robotsPolicy(robots, "domain",
       "robots_txt", "graftbot")
@@ -207,6 +211,8 @@ class UrlNormalizeSpec extends SparkTestBase {
     assert(viaPolicy(2L) == ((false, Some("/blocked"))),
       "* rules must survive an exact group publishing only a delay")
     assert(viaPolicy(5L) == ((true, None)))
+    assert(viaPolicy(6L) == ((true, None)),
+      "an empty rules array (delay-only domain) must read allow-all")
     // the delay column == the standalone crawlDelay
     val dViaPolicy = policy.filter(col("crawl_delay").isNotNull)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
@@ -214,7 +220,10 @@ class UrlNormalizeSpec extends SparkTestBase {
       .crawlDelay(robots, "domain", "robots_txt", "graftbot")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(dViaPolicy == dStandalone && dViaPolicy ==
-      Map("a.com" -> 3.0, "b.com" -> 7.0))
+      Map("a.com" -> 3.0, "b.com" -> 7.0, "e.com" -> 4.0))
+    // e.com's policy row exists with an EMPTY rules array, not null
+    val eRow = policy.filter(col("domain") === "e.com").collect()
+    assert(eRow.length == 1 && eRow(0).getSeq[Any](1).isEmpty)
     // c.com publishes rules but no delay: present with NULL delay
     val cRow = policy.filter(col("domain") === "c.com").collect()
     assert(cRow.length == 1 && cRow(0).isNullAt(2))
