@@ -334,10 +334,6 @@ object Relational {
     import sp.implicits._
     val n = steps.length
     val stepsArr = steps.toArray
-    // type -> the levels (>= 1) an event of that type can extend INTO
-    val extendLevels: Map[String, Array[Int]] =
-      steps.zipWithIndex.filter(_._2 >= 1)
-        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
     val w = windowMicros
     val ev = df.select(col(userCol).cast("string").as("u"),
         col(typeCol).as("t"), unix_micros(col(tsCol)).as("m"))
@@ -345,62 +341,7 @@ object Relational {
       .as[(String, String, Long)]
     val maxLevels: org.apache.spark.sql.Dataset[Int] =
       ev.groupByKey(_._1).mapGroups { (_, it) =>
-        val evs = it.map(e => (e._3, e._2)).toArray.sortBy(_._1)
-        // frontier per level: parallel (anchor, completion) arrays,
-        // both ascending; head = live start (expired anchors skipped)
-        val fa = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
-        val fp = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
-        val head = new Array[Int](n)
-        var maxLevel = -1
-        var i = 0
-        while (i < evs.length) {
-          val m = evs(i)._1
-          var j = i // the equal-timestamp batch [i, j)
-          while (j < evs.length && evs(j)._1 == m) j += 1
-          // extensions first: only states with completion < m are
-          // available (strictly-after), so states created in THIS
-          // batch (completion == m) can never serve it
-          var b = i
-          while (b < j) {
-            val lvls = extendLevels.getOrElse(evs(b)._2, null)
-            if (lvls != null) {
-              var li = lvls.length - 1
-              while (li >= 0) {
-                val k = lvls(li); val src = k - 1
-                val aB = fa(src); val pB = fp(src)
-                var h = head(src)
-                // expired: window closed before m (m - a > W) —
-                // subtraction form, no a + W overflow
-                while (h < aB.length && m - aB(h) > w) h += 1
-                head(src) = h
-                var e = h
-                while (e < pB.length && pB(e) < m) e += 1
-                if (e > h) {
-                  var x = h
-                  while (x < e) { fa(k) += aB(x); fp(k) += m; x += 1 }
-                  if (k > maxLevel) maxLevel = k
-                  head(src) = e
-                }
-                li -= 1
-              }
-            }
-            b += 1
-          }
-          // anchors last: an anchor at time m may only serve events
-          // strictly after m, which the completion==m rule enforces
-          b = i
-          while (b < j) {
-            if (evs(b)._2 == stepsArr(0)) {
-              if (fa(0).isEmpty || fa(0).last != m) {
-                fa(0) += m; fp(0) += m
-                if (maxLevel < 0) maxLevel = 0
-              }
-            }
-            b += 1
-          }
-          i = j
-        }
-        maxLevel
+        frontierScan(it.map(e => (e._3, e._2)).toArray, stepsArr, w)
       }
     // per-level histogram: at most steps.length+1 rows by contract
     val hist = maxLevels.toDF("lvl").filter(col("lvl") >= 0)
@@ -410,6 +351,78 @@ object Relational {
       (i, stepsArr(i), hist.filter(_._1 >= i).values.sum)
     }.filter(_._3 > 0)
     sp.createDataFrame(rows).toDF("step_idx", "step", "users")
+  }
+
+  /** The frontier-scan kernel shared by [[funnelSliding]] and the
+    * streaming [[graft.streaming.EventStream]] funnel: the max funnel
+    * level any sliding anchor reaches over one user's (time, type)
+    * events (unsorted input; −1 = no anchor). See [[funnelSliding]]
+    * for the algorithm's invariants and the monotone-staircase
+    * argument. */
+  private[graft] def frontierScan(evsIn: Array[(Long, String)],
+                                  stepsArr: Array[String],
+                                  w: Long): Int = {
+    val n = stepsArr.length
+    // type -> the levels (>= 1) an event of that type can extend INTO
+    val extendLevels: Map[String, Array[Int]] =
+      stepsArr.zipWithIndex.filter(_._2 >= 1).toSeq
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+    val evs = evsIn.sortBy(_._1)
+    // frontier per level: parallel (anchor, completion) arrays,
+    // both ascending; head = live start (expired anchors skipped)
+    val fa = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
+    val fp = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
+    val head = new Array[Int](n)
+    var maxLevel = -1
+    var i = 0
+    while (i < evs.length) {
+      val m = evs(i)._1
+      var j = i // the equal-timestamp batch [i, j)
+      while (j < evs.length && evs(j)._1 == m) j += 1
+      // extensions first: only states with completion < m are
+      // available (strictly-after), so states created in THIS
+      // batch (completion == m) can never serve it
+      var b = i
+      while (b < j) {
+        val lvls = extendLevels.getOrElse(evs(b)._2, null)
+        if (lvls != null) {
+          var li = lvls.length - 1
+          while (li >= 0) {
+            val k = lvls(li); val src = k - 1
+            val aB = fa(src); val pB = fp(src)
+            var h = head(src)
+            // expired: window closed before m (m - a > W) —
+            // subtraction form, no a + W overflow
+            while (h < aB.length && m - aB(h) > w) h += 1
+            head(src) = h
+            var e = h
+            while (e < pB.length && pB(e) < m) e += 1
+            if (e > h) {
+              var x = h
+              while (x < e) { fa(k) += aB(x); fp(k) += m; x += 1 }
+              if (k > maxLevel) maxLevel = k
+              head(src) = e
+            }
+            li -= 1
+          }
+        }
+        b += 1
+      }
+      // anchors last: an anchor at time m may only serve events
+      // strictly after m, which the completion==m rule enforces
+      b = i
+      while (b < j) {
+        if (evs(b)._2 == stepsArr(0)) {
+          if (fa(0).isEmpty || fa(0).last != m) {
+            fa(0) += m; fp(0) += m
+            if (maxLevel < 0) maxLevel = 0
+          }
+        }
+        b += 1
+      }
+      i = j
+    }
+    maxLevel
   }
 
   /** The per-anchor join-chain form of [[funnelSliding]] — same

@@ -303,6 +303,17 @@ object ExtensionQueries {
     // stream-static broadcast enrichment (stateless per micro-batch)
     "q56_stream_enrich" -> ((s, dir) => EventStream.enriched(s, dir)),
 
+    // streaming sliding-anchor funnel (EventStream.funnelCounts): the
+    // q154 semantics maintained incrementally per user via
+    // flatMapGroupsWithState with a WATERMARK-BOUNDED buffer (events
+    // older than watermark − W provably cannot extend any chain, and
+    // completed reaches fold into a scalar before they drop); drained
+    // AvailableNow and folded to the q154 output shape, so batch and
+    // stream answer to ONE oracle
+    "q157_stream_funnel" -> ((s, dir) =>
+      EventStream.funnelCounts(s, dir, SqlFeatureQueries.FunnelSteps,
+        SqlFeatureQueries.FunnelWindowMicros)),
+
     // watermark-bounded streaming dedup on the retry-duplicate key
     "q62_stream_dedup" -> ((s, dir) => EventStream.dedupedCounts(s, dir)),
 
@@ -616,6 +627,9 @@ object ExtensionQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // verbatim the q154 oracle: the drained stream must equal the
+    // batch sliding funnel exactly
+    "q157_stream_funnel" -> SqlFeatureQueries.funnelSlidingSql,
     "q48_stream_sessions" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total
         |FROM events GROUP BY user_id""".stripMargin,

@@ -326,26 +326,9 @@ object SqlFeatureQueries {
     // replays the sliding-anchor recurrence: s0 keeps EVERY step-0
     // event as an anchor, each later step the earliest qualifying
     // event per (user, anchor); a user counts once per step via the
-    // distinct-user aggregate
-    "q154_funnel_sliding" -> {
-      val (w, st) = (FunnelWindowMicros, FunnelSteps)
-      s"""WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS m
-         |  FROM events),
-         |s0 AS (SELECT u, m AS m0, m AS mp FROM e WHERE t = '${st(0)}'),
-         |s1 AS (SELECT e.u, s0.m0, min(e.m) AS mp FROM e JOIN s0 ON e.u = s0.u
-         |  WHERE e.t = '${st(1)}' AND e.m > s0.mp AND e.m <= s0.m0 + $w
-         |  GROUP BY e.u, s0.m0),
-         |s2 AS (SELECT e.u, s1.m0, min(e.m) AS mp FROM e JOIN s1 ON e.u = s1.u
-         |  WHERE e.t = '${st(2)}' AND e.m > s1.mp AND e.m <= s1.m0 + $w
-         |  GROUP BY e.u, s1.m0)
-         |SELECT step_idx, step, users FROM (
-         |  SELECT CAST(0 AS INTEGER) AS step_idx, '${st(0)}' AS step,
-         |    count(DISTINCT u) AS users FROM s0 HAVING count(DISTINCT u) > 0
-         |  UNION ALL SELECT CAST(1 AS INTEGER), '${st(1)}',
-         |    count(DISTINCT u) FROM s1 HAVING count(DISTINCT u) > 0
-         |  UNION ALL SELECT CAST(2 AS INTEGER), '${st(2)}',
-         |    count(DISTINCT u) FROM s2 HAVING count(DISTINCT u) > 0)""".stripMargin
-    },
+    // distinct-user aggregate. Shared verbatim by the streaming form
+    // (q157) — stream and batch answer to ONE oracle.
+    "q154_funnel_sliding" -> funnelSlidingSql,
     "q77_sessionize" ->
       s"""WITH x AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
@@ -461,4 +444,25 @@ object SqlFeatureQueries {
         |    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
         |  GROUP BY 1)""".stripMargin
   )
+
+  /** The q154/q157 oracle (see the comment at its registration). */
+  private[queries] val funnelSlidingSql: String = {
+      val (w, st) = (FunnelWindowMicros, FunnelSteps)
+      s"""WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS m
+         |  FROM events),
+         |s0 AS (SELECT u, m AS m0, m AS mp FROM e WHERE t = '${st(0)}'),
+         |s1 AS (SELECT e.u, s0.m0, min(e.m) AS mp FROM e JOIN s0 ON e.u = s0.u
+         |  WHERE e.t = '${st(1)}' AND e.m > s0.mp AND e.m <= s0.m0 + $w
+         |  GROUP BY e.u, s0.m0),
+         |s2 AS (SELECT e.u, s1.m0, min(e.m) AS mp FROM e JOIN s1 ON e.u = s1.u
+         |  WHERE e.t = '${st(2)}' AND e.m > s1.mp AND e.m <= s1.m0 + $w
+         |  GROUP BY e.u, s1.m0)
+         |SELECT step_idx, step, users FROM (
+         |  SELECT CAST(0 AS INTEGER) AS step_idx, '${st(0)}' AS step,
+         |    count(DISTINCT u) AS users FROM s0 HAVING count(DISTINCT u) > 0
+         |  UNION ALL SELECT CAST(1 AS INTEGER), '${st(1)}',
+         |    count(DISTINCT u) FROM s1 HAVING count(DISTINCT u) > 0
+         |  UNION ALL SELECT CAST(2 AS INTEGER), '${st(2)}',
+         |    count(DISTINCT u) FROM s2 HAVING count(DISTINCT u) > 0)""".stripMargin
+  }
 }

@@ -55,12 +55,15 @@ object EventStream {
     * both on-disk encodings — see core/Tables.load. The file source
     * requires a directory or glob, so address the single parquet file
     * via a glob with the table dir as basePath. */
-  def source(spark: SparkSession, dir: String): DataFrame = {
+  def source(spark: SparkSession, dir: String,
+             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val raw = rawSchema(spark, dir)
-    val base = spark.readStream
+    val reader = spark.readStream
       .schema(raw)
       .option("basePath", dir)
-      .parquet(s"$dir/events.parque*")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n))
+    val base = reader.parquet(s"$dir/events.parque*")
     raw("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -165,6 +168,87 @@ object EventStream {
     }
     q.awaitTermination()
     spark.table(qName)
+  }
+
+  case class FunnelBuf(maxLevel: Int, ms: Seq[Long], ts: Seq[String])
+  case class FunnelOut(user_id: Long, max_level: Int)
+
+  /** Streaming sliding-anchor funnel — the continuous form of
+    * [[graft.operators.Relational.funnelSliding]], same per-anchor
+    * greedy semantics via the SAME shared frontier-scan kernel
+    * (`Relational.frontierScan`), maintained per user with
+    * flatMapGroupsWithState and emitted as (user, max_level) updates
+    * per micro-batch.
+    *
+    * State is WATERMARK-BOUNDED, not corpus-bounded: the buffer keeps
+    * only events with `m ≥ watermark − W`, because a chain's events
+    * all lie in [anchor, anchor + W] and a future event is ≥ the
+    * watermark — so any chain still extensible has its anchor (hence
+    * ALL its events) ≥ watermark − W, and reaches already achieved by
+    * older chains are folded into the scalar `maxLevel` before their
+    * events are dropped. Out-of-order arrival inside the retention
+    * window is handled for free: the kernel re-sorts the buffer each
+    * batch, so a late event slots into its true position (the batch
+    * path has no such window — drained results match it exactly,
+    * which IncrementalAlertsSpec-style assertions in
+    * StreamingSinkSpec pin).
+    *
+    * [[funnelCounts]] drains with AvailableNow and folds the per-user
+    * levels to the q154 output shape for the oracle gate. */
+  def funnelLevels(spark: SparkSession, dir: String, steps: Seq[String],
+                   windowMicros: Long,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val stepsArr = steps.toArray
+    val qName = "graft_stream_funnel"
+    val events = source(spark, dir, maxFilesPerTrigger)
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type").isin(steps.distinct: _*))
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val writer = events.as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelBuf]) =>
+          val prev = state.getOption.getOrElse(FunnelBuf(-1, Nil, Nil))
+          val fresh = rows.map(r => (r._3.getTime * 1000L, r._2)).toArray
+          val all = (prev.ms.zip(prev.ts) ++ fresh).toArray
+          val lvl = math.max(prev.maxLevel,
+            graft.operators.Relational.frontierScan(all, stepsArr,
+              windowMicros))
+          // retention cut: watermark − W (micros); 0 watermark = keep all
+          val cut = state.getCurrentWatermarkMs() * 1000L - windowMicros
+          val kept = all.filter(_._1 >= cut)
+          state.update(FunnelBuf(lvl, kept.map(_._1).toSeq,
+            kept.map(_._2).toSeq))
+          Iterator(FunnelOut(user, lvl))
+      }
+      .writeStream.format("memory").queryName(qName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+    val q = withStatePartitions(spark, StatePartitions) { writer.start() }
+    q.awaitTermination()
+    spark.table(qName)
+  }
+
+  /** Drained [[funnelLevels]] folded to the batch funnel's output
+    * shape (step_idx, step, users) — users at their LAST emitted
+    * level; rows only for non-empty steps (the q154 contract, so the
+    * two share one oracle). */
+  def funnelCounts(spark: SparkSession, dir: String, steps: Seq[String],
+                   windowMicros: Long,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val perUser = funnelLevels(spark, dir, steps, windowMicros,
+      maxFilesPerTrigger)
+      .groupBy(col("user_id"))
+      .agg(max(col("max_level")).as("lvl"))
+    val hist = perUser.filter(col("lvl") >= 0)
+      .groupBy(col("lvl")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = steps.indices.map { i =>
+      (i, steps(i), hist.filter(_._1 >= i).values.sum)
+    }.filter(_._3 > 0)
+    spark.createDataFrame(rows).toDF("step_idx", "step", "users")
   }
 
   case class SessionState(nEvents: Long, total: Double, lastTsMicros: Long)

@@ -28,6 +28,64 @@ class StreamingSinkSpec extends SparkTestBase {
     if (loc.exists()) rm(loc)
   }
 
+  test("streaming funnel drain equals the batch sliding funnel " +
+      "(single batch, gate data)") {
+    val steps = graft.queries.SqlFeatureQueries.FunnelSteps
+    val w = graft.queries.SqlFeatureQueries.FunnelWindowMicros
+    val streamed = graft.streaming.EventStream
+      .funnelCounts(spark, sfDir, steps, w)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.Relational.funnelSliding(
+        graft.core.Tables.load(spark, sfDir, "events"),
+        "user_id", "event_type", "ts", steps, w)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("streaming funnel: state carries across micro-batches and the " +
+      "watermark retention cut loses no conversions") {
+    import spark.implicits._
+    val steps = Seq("A", "B", "C")
+    val w = 2L * 3600 * 1000000L // 2h window, 1h watermark delay
+    def t(s: String) = ts(s)
+    // file 1 (day 1): u1 converts fully; u2 reaches B only.
+    // file 2 (day 5): u3 anchors — its only job is to ADVANCE the
+    // watermark past day-1 + W, so batch 3's retention cut genuinely
+    // DROPS the day-1 buffer rows (u1's conversion and u2's level-1
+    // must survive in the folded scalar).
+    // file 3 (day 9): u2's new anchor converts from scratch.
+    val f1 = Seq(
+      (1L, "A", t("2026-01-01 10:00:00")), (1L, "B", t("2026-01-01 10:20:00")),
+      (1L, "C", t("2026-01-01 10:40:00")),
+      (2L, "A", t("2026-01-01 11:00:00")), (2L, "B", t("2026-01-01 11:30:00")))
+    val f2 = Seq((3L, "A", t("2026-01-05 12:00:00")))
+    val f3 = Seq(
+      (2L, "A", t("2026-01-09 09:00:00")), (2L, "B", t("2026-01-09 09:10:00")),
+      (2L, "C", t("2026-01-09 09:20:00")))
+    val dir = tmp("graft_funnel_stream")
+    def write(rows: Seq[(Long, String, Timestamp)], part: Int): Unit =
+      rows.toDF("user_id", "event_type", "ts")
+        .withColumn("event_id", col("user_id") * 100 + part)
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("append")
+        .parquet(new java.io.File(dir, "events.parquet").toString)
+    write(f1, 1)
+    Thread.sleep(1100) // distinct mod times order the micro-batches
+    write(f2, 2)
+    Thread.sleep(1100)
+    write(f3, 3)
+    val streamed = graft.streaming.EventStream
+      .funnelCounts(spark, dir, steps, w, maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    val batch = graft.operators.Relational.funnelSliding(
+        graft.core.Tables.load(spark, dir, "events"),
+        "user_id", "event_type", "ts", steps, w)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    // closed form: step0 = {u1,u2,u3}, step1 = {u1,u2}, step2 = {u1,u2}
+    assert(batch == Set((0, 3L), (1, 2L), (2, 2L)), s"batch=$batch")
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("parquet file sink is exactly-once across a checkpoint resume") {
     import spark.implicits._
     val src = tmp("graft_sink_src")
