@@ -445,8 +445,13 @@ object SqlFeatureQueries {
         |  GROUP BY 1)""".stripMargin
   )
 
-  /** The q154/q157 oracle (see the comment at its registration). */
-  private[queries] val funnelSlidingSql: String = {
+  /** The q154/q157 oracle (see the comment at its registration).
+    * LAZY by necessity: it is referenced from the `oracles` val
+    * declared ABOVE it — a strict val would be a silent-null forward
+    * reference (Scala object init order), which round 11 hit live:
+    * jsonQuote NPE'd on the null at Verify's final write. The
+    * HonestySpec null-guard makes the whole class impossible now. */
+  private[queries] lazy val funnelSlidingSql: String = {
       val (w, st) = (FunnelWindowMicros, FunnelSteps)
       s"""WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS m
          |  FROM events),

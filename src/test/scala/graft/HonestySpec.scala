@@ -73,6 +73,18 @@ class HonestySpec extends SparkTestBase {
     assert(t2 == 1.0 && f2.isEmpty)
   }
 
+  test("registry: no oracle string is null or empty") {
+    // a forward reference between object vals yields a SILENT null in
+    // Scala (declaration-order init) — round 11 hit it live: the
+    // oracles map captured a val declared below it, and Verify's
+    // final oracle_sql.json write NPE'd after all 157 dumps had
+    // succeeded. This guard turns that class into a red test.
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      assert(v != null, s"$k: oracle SQL is NULL (object-init forward reference?)")
+      assert(v.trim.nonEmpty, s"$k: oracle SQL is empty")
+    }
+  }
+
   test("registry: every query has an oracle and every oracle has a query") {
     // a queries-entry without an oracleSql twin silently downgrades
     // the driver's gate to a rows-only check; an orphaned oracle is a
