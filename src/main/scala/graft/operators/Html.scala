@@ -123,10 +123,16 @@ object Html {
     *    unclosed anchor itself fails to match (dropped — it has no
     *    close) and the following anchor is found intact. Literal
     *    `<<` inside a body also terminates the run (vanishingly rare;
-    *    the match then fails like any other unclosed anchor). */
+    *    the match then fails like any other unclosed anchor). The
+    *    plain-text run is POSSESSIVE (`[^<]++`): the two body
+    *    alternatives are disjoint on `<`, so possessiveness loses no
+    *    match, and without it an unclosed `<a href=…>` followed by a
+    *    few hundred chars of text backtracks exponentially in
+    *    java.util.regex — one pathological crawl page would hang the
+    *    task (pinned in HtmlSpec). */
   private[graft] val anchorPattern =
     "(?is)<a\\s(?:(?:[^>\"']|\"[^\"]*\"|'[^']*')*?\\s)?href\\s*=\\s*\"([^\"]*)\"" +
-      "(?:[^>\"']|\"[^\"]*\"|'[^']*')*>((?:[^<]+|<(?:[^aA<]|[aA][^\\s>]))*?)</a\\s*>"
+      "(?:[^>\"']|\"[^\"]*\"|'[^']*')*>((?:[^<]++|<(?:[^aA<]|[aA][^\\s>]))*?)</a\\s*>"
 
   /** Steps 1-2 of the contract, shared by [[extractText]] and
     * [[extractLinks]]: drop script/style elements with their content,

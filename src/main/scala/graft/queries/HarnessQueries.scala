@@ -86,7 +86,18 @@ object HarnessQueries {
       import graft.harness.{Alert, AlertHarness, RunClock}
       val db = "graft_q153"
       s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-      val loc = java.nio.file.Files.createTempDirectory("graft_q153_wh")
+      // FIXED location, wiped before CREATE: a fresh temp dir per
+      // invocation would orphan the previous pass's warehouse files
+      // (the CASCADE above only clears the catalog + current location)
+      val loc = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_q153_wh")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      java.nio.file.Files.createDirectories(loc)
       s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
       def alert(runMod: Int): Alert = new Alert {
         val sigla = "HMRG"

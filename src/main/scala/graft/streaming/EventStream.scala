@@ -170,6 +170,14 @@ object EventStream {
     spark.table(qName)
   }
 
+  /** Epoch micros at FULL precision. `getTime` alone carries only
+    * milliseconds; the sub-ms residue lives in `getNanos` (nanos
+    * within the second). Batch kernels and the DuckDB oracles compare
+    * `unix_micros`, so every streaming kernel that feeds the same
+    * oracle must use this, not `getTime * 1000`. */
+  private[graft] def tsMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   case class FunnelBuf(maxLevel: Int, ms: Seq[Long], ts: Seq[String])
   case class FunnelOut(user_id: Long, max_level: Int)
 
@@ -211,7 +219,10 @@ object EventStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (user, rows, state: GroupState[FunnelBuf]) =>
           val prev = state.getOption.getOrElse(FunnelBuf(-1, Nil, Nil))
-          val fresh = rows.map(r => (r._3.getTime * 1000L, r._2)).toArray
+          // full-precision micros (getTime alone truncates to ms;
+          // the batch kernel and the shared q154/q157 oracle compare
+          // unix_micros, so sub-ms ties would diverge stream vs batch)
+          val fresh = rows.map(r => (tsMicros(r._3), r._2)).toArray
           val all = (prev.ms.zip(prev.ts) ++ fresh).toArray
           val lvl = math.max(prev.maxLevel,
             graft.operators.Relational.frontierScan(all, stepsArr,
@@ -270,7 +281,7 @@ object EventStream {
           val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
           val (n, tot, maxTs) = rows.foldLeft((prev.nEvents, prev.total, prev.lastTsMicros)) {
             case ((cn, ct, mt), (_, ts, v)) =>
-              (cn + 1, ct + v, math.max(mt, ts.getTime * 1000))
+              (cn + 1, ct + v, math.max(mt, tsMicros(ts)))
           }
           state.update(SessionState(n, tot, maxTs))
           // rounded at emission so the result is independent of the

@@ -123,6 +123,22 @@ class HtmlSpec extends SparkTestBase {
       == Seq((0, "u", "x y z")))
   }
 
+  test("extractLinks: pathological unclosed anchor terminates (possessive body run)") {
+    // an unclosed <a href=…> followed by a long plain-text run is the
+    // catastrophic-backtracking shape for a NON-possessive [^<]+ body
+    // alternative (exponential in the run length — a single crawl page
+    // would hang the task). The possessive [^<]++ loses no match (the
+    // alternatives are disjoint on '<') and must fail fast.
+    val page = "<a href=\"bad\">" + ("lorem ipsum " * 2000)
+    val t0 = System.nanoTime()
+    assert(links(page) == Seq())
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(elapsedSec < 20, f"unclosed-anchor scan took $elapsedSec%.1fs")
+    // and a well-formed anchor after the pathological run still binds
+    assert(links(page + "<a href=\"good\">ok</a>")
+      == Seq((0, "good", "ok")))
+  }
+
   test("cleanLines: C4 rules on hand-written pages the planting never emits") {
     import spark.implicits._
     val pages = Seq(
