@@ -102,6 +102,25 @@ object Bpe {
     picked.result().reduce(_ union _)
   }
 
+  /** Cross-session form of [[train]]: load the published merge table
+    * for `(corpusKey, version)` if it exists, else train and publish.
+    * The merge table is the MODEL — ≤ `merges` rows — so an encode
+    * session loads a one-file artifact and never touches the training
+    * corpus ([[graft.operators.Similarity.cellsPublished]] lifecycle). */
+  def trainPublished(df: DataFrame, root: String, corpusKey: String,
+                     version: String, textCol: String, merges: Int,
+                     minPairCount: Long = 2L): DataFrame = {
+    import graft.sources.ArtifactStore
+    val spark = df.sparkSession
+    if (ArtifactStore.exists(spark, root, "bpe_merges", corpusKey, version))
+      ArtifactStore.load(spark, root, "bpe_merges", corpusKey, version)
+    else {
+      val m = train(df, textCol, merges, minPairCount)
+      ArtifactStore.save(m, root, "bpe_merges", corpusKey, version)
+      ArtifactStore.load(spark, root, "bpe_merges", corpusKey, version)
+    }
+  }
+
   /** Tokenize with a trained merge table: per-document BPE token
     * counts. The merge table is a MODEL artifact (≤ `merges` rows) —
     * it is collected once and folded into a single codegen'd chain of

@@ -590,6 +590,54 @@ object Similarity {
   /** Drop every memoized cell table. */
   def releaseCells(): Unit = cellsMemo.clear()
 
+  /** Cross-SESSION form of [[cellsOf]]: load the published
+    * `(corpusKey, version)` quantizer snapshot from the artifact
+    * store if it exists, else train (through the session memo, so
+    * same-session callers still share one artifact) and PUBLISH it.
+    * This is the deployable lifecycle at 100 TB — train once, probe
+    * for months across applications; the store's partition pruning
+    * means a probe-only session reads exactly one snapshot's files
+    * and never touches the training path. Version like a table
+    * snapshot (zero-padded / date-ordered strings — see
+    * [[graft.sources.ArtifactStore.latest]]); re-training a refreshed
+    * corpus under a NEW version is the durable answer to the memo's
+    * stale-corpusKey CALLER CONTRACT. */
+  def cellsPublished(df: DataFrame, root: String, corpusKey: String,
+                     version: String, idCol: String, vecCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    import graft.sources.ArtifactStore
+    val spark = df.sparkSession
+    if (ArtifactStore.exists(spark, root, "kmeans_cells", corpusKey, version))
+      ArtifactStore.load(spark, root, "kmeans_cells", corpusKey, version)
+    else {
+      val cells = cellsOf(df, corpusKey, idCol, vecCol, k, iters)
+      ArtifactStore.save(cells, root, "kmeans_cells", corpusKey, version)
+      cells
+    }
+  }
+
+  /** [[cellsPublished]] for the PQ artifact pair: codes (corpus-sized
+    * — one row per vector per subspace, written with `numFiles`
+    * splittable files) and codebook (model-sized) publish under one
+    * version in sibling kinds, and a probe-only session loads both
+    * without touching a vector. */
+  def pqPublished(df: DataFrame, root: String, corpusKey: String,
+                  version: String, idCol: String, vecCol: String,
+                  dim: Int, m: Int, ksub: Int, iters: Int,
+                  numFiles: Int = 1): (DataFrame, DataFrame) = {
+    import graft.sources.ArtifactStore
+    val spark = df.sparkSession
+    if (ArtifactStore.exists(spark, root, "pq_codebook", corpusKey, version))
+      (ArtifactStore.load(spark, root, "pq_codes", corpusKey, version),
+        ArtifactStore.load(spark, root, "pq_codebook", corpusKey, version))
+    else {
+      val (codes, codebook) = pqOf(df, corpusKey, idCol, vecCol, dim, m, ksub, iters)
+      ArtifactStore.save(codes, root, "pq_codes", corpusKey, version, numFiles)
+      ArtifactStore.save(codebook, root, "pq_codebook", corpusKey, version)
+      (codes, codebook)
+    }
+  }
+
   /** Deterministic ±1 random-hyperplane signs (md5 parity of a fixed
     * seed string) — reproducible across engines and runs. */
   def planeSigns(nPlanes: Int, dim: Int): Seq[Array[Int]] =

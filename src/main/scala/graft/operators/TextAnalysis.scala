@@ -573,6 +573,25 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("token").asc)) - 1)
   }
 
+  /** Cross-session form of [[buildVocab]]: load the published
+    * `(corpusKey, version)` vocabulary if it exists, else build and
+    * publish. The vocab is model-sized (Zipf tail cut by `minCount`),
+    * so a consumer session loads one file and skips the corpus scan
+    * ([[graft.operators.Similarity.cellsPublished]] lifecycle). */
+  def vocabPublished(df: DataFrame, root: String, corpusKey: String,
+                     version: String, textCol: String,
+                     minCount: Long = 1L): DataFrame = {
+    import graft.sources.ArtifactStore
+    val spark = df.sparkSession
+    if (ArtifactStore.exists(spark, root, "vocab", corpusKey, version))
+      ArtifactStore.load(spark, root, "vocab", corpusKey, version)
+    else {
+      val v = buildVocab(df, textCol, minCount)
+      ArtifactStore.save(v, root, "vocab", corpusKey, version)
+      ArtifactStore.load(spark, root, "vocab", corpusKey, version)
+    }
+  }
+
   /** C4-style boilerplate removal: a segment (fixed window of
     * `windowWords` words — the stand-in for a "line" in a corpus whose
     * documents carry no newlines) that occurs in at least `minDocs`

@@ -695,6 +695,26 @@ object PipelineQueries {
         "embedding", "cell", col("vec_id") < 10, TopK, IvfProbes)
     }),
 
+    // the cross-SESSION half of the cellsOf lifecycle: train (memo),
+    // PUBLISH to the versioned artifact store, load the snapshot back
+    // through the partition-pruned scan, and probe IVF from the
+    // LOADED cells. Oracle-equal to q38 (same annIvfSql), which IS
+    // the probe-from-loaded ≡ probe-from-memo proof — both probes
+    // hash against one oracle; ArtifactStoreSpec additionally pins
+    // direct frame equality and the pruned plan.
+    "q158_artifact_roundtrip" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val e = embs(s, dir)
+      val cells = Similarity.cellsOf(e, dir, "vec_id", "embedding",
+        KmeansK, KmeansIters)
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_artifacts").toString
+      ArtifactStore.save(cells, root, "kmeans_cells", dir, "v0001")
+      val loaded = ArtifactStore.load(s, root, "kmeans_cells", dir, "v0001")
+      Similarity.ivfTopK(e.join(loaded, Seq("vec_id")), "vec_id",
+        "embedding", "cell", col("vec_id") < 10, TopK, IvfProbes)
+    }),
+
     // cell-scoped embedding near-dup pairs over the TRAINED quantizer
     // (the same memoized cellsOf artifact q38 probes and q114 dedups
     // in): measured pair recall at the registry threshold is 0.275
@@ -1968,6 +1988,9 @@ object PipelineQueries {
     "q36_ngram_jaccard" -> ngramJaccardSql,
     "q37_cosine_topk" -> cosineTopkSql,
     "q38_ann_ivf" -> annIvfSql,
+    // the roundtrip probe consumes the SAME trained artifact q38
+    // probes from the memo — one oracle for both is the equality proof
+    "q158_artifact_roundtrip" -> annIvfSql,
     "q43_embed_neardup" -> embedNearDupSql,
     "q114_semantic_dedup" -> semanticDedupSql,
     "q115_pagerank" -> pageRankSql,
