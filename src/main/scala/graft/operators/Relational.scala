@@ -317,12 +317,18 @@ object Relational {
     * its type's levels once: O(events·log + anchors·levels) per
     * user, zero risk of the join form's per-user blow-up.
     *
-    * Scale shape: ONE user-keyed shuffle (groupByKey), per-user
-    * memory bounded by that user's funnel-typed event count (the
-    * same bound as any sessionization that must see a user's events
-    * together); the event side is pruned to the step types at the
-    * scan. The per-level count table is at most steps.length+1 rows
-    * — reduced on the driver by contract, like
+    * Scale shape: ONE user-keyed shuffle, then `sortWithinPartitions
+    * (u, m)` and a STREAMING iterator consumption — the sort rides
+    * Spark's spillable external sorter, and the kernel holds only
+    * the live frontier, never the user's event array. Task memory is
+    * O(live anchors in the window) per in-flight user (expired and
+    * consumed frontier entries are head-pruned and compacted —
+    * [[FrontierScanState]]), so a hyperactive user with 10⁶ events
+    * costs the sorter spill, not task heap: the round-11 mega-user
+    * hazard is gone (RelationalSpec pins peak-live on a planted
+    * 10⁶-event user). The event side is pruned to the step types at
+    * the scan. The per-level count table is at most steps.length+1
+    * rows — reduced on the driver by contract, like
     * [[globalRowNumber]]'s partition-count list. Output:
     * (step_idx, step, users), rows only for non-empty steps. */
   def funnelSliding(df: DataFrame, userCol: String, typeCol: String,
@@ -339,9 +345,28 @@ object Relational {
         col(typeCol).as("t"), unix_micros(col(tsCol)).as("m"))
       .filter(col("t").isin(steps.distinct: _*) && col("m").isNotNull)
       .as[(String, String, Long)]
-    val maxLevels: org.apache.spark.sql.Dataset[Int] =
-      ev.groupByKey(_._1).mapGroups { (_, it) =>
-        frontierScan(it.map(e => (e._3, e._2)).toArray, stepsArr, w)
+    val maxLevels: org.apache.spark.sql.Dataset[Int] = ev
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("m"))
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[Int] {
+          private val batch =
+            scala.collection.mutable.ArrayBuffer.empty[String]
+          def hasNext: Boolean = it.hasNext
+          def next(): Int = {
+            val u = it.head._1
+            val st = new FrontierScanState(stepsArr, w)
+            while (it.hasNext && it.head._1 == u) {
+              val m = it.head._3
+              batch.clear()
+              while (it.hasNext && it.head._1 == u && it.head._3 == m)
+                batch += it.next()._2
+              st.observeBatch(m, batch)
+            }
+            st.result
+          }
+        }
       }
     // per-level histogram: at most steps.length+1 rows by contract
     val hist = maxLevels.toDF("lvl").filter(col("lvl") >= 0)
@@ -354,53 +379,82 @@ object Relational {
   }
 
   /** The frontier-scan kernel shared by [[funnelSliding]] and the
-    * streaming [[graft.streaming.EventStream]] funnel: the max funnel
-    * level any sliding anchor reaches over one user's (time, type)
-    * events (unsorted input; −1 = no anchor). See [[funnelSliding]]
-    * for the algorithm's invariants and the monotone-staircase
-    * argument. */
-  private[graft] def frontierScan(evsIn: Array[(Long, String)],
-                                  stepsArr: Array[String],
-                                  w: Long): Int = {
-    val n = stepsArr.length
+    * streaming [[graft.streaming.EventStream]] funnel, as INCREMENTAL
+    * state: feed equal-timestamp batches in strictly increasing time
+    * order via [[observeBatch]]; [[result]] is the max funnel level
+    * any sliding anchor reached (−1 = no anchor yet). See
+    * [[funnelSliding]] for the invariants and the monotone-staircase
+    * argument.
+    *
+    * Memory contract: the per-level frontiers hold only LIVE states —
+    * every batch first expires states whose window closed
+    * (`m − anchor > W`; their level is already folded into the
+    * running max) and compacts the consumed/expired prefix out of the
+    * buffers once it reaches half the buffer (amortized O(1) per
+    * state). Peak resident state is therefore O(anchors live in one
+    * window × levels), INDEPENDENT of how many events one user has —
+    * the mega-user bound [[funnelSliding]]'s sorted-iterator form
+    * relies on, pinned by [[peakLive]] in RelationalSpec. */
+  private[graft] final class FrontierScanState(stepsArr: Array[String],
+                                               w: Long) {
+    private val n = stepsArr.length
     // type -> the levels (>= 1) an event of that type can extend INTO
-    val extendLevels: Map[String, Array[Int]] =
+    private val extendLevels: Map[String, Array[Int]] =
       stepsArr.zipWithIndex.filter(_._2 >= 1).toSeq
         .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
-    val evs = evsIn.sortBy(_._1)
     // frontier per level: parallel (anchor, completion) arrays,
     // both ascending; head = live start (expired anchors skipped)
-    val fa = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
-    val fp = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
-    val head = new Array[Int](n)
-    var maxLevel = -1
-    var i = 0
-    while (i < evs.length) {
-      val m = evs(i)._1
-      var j = i // the equal-timestamp batch [i, j)
-      while (j < evs.length && evs(j)._1 == m) j += 1
-      // extensions first: only states with completion < m are
-      // available (strictly-after), so states created in THIS
-      // batch (completion == m) can never serve it
-      var b = i
-      while (b < j) {
-        val lvls = extendLevels.getOrElse(evs(b)._2, null)
+    private val fa =
+      Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
+    private val fp =
+      Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Long])
+    private val head = new Array[Int](n)
+    private var maxLevel = -1
+    private var peak = 0
+
+    private def compact(k: Int): Unit =
+      if (head(k) >= 16 && head(k) * 2 >= fa(k).length) {
+        fa(k).remove(0, head(k))
+        fp(k).remove(0, head(k))
+        head(k) = 0
+      }
+
+    /** All events at ONE timestamp `m`; calls must come in strictly
+      * increasing `m`. Extensions are processed before anchors: only
+      * states with completion < m may serve (strictly-after), so a
+      * state created in this batch can never serve it, and an anchor
+      * at m may only serve events strictly after m. */
+    def observeBatch(m: Long, types: scala.collection.Seq[String]): Unit = {
+      // eager expiry at EVERY level (not just extension targets):
+      // expired states can never extend again and their level is
+      // already in maxLevel — this is what bounds resident state
+      // between extension events. Subtraction form: no a + W overflow.
+      var k = 0
+      while (k < n) {
+        val aB = fa(k)
+        var h = head(k)
+        while (h < aB.length && m - aB(h) > w) h += 1
+        head(k) = h
+        compact(k)
+        k += 1
+      }
+      var b = 0
+      while (b < types.length) {
+        val lvls = extendLevels.getOrElse(types(b), null)
         if (lvls != null) {
           var li = lvls.length - 1
           while (li >= 0) {
-            val k = lvls(li); val src = k - 1
+            val kk = lvls(li); val src = kk - 1
             val aB = fa(src); val pB = fp(src)
             var h = head(src)
-            // expired: window closed before m (m - a > W) —
-            // subtraction form, no a + W overflow
             while (h < aB.length && m - aB(h) > w) h += 1
             head(src) = h
             var e = h
             while (e < pB.length && pB(e) < m) e += 1
             if (e > h) {
               var x = h
-              while (x < e) { fa(k) += aB(x); fp(k) += m; x += 1 }
-              if (k > maxLevel) maxLevel = k
+              while (x < e) { fa(kk) += aB(x); fp(kk) += m; x += 1 }
+              if (kk > maxLevel) maxLevel = kk
               head(src) = e
             }
             li -= 1
@@ -408,21 +462,51 @@ object Relational {
         }
         b += 1
       }
-      // anchors last: an anchor at time m may only serve events
-      // strictly after m, which the completion==m rule enforces
-      b = i
-      while (b < j) {
-        if (evs(b)._2 == stepsArr(0)) {
-          if (fa(0).isEmpty || fa(0).last != m) {
-            fa(0) += m; fp(0) += m
+      b = 0
+      while (b < types.length) {
+        if (types(b) == stepsArr(0)) {
+          val aB = fa(0)
+          if (aB.isEmpty || aB.last != m) {
+            aB += m; fp(0) += m
             if (maxLevel < 0) maxLevel = 0
           }
         }
         b += 1
       }
+      var live = 0
+      k = 0
+      while (k < n) { live += fa(k).length - head(k); k += 1 }
+      if (live > peak) peak = live
+    }
+
+    /** Max level reached so far (−1 = none). */
+    def result: Int = maxLevel
+
+    /** High-water mark of resident frontier states — the memory
+      * contract's observable. */
+    def peakLive: Int = peak
+  }
+
+  /** Whole-array form of the kernel for callers that hold a user's
+    * events anyway (the watermark-bounded streaming buffer, spec
+    * cross-checks): sorts, batches equal timestamps, and feeds
+    * [[FrontierScanState]]. Unsorted input; −1 = no anchor. */
+  private[graft] def frontierScan(evsIn: Array[(Long, String)],
+                                  stepsArr: Array[String],
+                                  w: Long): Int = {
+    val st = new FrontierScanState(stepsArr, w)
+    val evs = evsIn.sortBy(_._1)
+    val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < evs.length) {
+      val m = evs(i)._1
+      batch.clear()
+      var j = i
+      while (j < evs.length && evs(j)._1 == m) { batch += evs(j)._2; j += 1 }
+      st.observeBatch(m, batch)
       i = j
     }
-    maxLevel
+    st.result
   }
 
   /** The per-anchor join-chain form of [[funnelSliding]] — same

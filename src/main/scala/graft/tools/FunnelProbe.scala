@@ -97,7 +97,39 @@ object FunnelProbe {
         f"chain=$tChain%.2f s array=$tArr%.2f s (equal results)")
       s""""$dir/s${steps.length}":{"chain_s":$tChain,"array_s":$tArr}"""
     }
-    println(cells.mkString("{", ",", "}"))
+    // round-12 stage: the SLIDING funnel's sorted-iterator kernel
+    // under a planted 10⁶-event mega-user (verdict r11 ask #2). The
+    // mega-user cycles view→click→purchase every 7s for 81 days —
+    // ~37k frontier states live per 3-day window vs 10⁶ events — so
+    // a kernel that materialized the user's array would hold 10⁶
+    // rows in one task, while the streaming form holds the window.
+    // Counts must be exactly base+1 per step (the mega-user converts).
+    val megaCells = for (dir <- args.toSeq) yield {
+      val ev = graft.core.Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val mega = spark.range(1000000L).select(
+        lit(999999999L).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          (col("id") % 3).cast("int") + 1).as("event_type"),
+        timestamp_micros(col("id") * 7000000L).as("ts"))
+      def timeIt[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def run(df: DataFrame): Map[Int, Long] =
+        Relational.funnelSliding(df, "user_id", "event_type", "ts",
+            steps3, w)
+          .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      run(ev) // warm
+      val (base, tBase) = timeIt(run(ev))
+      val (withMega, tMega) = timeIt(run(ev.unionByName(mega)))
+      require(withMega == base.map { case (k, v) => k -> (v + 1) },
+        s"mega-user must add exactly 1 per step: $base vs $withMega")
+      println(f"STAGE sliding+mega $dir%-24s base=$tBase%.2f s " +
+        f"mega=$tMega%.2f s (counts base+1 at every step)")
+      s""""$dir/sliding_mega":{"base_s":$tBase,"mega_s":$tMega}"""
+    }
+    println((cells ++ megaCells).mkString("{", ",", "}"))
     spark.stop()
     sys.exit(0)
   }

@@ -318,4 +318,70 @@ class RelationalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("frontier scan: resident state is O(live-window anchors), not " +
+      "O(user events) — planted 10⁶-event mega-user") {
+    val steps = Array("A", "B", "C")
+    val w = 1000L // micros
+    // regime 1: anchors sparser than the window — frontier never
+    // holds more than the single live chain
+    val sparse = new Relational.FrontierScanState(steps, w)
+    var m = 0L
+    var i = 0
+    while (i < 1000000) {
+      sparse.observeBatch(m, Seq(steps(i % 3)))
+      m += 2000L // every event opens outside the previous window
+      i += 1
+    }
+    assert(sparse.peakLive <= 4,
+      s"sparse mega-user peak ${sparse.peakLive}")
+    // regime 2: one anchor per microsecond — the window itself holds
+    // 1000 anchors; peak must track the WINDOW density (≈ w × levels),
+    // never the 10⁶ event count
+    val dense = new Relational.FrontierScanState(steps, w)
+    m = 0L
+    i = 0
+    while (i < 1000000) {
+      dense.observeBatch(m, Seq("A"))
+      m += 1L
+      i += 1
+    }
+    assert(dense.peakLive <= 1100,
+      s"dense mega-user peak ${dense.peakLive} (events: 1000000)")
+    assert(dense.result == 0)
+    // regime 3: anchor+extension mix at window density — states climb
+    // levels but expire; the bound is levels × window, not events
+    val mixed = new Relational.FrontierScanState(steps, w)
+    val cycle = Array("A", "B", "C")
+    m = 0L
+    i = 0
+    while (i < 300000) {
+      mixed.observeBatch(m, Seq(cycle(i % 3)))
+      m += 7L
+      i += 1
+    }
+    assert(mixed.result == 2, s"${mixed.result}")
+    assert(mixed.peakLive <= 3 * 1100,
+      s"mixed mega-user peak ${mixed.peakLive}")
+  }
+
+  test("funnelSliding end-to-end with a mega-user sharing the corpus") {
+    import spark.implicits._
+    // one user with 60k funnel events in a tight loop plus two normal
+    // users; the sorted-iterator path must stream the mega-user and
+    // still count everyone exactly once
+    def t(us: Long) = new java.sql.Timestamp(us / 1000L) // ms precision ok here
+    val cycle = Array("A", "B", "C")
+    val mega = (0 until 60000).map(i =>
+      (99L, cycle(i % 3), t(i * 7000L)))
+    val normal = Seq(
+      (1L, "A", t(0L)), (1L, "B", t(1000000L)), (1L, "C", t(2000000L)),
+      (2L, "A", t(0L)))
+    val ev = (mega ++ normal).toDF("u", "t", "ts")
+    val got = Relational.funnelSliding(ev, "u", "t", "ts",
+        Seq("A", "B", "C"), 100L * 1000000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // all three users anchor; mega and u1 convert through C
+    assert(got == Map(0 -> 3L, 1 -> 2L, 2 -> 2L), s"$got")
+  }
 }
