@@ -113,16 +113,22 @@ object ExtensionQueries {
         lit("<body><!-- c --><h1 title=\"a > b\">Heading &amp; "), id,
         lit("</h1>\n<p>"), col("text"),
         lit("</p><div>tail &lt;"), id, lit("&gt;</div></body></html>"))
+      // ONE WARC synth+walk: barrier the full record frame — the
+      // gates' semi-joins AND the survivor payload path all read the
+      // checkpoint (round 11 barriered only the skinny url frame, so
+      // the payload path re-ran the walk; this was the bench's
+      // slowest cell). On a real crawl the walk is a disk read and
+      // the checkpoint is the block cache; here it also pays the
+      // fixture synthesis exactly once.
       val recs = graft.sources.Warc.records(
           graft.sources.Warc.synthesizeWarc(
             d.select(col("doc_id"), page.as("text"))))
         .filter(col("rec_type") === "response")
         .select(col("file_id"), col("target_uri").as("url"),
           col("payload"))
-      // both gates consume only (id, url): barrier the SKINNY frame
-      // once so the WARC synth+walk runs for the payload path alone,
-      // not once per gate (3x walk measured 544s cold at 100x)
-      val urls = recs.select("file_id", "url").localCheckpoint()
+        .localCheckpoint()
+      // both gates consume only (id, url) off the checkpointed frame
+      val urls = recs.select("file_id", "url")
       val robots = d.select(pmod(col("doc_id"), lit(7)).as("h")).distinct()
         .select(
           concat(lit("site"), col("h").cast("string"), lit(".example"))
