@@ -73,7 +73,20 @@ class AlertHarness(spark: SparkSession, schema: String, clock: RunClock,
                      graft.core.AlertKey.limpaSha1,
                    metadataHook: graft.sources.MetadataHook =
                      graft.sources.MetadataHook.Noop,
-                   timerSink: Timed.Sink = Timed.logSink) {
+                   timerSink: Timed.Sink = Timed.logSink,
+                   /** Failure-injection seam: called with a named
+                     * checkpoint at each point of [[finalize]] where a
+                     * driver crash leaves the catalog in an
+                     * intermediate state. The STAGING discipline
+                     * (materialize the merged month in `_temp`, THEN
+                     * dynamic-overwrite the history partition —
+                     * reference jobs.py:311-316) exists so every one
+                     * of these states is recoverable by simply
+                     * re-running the day: AlertHarnessSpec kills at
+                     * each point and proves the history partition is
+                     * never lost or half-written. Production leaves
+                     * the default no-op. */
+                   faultInjector: String => Unit = _ => ()) {
 
   def tempName(table: String) = s"$schema.temp_$table"
   def histName(table: String) = s"$schema.hist_$table"
@@ -105,6 +118,7 @@ class AlertHarness(spark: SparkSession, schema: String, clock: RunClock,
 
     temp.repartition(3).write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(finalName(table))
+    faultInjector("final-overwritten")
 
     val todays = spark.table(finalName(table))
       .withColumn("dt_calculo", lit(clock.dtCalculo))
@@ -121,8 +135,10 @@ class AlertHarness(spark: SparkSession, schema: String, clock: RunClock,
       val merged = otherDays.unionByName(todays)
       merged.write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(hist + "_temp")
+      faultInjector("staged")
       spark.table(hist + "_temp").coalesce(3)
         .write.mode(SaveMode.Overwrite).insertInto(hist)
+      faultInjector("hist-inserted")
       spark.sql(s"DROP TABLE ${hist}_temp")
     } else {
       todays.coalesce(3).write.partitionBy("dt_partition")

@@ -92,6 +92,82 @@ class AlertHarnessSpec extends SparkTestBase {
     assert(hist2.filter(col("dt_calculo") === "20260812").count() == 2)
   }
 
+  test("failure injection: a crash at ANY finalize checkpoint never loses " +
+      "or half-writes a history partition; re-running the day recovers") {
+    // the reference's _temp staging table (jobs.py:311-316) exists so a
+    // crash mid-overwrite is recoverable — this kills the driver at
+    // each intermediate catalog state and checks the invariant
+    val db = "t_crash"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("graft_t_crash")
+    spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+
+    def histRows(): Set[(Int, String)] =
+      spark.table(s"$db.hist_alerts")
+        .select("alrt_docu_dk", "dt_calculo").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+
+    def run(clock: RunClock, rows: Seq[(Int, Int)],
+            killAt: Option[String] = None): Unit = {
+      val h = new AlertHarness(spark, db, clock,
+        faultInjector = p => killAt.filter(_ == p).foreach(pt =>
+          throw new RuntimeException(s"injected crash at $pt")))
+      h.dropTemps(Seq("alerts"))
+      h.appendTemp(mkAlert(rows), "alerts")
+      h.finalize("alerts")
+    }
+    def crash(clock: RunClock, rows: Seq[(Int, Int)], at: String): Unit = {
+      val e = intercept[RuntimeException](run(clock, rows, Some(at)))
+      assert(e.getMessage.contains(at))
+    }
+
+    // day 1 completes; the month partition's closed form:
+    val day1 = RunClock(LocalDateTime.of(2026, 8, 11, 9, 0))
+    run(day1, Seq((1, 10), (2, 20)))
+    val afterDay1 = histRows()
+    assert(afterDay1.map(_._1) == Set(1, 2))
+
+    // crash 1: day 2 dies right after the FINAL table overwrite —
+    // history untouched, bit-for-bit
+    val day2 = RunClock(LocalDateTime.of(2026, 8, 12, 9, 0))
+    crash(day2, Seq((3, 30)), "final-overwritten")
+    assert(histRows() == afterDay1, "hist must be untouched after a final-write crash")
+
+    // crash 2: day 2 dies AFTER the staging write, BEFORE the history
+    // insertInto — history still untouched; the staging table holds
+    // the full merged month, ready to be replayed or discarded
+    crash(day2, Seq((3, 30)), "staged")
+    assert(histRows() == afterDay1, "hist must be untouched after a staging crash")
+    assert(spark.catalog.tableExists(s"$db.hist_alerts_temp"))
+    assert(spark.table(s"$db.hist_alerts_temp").count() == 3,
+      "staging table holds day1's other-days rows + day2's rows")
+
+    // plain re-run of day 2 recovers from BOTH crash states (leftover
+    // staging table is overwritten, temp table re-created): exact
+    // closed form, no duplicates, no lost day
+    run(day2, Seq((3, 30)))
+    val afterDay2 = histRows()
+    assert(afterDay2 == afterDay1 + ((3, "20260812")), s"$afterDay2")
+    assert(!spark.catalog.tableExists(s"$db.hist_alerts_temp"))
+
+    // crash 3: a SAME-DAY re-run (day-2 evening, replacing day-2
+    // morning rows) dies after the history insert but before staging
+    // cleanup — history is already the new closed form; the next run
+    // only has to clear the orphan
+    val day2b = RunClock(LocalDateTime.of(2026, 8, 12, 18, 0))
+    crash(day2b, Seq((4, 40), (5, 50)), "hist-inserted")
+    assert(histRows() == afterDay1 ++ Set((4, "20260812"), (5, "20260812")),
+      "same-day replace landed atomically via the partition overwrite")
+    assert(spark.catalog.tableExists(s"$db.hist_alerts_temp"), "orphaned staging")
+
+    // and the following completed run clears the orphan and holds the form
+    run(RunClock(LocalDateTime.of(2026, 8, 13, 9, 0)), Seq((6, 60)))
+    assert(histRows() ==
+      afterDay1 ++ Set((4, "20260812"), (5, "20260812"), (6, "20260813")))
+    assert(!spark.catalog.tableExists(s"$db.hist_alerts_temp"))
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
   test("metadata hook fires per rewritten table; hist reads prune by month") {
     val db = "t_hook"
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
