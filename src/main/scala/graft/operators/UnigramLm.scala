@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer trainer — the second
+  * production tokenizer family next to [[Bpe]] (Kudo, "Subword
+  * Regularization", ACL 2018 §3; SentencePiece's trainer): seed a
+  * vocabulary with frequent substrings, then alternate an E-step
+  * (segment every word under current piece likelihoods) with a
+  * pruning M-step (keep the pieces the segmentations actually use)
+  * until the vocabulary reaches its target.
+  *
+  * This is the deterministic HARD-EM (Viterbi) variant: the E-step
+  * takes each word's single best segmentation rather than
+  * forward-backward expectations — the standard deterministic
+  * approximation, chosen here because it makes every quantity in the
+  * loop exactly replayable by the DuckDB oracle (counts are integers;
+  * the only reals are the per-piece log-probabilities, which pass the
+  * engine's 6-decimal rounding firewall before ANY comparison, the
+  * [[Similarity]] cosine discipline).
+  *
+  * Determinism contract (both engines, bit-for-bit):
+  *  - piece score = round(ln(cnt) − ln(total), 6) — the ONLY rounding;
+  *    Viterbi sums these rounded doubles left-to-right (best(j) + s —
+  *    one IEEE addition per candidate, identical in both engines);
+  *  - Viterbi ties break to the SMALLEST start j (= longest final
+  *    piece): the kernel scans j ascending keeping strict
+  *    improvements; the oracle orders (score DESC, j ASC);
+  *  - seed and prune cuts order by (cnt DESC, piece ASC) — total over
+  *    ASCII, the [[Bpe]] merge-choice discipline;
+  *  - single-character pieces are NEVER pruned (every word stays
+  *    segmentable) and floor at count 1 (so their log-prob is always
+  *    finite without smoothing the integers).
+  *
+  * Scale shape ([[Bpe]]'s): ALL corpus-sized work is the one
+  * word-count aggregate — (word, count), never positions. The seed is
+  * model-sized BY CONTRACT (`seedTop` frequent multi-char substrings +
+  * the alphabet; SentencePiece's own seed is the top-S suffix-array
+  * substrings), so the per-iteration score table broadcasts, the
+  * E-step is one mapPartitions over the vocabulary table with the
+  * scores as a broadcast map, and the usage aggregate shuffles
+  * (piece, count) — bounded by the seed, not the corpus. Per-iteration
+  * driver state is the pruned vocabulary: a MODEL ARTIFACT (collected
+  * like [[Bpe.encode]]'s merge table; publish via
+  * [[graft.sources.ArtifactStore]] for cross-session reuse). */
+object UnigramLm {
+
+  /** One corpus pass: (word, wcount). The [[Bpe.wordSeqs]] contract —
+    * distinct words are vocabulary-bounded. */
+  private def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+
+  /** Best segmentation of `word` under `scores` (piece → rounded
+    * log-prob): DP ascending over end positions, candidates scanned
+    * at ascending start j with strict improvement — ties keep the
+    * smallest j. Single chars are always scored, so every position
+    * is reachable. Returns the used pieces WITH multiplicity. */
+  private[graft] def viterbi(word: String,
+                             scores: scala.collection.Map[String, Double],
+                             maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val bp = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        scores.get(word.substring(j, i)) match {
+          case Some(s) if best(j) != Double.NegativeInfinity =>
+            val cand = best(j) + s
+            if (cand > best(i)) { best(i) = cand; bp(i) = j }
+          case _ =>
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var pos = n
+    var out = List.empty[String]
+    while (pos > 0) {
+      val j = bp(pos)
+      out = word.substring(j, pos) :: out
+      pos = j
+    }
+    out
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train: returns the final vocabulary as (piece, cnt, token_id),
+    * ranked by (cnt DESC, piece ASC) — [[TextAnalysis.buildVocab]]'s
+    * output shape, so the artifact drops into the same consumers. */
+  def train(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+            seedTop: Int = 40, keepMulti: Int = 16,
+            iters: Int = 2): DataFrame = {
+    require(maxPieceLen >= 2 && seedTop >= 1 && keepMulti >= 0 && iters >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = wordCounts(df, textCol)
+      .as[(String, Long)].localCheckpoint(true) // vocab-sized, reused every iteration
+    // the alphabet: tiny by construction, the one driver-side constant
+    val singles: Array[String] = words
+      .flatMap(_._1.map(_.toString)).distinct().collect().sorted
+    val singlesDf = singles.toSeq.toDF("piece")
+
+    // seed counts: every substring up to maxPieceLen, weighted by
+    // wcount × occurrences — a vocab-sized explode, never corpus rows
+    val p = maxPieceLen
+    val subCounts = words.toDF("word", "wcount")
+      .select(col("wcount"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(greatest(1, i - ${p - 1}), i), j ->
+           |    substring(word, j, i - j + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcount")).as("cnt"))
+    val byCount = Window.orderBy(col("cnt").desc, col("piece").asc)
+    val seed = subCounts.filter(length(col("piece")) === 1)
+      .unionByName(subCounts.filter(length(col("piece")) >= 2)
+        .withColumn("rn", row_number().over(byCount))
+        .filter(col("rn") <= seedTop).drop("rn"))
+
+    // EM: score (broadcast, model-sized) → Viterbi E-step (distributed
+    // over the words table) → usage aggregate → prune
+    var vocab: Array[(String, Long)] =
+      seed.as[(String, Long)].collect() // model-sized by the seedTop contract
+    var prunedDf: DataFrame = seed
+    for (_ <- 1 to iters) {
+      val total = vocab.map(_._2).sum.toDouble
+      val scores: Map[String, Double] =
+        vocab.map { case (pc, c) =>
+          pc -> round6(math.log(c.toDouble) - math.log(total))
+        }.toMap
+      val bc = spark.sparkContext.broadcast(scores)
+      val usage = words.mapPartitions { it =>
+        it.flatMap { case (word, wc) =>
+          viterbi(word, bc.value, p).map(piece => (piece, wc))
+        }
+      }.toDF("piece", "wcount")
+        .groupBy(col("piece")).agg(sum(col("wcount")).as("cnt"))
+      prunedDf = singlesDf
+        .join(usage, Seq("piece"), "left")
+        .select(col("piece"),
+          greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
+        .unionByName(usage.filter(length(col("piece")) >= 2)
+          .withColumn("rn", row_number().over(byCount))
+          .filter(col("rn") <= keepMulti).drop("rn"))
+      vocab = prunedDf.as[(String, Long)].collect()
+    }
+    prunedDf.select(col("piece"), col("cnt"),
+      (row_number().over(byCount) - 1).cast("int").as("token_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle twin: the EM loop unrolled as materialized CTEs
+  // (the Bpe.chainCtes discipline), with the per-word Viterbi DP
+  // unrolled over end positions 1..maxWordLen and the backwalk
+  // unrolled maxWordLen steps. maxWordLen is a FIXTURE CONTRACT (the
+  // documents corpus caps at 8); a longer word would silently drop
+  // from the oracle's usage counts, so keep it >= the corpus max.
+  // ---------------------------------------------------------------
+
+  def trainSql(table: String, textExpr: String, maxPieceLen: Int = 4,
+               seedTop: Int = 40, keepMulti: Int = 16, iters: Int = 2,
+               maxWordLen: Int = 8): String = {
+    val p = maxPieceLen
+    val head =
+      s"""words AS MATERIALIZED (SELECT word, count(*) AS wcount
+         |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table)
+         |  WHERE word <> '' GROUP BY word),
+         |pos AS (SELECT word, unnest(generate_series(1, len(word))) AS i FROM words),
+         |ij AS MATERIALIZED (SELECT word, i,
+         |    unnest(generate_series(greatest(0, i - $p), i - 1)) AS j FROM pos),
+         |singles AS MATERIALIZED (
+         |  SELECT DISTINCT substr(word, i, 1) AS piece FROM pos),
+         |subcnt AS MATERIALIZED (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt
+         |  FROM (SELECT substr(ij.word, ij.j + 1, ij.i - ij.j) AS piece, w.wcount
+         |        FROM ij JOIN words w USING (word))
+         |  GROUP BY piece),
+         |v_0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM subcnt WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+         |    FROM subcnt WHERE len(piece) >= 2)
+         |  WHERE rn <= $seedTop)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val v = s"v_${t - 1}"
+      val sc =
+        s"""sc_$t AS MATERIALIZED (SELECT piece,
+           |    round(ln(CAST(cnt AS DOUBLE)) -
+           |          ln((SELECT CAST(sum(cnt) AS DOUBLE) FROM $v)), 6) AS sc
+           |  FROM $v),
+           |cand_$t AS MATERIALIZED (SELECT ij.word, ij.i, ij.j, s.sc
+           |  FROM ij JOIN sc_$t s
+           |    ON s.piece = substr(ij.word, ij.j + 1, ij.i - ij.j)),
+           |dp_${t}_0 AS (SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS best,
+           |    CAST(NULL AS INTEGER) AS bp FROM words)""".stripMargin
+      val dp = (1 to maxWordLen).map { i =>
+        s"""dp_${t}_$i AS MATERIALIZED (
+           |  SELECT * FROM dp_${t}_${i - 1}
+           |  UNION ALL
+           |  SELECT word, pos, best, bp FROM (
+           |    SELECT c.word, c.i AS pos, d.best + c.sc AS best,
+           |      CAST(c.j AS INTEGER) AS bp,
+           |      row_number() OVER (PARTITION BY c.word
+           |        ORDER BY d.best + c.sc DESC, c.j ASC) AS rn
+           |    FROM cand_$t c
+           |    JOIN dp_${t}_${i - 1} d ON d.word = c.word AND d.pos = c.j
+           |    WHERE c.i = $i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val bw0 =
+        s"""bw_${t}_0 AS MATERIALIZED (SELECT d.word, d.pos, d.bp
+           |  FROM dp_${t}_$maxWordLen d
+           |  JOIN words w ON w.word = d.word AND d.pos = len(w.word))""".stripMargin
+      val bw = (1 to (maxWordLen - 1)).map { k =>
+        s"""bw_${t}_$k AS MATERIALIZED (SELECT d.word, d.pos, d.bp
+           |  FROM bw_${t}_${k - 1} b
+           |  JOIN dp_${t}_$maxWordLen d ON d.word = b.word AND d.pos = b.bp
+           |  WHERE b.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      val bwUnion = (0 until maxWordLen)
+        .map(k => s"SELECT * FROM bw_${t}_$k").mkString(" UNION ALL ")
+      val tail =
+        s"""use_$t AS MATERIALIZED (
+           |  SELECT word, substr(word, bp + 1, pos - bp) AS piece
+           |  FROM ($bwUnion) WHERE pos > 0),
+           |u_$t AS MATERIALIZED (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt
+           |  FROM use_$t JOIN words USING (word) GROUP BY piece),
+           |v_$t AS MATERIALIZED (
+           |  SELECT s.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
+           |  FROM singles s LEFT JOIN u_$t u USING (piece)
+           |  UNION ALL
+           |  SELECT piece, cnt FROM (
+           |    SELECT piece, cnt,
+           |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+           |    FROM u_$t WHERE len(piece) >= 2)
+           |  WHERE rn <= $keepMulti)""".stripMargin
+      Seq(sc, dp, bw0, bw, tail).filter(_.nonEmpty).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$rounds
+       |SELECT piece, cnt,
+       |  CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1 AS INTEGER)
+       |    AS token_id
+       |FROM v_$iters""".stripMargin
+  }
+}

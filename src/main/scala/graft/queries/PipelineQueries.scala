@@ -172,6 +172,13 @@ object PipelineQueries {
   // alphabet; pairs below 2 occurrences never merge
   val BpeMerges = 8
   val BpeMinPair = 2L
+  // q159 unigram-LM: seed cut small enough to be a REAL cut on the
+  // corpus's ~200 distinct substrings, prune target small enough that
+  // the M-step actually drops used pieces; 2 EM rounds exercises
+  // re-segmentation under the pruned vocab
+  val UnigramSeedTop = 40
+  val UnigramKeepMulti = 16
+  val UnigramIters = 2
   // prefix-filter set-similarity join (q144): high-threshold regime —
   // the corpus's shared vocabulary puts thousands of doc pairs above
   // 0.9 word-set jaccard at sf0.01, so 0.95 keeps the result ~1.9k
@@ -1079,7 +1086,19 @@ object PipelineQueries {
     // back onto the corpus — per-doc BPE token counts
     "q123_bpe_encode" -> ((s, dir) =>
       graft.operators.Bpe.encode(docs(s, dir), "doc_id", "text",
-        graft.operators.Bpe.train(docs(s, dir), "text", BpeMerges, BpeMinPair)))
+        graft.operators.Bpe.train(docs(s, dir), "text", BpeMerges, BpeMinPair))),
+
+    // unigram-LM tokenizer training (UnigramLm.train) — the OTHER
+    // production tokenizer family next to BPE: substring seed vocab,
+    // then deterministic Viterbi hard-EM (segment under rounded
+    // log-probs, re-count, prune to the target keeping the alphabet).
+    // Corpus-sized work is the same ONE word-count aggregate as q122;
+    // the EM iterations run over the model-sized vocab with the score
+    // table broadcast
+    "q159_unigram_train" -> ((s, dir) =>
+      graft.operators.UnigramLm.train(docs(s, dir), "text",
+        maxPieceLen = 4, seedTop = UnigramSeedTop,
+        keepMulti = UnigramKeepMulti, iters = UnigramIters))
   )
 
   // ---------- generated oracle SQL ----------
@@ -2267,6 +2286,9 @@ object PipelineQueries {
     "q122_bpe_train" -> graft.operators.Bpe.trainSql(
       "documents", "text", BpeMerges, BpeMinPair),
     "q123_bpe_encode" -> graft.operators.Bpe.encodeSql(
-      "documents", "doc_id", "text", BpeMerges, BpeMinPair)
+      "documents", "doc_id", "text", BpeMerges, BpeMinPair),
+    "q159_unigram_train" -> graft.operators.UnigramLm.trainSql(
+      "documents", "text", maxPieceLen = 4, seedTop = UnigramSeedTop,
+      keepMulti = UnigramKeepMulti, iters = UnigramIters, maxWordLen = 8)
   )
 }

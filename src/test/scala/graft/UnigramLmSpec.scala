@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.UnigramLm
+
+/** Hand-derived unigram-LM fixtures: every log-prob, Viterbi choice,
+  * and prune cut below is computed by hand in the comments — the spec
+  * is the worked example of the determinism contract. */
+class UnigramLmSpec extends SparkTestBase {
+
+  private def trainMap(corpus: Seq[String], p: Int, seedTop: Int,
+                       keepMulti: Int, iters: Int): Map[String, (Long, Int)] = {
+    import spark.implicits._
+    UnigramLm.train(corpus.toDF("text"), "text", p, seedTop, keepMulti, iters)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+  }
+
+  test("viterbi kernel: longest-piece tie-break, multiplicity, singles fallback") {
+    // equal scores: 'ab' (one piece) vs 'a'+'b' (two) — one piece wins
+    // outright; on an EXACT tie the smallest start j = longest piece
+    val sc = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    assert(UnigramLm.viterbi("ab", sc, 4) == Seq("ab"),
+      "tie at -2.0 must keep the smallest j (the 'ab' piece)")
+    // repeated use of one piece comes back with multiplicity
+    assert(UnigramLm.viterbi("aa", Map("a" -> -1.0), 4) == Seq("a", "a"))
+    // pieces missing from the vocab force the single-char fallback
+    assert(UnigramLm.viterbi("ab", Map("a" -> -1.0, "b" -> -3.0), 4)
+      == Seq("a", "b"))
+  }
+
+  test("hand-derived EM round: 'ab ab b'") {
+    // words: ab(2), b(1). Seed (P=2): a:2, b:3, ab:2; total 7.
+    // scores: a=ab=round(ln(2/7),6)=-1.252763, b=-0.847298.
+    // Viterbi 'ab': piece 'ab' (-1.252763) beats a+b (-2.100061);
+    // 'b': [b]. Usage: ab:2, b:1. Prune: singles floor a->1, b->1;
+    // multi top-2: ab:2. Ranks (cnt DESC, piece ASC): ab,a,b.
+    val got = trainMap(Seq("ab ab b"), p = 2, seedTop = 10,
+      keepMulti = 2, iters = 1)
+    assert(got == Map("ab" -> ((2L, 0)), "a" -> ((1L, 1)), "b" -> ((1L, 2))),
+      s"$got")
+  }
+
+  test("hand-derived two-round EM: pruning forces re-segmentation") {
+    // words: abc(2), ab(1). Seed: a:3 b:3 c:2 ab:3 abc:2 bc:2; total 15.
+    // Round 1 Viterbi: 'abc' -> [abc] (ln(2/15) beats every split),
+    // 'ab' -> [ab]. Usage: abc:2, ab:1. keepMulti=1 KEEPS only abc —
+    // the used piece 'ab' is pruned. Round 2 (vocab a:1 b:1 c:1 abc:2,
+    // total 5): 'ab' must now re-segment as [a, b]; 'abc' stays [abc].
+    // Usage: abc:2, a:1, b:1; singles floor c->1.
+    val got = trainMap(Seq("abc abc ab"), p = 3, seedTop = 10,
+      keepMulti = 1, iters = 2)
+    assert(got == Map("abc" -> ((2L, 0)), "a" -> ((1L, 1)),
+      "b" -> ((1L, 2)), "c" -> ((1L, 3))), s"$got")
+  }
+
+  test("invariants on the documents corpus + determinism") {
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    def run() = UnigramLm.train(d, "text", 4, 40, 16, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._3).toSeq
+    val v1 = run()
+    assert(v1 == run(), "training must be deterministic run-to-run")
+    val singles = v1.filter(_._1.length == 1)
+    val multi = v1.filter(_._1.length >= 2)
+    assert(multi.size <= 16 && multi.nonEmpty)
+    assert(v1.forall(_._2 >= 1), "counts floored at 1")
+    assert(v1.forall(_._1.length <= 4), "maxPieceLen respected")
+    assert(v1.map(_._3) == v1.indices, "token ids are a dense 0-based rank")
+    // the alphabet survives pruning: every corpus char is a piece
+    val chars = d.select(org.apache.spark.sql.functions.col("text"))
+      .collect().flatMap(_.getString(0).replace(" ", "")).toSet
+    assert(chars.forall(c => singles.exists(_._1 == c.toString)),
+      "every corpus character must stay in the vocab")
+  }
+}
