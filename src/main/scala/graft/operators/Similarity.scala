@@ -590,6 +590,27 @@ object Similarity {
   /** Drop every memoized cell table. */
   def releaseCells(): Unit = cellsMemo.clear()
 
+  /** The REFINED quantizer artifact: [[cellsOf]]'s coarse cells with
+    * the [[subdivideCells]] SRP refinement applied, memoized as one
+    * skinny (id, cell) table. The refinement is part of the trained
+    * artifact's lifecycle, not of each consumer query: without this,
+    * every self-joining consumer (q43's pair scan, q114's dedup)
+    * re-evaluates the e⋈cells join AND the SRP bucket expression on
+    * BOTH join branches per run — measured 3.1-3.5s steady-state at
+    * sf0.1 where the pair stage over a checkpointed cell table runs
+    * 0.4-0.6s (SCALE.md round 12). Consumers join this against the
+    * vector frame and see a plain block-scan build side. */
+  def refinedCellsOf(df: DataFrame, corpusKey: String, idCol: String,
+                     vecCol: String, k: Int, iters: Int, dim: Int,
+                     targetCell: Int = 63): DataFrame =
+    cellsMemo.computeIfAbsent(
+      s"${df.sparkSession.sparkContext.applicationId}|$corpusKey|$idCol|$vecCol|$k|$iters|refined|$dim|$targetCell",
+      _ => subdivideCells(
+          df.join(cellsOf(df, corpusKey, idCol, vecCol, k, iters), Seq(idCol)),
+          vecCol, "cell", dim, k, targetCell)
+        .select(col(idCol), col("cell"))
+        .localCheckpoint(true))
+
   /** Cross-SESSION form of [[cellsOf]]: load the published
     * `(corpusKey, version)` quantizer snapshot from the artifact
     * store if it exists, else train (through the session memo, so

@@ -731,15 +731,16 @@ object PipelineQueries {
     // documented SemDeDup design
     "q43_embed_neardup" -> ((s, dir) => {
       val e = embs(s, dir)
-      val cells = Similarity.cellsOf(e, dir, "vec_id", "embedding",
-        KmeansK, KmeansIters)
       // SRP subdivision keeps leaf cells ~63 vectors while Lloyd
       // training stays fixed-k linear; depth 0 at the sf0.01 gate
       // (oracle-exact), depth 9 at 100x where the raw 8 cells hold a
-      // probed 2.5e9 intra-cell pairs (SCALE.md round-9)
-      Similarity.nearDupPairs(
-        Similarity.subdivideCells(e.join(cells, Seq("vec_id")),
-          "embedding", "cell", EmbeddingDim, KmeansK),
+      // probed 2.5e9 intra-cell pairs (SCALE.md round-9). The refined
+      // cell table is ONE memoized artifact — the pair self-join's
+      // branches read a checkpointed (id, cell) scan, never re-running
+      // the join + SRP expression (round-12: 3.1s -> ~0.6s steady)
+      val refined = Similarity.refinedCellsOf(e, dir, "vec_id",
+        "embedding", KmeansK, KmeansIters, EmbeddingDim)
+      Similarity.nearDupPairs(e.join(refined, Seq("vec_id")),
         "vec_id", "embedding", "cell", NearDupMinCos)
     }),
 
@@ -755,13 +756,12 @@ object PipelineQueries {
       // ~50k clusters at web scale). GRAFT_KMEANS_K lets the scale
       // sweep demonstrate k ∝ n; the default stays oracle-matched
       val k = sys.env.get("GRAFT_KMEANS_K").map(_.toInt).getOrElse(KmeansK)
-      val cells = Similarity.cellsOf(e, dir, "vec_id", "embedding",
-        k, KmeansIters)
-      // same SRP subdivision as q43: leaf ~63 vectors at any scale,
-      // depth 0 (oracle-exact cell ids) at the sf0.01 gate
-      Similarity.semanticDedup(
-          Similarity.subdivideCells(e.join(cells, Seq("vec_id")),
-            "embedding", "cell", EmbeddingDim, k),
+      // same refined-artifact shape as q43: leaf ~63 vectors at any
+      // scale, depth 0 (oracle-exact cell ids) at the sf0.01 gate; the
+      // dedup self-join reads the checkpointed (id, cell) table
+      val refined = Similarity.refinedCellsOf(e, dir, "vec_id",
+        "embedding", k, KmeansIters, EmbeddingDim)
+      Similarity.semanticDedup(e.join(refined, Seq("vec_id")),
           "vec_id", "embedding", "cell", SemDedupTau)
         .select(col("vec_id"), col("cell"), col("label"))
     }),
