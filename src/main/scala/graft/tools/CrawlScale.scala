@@ -30,14 +30,14 @@ import graft.operators.{CorpusPipeline, Dedup, Sampling, TextAnalysis, UrlNormal
   * Usage: runMain graft.tools.CrawlScale <dir1> [dir2 ...]
   */
 object CrawlScale {
-  def main(args: Array[String]): Unit = {
-    val dirs = args.toSeq
-    require(dirs.nonEmpty, "at least one data dir")
-    val spark = graft.core.GraftSession.build("graft-crawl-scale",
-      graft.core.GraftSession.envCores)
+  /** One composed sweep over `dir`; `polite` routes the fetched frame
+    * through the q156 schedule order. Returns
+    * (wall_s, packs, chunks, tokens). */
+  def sweep(spark: org.apache.spark.sql.SparkSession, dir: String,
+            polite: Boolean): (Double, Long, Long, Long) = {
     import spark.implicits._
     import graft.queries.PipelineQueries._
-    val results = dirs.map { dir =>
+    {
       val t0 = System.nanoTime()
       val d = graft.core.Tables.load(spark, dir, "documents")
       val id = col("doc_id").cast("string")
@@ -78,11 +78,45 @@ object CrawlScale {
       val blocklist = Seq(("site5.example", "ads")).toDF("domain", "category")
       val catOk = UrlNormalize.categoryGate(urls, "file_id", "url", blocklist)
         .filter(col("keep")).select("file_id")
-      val fetched = recs
+      val gatedRecs = recs
         .join(robotsOk, Seq("file_id"), "left_semi")
         .join(catOk, Seq("file_id"), "left_semi")
+      // GRAFT_CRAWL_POLITE=1 (verdict r11 ask #8): fetch in POLITENESS
+      // ORDER — the q156 schedule (slot_idx per host from the same
+      // robotsPolicy parse's Crawl-delay) joined onto the gated
+      // records, then host-partitioned and slot-sorted, so downstream
+      // consumes records exactly as a delay-respecting fetcher would
+      // issue them. The census is order-invariant, so the polite and
+      // unordered sweeps must agree — the cells measure what the
+      // constraint COSTS (one extra window shuffle + the re-sort).
+      // barrier the fetched frame ONCE in both variants: it feeds
+      // clean() AND the survivors join below, and without a barrier
+      // the second reference re-runs the WARC synth+walk+decode —
+      // found by the round-12 politeness A/B, where the polite
+      // variant's shuffle accidentally created a ReuseExchange point
+      // and beat the "cheaper" unordered chain by 1.5x at 100x
+      val fetched = (if (polite) {
+        val sched = UrlNormalize.politenessSchedule(
+          gatedRecs.select("file_id", "url"), "file_id", "url",
+          policy.select(col("domain"), col("crawl_delay")),
+          "domain", "crawl_delay")
+        gatedRecs
+          .join(sched.select(col("file_id"), col("host"), col("slot_idx")),
+            Seq("file_id"))
+          // RANGE partition on (host, slot): hash-partitioning on the
+          // host alone caps parallelism at the host count (7 here —
+          // measured 3.5x the unordered wall at 10x); ranges keep the
+          // global (host, slot) order across partition boundaries, so
+          // a fetcher draining partitions in order still honors every
+          // host's delay sequence, at full width
+          .repartitionByRange(col("host"), col("slot_idx"))
+          .sortWithinPartitions(col("host"), col("slot_idx"))
+          .select(col("file_id").as("doc_id"),
+            decode(col("payload"), "ISO-8859-1").as("text"))
+      } else gatedRecs
         .select(col("file_id").as("doc_id"),
-          decode(col("payload"), "ISO-8859-1").as("text"))
+          decode(col("payload"), "ISO-8859-1").as("text")))
+        .localCheckpoint()
       // extract + C4 lines + substring dedup + gates + exact dedup +
       // verified LSH near-dup, composed inside clean()
       val survivors = CorpusPipeline.clean(fetched, "doc_id", "text",
@@ -93,9 +127,15 @@ object CrawlScale {
       // downstream stages consume the EXTRACTED text (one more scalar
       // extract pass on the survivors — rides the scan), never the
       // raw markup
+      // barrier: kept fans out into contamination (train AND held-out
+      // side), decontamination, perplexity, and the mix — without it
+      // each consumer re-evaluates clean()'s whole dedup chain from
+      // the fetched checkpoint (round-12 decomposition: the downstream
+      // stages dominated the 100x wall and swung 2x run-to-run)
       val kept = fetched.join(survivors.select("doc_id"), Seq("doc_id"))
         .select(col("doc_id"),
           graft.operators.Html.extractText(col("text")).as("text"))
+        .localCheckpoint()
       // benchmark decontamination: n-gram containment vs the held-out
       // slice; keep docs under 50% overlap
       val contam = Dedup.contamination(
@@ -124,8 +164,10 @@ object CrawlScale {
         count(lit(1)).as("n_chunks"),
         sum(col("n_tokens")).as("total_tokens")).head
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"STAGE $dir%-28s $wall%.2f s -> packs=${census.getLong(0)} " +
-        f"chunks=${census.getLong(1)} tokens=${census.getLong(2)}")
+      val mode = if (polite) "polite" else "plain"
+      println(f"STAGE $dir%-28s [$mode%-6s] $wall%.2f s -> " +
+        f"packs=${census.getLong(0)} chunks=${census.getLong(1)} " +
+        f"tokens=${census.getLong(2)}")
       // per-stage row census (verdict r11 record): DIAGNOSTIC second
       // pass — each count re-evaluates its chain prefix, so it is
       // deliberately outside the timed single-job wall above
@@ -137,11 +179,41 @@ object CrawlScale {
         println(s"ROWS $dir " +
           rows.map { case (k, v) => s"$k=$v" }.mkString(" "))
       }
-      dir -> ((wall, census.getLong(0), census.getLong(1), census.getLong(2)))
+      (wall, census.getLong(0), census.getLong(1), census.getLong(2))
     }
-    println(results.map { case (d, (w, p, c, t)) =>
-      s""""$d":{"wall":$w,"packs":$p,"chunks":$c,"tokens":$t}"""
-    }.mkString("{", ",", "}"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = args.toSeq
+    require(dirs.nonEmpty, "at least one data dir")
+    val spark = graft.core.GraftSession.build("graft-crawl-scale",
+      graft.core.GraftSession.envCores)
+    val results: Seq[(String, String)] =
+      if (sys.env.contains("GRAFT_CRAWL_AB")) {
+        // politeness-cost A/B: the shared VM drifts 2x across 15-min
+        // windows, so the two modes INTERLEAVE inside one JVM (plain,
+        // polite, plain, polite per dir) and each mode reports its
+        // min; censuses must be identical (order-invariance check)
+        dirs.map { dir =>
+          val reps = Seq(false, true, false, true)
+            .map(p => p -> sweep(spark, dir, p))
+          val census = reps.map(_._2)
+            .map(r => (r._2, r._3, r._4)).distinct
+          require(census.size == 1,
+            s"census diverged across modes: $census")
+          val plainMin = reps.filter(!_._1).map(_._2._1).min
+          val politeMin = reps.filter(_._1).map(_._2._1).min
+          dir -> (f"""{"plain_s":$plainMin%.2f,"polite_s":$politeMin%.2f,""" +
+            s""""packs":${census.head._1},"chunks":${census.head._2},""" +
+            s""""tokens":${census.head._3}}""")
+        }
+      } else dirs.map { dir =>
+        val (w, p, c, t) = sweep(spark, dir,
+          sys.env.contains("GRAFT_CRAWL_POLITE"))
+        dir -> s"""{"wall":$w,"packs":$p,"chunks":$c,"tokens":$t}"""
+      }
+    println(results.map { case (d, j) => s""""$d":$j""" }
+      .mkString("{", ",", "}"))
     spark.stop()
     sys.exit(0)
   }
