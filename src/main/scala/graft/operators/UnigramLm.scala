@@ -164,6 +164,55 @@ object UnigramLm {
   // from the oracle's usage counts, so keep it >= the corpus max.
   // ---------------------------------------------------------------
 
+  /** The per-vocabulary Viterbi block shared by the train rounds and
+    * [[encodeSql]]'s final segmentation pass: score `srcVocab`, find
+    * candidates, run the unrolled DP + backwalk, and emit `use_$tag`
+    * (one row per used piece per word, with multiplicity). */
+  private def viterbiCtes(tag: String, srcVocab: String,
+                          maxWordLen: Int): String = {
+    val sc =
+      s"""sc_$tag AS MATERIALIZED (SELECT piece,
+         |    round(ln(CAST(cnt AS DOUBLE)) -
+         |          ln((SELECT CAST(sum(cnt) AS DOUBLE) FROM $srcVocab)), 6) AS sc
+         |  FROM $srcVocab),
+         |cand_$tag AS MATERIALIZED (SELECT ij.word, ij.i, ij.j, s.sc
+         |  FROM ij JOIN sc_$tag s
+         |    ON s.piece = substr(ij.word, ij.j + 1, ij.i - ij.j)),
+         |dp_${tag}_0 AS (SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS best,
+         |    CAST(NULL AS INTEGER) AS bp FROM words)""".stripMargin
+    val dp = (1 to maxWordLen).map { i =>
+      s"""dp_${tag}_$i AS MATERIALIZED (
+         |  SELECT * FROM dp_${tag}_${i - 1}
+         |  UNION ALL
+         |  SELECT word, pos, best, bp FROM (
+         |    SELECT c.word, c.i AS pos, d.best + c.sc AS best,
+         |      CAST(c.j AS INTEGER) AS bp,
+         |      row_number() OVER (PARTITION BY c.word
+         |        ORDER BY d.best + c.sc DESC, c.j ASC) AS rn
+         |    FROM cand_$tag c
+         |    JOIN dp_${tag}_${i - 1} d ON d.word = c.word AND d.pos = c.j
+         |    WHERE c.i = $i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val bw0 =
+      s"""bw_${tag}_0 AS MATERIALIZED (SELECT d.word, d.pos, d.bp
+         |  FROM dp_${tag}_$maxWordLen d
+         |  JOIN words w ON w.word = d.word AND d.pos = len(w.word))""".stripMargin
+    val bw = (1 to (maxWordLen - 1)).map { k =>
+      s"""bw_${tag}_$k AS MATERIALIZED (SELECT d.word, d.pos, d.bp
+         |  FROM bw_${tag}_${k - 1} b
+         |  JOIN dp_${tag}_$maxWordLen d ON d.word = b.word AND d.pos = b.bp
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    val bwUnion = (0 until maxWordLen)
+      .map(k => s"SELECT * FROM bw_${tag}_$k").mkString(" UNION ALL ")
+    val use =
+      s"""use_$tag AS MATERIALIZED (
+         |  SELECT word, substr(word, bp + 1, pos - bp) AS piece
+         |  FROM ($bwUnion) WHERE pos > 0)""".stripMargin
+    Seq(sc, dp, bw0, bw, use).filter(_.nonEmpty).mkString(",\n")
+  }
+
   def trainSql(table: String, textExpr: String, maxPieceLen: Int = 4,
                seedTop: Int = 40, keepMulti: Int = 16, iters: Int = 2,
                maxWordLen: Int = 8): String = {
@@ -190,48 +239,8 @@ object UnigramLm {
          |    FROM subcnt WHERE len(piece) >= 2)
          |  WHERE rn <= $seedTop)""".stripMargin
     val rounds = (1 to iters).map { t =>
-      val v = s"v_${t - 1}"
-      val sc =
-        s"""sc_$t AS MATERIALIZED (SELECT piece,
-           |    round(ln(CAST(cnt AS DOUBLE)) -
-           |          ln((SELECT CAST(sum(cnt) AS DOUBLE) FROM $v)), 6) AS sc
-           |  FROM $v),
-           |cand_$t AS MATERIALIZED (SELECT ij.word, ij.i, ij.j, s.sc
-           |  FROM ij JOIN sc_$t s
-           |    ON s.piece = substr(ij.word, ij.j + 1, ij.i - ij.j)),
-           |dp_${t}_0 AS (SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS best,
-           |    CAST(NULL AS INTEGER) AS bp FROM words)""".stripMargin
-      val dp = (1 to maxWordLen).map { i =>
-        s"""dp_${t}_$i AS MATERIALIZED (
-           |  SELECT * FROM dp_${t}_${i - 1}
-           |  UNION ALL
-           |  SELECT word, pos, best, bp FROM (
-           |    SELECT c.word, c.i AS pos, d.best + c.sc AS best,
-           |      CAST(c.j AS INTEGER) AS bp,
-           |      row_number() OVER (PARTITION BY c.word
-           |        ORDER BY d.best + c.sc DESC, c.j ASC) AS rn
-           |    FROM cand_$t c
-           |    JOIN dp_${t}_${i - 1} d ON d.word = c.word AND d.pos = c.j
-           |    WHERE c.i = $i)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val bw0 =
-        s"""bw_${t}_0 AS MATERIALIZED (SELECT d.word, d.pos, d.bp
-           |  FROM dp_${t}_$maxWordLen d
-           |  JOIN words w ON w.word = d.word AND d.pos = len(w.word))""".stripMargin
-      val bw = (1 to (maxWordLen - 1)).map { k =>
-        s"""bw_${t}_$k AS MATERIALIZED (SELECT d.word, d.pos, d.bp
-           |  FROM bw_${t}_${k - 1} b
-           |  JOIN dp_${t}_$maxWordLen d ON d.word = b.word AND d.pos = b.bp
-           |  WHERE b.pos > 0)""".stripMargin
-      }.mkString(",\n")
-      val bwUnion = (0 until maxWordLen)
-        .map(k => s"SELECT * FROM bw_${t}_$k").mkString(" UNION ALL ")
       val tail =
-        s"""use_$t AS MATERIALIZED (
-           |  SELECT word, substr(word, bp + 1, pos - bp) AS piece
-           |  FROM ($bwUnion) WHERE pos > 0),
-           |u_$t AS MATERIALIZED (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt
+        s"""u_$t AS MATERIALIZED (SELECT piece, CAST(sum(wcount) AS BIGINT) AS cnt
            |  FROM use_$t JOIN words USING (word) GROUP BY piece),
            |v_$t AS MATERIALIZED (
            |  SELECT s.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
@@ -242,7 +251,7 @@ object UnigramLm {
            |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
            |    FROM u_$t WHERE len(piece) >= 2)
            |  WHERE rn <= $keepMulti)""".stripMargin
-      Seq(sc, dp, bw0, bw, tail).filter(_.nonEmpty).mkString(",\n")
+      viterbiCtes(t.toString, s"v_${t - 1}", maxWordLen) + ",\n" + tail
     }.mkString(",\n")
     s"""WITH $head,
        |$rounds
@@ -250,5 +259,59 @@ object UnigramLm {
        |  CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1 AS INTEGER)
        |    AS token_id
        |FROM v_$iters""".stripMargin
+  }
+
+  /** Oracle twin of [[train]] + [[encode]] composed — the [[Bpe
+    * .encodeSql]] shape: the full train chain, one more Viterbi pass
+    * over the FINAL vocabulary (tag `f`), per-word token counts from
+    * the backwalk rows, joined back onto the corpus words. */
+  def encodeSql(table: String, idExpr: String, textExpr: String,
+                maxPieceLen: Int = 4, seedTop: Int = 40,
+                keepMulti: Int = 16, iters: Int = 2,
+                maxWordLen: Int = 8): String = {
+    val train = trainSql(table, textExpr, maxPieceLen, seedTop,
+      keepMulti, iters, maxWordLen)
+    // reuse everything up to (and including) the final vocab CTE
+    val ctes = train.substring(0, train.lastIndexOf("\nSELECT piece, cnt,"))
+    s"""$ctes,
+       |${viterbiCtes("f", s"v_$iters", maxWordLen)},
+       |ntok AS MATERIALIZED (SELECT word, CAST(count(*) AS INTEGER) AS ntok
+       |  FROM use_f GROUP BY word),
+       |dw AS (SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
+       |       FROM $table)
+       |SELECT id AS doc_id, count(*) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |FROM dw JOIN ntok USING (word) WHERE word <> ''
+       |GROUP BY id""".stripMargin
+  }
+
+  /** Tokenize with a trained vocabulary ([[train]]'s output — a MODEL
+    * artifact, collected + broadcast like [[Bpe.encode]]'s merge
+    * table): per-document unigram-LM token counts via one more
+    * Viterbi pass over the vocabulary table. Returns
+    * (idCol, n_words, n_tokens) — the [[Bpe.encode]] output shape, so
+    * the two tokenizer families drop into the same consumers. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = vocab.select(col("piece"), col("cnt"))
+      .as[(String, Long)].collect() // model-sized by the train contract
+    val total = rows.map(_._2).sum.toDouble
+    val scores: Map[String, Double] = rows.map { case (pc, c) =>
+      pc -> round6(math.log(c.toDouble) - math.log(total))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(scores)
+    val p = maxPieceLen
+    val perWord = wordCounts(df, textCol).as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (w, _) => (w, viterbi(w, bc.value, p).length) }
+      }.toDF("word", "__ntok")
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(perWord, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__ntok")).as("n_tokens"))
   }
 }

@@ -1098,7 +1098,18 @@ object PipelineQueries {
     "q159_unigram_train" -> ((s, dir) =>
       graft.operators.UnigramLm.train(docs(s, dir), "text",
         maxPieceLen = 4, seedTop = UnigramSeedTop,
-        keepMulti = UnigramKeepMulti, iters = UnigramIters))
+        keepMulti = UnigramKeepMulti, iters = UnigramIters)),
+
+    // tokenize with the trained unigram-LM vocab (UnigramLm.encode):
+    // the q123 complement — the vocab is a model artifact folded into
+    // one more broadcast-scored Viterbi pass over the vocabulary
+    // table; per-doc token counts join back at scan throughput
+    "q160_unigram_encode" -> ((s, dir) =>
+      graft.operators.UnigramLm.encode(docs(s, dir), "doc_id", "text",
+        graft.operators.UnigramLm.train(docs(s, dir), "text",
+          maxPieceLen = 4, seedTop = UnigramSeedTop,
+          keepMulti = UnigramKeepMulti, iters = UnigramIters),
+        maxPieceLen = 4))
   )
 
   // ---------- generated oracle SQL ----------
@@ -2289,6 +2300,10 @@ object PipelineQueries {
       "documents", "doc_id", "text", BpeMerges, BpeMinPair),
     "q159_unigram_train" -> graft.operators.UnigramLm.trainSql(
       "documents", "text", maxPieceLen = 4, seedTop = UnigramSeedTop,
-      keepMulti = UnigramKeepMulti, iters = UnigramIters, maxWordLen = 8)
+      keepMulti = UnigramKeepMulti, iters = UnigramIters, maxWordLen = 8),
+    "q160_unigram_encode" -> graft.operators.UnigramLm.encodeSql(
+      "documents", "doc_id", "text", maxPieceLen = 4,
+      seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
+      iters = UnigramIters, maxWordLen = 8)
   )
 }

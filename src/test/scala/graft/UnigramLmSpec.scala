@@ -52,6 +52,23 @@ class UnigramLmSpec extends SparkTestBase {
       "b" -> ((1L, 2)), "c" -> ((1L, 3))), s"$got")
   }
 
+  test("hand-derived encode: token counts under the trained vocab") {
+    import spark.implicits._
+    // train on 'ab ab b' (vocab ab:2, a:1, b:1 — first fixture above;
+    // total 4, scores a=b=ln(1/4)=-1.386294, ab=ln(2/4)=-0.693147),
+    // then encode a second corpus:
+    //  'ab ab b' -> words ab,ab,b -> 1+1+1 tokens
+    //  'aab'     -> i3 best is a+ab (-2.079441) over a+a+b (-4.158883)
+    //               -> 2 tokens
+    val trainDocs = Seq("ab ab b").toDF("text")
+    val vocab = UnigramLm.train(trainDocs, "text", 2, 10, 2, 1)
+    val got = UnigramLm.encode(
+        Seq((1L, "ab ab b"), (2L, "aab")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab, maxPieceLen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 3L)), 2L -> ((1L, 2L))), s"$got")
+  }
+
   test("invariants on the documents corpus + determinism") {
     val d = graft.core.Tables.load(spark, sfDir, "documents")
     def run() = UnigramLm.train(d, "text", 4, 40, 16, 2)
