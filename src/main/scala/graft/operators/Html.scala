@@ -22,12 +22,17 @@ import org.apache.spark.sql.functions._
   *      values (`<a title="a > b">`) — the naive `<[^>]*>` truncates
   *      there. Unterminated `<` (a bare less-than in prose) is left
   *      alone: prose is not markup.
-  *   4. A fixed entity table is decoded: `&lt; &gt; &quot; &apos;
-  *      &#39; &#34; &nbsp;` and — LAST, so `&amp;lt;` cannot
-  *      double-decode into `<` — `&amp;`. Arbitrary numeric entities
-  *      are out of scope for the codegen path (decoding `&#NNN;`
-  *      needs a computed chr(), not a replace table); they pass
-  *      through verbatim, documented and spec-pinned.
+  *   4. Character references are decoded in ONE left-to-right pass
+  *      ([[org.apache.spark.sql.graftext.HtmlEntityDecode]]): the
+  *      named table `&lt; &gt; &quot; &apos; &nbsp; &amp;` plus
+  *      numeric `&#NNN;`/`&#xHH;` per WHATWG semantics (NUL /
+  *      surrogates / >U+10FFFF → U+FFFD; 0x80–0x9F through the
+  *      windows-1252 remap; supplementary planes emitted as
+  *      surrogate pairs; `;` required). Scanning resumes after each
+  *      replacement, so no decode can seed another: `&amp;lt;` →
+  *      `&lt;` and `&amp;#39;` → `&#39;` — the double-decode
+  *      discipline the old `&amp;`-last replace chain enforced by
+  *      ordering is now structural.
   *   5. Whitespace (including the newlines block tags became) is
   *      collapsed to single spaces and trimmed.
   *
@@ -48,10 +53,11 @@ object Html {
     "(?is)<style\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</style\\s*>"
   private[graft] val commentPattern = "(?s)<!--.*?-->"
 
-  /** Ordered entity table; `&amp;` deliberately last (see contract). */
+  /** Named entity surface (the numeric forms ride the WHATWG numeric
+    * path); decode itself is the single-pass [[HtmlEntityDecode]]. */
   private[graft] val entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
-    "&#39;" -> "'", "&#34;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
+    "&nbsp;" -> " ", "&amp;" -> "&")
 
   /** C4's LINE-level cleaning rules (Raffel et al., "Exploring the
     * Limits of Transfer Learning…", JMLR 2020 §2.1) — the step C4
@@ -145,11 +151,10 @@ object Html {
         stylePattern, " "),
       commentPattern, " ")
 
-  /** Entity decode per the fixed table (contract step 4). */
+  /** Character-reference decode (contract step 4): named table +
+    * WHATWG numeric, one fused codegen'd pass. */
   private def decodeEntities(c: Column): Column =
-    entities.foldLeft(c) { case (acc, (from, to)) =>
-      replace(acc, lit(from), lit(to))
-    }
+    org.apache.spark.sql.graftext.HtmlEntityDecode.column(c)
 
   /** Hyperlink extraction — the web-graph construction rung (the link
     * structure Common Crawl-style pipelines feed to
@@ -197,8 +202,8 @@ object Html {
       if (keepLineBreaks) regexp_replace(noComment, blockBreakPattern, "\n")
       else noComment
     val noTags = regexp_replace(broken, tagPattern, " ")
-    // literal replace (not regexp): left-to-right non-overlapping,
-    // identical semantics in Spark and DuckDB (SCALE.md portable set)
+    // single-pass reference decode (named + WHATWG numeric); oracles
+    // replay the PLANTING formula, so no SQL twin of the decode exists
     val decoded = decodeEntities(noTags)
     if (keepLineBreaks)
       // collapse within lines, trim each line, drop blank lines —

@@ -44,7 +44,8 @@ object ExtensionQueries {
         lit("</title><script>if (a<b) { track(\"</div>\"); }</script></head>"),
         lit("<body><!-- c --><h1 title=\"a > b\">Heading &amp; "), id,
         lit("</h1>\n<p>"), col("text"),
-        lit("</p><div>tail &lt;"), id, lit("&gt;</div></body></html>"))
+        lit("</p><p>don&#146;t&#x2014;ok &amp;#39;</p>"),
+        lit("<div>tail &lt;"), id, lit("&gt;</div></body></html>"))
       val files = graft.sources.Warc.synthesizeWarc(
         d.select(col("doc_id"), page.as("text")))
       graft.sources.Warc.records(files)
@@ -112,7 +113,8 @@ object ExtensionQueries {
         lit("</title><script>if (a<b) { track(\"</div>\"); }</script></head>"),
         lit("<body><!-- c --><h1 title=\"a > b\">Heading &amp; "), id,
         lit("</h1>\n<p>"), col("text"),
-        lit("</p><div>tail &lt;"), id, lit("&gt;</div></body></html>"))
+        lit("</p><p>don&#146;t&#x2014;ok &amp;#39;</p>"),
+        lit("<div>tail &lt;"), id, lit("&gt;</div></body></html>"))
       // ONE WARC synth+walk: barrier the full record frame — the
       // gates' semi-joins AND the survivor payload path all read the
       // checkpoint (round 11 barriered only the skinny url frame, so
@@ -408,6 +410,7 @@ object ExtensionQueries {
     "q139_crawl_ingest" ->
       """SELECT doc_id AS file_id,
         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
         |  ' tail <' || doc_id || '>' AS clean_text
         |FROM documents WHERE doc_id % 50 <> 0""".stripMargin,
     // the composed front-end's closed-form survivors: corrupt files
@@ -421,6 +424,7 @@ object ExtensionQueries {
         |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
         |    AS url,
         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
         |  ' tail <' || doc_id || '>' AS clean_text,
         |  CASE WHEN (doc_id % 7) % 2 = 0
         |    THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay

@@ -232,10 +232,12 @@ object PipelineQueries {
     // around each document — doctype, head with title, a script whose
     // body contains a decoy </div> and comparison operators, a style
     // block, a comment, attributes holding '>' in quotes, and the
-    // fixed entity set including the &amp;lt; double-decode trap —
-    // and the oracle replays the PLANTING formula (the Multimodal
-    // discipline): the extractor must recover exactly the closed-form
-    // visible text. Pure codegen'd scalar chain, zero exchanges.
+    // entity set including the &amp;lt; / &amp;#39; double-decode
+    // traps and WHATWG numeric references (dec, hex, windows-1252
+    // band, supplementary plane, surrogate→U+FFFD) — and the oracle
+    // replays the PLANTING formula (the Multimodal discipline): the
+    // extractor must recover exactly the closed-form visible text.
+    // Pure codegen'd scalar chain, zero exchanges.
     "q136_html_extract" -> ((s, dir) => {
       val d = docs(s, dir)
       val id = col("doc_id").cast("string")
@@ -246,7 +248,8 @@ object PipelineQueries {
         lit("<!-- generated page "), id, lit(" -->"),
         lit("<h1 class=\"hd\" title=\"a > b\">Heading &amp; "), id,
         lit("</h1>\n<p>"), col("text"),
-        lit("</p><div data-x='1'>tail &lt;"), id,
+        lit("</p><p>it&#8217;s caf&#233; &#147;q&#x201D; &#x1F600; &amp;#39; x&#xD800;y</p>"),
+        lit("<div data-x='1'>tail &lt;"), id,
         lit("&gt;&nbsp;&amp;lt;end</div></body></html>"))
       d.select(col("doc_id"),
         graft.operators.Html.extractText(html).as("clean_text"))
@@ -861,26 +864,37 @@ object PipelineQueries {
       TextAnalysis.ngramLmScore(docs(s, dir), "doc_id", "text")),
 
     // C4 line-level cleaning (Html.cleanLines, Raffel et al. JMLR'20
-    // §2.1): the corpus has no line structure, so the demo PLANTS it —
+    // §2.1) fed by the REAL upstream — extractText(keepLineBreaks)
+    // over a planted HTML page whose <p> blocks become the lines:
     // a terminal-punct line (kept), the enable-javascript boilerplate
     // (dropped), a no-punctuation line (dropped), a 1-word line
-    // (dropped), a second kept line, plus page-kill plants (curly
-    // brace every 40th doc, lorem ipsum every 30th+7) that erase the
-    // whole page. Oracle replays the planting: 2 kept / 3 dropped per
-    // surviving page. concat_ws skips the NULL plant slots
+    // (dropped), a second kept line, a kept line carrying WHATWG
+    // numeric references (&#8217; dec, &#147;/&#148; win-1252 band),
+    // plus page-kill plants (curly brace every 40th doc, lorem ipsum
+    // every 30th+7) that erase the whole page. Oracle replays the
+    // planting: 3 kept / 3 dropped per surviving page, entities
+    // decoded. concat_ws skips the NULL plant slots
     "q141_c4_line_clean" -> ((s, dir) => {
       val ws = split(col("text"), " ")
+      def p(c: org.apache.spark.sql.Column) =
+        concat(lit("<p>"), c, lit("</p>"))
       val planted = docs(s, dir).filter(size(ws) >= 18)
-        .select(col("doc_id"), concat_ws("\n",
-          concat(concat_ws(" ", slice(ws, 1, 6)), lit(".")),
-          lit("please enable javascript to view this page."),
-          concat_ws(" ", slice(ws, 7, 6)),
-          lit("ok."),
-          concat(concat_ws(" ", slice(ws, 13, 6)), lit("?")),
-          when(pmod(col("doc_id"), lit(40)) === 0, lit("function() {")),
+        .select(col("doc_id"), concat_ws("",
+          lit("<html><body><!-- gen -->"),
+          p(concat(concat_ws(" ", slice(ws, 1, 6)), lit("."))),
+          p(lit("please enable javascript to view this page.")),
+          p(concat_ws(" ", slice(ws, 7, 6))),
+          p(lit("ok.")),
+          p(concat(concat_ws(" ", slice(ws, 13, 6)), lit("?"))),
+          p(lit("yes it&#8217;s &#147;fine&#148; now.")),
+          when(pmod(col("doc_id"), lit(40)) === 0, p(lit("function() {"))),
           when(pmod(col("doc_id"), lit(30)) === 7,
-            lit("standard lorem ipsum passage here."))).as("text"))
-      graft.operators.Html.cleanLines(planted, "doc_id", "text")
+            p(lit("standard lorem ipsum passage here."))),
+          lit("</body></html>")).as("html"))
+      val page = planted.select(col("doc_id"),
+        graft.operators.Html.extractText(col("html"), keepLineBreaks = true)
+          .as("text"))
+      graft.operators.Html.cleanLines(page, "doc_id", "text")
     }),
 
     // CCNet head/middle/tail perplexity terciles
@@ -1872,11 +1886,17 @@ object PipelineQueries {
         |FROM rules JOIN delay USING (dn)""".stripMargin,
     // replays the q136 PLANTING formula: the extractor's five-step
     // contract (script/style/comment drop, attribute-safe tag strip,
-    // fixed entity table with &amp; last, whitespace collapse) must
-    // reduce the planted page to exactly this closed form
+    // single-pass named+WHATWG-numeric reference decode, whitespace
+    // collapse) must reduce the planted page to exactly this closed
+    // form — chr() spells the decoded codepoints (8217 ’, 233 é,
+    // 147→win1252 8220 “, 8221 ”, 128512 😀, D800→FFFD), and the
+    // two double-decode traps stay literal
     "q136_html_extract" ->
       """SELECT doc_id,
         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' it' || chr(8217) || 's caf' || chr(233) || ' ' ||
+        |  chr(8220) || 'q' || chr(8221) || ' ' || chr(128512) ||
+        |  ' &#39; x' || chr(65533) || 'y' ||
         |  ' tail <' || doc_id || '> &lt;end' AS clean_text
         |FROM documents""".stripMargin,
     // the definition q144 must reproduce: brute-force exact word-set
@@ -2112,8 +2132,10 @@ object PipelineQueries {
     // both engines → identical (lm_score, doc_id) total order →
     // identical ranks; the tercile is exact integer division, so no
     // float threshold exists to straddle
-    // replays the q141 planting: lines 1 and 5 survive the C4 rules,
-    // page-kill plants erase their docs, short docs never planted
+    // replays the q141 planting: lines 1, 5 and the entity line
+    // survive the C4 rules (references decoded by the extractor:
+    // 8217 ’, win-1252 147/148 → 8220 “ / 8221 ”), page-kill plants
+    // erase their docs, short docs never planted
     "q141_c4_line_clean" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents),
@@ -2121,8 +2143,10 @@ object PipelineQueries {
         |    array_to_string(ws[1:6], ' ') || '.' AS l1,
         |    array_to_string(ws[13:18], ' ') || '?' AS l5
         |  FROM d WHERE len(ws) >= 18)
-        |SELECT doc_id, l1 || chr(10) || l5 AS clean_text,
-        |  CAST(2 AS BIGINT) AS n_kept, CAST(3 AS BIGINT) AS n_dropped
+        |SELECT doc_id, l1 || chr(10) || l5 || chr(10) ||
+        |    'yes it' || chr(8217) || 's ' || chr(8220) || 'fine' ||
+        |    chr(8221) || ' now.' AS clean_text,
+        |  CAST(3 AS BIGINT) AS n_kept, CAST(3 AS BIGINT) AS n_dropped
         |FROM e WHERE doc_id % 40 <> 0 AND doc_id % 30 <> 7""".stripMargin,
     "q140_perplexity_buckets" ->
       s"""WITH s AS (SELECT * FROM ($ngramLmOracleSql) q),

@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.Html
 
 /** Hand-written HTML fixtures the q136 synthesizer never emits —
-  * pins [[Html.extractText]]'s five-step contract including its
-  * documented limitations (numeric-entity passthrough, prose `<`). */
+  * pins [[Html.extractText]]'s five-step contract including the
+  * WHATWG numeric-reference semantics (windows-1252 band, U+FFFD
+  * fallbacks, single-pass no-double-decode) and prose `<`. */
 class HtmlSpec extends SparkTestBase {
 
   private def extract(html: String): String = {
@@ -45,12 +46,49 @@ class HtmlSpec extends SparkTestBase {
     assert(extract("<p>y<z holds</p>x") == "y x")
   }
 
-  test("entity table decodes; &amp;lt; must NOT double-decode; numeric passthrough") {
+  test("entity table decodes; &amp;lt; must NOT double-decode") {
     assert(extract("&lt;tag&gt; &quot;q&quot; &apos;a&apos; &#39;b&#39; A&nbsp;B")
       == "<tag> \"q\" 'a' 'b' A B")
     assert(extract("&amp;lt;literal") == "&lt;literal")
-    // documented limitation: arbitrary numeric entities pass through
-    assert(extract("&#8212;dash") == "&#8212;dash")
+    // the numeric analog of the trap: the &amp; decode must not seed
+    // a second (numeric) decode — single-pass, structural
+    assert(extract("&amp;#39;x") == "&#39;x")
+    assert(extract("&amp;#x27;x") == "&#x27;x")
+  }
+
+  test("numeric references decode per WHATWG: dec, hex, case, supplementary") {
+    assert(extract("it&#8217;s an em&#8212;dash") == "it’s an em—dash")
+    assert(extract("caf&#233; &#xE9; &#Xe9;") == "café é é")
+    // supplementary plane → surrogate-pair emit
+    assert(extract("ok &#x1F600;!") == "ok 😀!")
+    // adjacent references, no separator needed
+    assert(extract("&#65;&#x42;&#67;") == "ABC")
+  }
+
+  test("numeric references: windows-1252 remap band 0x80-0x9F") {
+    // the legacy-CMS apostrophe/quotes band every real crawl page hits
+    assert(extract("don&#146;t &#147;q&#148; &#150; &#151; &#133;")
+      == "don’t “q” – — …")
+    assert(extract("&#128;") == "€")
+    // unmapped cells of the band stay themselves
+    assert(extract("a&#129;b") == "a\u0081b") // U+0081: not regex whitespace, survives
+  }
+
+  test("numeric references: NUL, surrogates, out-of-range → U+FFFD") {
+    assert(extract("x&#0;y") == "x�y")
+    assert(extract("x&#xD800;y &#xDFFF;") == "x�y �")
+    assert(extract("x&#1114112;y &#x110000; &#999999999999999999999;")
+      == "x�y � �")
+    // top of the valid range still decodes
+    assert(extract("&#x10FFFF;") == new String(Character.toChars(0x10FFFF)))
+  }
+
+  test("incomplete numeric forms pass through: no semicolon, no digits") {
+    assert(extract("<p>a &#39 b</p>") == "a &#39 b")
+    assert(extract("<p>a &# b &#; c &#x; d &#xG; e &amp f</p>")
+      == "a &# b &#; c &#x; d &#xG; e &amp f")
+    assert(extract("<p>tail&#</p>") == "tail&#")
+    assert(extract("<p>amp at end &</p>") == "amp at end &")
   }
 
   test("doctype and xml-ish declarations strip; whitespace collapses and trims") {
