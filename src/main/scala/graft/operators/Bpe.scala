@@ -129,7 +129,13 @@ object Bpe {
     * the word→token-count map joins back to the corpus (vocab-sized
     * build side — AQE broadcasts it). Returns (idCol, n_words,
     * n_tokens).
-    */
+    *
+    * OOV CONTRACT (spec-pinned; the published-merge-table
+    * cross-session case): characters absent from the training
+    * alphabet pass through as single-character tokens — no merge rule
+    * references them, so no replace ever touches them. Encode is
+    * TOTAL on any corpus; each unknown character costs one token
+    * (the [[UnigramLm.encode]] UNK analog). */
   def encode(df: DataFrame, idCol: String, textCol: String,
              mergeTable: DataFrame): DataFrame = {
     val ms = mergeTable.orderBy(col("merge_rank")).collect()
@@ -194,16 +200,54 @@ object Bpe {
     s"WITH ${chainCtes(table, textExpr, merges, minPairCount)}\n$union"
   }
 
-  /** Oracle twin of [[train]] + [[encode]] composed. */
+  /** Oracle twin of [[train]] + [[encode]] composed. `encodeTable`
+    * (a table name or parenthesized subquery exposing
+    * `$idExpr`/`$textExpr`) lets the encode corpus differ from the
+    * train corpus — the published-merge-table lifecycle and the only
+    * way OOV characters occur: the learned merges b_1..b_n are then
+    * re-applied to the ENCODE corpus's words (ew chain), where
+    * unknown characters simply never match a pair — the engine's
+    * pass-through contract replayed. */
   def encodeSql(table: String, idExpr: String, textExpr: String,
-                merges: Int, minPairCount: Long): String =
-    s"""WITH ${chainCtes(table, textExpr, merges, minPairCount)},
-       |v AS MATERIALIZED (SELECT word,
-       |    CAST(len(string_split(seq, ' ')) AS INTEGER) AS ntok FROM w_$merges),
-       |dw AS (SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
-       |       FROM $table)
-       |SELECT id AS doc_id, count(*) AS n_words,
-       |  CAST(sum(ntok) AS BIGINT) AS n_tokens
-       |FROM dw JOIN v USING (word) WHERE word <> ''
-       |GROUP BY id""".stripMargin
+                merges: Int, minPairCount: Long,
+                encodeTable: String = ""): String =
+    if (encodeTable.isEmpty)
+      s"""WITH ${chainCtes(table, textExpr, merges, minPairCount)},
+         |v AS MATERIALIZED (SELECT word,
+         |    CAST(len(string_split(seq, ' ')) AS INTEGER) AS ntok FROM w_$merges),
+         |dw AS (SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
+         |       FROM $table)
+         |SELECT id AS doc_id, count(*) AS n_words,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |FROM dw JOIN v USING (word) WHERE word <> ''
+         |GROUP BY id""".stripMargin
+    else {
+      val ehead =
+        s"""ewc AS MATERIALIZED (SELECT word, count(*) AS wcount
+           |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word
+           |        FROM $encodeTable)
+           |  WHERE word <> '' GROUP BY word),
+           |ew_0 AS MATERIALIZED (SELECT word,
+           |    regexp_replace(word, '(.)', '\\1 ', 'g') || '_' AS seq
+           |  FROM ewc)""".stripMargin
+      val erounds = (1 to merges).map { i =>
+        s"""ew_$i AS MATERIALIZED (SELECT word,
+           |    CASE WHEN b.pair IS NULL THEN seq
+           |         ELSE trim(replace(' ' || seq || ' ',
+           |           ' ' || b.pair || ' ', ' ' || b.merged || ' ')) END AS seq
+           |  FROM ew_${i - 1} LEFT JOIN b_$i b ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${chainCtes(table, textExpr, merges, minPairCount)},
+         |$ehead,
+         |$erounds,
+         |v AS MATERIALIZED (SELECT word,
+         |    CAST(len(string_split(seq, ' ')) AS INTEGER) AS ntok
+         |  FROM ew_$merges),
+         |dw AS (SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
+         |       FROM $encodeTable)
+         |SELECT id AS doc_id, count(*) AS n_words,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |FROM dw JOIN v USING (word) WHERE word <> ''
+         |GROUP BY id""".stripMargin
+    }
 }

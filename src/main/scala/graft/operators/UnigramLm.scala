@@ -54,11 +54,24 @@ object UnigramLm {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
 
+  /** OOV floor: a single character absent from the vocabulary
+    * segments as its own UNK piece at this constant score —
+    * SentencePiece's unk behavior (without byte-fallback), chosen so
+    * [[encode]] is TOTAL on any corpus (the published-vocab
+    * cross-session lifecycle [[graft.sources.ArtifactStore]]
+    * advertises). The constant is exactly representable and far below
+    * any real log-prob, so a segmentation avoiding UNK always wins
+    * and both engines sum it identically. Inside [[train]] the
+    * alphabet is never pruned, so this path never fires there. */
+  private[graft] val UnkScore: Double = -1000000.0
+
   /** Best segmentation of `word` under `scores` (piece → rounded
     * log-prob): DP ascending over end positions, candidates scanned
     * at ascending start j with strict improvement — ties keep the
-    * smallest j. Single chars are always scored, so every position
-    * is reachable. Returns the used pieces WITH multiplicity. */
+    * smallest j. Single chars are always scored (vocabulary chars at
+    * their log-prob, OOV chars at [[UnkScore]]), so every position is
+    * reachable and the backwalk is total on ANY input. Returns the
+    * used pieces WITH multiplicity. */
   private[graft] def viterbi(word: String,
                              scores: scala.collection.Map[String, Double],
                              maxPieceLen: Int): Seq[String] = {
@@ -70,11 +83,15 @@ object UnigramLm {
     while (i <= n) {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
-        scores.get(word.substring(j, i)) match {
-          case Some(s) if best(j) != Double.NegativeInfinity =>
-            val cand = best(j) + s
-            if (cand > best(i)) { best(i) = cand; bp(i) = j }
-          case _ =>
+        val s = scores.get(word.substring(j, i)) match {
+          case Some(sc) => sc
+          case None if i - j == 1 => UnkScore // OOV single char
+          case None => Double.NegativeInfinity
+        }
+        if (s != Double.NegativeInfinity &&
+            best(j) != Double.NegativeInfinity) {
+          val cand = best(j) + s
+          if (cand > best(i)) { best(i) = cand; bp(i) = j }
         }
         j += 1
       }
@@ -167,19 +184,35 @@ object UnigramLm {
   /** The per-vocabulary Viterbi block shared by the train rounds and
     * [[encodeSql]]'s final segmentation pass: score `srcVocab`, find
     * candidates, run the unrolled DP + backwalk, and emit `use_$tag`
-    * (one row per used piece per word, with multiplicity). */
+    * (one row per used piece per word, with multiplicity).
+    * `wordsCte`/`ijCte` name the word table the pass runs over (the
+    * train corpus by default; [[encodeSql]] passes its own). With
+    * `unk = true`, single-char positions whose character is absent
+    * from the vocabulary become candidates at [[UnkScore]] — the
+    * engine's OOV contract replayed in SQL. */
   private def viterbiCtes(tag: String, srcVocab: String,
-                          maxWordLen: Int): String = {
+                          maxWordLen: Int, wordsCte: String = "words",
+                          ijCte: String = "ij",
+                          unk: Boolean = false): String = {
+    val unkCand =
+      if (!unk) ""
+      else s"""
+         |  UNION ALL
+         |  SELECT ij.word, ij.i, ij.j, CAST(${UnkScore} AS DOUBLE) AS sc
+         |  FROM $ijCte ij
+         |  WHERE ij.i - ij.j = 1 AND NOT EXISTS (
+         |    SELECT 1 FROM sc_$tag s
+         |    WHERE s.piece = substr(ij.word, ij.j + 1, 1))""".stripMargin
     val sc =
       s"""sc_$tag AS MATERIALIZED (SELECT piece,
          |    round(ln(CAST(cnt AS DOUBLE)) -
          |          ln((SELECT CAST(sum(cnt) AS DOUBLE) FROM $srcVocab)), 6) AS sc
          |  FROM $srcVocab),
          |cand_$tag AS MATERIALIZED (SELECT ij.word, ij.i, ij.j, s.sc
-         |  FROM ij JOIN sc_$tag s
-         |    ON s.piece = substr(ij.word, ij.j + 1, ij.i - ij.j)),
+         |  FROM $ijCte ij JOIN sc_$tag s
+         |    ON s.piece = substr(ij.word, ij.j + 1, ij.i - ij.j)$unkCand),
          |dp_${tag}_0 AS (SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS best,
-         |    CAST(NULL AS INTEGER) AS bp FROM words)""".stripMargin
+         |    CAST(NULL AS INTEGER) AS bp FROM $wordsCte)""".stripMargin
     val dp = (1 to maxWordLen).map { i =>
       s"""dp_${tag}_$i AS MATERIALIZED (
          |  SELECT * FROM dp_${tag}_${i - 1}
@@ -197,7 +230,7 @@ object UnigramLm {
     val bw0 =
       s"""bw_${tag}_0 AS MATERIALIZED (SELECT d.word, d.pos, d.bp
          |  FROM dp_${tag}_$maxWordLen d
-         |  JOIN words w ON w.word = d.word AND d.pos = len(w.word))""".stripMargin
+         |  JOIN $wordsCte w ON w.word = d.word AND d.pos = len(w.word))""".stripMargin
     val bw = (1 to (maxWordLen - 1)).map { k =>
       s"""bw_${tag}_$k AS MATERIALIZED (SELECT d.word, d.pos, d.bp
          |  FROM bw_${tag}_${k - 1} b
@@ -221,6 +254,9 @@ object UnigramLm {
       s"""words AS MATERIALIZED (SELECT word, count(*) AS wcount
          |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table)
          |  WHERE word <> '' GROUP BY word),
+         |wguard AS (SELECT CASE WHEN max(len(word)) > $maxWordLen THEN
+         |    error('unigram oracle: train corpus word exceeds maxWordLen=$maxWordLen')
+         |  ELSE 1 END AS ok FROM words),
          |pos AS (SELECT word, unnest(generate_series(1, len(word))) AS i FROM words),
          |ij AS MATERIALIZED (SELECT word, i,
          |    unnest(generate_series(greatest(0, i - $p), i - 1)) AS j FROM pos),
@@ -258,30 +294,52 @@ object UnigramLm {
        |SELECT piece, cnt,
        |  CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1 AS INTEGER)
        |    AS token_id
-       |FROM v_$iters""".stripMargin
+       |FROM v_$iters CROSS JOIN wguard""".stripMargin
   }
 
   /** Oracle twin of [[train]] + [[encode]] composed — the [[Bpe
     * .encodeSql]] shape: the full train chain, one more Viterbi pass
-    * over the FINAL vocabulary (tag `f`), per-word token counts from
-    * the backwalk rows, joined back onto the corpus words. */
+    * over the FINAL vocabulary (tag `f`) with the UNK fallback on
+    * (the engine's OOV contract), per-word token counts from the
+    * backwalk rows, joined back onto the encode corpus words.
+    * `encodeTable` (a table name or parenthesized subquery exposing
+    * `$idExpr`/`$textExpr`) lets the encode corpus differ from the
+    * train corpus — the published-vocab lifecycle, and the only way
+    * OOV characters can occur. Both corpora are guarded loudly
+    * against words longer than `maxWordLen` (a longer word would
+    * otherwise silently vanish from the unrolled DP). */
   def encodeSql(table: String, idExpr: String, textExpr: String,
                 maxPieceLen: Int = 4, seedTop: Int = 40,
                 keepMulti: Int = 16, iters: Int = 2,
-                maxWordLen: Int = 8): String = {
+                maxWordLen: Int = 8, encodeTable: String = ""): String = {
+    val et = if (encodeTable.isEmpty) table else encodeTable
+    val p = maxPieceLen
     val train = trainSql(table, textExpr, maxPieceLen, seedTop,
       keepMulti, iters, maxWordLen)
     // reuse everything up to (and including) the final vocab CTE
     val ctes = train.substring(0, train.lastIndexOf("\nSELECT piece, cnt,"))
     s"""$ctes,
-       |${viterbiCtes("f", s"v_$iters", maxWordLen)},
+       |ewords AS MATERIALIZED (SELECT word, count(*) AS wcount
+       |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $et)
+       |  WHERE word <> '' GROUP BY word),
+       |eguard AS (SELECT CASE WHEN max(len(word)) > $maxWordLen THEN
+       |    error('unigram oracle: encode corpus word exceeds maxWordLen=$maxWordLen')
+       |  ELSE 1 END AS ok FROM ewords),
+       |epos AS (SELECT word, unnest(generate_series(1, len(word))) AS i
+       |  FROM ewords),
+       |eij AS MATERIALIZED (SELECT word, i,
+       |    unnest(generate_series(greatest(0, i - $p), i - 1)) AS j
+       |  FROM epos),
+       |${viterbiCtes("f", s"v_$iters", maxWordLen, "ewords", "eij", unk = true)},
        |ntok AS MATERIALIZED (SELECT word, CAST(count(*) AS INTEGER) AS ntok
        |  FROM use_f GROUP BY word),
        |dw AS (SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
-       |       FROM $table)
+       |       FROM $et)
        |SELECT id AS doc_id, count(*) AS n_words,
        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
-       |FROM dw JOIN ntok USING (word) WHERE word <> ''
+       |FROM dw JOIN ntok USING (word)
+       |CROSS JOIN wguard CROSS JOIN eguard
+       |WHERE word <> ''
        |GROUP BY id""".stripMargin
   }
 
@@ -290,7 +348,15 @@ object UnigramLm {
     * table): per-document unigram-LM token counts via one more
     * Viterbi pass over the vocabulary table. Returns
     * (idCol, n_words, n_tokens) — the [[Bpe.encode]] output shape, so
-    * the two tokenizer families drop into the same consumers. */
+    * the two tokenizer families drop into the same consumers.
+    *
+    * OOV CONTRACT (spec-pinned; the published-vocab cross-session
+    * case): a character absent from the trained alphabet segments as
+    * its own single-character UNK piece at [[UnkScore]] — one token
+    * per OOV character, encode total on any corpus. ([[Bpe.encode]]'s
+    * analog: OOV characters pass through as unmergeable single-char
+    * tokens — no merge rule references them — so both families are
+    * total, each costing one token per unknown character.) */
   def encode(df: DataFrame, idCol: String, textCol: String,
              vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
     val spark = df.sparkSession

@@ -179,6 +179,11 @@ object PipelineQueries {
   val UnigramSeedTop = 40
   val UnigramKeepMulti = 16
   val UnigramIters = 2
+  // tokenizer OOV plant (q123/q160): appended to every ENCODE-side
+  // doc; x, 7, z are outside the corpus alphabet
+  // (" abcdefghijklmnopqrstuvwy"), q is inside — one word mixing
+  // known/unknown chars, one all-unknown
+  val OovPlant = " xq7z zzz"
   // prefix-filter set-similarity join (q144): high-threshold regime —
   // the corpus's shared vocabulary puts thousands of doc pairs above
   // 0.9 word-set jaccard at sf0.01, so 0.95 keeps the result ~1.9k
@@ -1097,10 +1102,17 @@ object PipelineQueries {
     // tokenize with the trained merges (Bpe.encode): the merge table
     // is a MODEL artifact (≤ BpeMerges rows) folded into one codegen'd
     // replace chain over the vocabulary; word→token-count broadcasts
-    // back onto the corpus — per-doc BPE token counts
-    "q123_bpe_encode" -> ((s, dir) =>
-      graft.operators.Bpe.encode(docs(s, dir), "doc_id", "text",
-        graft.operators.Bpe.train(docs(s, dir), "text", BpeMerges, BpeMinPair))),
+    // back onto the corpus — per-doc BPE token counts. The ENCODE
+    // corpus plants two OOV words (x/7/z are outside the train
+    // alphabet) to pin the OOV contract: unknown characters pass
+    // through as unmergeable single-char tokens, encode total
+    "q123_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Bpe.encode(
+        d.withColumn("text", concat(col("text"), lit(OovPlant))),
+        "doc_id", "text",
+        graft.operators.Bpe.train(d, "text", BpeMerges, BpeMinPair))
+    }),
 
     // unigram-LM tokenizer training (UnigramLm.train) — the OTHER
     // production tokenizer family next to BPE: substring seed vocab,
@@ -1117,13 +1129,22 @@ object PipelineQueries {
     // tokenize with the trained unigram-LM vocab (UnigramLm.encode):
     // the q123 complement — the vocab is a model artifact folded into
     // one more broadcast-scored Viterbi pass over the vocabulary
-    // table; per-doc token counts join back at scan throughput
-    "q160_unigram_encode" -> ((s, dir) =>
-      graft.operators.UnigramLm.encode(docs(s, dir), "doc_id", "text",
-        graft.operators.UnigramLm.train(docs(s, dir), "text",
+    // table; per-doc token counts join back at scan throughput. The
+    // ENCODE corpus plants the same OOV words as q123 to pin the UNK
+    // contract: each character outside the trained alphabet segments
+    // as its own UNK piece at the floor score — encode total, one
+    // token per OOV character (the ADVICE r12 viterbi-backwalk crash
+    // class, now structurally impossible)
+    "q160_unigram_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.UnigramLm.encode(
+        d.withColumn("text", concat(col("text"), lit(OovPlant))),
+        "doc_id", "text",
+        graft.operators.UnigramLm.train(d, "text",
           maxPieceLen = 4, seedTop = UnigramSeedTop,
           keepMulti = UnigramKeepMulti, iters = UnigramIters),
-        maxPieceLen = 4))
+        maxPieceLen = 4)
+    })
   )
 
   // ---------- generated oracle SQL ----------
@@ -2321,13 +2342,17 @@ object PipelineQueries {
     "q122_bpe_train" -> graft.operators.Bpe.trainSql(
       "documents", "text", BpeMerges, BpeMinPair),
     "q123_bpe_encode" -> graft.operators.Bpe.encodeSql(
-      "documents", "doc_id", "text", BpeMerges, BpeMinPair),
+      "documents", "doc_id", "text", BpeMerges, BpeMinPair,
+      encodeTable =
+        s"(SELECT doc_id, text || '$OovPlant' AS text FROM documents)"),
     "q159_unigram_train" -> graft.operators.UnigramLm.trainSql(
       "documents", "text", maxPieceLen = 4, seedTop = UnigramSeedTop,
       keepMulti = UnigramKeepMulti, iters = UnigramIters, maxWordLen = 8),
     "q160_unigram_encode" -> graft.operators.UnigramLm.encodeSql(
       "documents", "doc_id", "text", maxPieceLen = 4,
       seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
-      iters = UnigramIters, maxWordLen = 8)
+      iters = UnigramIters, maxWordLen = 8,
+      encodeTable =
+        s"(SELECT doc_id, text || '$OovPlant' AS text FROM documents)")
   )
 }

@@ -76,4 +76,25 @@ class BpeSpec extends SparkTestBase {
       assert(nTok >= ws.length, s"doc $id")
     }
   }
+
+  test("OOV contract: unknown chars pass through as single-char tokens, encode total") {
+    import spark.implicits._
+    // merges trained on an {s,l,o,w,g,r,e,t} alphabet; encode words
+    // with characters no merge rule references
+    val docs = (0 until 12).map(i => (i.toLong, "slow slow grow"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", merges = 3, minPairCount = 2L)
+    val got = Bpe.encode(
+        Seq((1L, "xz"),          // x z _ -> 3 tokens, nothing merges
+            (2L, "sxlow"),       // s x l o w _ -> merges apply around x
+            (3L, "slow")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // whatever 'slow' costs with the learned merges, 'sxlow' costs at
+    // most 2 more than 'xz'-style pass-through and x stays un-merged:
+    assert(got(1L) == 3L, s"$got")
+    // 'slow' must compress below chars+1; the OOV word must not
+    assert(got(3L) < 5L, s"$got")
+    assert(got(2L) >= got(3L), s"$got")
+  }
 }

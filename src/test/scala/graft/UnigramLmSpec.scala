@@ -88,4 +88,31 @@ class UnigramLmSpec extends SparkTestBase {
     assert(chars.forall(c => singles.exists(_._1 == c.toString)),
       "every corpus character must stay in the vocab")
   }
+
+  test("OOV contract: unknown chars segment as single-char UNK pieces, encode total") {
+    import spark.implicits._
+    // vocab trained on 'ab ab b' (alphabet {a,b}, piece ab) — encode a
+    // corpus with characters the vocab has never seen
+    val vocab = UnigramLm.train(Seq("ab ab b").toDF("text"), "text", 2, 10, 2, 1)
+    val got = UnigramLm.encode(
+        Seq((1L, "ab zz azb"),   // ab->1; zz->2 UNK; azb->a,z,b = 3 (z UNK)
+            (2L, "xyz"),         // 3 UNK tokens, all chars unknown
+            (3L, "ab")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab, maxPieceLen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 6L)), 2L -> ((1L, 3L)), 3L -> ((1L, 1L))), s"$got")
+    // the r12 ADVICE crash class: a word made ONLY of OOV chars must
+    // not throw in the backwalk (was StringIndexOutOfBoundsException)
+    val one = UnigramLm.encode(Seq((9L, "qqqq")).toDF("doc_id", "text"),
+      "doc_id", "text", vocab, maxPieceLen = 2).collect()
+    assert(one.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 4L)))
+  }
+
+  test("OOV contract: known pieces still win over UNK inside mixed words") {
+    // viterbi('azb') must use piece scores for a and b, UNK only for z;
+    // and a segmentation avoiding UNK always beats one using it
+    val scores = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -0.5)
+    assert(UnigramLm.viterbi("azb", scores, 2) == Seq("a", "z", "b"))
+    assert(UnigramLm.viterbi("ab", scores, 2) == Seq("ab"))
+  }
 }
