@@ -54,14 +54,58 @@ object ArtifactStore {
     s"$root/$kind"
   }
 
+  /** Versions are path-safe BY CONTRACT (enforced in [[save]]), so the
+    * partition directory name needs no escaping and every metadata
+    * question below is answerable from the directory tree alone. */
+  private def requireVersion(version: String): Unit =
+    require(version.matches("[A-Za-z0-9._-]+"), s"bad version: $version")
+
+  private def partitionPath(root: String, kind: String, corpusKey: String,
+                            version: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"${kindPath(root, kind)}/corpus_key=${normKey(corpusKey)}/version=$version")
+
+  private def fsOf(spark: SparkSession,
+                   p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Driver-side partition listing: `(corpus_key, version)` pairs read
+    * from the directory tree — zero Spark jobs, zero parquet footers.
+    * The pair count is the store's snapshot count (months of
+    * publishes ≪ thousands), so driver-side is the correct side. */
+  private def listPairs(spark: SparkSession, root: String,
+                        kind: String): Seq[(String, String)] = {
+    val base = new org.apache.hadoop.fs.Path(kindPath(root, kind))
+    val fs = fsOf(spark, base)
+    if (!fs.exists(base)) Seq.empty
+    else for {
+      ck <- fs.listStatus(base).toSeq
+      if ck.isDirectory && ck.getPath.getName.startsWith("corpus_key=")
+      v <- fs.listStatus(ck.getPath).toSeq
+      if v.isDirectory && v.getPath.getName.startsWith("version=")
+    } yield (ck.getPath.getName.stripPrefix("corpus_key="),
+      v.getPath.getName.stripPrefix("version="))
+  }
+
   /** Publish `df` as artifact `(kind, corpusKey, version)` under the
     * store `root`. Dynamic partition overwrite: exactly the
     * `(corpus_key, version)` partitions present in `df` (here: one)
     * are replaced; every other snapshot in the table is untouched.
-    * Idempotent — re-publishing the same snapshot replaces it. */
+    * Idempotent — re-publishing the same snapshot replaces it.
+    *
+    * CONCURRENT-PUBLISHER SEMANTICS (documented, not guarded): two
+    * sessions publishing the SAME `(corpus_key, version)` race as
+    * last-writer-wins — dynamic overwrite swaps the partition
+    * directory, so the store converges to one complete snapshot
+    * (never a merge of both), but a reader that listed files mid-swap
+    * can fail on a vanished file; the published-version protocol
+    * (writers bump `version`, readers pin one) is the isolation
+    * mechanism, and the train-or-load wrappers (`cellsPublished` et
+    * al.) accept the benign double-train under a lost race. */
   def save(df: DataFrame, root: String, kind: String, corpusKey: String,
            version: String, numFiles: Int = 1): Unit = {
     require(numFiles >= 1)
+    requireVersion(version)
     require(!df.columns.contains("corpus_key") && !df.columns.contains("version"),
       "artifact frame must not already carry the partition columns")
     df.repartition(numFiles)
@@ -77,39 +121,76 @@ object ArtifactStore {
   /** Load one artifact snapshot. Partition pruning does the work: the
     * scan's `PartitionFilters` pin `(corpus_key, version)`, so only
     * that snapshot's files are listed and read. Returns the artifact
-    * in its as-trained schema (partition columns dropped). */
+    * in its as-trained schema (partition columns dropped). A missing
+    * snapshot (never published, or pruned) fails LOUDLY here — the
+    * base-path filter alone would return an empty frame, and a probe
+    * session quietly scoring against zero centroids is the worst
+    * failure mode a model store can have. */
   def load(spark: SparkSession, root: String, kind: String,
-           corpusKey: String, version: String): DataFrame =
+           corpusKey: String, version: String): DataFrame = {
+    require(exists(spark, root, kind, corpusKey, version),
+      s"artifact not found: kind=$kind corpus_key=${normKey(corpusKey)} " +
+        s"version=$version under $root")
     spark.read.parquet(kindPath(root, kind))
       .filter(col("corpus_key") === normKey(corpusKey) &&
         col("version") === version)
       .drop("corpus_key", "version")
+  }
 
-  /** All published `(corpus_key, version)` pairs of a kind — reads
-    * partition METADATA only (distinct over partition columns prunes
-    * to a file listing, no data rows). */
-  def versions(spark: SparkSession, root: String, kind: String): DataFrame =
-    spark.read.parquet(kindPath(root, kind))
-      .select(col("corpus_key"), col("version")).distinct()
+  /** All published `(corpus_key, version)` pairs of a kind — TRULY
+    * metadata-only: a driver-side directory listing (no Spark job, no
+    * parquet footer reads; a projection of the partition columns
+    * would still plan a scan). Empty frame — not an exception — for a
+    * kind never published. */
+  def versions(spark: SparkSession, root: String, kind: String): DataFrame = {
+    import spark.implicits._
+    listPairs(spark, root, kind).toDF("corpus_key", "version")
+  }
 
   /** Latest version string for a corpus under LEXICOGRAPHIC order —
     * callers version like table snapshots ("v0007", "2026-08-15", a
-    * zero-padded commit ordinal), which makes lexicographic = temporal. */
+    * zero-padded commit ordinal), which makes lexicographic =
+    * temporal. None for an unpublished corpus OR a kind never
+    * published (no exception: the empty store is a normal state). */
   def latest(spark: SparkSession, root: String, kind: String,
              corpusKey: String): Option[String] = {
     val k = normKey(corpusKey)
-    val rows = versions(spark, root, kind)
-      .filter(col("corpus_key") === k)
-      .agg(max(col("version"))).collect()
-    rows.headOption.flatMap(r => Option(r.getString(0)))
+    listPairs(spark, root, kind).collect {
+      case (ck, v) if ck == k => v
+    }.maxOption
   }
 
-  /** True iff the snapshot exists (file-listing only). */
+  /** True iff the snapshot exists — the partition DIRECTORY check
+    * (one fs.exists, no Spark job; the old `load(...).isEmpty` form
+    * scheduled a scan over the pruned partition). */
   def exists(spark: SparkSession, root: String, kind: String,
              corpusKey: String, version: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(kindPath(root, kind))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && !load(spark, root, kind, corpusKey, version).isEmpty
+    requireVersion(version)
+    val p = partitionPath(root, kind, corpusKey, version)
+    fsOf(spark, p).exists(p)
+  }
+
+  /** Retire old snapshots: keep each corpus's `keepLast` latest
+    * versions (lexicographic) of `kind`, delete the rest's partition
+    * directories. Returns the deleted `(corpus_key, version)` pairs.
+    * Deletion is per-partition-directory and atomic per snapshot on a
+    * rename-based fs; a reader pinned to a pruned version fails its
+    * next load loudly (path gone) rather than reading a half-deleted
+    * snapshot's tail. */
+  def prune(spark: SparkSession, root: String, kind: String,
+            keepLast: Int): Seq[(String, String)] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val doomed = listPairs(spark, root, kind)
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, pairs) =>
+        pairs.sortBy(_._2).dropRight(keepLast)
+      }
+    doomed.foreach { case (ck, v) =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"${kindPath(root, kind)}/corpus_key=$ck/version=$v")
+      fsOf(spark, p).delete(p, true)
+    }
+    doomed
   }
 
   /** Register the kind's table in the session catalog as an external

@@ -79,9 +79,13 @@ class ArtifactStoreSpec extends SparkTestBase {
     assert(ArtifactStore.normKey("///") .matches("[a-f0-9]{8}"), "degenerate key falls back to digest")
   }
 
-  test("exists/latest on an empty store") {
+  test("exists/latest/versions on an empty store: no exception, no result") {
     val root = freshRoot()
     assert(!ArtifactStore.exists(spark, root, "kmeans_cells", "c", "v0001"))
+    // the r12 ADVICE gap: these two used to throw AnalysisException
+    // (Path does not exist) on a kind never published
+    assert(ArtifactStore.latest(spark, root, "kmeans_cells", "c").isEmpty)
+    assert(ArtifactStore.versions(spark, root, "kmeans_cells").count() == 0)
     val loaded = Similarity.cellsPublished(embs, root, sfDir, "v0001",
       "vec_id", "embedding", 8, 3)
     assert(ArtifactStore.exists(spark, root, "kmeans_cells", sfDir, "v0001"))
@@ -89,6 +93,50 @@ class ArtifactStoreSpec extends SparkTestBase {
     val again = Similarity.cellsPublished(embs, root, sfDir, "v0001",
       "vec_id", "embedding", 8, 3)
     assert(sortedRows(again) == sortedRows(loaded))
+  }
+
+  test("exists and versions are metadata-only: zero Spark jobs scheduled") {
+    val root = freshRoot()
+    ArtifactStore.save(
+      spark.range(6).select(col("id"), lit(1L).as("cell")),
+      root, "kmeans_cells", "c", "v0001")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(ArtifactStore.exists(spark, root, "kmeans_cells", "c", "v0001"))
+      assert(!ArtifactStore.exists(spark, root, "kmeans_cells", "c", "v9999"))
+      assert(ArtifactStore.latest(spark, root, "kmeans_cells", "c")
+        .contains("v0001"))
+      Thread.sleep(1000) // let any (unexpected) job-start events land
+      assert(jobs == 0, s"metadata calls scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("prune keeps each corpus's latest keepLast versions, deletes the rest") {
+    val root = freshRoot()
+    def frame(n: Int) = spark.range(n).select(col("id"), lit(0L).as("cell"))
+    ArtifactStore.save(frame(1), root, "kmeans_cells", "c", "v0001")
+    ArtifactStore.save(frame(2), root, "kmeans_cells", "c", "v0002")
+    ArtifactStore.save(frame(3), root, "kmeans_cells", "c", "v0003")
+    ArtifactStore.save(frame(4), root, "kmeans_cells", "d", "v0001")
+    val deleted = ArtifactStore.prune(spark, root, "kmeans_cells", keepLast = 2)
+    assert(deleted == Seq((ArtifactStore.normKey("c"), "v0001")), s"$deleted")
+    // survivors intact, per corpus
+    assert(ArtifactStore.latest(spark, root, "kmeans_cells", "c").contains("v0003"))
+    assert(ArtifactStore.load(spark, root, "kmeans_cells", "c", "v0002").count() == 2)
+    assert(ArtifactStore.load(spark, root, "kmeans_cells", "d", "v0001").count() == 4)
+    assert(!ArtifactStore.exists(spark, root, "kmeans_cells", "c", "v0001"))
+    // a reader pinned to the pruned version fails loudly, not quietly
+    intercept[Exception] {
+      ArtifactStore.load(spark, root, "kmeans_cells", "c", "v0001").count()
+    }
+    // pruning again is a no-op
+    assert(ArtifactStore.prune(spark, root, "kmeans_cells", keepLast = 2).isEmpty)
   }
 
   test("pqPublished: codes+codebook pair roundtrips; probe session loads both") {
