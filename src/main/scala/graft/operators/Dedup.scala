@@ -759,6 +759,35 @@ object Dedup {
     (digests, banded)
   }
 
+  /** Cross-SESSION form of [[dedupState]]: load the published
+    * (digest, band) state tables for `(corpusKey, version)` if they
+    * exist, else build, publish, and load back. The state is exactly
+    * what a months-long crawl carries between runs — 16-byte digests
+    * and k-int band rows, orders of magnitude under the corpus — so
+    * the incremental run starts from two partition-pruned scans and
+    * never touches the history corpus ([[graft.operators.Similarity
+    * .pqPublished]]'s two-kind lifecycle; `numFiles` splits the
+    * corpus-sized band table for parallel read/write). */
+  def dedupStatePublished(df: DataFrame, root: String, corpusKey: String,
+                          version: String, idCol: String, textCol: String,
+                          k: Int, bands: Int,
+                          numFiles: Int = 1): (DataFrame, DataFrame) = {
+    import graft.sources.ArtifactStore
+    val spark = df.sparkSession
+    if (ArtifactStore.exists(spark, root, "dedup_digests", corpusKey, version))
+      (ArtifactStore.load(spark, root, "dedup_digests", corpusKey, version),
+        ArtifactStore.load(spark, root, "dedup_bands", corpusKey, version))
+    else {
+      val (digests, banded) = dedupState(df, idCol, textCol, k, bands)
+      ArtifactStore.save(digests, root, "dedup_digests", corpusKey, version,
+        numFiles)
+      ArtifactStore.save(banded, root, "dedup_bands", corpusKey, version,
+        numFiles)
+      (ArtifactStore.load(spark, root, "dedup_digests", corpusKey, version),
+        ArtifactStore.load(spark, root, "dedup_bands", corpusKey, version))
+    }
+  }
+
   /** Cross-run incremental dedup — today's crawl against everything
     * already kept, WITHOUT rescanning history: dedup the batch
     * against ITSELF exactly (min id per content digest — a crawl

@@ -305,6 +305,31 @@ object UrlNormalize {
         col("crawl_delay"))
   }
 
+  /** Cross-SESSION form of [[robotsPolicy]]: load the published
+    * per-domain policy for `(corpusKey, version)` if it exists, else
+    * parse, publish, and load back. A crawl refreshes robots bodies
+    * on their own cadence (hours-days), far slower than it schedules
+    * fetches — so the parsed policy is exactly the state later
+    * sessions reuse: the gate and the scheduler both start from one
+    * partition-pruned scan and the robots corpus is never re-parsed
+    * ([[graft.operators.Dedup.dedupStatePublished]]'s lifecycle; the
+    * nested rules array survives the parquet roundtrip as-typed). */
+  def robotsPolicyPublished(robots: DataFrame, root: String,
+                            corpusKey: String, version: String,
+                            domainCol: String, robotsCol: String,
+                            agent: String): DataFrame = {
+    import graft.sources.ArtifactStore
+    val spark = robots.sparkSession
+    val kind = "robots_policy"
+    if (ArtifactStore.exists(spark, root, kind, corpusKey, version))
+      ArtifactStore.load(spark, root, kind, corpusKey, version)
+    else {
+      val policy = robotsPolicy(robots, domainCol, robotsCol, agent)
+      ArtifactStore.save(policy, root, kind, corpusKey, version)
+      ArtifactStore.load(spark, root, kind, corpusKey, version)
+    }
+  }
+
   /** The [[robotsGate]] verdict evaluated against a prebuilt
     * [[robotsPolicy]] frame — so a pipeline consuming the policy for
     * BOTH the gate and the scheduler delay parses the robots corpus

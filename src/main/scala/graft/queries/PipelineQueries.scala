@@ -933,6 +933,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // the cross-SESSION half of the q95 lifecycle (the q158 treatment
+    // applied to CRAWL STATE): build the seen corpus's compact dedup
+    // state, PUBLISH digests+bands to the versioned artifact store,
+    // load both back through partition-pruned scans, and run the
+    // incremental batch against the LOADED state. Oracle-equal to q95
+    // (same incrDedupSql) — probe-from-loaded ≡ probe-from-memo;
+    // ArtifactStoreSpec additionally pins direct frame equality and
+    // the robots-policy analog
+    "q162_state_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seen = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val newBatch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_artifacts").toString
+      val (digests, bands) = Dedup.dedupStatePublished(seen, root,
+        dir + "#seen3", "v0001", "doc_id", "text", MinhashK, MinhashBands)
+      Dedup.incrementalDedup(newBatch, "doc_id", "text", digests, bands,
+          MinhashK, MinhashBands, Some(MinhashVerifyAgree))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // TF-IDF over the documents table (operators/TextAnalysis.tfidf):
     // inverted-index shuffle topology, corpus size as a broadcast
     // 1-row aggregate
@@ -2178,6 +2199,9 @@ object PipelineQueries {
          |    WHEN 1 THEN 'middle' ELSE 'head' END AS bucket
          |FROM r""".stripMargin,
     "q95_incr_dedup" -> incrDedupSql,
+    // q162 must agree with q95's oracle VERBATIM: the published state
+    // roundtrip may not change a single verdict
+    "q162_state_roundtrip" -> incrDedupSql,
     "q99_token_budget" -> Sampling.tokenBudgetMixSql(
       "documents", "doc_id", "source", "n_chars",
       TokenMixWeights, TokenMixTotal,

@@ -163,6 +163,64 @@ class ArtifactStoreSpec extends SparkTestBase {
     assert(sortedRows(v1) == sortedRows(v2) && v1.count() > 0)
   }
 
+  test("dedup state publishes and reloads: incremental run from loaded state " +
+      "equals run from fresh state") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val seen = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    val (freshDig, freshBands) =
+      graft.operators.Dedup.dedupState(seen, "doc_id", "text", 16, 4)
+    val (dig1, bands1) = graft.operators.Dedup.dedupStatePublished(
+      seen, root, "specCorpus", "v0001", "doc_id", "text", 16, 4)
+    // direct frame equality of the state tables
+    assert(sortedRows(dig1) == sortedRows(freshDig))
+    assert(sortedRows(bands1) == sortedRows(freshBands))
+    // second call takes the load path (no rebuild) and the
+    // incremental run's verdicts are identical either way
+    val (dig2, bands2) = graft.operators.Dedup.dedupStatePublished(
+      seen, root, "specCorpus", "v0001", "doc_id", "text", 16, 4)
+    val a = graft.operators.Dedup.incrementalDedup(batch, "doc_id", "text",
+      freshDig, freshBands, 16, 4, Some(13)).select("doc_id")
+    val b = graft.operators.Dedup.incrementalDedup(batch, "doc_id", "text",
+      dig2, bands2, 16, 4, Some(13)).select("doc_id")
+    assert(sortedRows(b) == sortedRows(a))
+  }
+
+  test("robots policy publishes and reloads: gate and delay from loaded " +
+      "policy equal the fresh parse (nested rules array survives parquet)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val robots = Seq(
+      ("a.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 2"),
+      ("b.example", "User-agent: graftbot\nDisallow: /\nUser-agent: *\nAllow: /"),
+      ("c.example", "User-agent: *\nDisallow: /tmp*.html$")
+    ).toDF("domain", "robots_txt")
+    val urls = Seq(
+      (1L, "http://a.example/private/ok/x"), (2L, "http://a.example/private/no"),
+      (3L, "http://b.example/anything"), (4L, "http://c.example/tmp1.html"),
+      (5L, "http://d.example/unlisted")).toDF("id", "url")
+    val fresh = graft.operators.UrlNormalize.robotsPolicy(
+      robots, "domain", "robots_txt", "graftbot")
+    val loaded = graft.operators.UrlNormalize.robotsPolicyPublished(
+      robots, root, "specRobots", "v0001", "domain", "robots_txt", "graftbot")
+    // parquet relaxes nullability on read; names + types must hold
+    assert(loaded.schema.map(f => (f.name, f.dataType.sql)) ==
+      fresh.schema.map(f => (f.name, f.dataType.sql)),
+      "rules array type preserved")
+    assert(sortedRows(loaded) == sortedRows(fresh))
+    val gateFresh = graft.operators.UrlNormalize.robotsGateFromPolicy(
+      urls, "id", "url", fresh)
+    val gateLoaded = graft.operators.UrlNormalize.robotsGateFromPolicy(
+      urls, "id", "url", loaded)
+    assert(sortedRows(gateLoaded) == sortedRows(gateFresh))
+    // second call takes the load path
+    val again = graft.operators.UrlNormalize.robotsPolicyPublished(
+      robots, root, "specRobots", "v0001", "domain", "robots_txt", "graftbot")
+    assert(sortedRows(again) == sortedRows(fresh))
+  }
+
   test("registerTable: SQL consumers get the same snapshot through the catalog") {
     val root = freshRoot()
     val a = spark.range(4).select(col("id"), lit(9L).as("cell"))
