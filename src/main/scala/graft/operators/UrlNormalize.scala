@@ -359,6 +359,28 @@ object UrlNormalize {
         col("__win.rule_path").as("rule"))
   }
 
+  /** ZERO-STATE per-row form of the [[robotsGateFromPolicy]] verdict:
+    * `(allowed, rule)` columns computed from an already-joined
+    * `rules` array with scalar higher-order functions — `filter` the
+    * rule array by regex hit, `array_max` over
+    * `struct(specificity, allow, rule_path)` (struct ordering IS the
+    * longest-match-then-Allow tie-break the batch aggregate
+    * expresses as `max(when(hit, struct(...)))`). No explode, no
+    * aggregate, no exchange — which makes the verdict legal in an
+    * append-mode STREAM ([[graft.streaming.CrawlStream]]) and keeps
+    * it a scan-side projection in batch. NULL rules (domain without
+    * robots) and zero hits both fold to allowed per the RFC default. */
+  def robotsVerdictCols(pathCol: Column, rulesCol: Column): (Column, Column) = {
+    val hits = filter(rulesCol, r =>
+      regexp_like(pathCol, r.getField("rule_regex")))
+    val win = array_max(transform(hits, r => struct(
+      r.getField("specificity").as("specificity"),
+      r.getField("allow").cast("int").as("a"),
+      r.getField("rule_path").as("rule_path"))))
+    (coalesce(win.getField("a") === 1, lit(true)),
+      win.getField("rule_path"))
+  }
+
   /** Path+query of a URL (the RFC 9309 match target); empty → "/". */
   def pathOf(url: Column): Column = {
     val pq = regexp_replace(regexp_replace(url, "#.*$", ""),

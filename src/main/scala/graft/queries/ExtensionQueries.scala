@@ -15,6 +15,42 @@ object ExtensionQueries {
 
   val FrameEveryMs = 250
 
+  // ---- shared q149/q161 crawl fixture (one planting, two engines:
+  // the batch composition and the streaming ingest must answer the
+  // same closed-form oracle) ----
+
+  /** The planted page for `doc_id`/`text` rows — q136's shape with
+    * the WHATWG numeric-entity segment. */
+  private def crawlPageHtml: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><script>if (a<b) { track(\"</div>\"); }</script></head>"),
+      lit("<body><!-- c --><h1 title=\"a > b\">Heading &amp; "), id,
+      lit("</h1>\n<p>"), col("text"),
+      lit("</p><p>don&#146;t&#x2014;ok &amp;#39;</p>"),
+      lit("<div>tail &lt;"), id, lit("&gt;</div></body></html>"))
+  }
+
+  /** Per-domain robots corpus: site3 disallows /page (kills every
+    * planted URL), even sites publish Crawl-delay h+1. */
+  private def crawlRobots(d: DataFrame): DataFrame =
+    d.select(pmod(col("doc_id"), lit(7)).as("h")).distinct()
+      .select(
+        concat(lit("site"), col("h").cast("string"), lit(".example"))
+          .as("domain"),
+        concat(lit("User-agent: *\nDisallow: /private\n"),
+          when(col("h") === 3, lit("Disallow: /page\n"))
+            .otherwise(lit("")),
+          when(col("h") % 2 === 0,
+            concat(lit("Crawl-delay: "), (col("h") + 1).cast("string"),
+              lit("\n"))).otherwise(lit(""))).as("robots_txt"))
+
+  private def crawlBlocklist(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("site5.example", "ads")).toDF("domain", "category")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // WARC length-framed record walk (sources/Warc): one file per doc
@@ -107,14 +143,6 @@ object ExtensionQueries {
     // closed-form survivors.
     "q149_crawl_gate" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val id = col("doc_id").cast("string")
-      val page = concat(
-        lit("<html><head><title>Doc "), id,
-        lit("</title><script>if (a<b) { track(\"</div>\"); }</script></head>"),
-        lit("<body><!-- c --><h1 title=\"a > b\">Heading &amp; "), id,
-        lit("</h1>\n<p>"), col("text"),
-        lit("</p><p>don&#146;t&#x2014;ok &amp;#39;</p>"),
-        lit("<div>tail &lt;"), id, lit("&gt;</div></body></html>"))
       // ONE WARC synth+walk: barrier the full record frame — the
       // gates' semi-joins AND the survivor payload path all read the
       // checkpoint (round 11 barriered only the skinny url frame, so
@@ -124,37 +152,23 @@ object ExtensionQueries {
       // fixture synthesis exactly once.
       val recs = graft.sources.Warc.records(
           graft.sources.Warc.synthesizeWarc(
-            d.select(col("doc_id"), page.as("text"))))
+            d.select(col("doc_id"), crawlPageHtml.as("text"))))
         .filter(col("rec_type") === "response")
         .select(col("file_id"), col("target_uri").as("url"),
           col("payload"))
         .localCheckpoint()
       // both gates consume only (id, url) off the checkpointed frame
       val urls = recs.select("file_id", "url")
-      val robots = d.select(pmod(col("doc_id"), lit(7)).as("h")).distinct()
-        .select(
-          concat(lit("site"), col("h").cast("string"), lit(".example"))
-            .as("domain"),
-          concat(lit("User-agent: *\nDisallow: /private\n"),
-            when(col("h") === 3, lit("Disallow: /page\n"))
-              .otherwise(lit("")),
-            when(col("h") % 2 === 0,
-              concat(lit("Crawl-delay: "), (col("h") + 1).cast("string"),
-                lit("\n"))).otherwise(lit(""))).as("robots_txt"))
-      val blocklist = {
-        import s.implicits._
-        Seq(("site5.example", "ads")).toDF("domain", "category")
-      }
       // ONE robots parse: the checkpointed per-domain policy frame
       // feeds both the verdict gate and the scheduler-delay join
       val policy = graft.operators.UrlNormalize
-        .robotsPolicy(robots, "domain", "robots_txt", "graftbot")
+        .robotsPolicy(crawlRobots(d), "domain", "robots_txt", "graftbot")
         .localCheckpoint()
       val robotsOk = graft.operators.UrlNormalize
         .robotsGateFromPolicy(urls, "file_id", "url", policy)
         .filter(col("allowed")).select("file_id")
       val catOk = graft.operators.UrlNormalize
-        .categoryGate(urls, "file_id", "url", blocklist)
+        .categoryGate(urls, "file_id", "url", crawlBlocklist(s))
         .filter(col("keep")).select("file_id")
       recs
         .join(robotsOk, Seq("file_id"), "left_semi")
@@ -166,6 +180,30 @@ object ExtensionQueries {
         .join(broadcast(policy.select(col("domain").as("__dom"),
           col("crawl_delay"))), Seq("__dom"), "left")
         .drop("__dom")
+    }),
+
+    // q149 AS A STREAM (streaming/CrawlStream): the same planted WARC
+    // segments arrive through a file-source stream (8 parquet files,
+    // 2 per micro-batch — a genuinely multi-batch drain), the robots
+    // policy and blocklist ride as static broadcast frames, and every
+    // gate rung is a per-row projection or stream-static broadcast
+    // join — zero state, no watermark, task memory independent of
+    // crawl history. Answers q149's batch oracle VERBATIM (the q157
+    // stream≡batch discipline); StreamingSinkSpec adds the
+    // late-segment two-drain checkpoint case.
+    "q161_stream_crawl" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val warcDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_warc_" + Integer.toHexString(dir.hashCode)).toString
+      graft.sources.Warc.synthesizeWarc(
+          d.select(col("doc_id"), crawlPageHtml.as("text")))
+        .repartition(8).write.mode("overwrite").parquet(warcDir)
+      val policy = graft.operators.UrlNormalize
+        .robotsPolicy(crawlRobots(d), "domain", "robots_txt", "graftbot")
+        .localCheckpoint()
+      graft.streaming.CrawlStream.drainGated(s, warcDir, policy,
+        crawlBlocklist(s), maxFilesPerTrigger = Some(2))
     }),
 
     // mapPartitions batched "decode" over binary media columns.
@@ -420,6 +458,19 @@ object ExtensionQueries {
     // q139 extraction form, the synthesizer's target URI, and the
     // planted Crawl-delay (h+1 on even sites, NULL elsewhere)
     "q149_crawl_gate" ->
+      """SELECT doc_id AS file_id,
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+        |    AS url,
+        |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
+        |  ' tail <' || doc_id || '>' AS clean_text,
+        |  CASE WHEN (doc_id % 7) % 2 = 0
+        |    THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
+        |FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)""".stripMargin,
+    // the stream must answer the BATCH gate's oracle verbatim — same
+    // closed form as q149 (the q157 stream≡batch discipline)
+    "q161_stream_crawl" ->
       """SELECT doc_id AS file_id,
         |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
         |    AS url,

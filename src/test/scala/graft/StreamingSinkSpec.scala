@@ -211,4 +211,68 @@ class StreamingSinkSpec extends SparkTestBase {
     // the 12:00 window never closes under the final watermark (11:30)
     assert(emitted == Map("10:00" -> 1L))
   }
+
+  test("streaming crawl ingest: multi-batch drain equals batch gate; late WARC " +
+      "segments picked up by a checkpoint resume exactly once") {
+    import spark.implicits._
+    import graft.streaming.CrawlStream
+    val warcDir = tmp("graft_crawl_warc")
+    val out = tmp("graft_crawl_out")
+    val ckpt = tmp("graft_crawl_ckpt")
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val robots = Seq(
+      ("site3.example", "User-agent: *\nDisallow: /page\n"),
+      ("site0.example", "User-agent: *\nCrawl-delay: 5\n")
+    ).toDF("domain", "robots_txt")
+    val policy = graft.operators.UrlNormalize
+      .robotsPolicy(robots, "domain", "robots_txt", "graftbot")
+      .localCheckpoint()
+    val blocklist = Seq(("site5.example", "ads")).toDF("domain", "category")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val wave1 = d.filter(col("doc_id") % 2 === 0)
+    val wave2 = d.filter(col("doc_id") % 2 =!= 0)
+    graft.sources.Warc.synthesizeWarc(wave1)
+      .repartition(2).write.mode("append").parquet(warcDir)
+    def drain(): Unit = {
+      val files = spark.readStream
+        .schema("file_id BIGINT, content BINARY")
+        .option("maxFilesPerTrigger", 1).parquet(warcDir)
+      val q = CrawlStream.gatedRecords(files, policy, blocklist)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // drain 1 (2 files, 1 per trigger -> 2 micro-batches): the stream
+    // answers the BATCH transform over the same files verbatim
+    drain()
+    val batchWave1 = CrawlStream.gatedRecords(
+      graft.sources.Warc.synthesizeWarc(wave1), policy, blocklist)
+    assert(rows(spark.read.parquet(out)) == rows(batchWave1))
+    assert(batchWave1.count() > 0, "fixture must keep some survivors")
+    // late segments arrive AFTER the first drain; the checkpoint
+    // resume processes only them -- union equals the full batch, no
+    // wave-1 record duplicated
+    graft.sources.Warc.synthesizeWarc(wave2)
+      .repartition(2).write.mode("append").parquet(warcDir)
+    drain()
+    val batchAll = CrawlStream.gatedRecords(
+      graft.sources.Warc.synthesizeWarc(d), policy, blocklist)
+    val got = spark.read.parquet(out)
+    assert(rows(got) == rows(batchAll))
+    assert(got.count() == got.select("file_id").distinct().count(),
+      "no record may be emitted twice across the two drains")
+    // gates actually fired: site3 (robots) and site5 (category) absent
+    val hosts = got.select(
+        graft.operators.UrlNormalize.hostOf(col("url")).as("h"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(!hosts.contains("site3.example") && !hosts.contains("site5.example"))
+    // and the static policy's delay rode through on site0
+    assert(got.filter(col("crawl_delay") === 5.0).count() > 0)
+  }
+
 }
