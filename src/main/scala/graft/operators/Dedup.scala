@@ -980,14 +980,22 @@ object Dedup {
         .as("g"))
       .distinct())
     val perDoc = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_g"))
-    val filtered = barrier(shingles.join(
-      shingles.groupBy("g").agg(count(lit(1)).as("df_g"))
-        .filter(col("df_g") <= maxDocFreq).select("g"),
-      Seq("g"))
+    // the df aggregate doubles as a DICTIONARY (the q144 trick,
+    // round-13): surviving grams get an injective 8-byte id behind a
+    // barrier (per-execution injectivity is the guarantee — two plan
+    // branches recomputing monotonically_increasing_id under
+    // different layouts could disagree), so the barrier blocks, the
+    // pair shuffle, and the join hashing all carry longs — the
+    // ~20-byte gram strings never enter a wide stage
+    val dict = barrier(shingles.groupBy("g").agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") <= maxDocFreq)
+      .select(col("g"), monotonically_increasing_id().as("gid")))
+    val filtered = barrier(shingles.join(dict, Seq("g"))
+      .select(col(idCol), col("gid"))
       .join(perDoc, Seq(idCol)))
-    val a = filtered.select(col(idCol).as("id_a"), col("n_g").as("n_a"), col("g"))
-    val b = filtered.select(col(idCol).as("id_b"), col("n_g").as("n_b"), col("g"))
-    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+    val a = filtered.select(col(idCol).as("id_a"), col("n_g").as("n_a"), col("gid"))
+    val b = filtered.select(col(idCol).as("id_b"), col("n_g").as("n_b"), col("gid"))
+    a.join(b, Seq("gid")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("shared"))
       .select(col("id_a"), col("id_b"),
         round(col("shared").cast("double") /
