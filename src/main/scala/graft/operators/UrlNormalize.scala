@@ -334,29 +334,30 @@ object UrlNormalize {
     * [[robotsPolicy]] frame — so a pipeline consuming the policy for
     * BOTH the gate and the scheduler delay parses the robots corpus
     * once. Semantics and output are identical to [[robotsGate]]:
-    * the per-domain rule array explodes AFTER the domain join (the
-    * same small constant fan-out as joining the rule table directly),
     * longest-octet-match wins, Allow beats Disallow on a tie, no
-    * rule / no policy → allowed. */
+    * rule / no policy → allowed.
+    *
+    * Round-13 reshape: the verdict is the per-row
+    * [[robotsVerdictCols]] projection over the joined rule array —
+    * the former explode_outer + groupBy/max pair re-keyed and
+    * re-shuffled the URL corpus per verdict; now the only exchange
+    * is the domain join itself (broadcast when the policy is small,
+    * which a per-domain policy always is next to a URL corpus), and
+    * the row count never fans out. Same reshape that makes the gate
+    * legal in the append-mode stream ([[graft.streaming
+    * .CrawlStream]]) — batch and stream share ONE verdict code path. */
   def robotsGateFromPolicy(urls: DataFrame, idCol: String, urlCol: String,
                            policy: DataFrame,
                            domainCol: String = "domain"): DataFrame = {
     val withDom = urls.select(col(idCol), col(urlCol),
       hostOf(col(urlCol)).as("__dom"), pathOf(col(urlCol)).as("__path"))
+    val (allowed, rule) =
+      robotsVerdictCols(col("__path"), col("rules"))
     withDom
       .join(policy.select(col(domainCol).as("__dom"), col("rules")),
         Seq("__dom"), "left")
-      .select(col(idCol), col(urlCol), col("__path"),
-        explode_outer(col("rules")).as("__rule"))
-      .withColumn("__hit", col("__rule").isNotNull &&
-        regexp_like(col("__path"), col("__rule.rule_regex")))
-      .groupBy(col(idCol), col(urlCol))
-      .agg(max(when(col("__hit"), struct(col("__rule.specificity"),
-        col("__rule.allow").cast("int").as("a"),
-        col("__rule.rule_path")))).as("__win"))
       .select(col(idCol), col(urlCol),
-        coalesce(col("__win.a") === 1, lit(true)).as("allowed"),
-        col("__win.rule_path").as("rule"))
+        allowed.as("allowed"), rule.as("rule"))
   }
 
   /** ZERO-STATE per-row form of the [[robotsGateFromPolicy]] verdict:
