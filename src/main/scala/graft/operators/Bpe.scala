@@ -40,7 +40,7 @@ object Bpe {
         col("wcount"))
 
   /** Adjacent token pairs of `seq`, weighted by word count. */
-  private def pairCounts(words: DataFrame): DataFrame =
+  private[operators] def pairCounts(words: DataFrame): DataFrame =
     words.select(col("wcount"), split(col("seq"), " ").as("ws"))
       .select(col("wcount"), explode(expr(
         """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
@@ -65,7 +65,7 @@ object Bpe {
     * (`aaaa`). A run-exact variant would need a fixpoint replace loop
     * on both engines; the divergence only affects repeated-token runs
     * and is accepted for the single-pass cost model. */
-  private def applyMerge(seq: Column, pair: Column, merged: Column): Column =
+  private[operators] def applyMerge(seq: Column, pair: Column, merged: Column): Column =
     trim(call_function("replace",
       concat(lit(" "), seq, lit(" ")),
       concat(lit(" "), pair, lit(" ")),

@@ -1165,6 +1165,32 @@ object PipelineQueries {
           maxPieceLen = 4, seedTop = UnigramSeedTop,
           keepMulti = UnigramKeepMulti, iters = UnigramIters),
         maxPieceLen = 4)
+    }),
+
+    // WordPiece merge learning (WordPiece.train) — the THIRD tokenizer
+    // family: BPE's merge chain re-priced by the likelihood-gain
+    // criterion cnt(pair)/(cnt(l)*cnt(r)), one extra vocab-sized
+    // token-count aggregate per round. The score is a single IEEE
+    // division of exact integers, so the merge choice and the output
+    // column are bit-identical across engines with NO rounding
+    // firewall — the one tokenizer whose floats need no round()
+    "q163_wordpiece_train" -> ((s, dir) =>
+      graft.operators.WordPiece.train(docs(s, dir), "text",
+        BpeMerges, BpeMinPair)),
+
+    // tokenize with the trained WordPiece vocabulary
+    // (WordPiece.encode): greedy longest-match-first (BERT max-match)
+    // over the DISTINCT merged pieces — NOT a merge-chain replay; the
+    // vocab broadcasts as a set and one pass over distinct words
+    // assigns token counts. Same OOV plant as q123/q160: an unknown
+    // character never matches a piece and advances one position for
+    // one token, so encode is total on any corpus
+    "q164_wordpiece_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.WordPiece.encode(
+        d.withColumn("text", concat(col("text"), lit(OovPlant))),
+        "doc_id", "text",
+        graft.operators.WordPiece.train(d, "text", BpeMerges, BpeMinPair))
     })
   )
 
@@ -2376,6 +2402,13 @@ object PipelineQueries {
       "documents", "doc_id", "text", maxPieceLen = 4,
       seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
       iters = UnigramIters, maxWordLen = 8,
+      encodeTable =
+        s"(SELECT doc_id, text || '$OovPlant' AS text FROM documents)"),
+    "q163_wordpiece_train" -> graft.operators.WordPiece.trainSql(
+      "documents", "text", BpeMerges, BpeMinPair),
+    "q164_wordpiece_encode" -> graft.operators.WordPiece.encodeSql(
+      "documents", "doc_id", "text", BpeMerges, BpeMinPair,
+      maxWordLen = 8,
       encodeTable =
         s"(SELECT doc_id, text || '$OovPlant' AS text FROM documents)")
   )
