@@ -110,6 +110,30 @@ object UnigramLm {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** [[UnkScore]] in integer micro-nats — the unit [[docScore]] sums
+    * in. Exactly `UnkScore * 1e6`. */
+  private[graft] val UnkMicros: Long = -1000000000000L
+
+  /** Per-piece score table of a trained vocabulary, in BOTH
+    * representations: the 6-dp-rounded double the Viterbi DP sums
+    * (the [[encode]] contract) and the SAME decimal as exact integer
+    * micro-nats (score × 1e6 — representable exactly because the
+    * decimal has 6 places). Integer micro-nats make every downstream
+    * SUM order-independent and bit-exact across engines — the
+    * [[docScore]] determinism story. */
+  private def scoreTables(rows: Array[(String, Long)])
+      : (Map[String, Double], Map[String, Long]) = {
+    val total = rows.map(_._2).sum.toDouble
+    val decs = rows.map { case (pc, c) =>
+      pc -> BigDecimal(math.log(c.toDouble) - math.log(total))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    (decs.map { case (pc, d) => pc -> d.toDouble }.toMap,
+      decs.map { case (pc, d) =>
+        pc -> d.underlying.movePointRight(6).longValueExact()
+      }.toMap)
+  }
+
   /** Train: returns the final vocabulary as (piece, cnt, token_id),
     * ranked by (cnt DESC, piece ASC) — [[TextAnalysis.buildVocab]]'s
     * output shape, so the artifact drops into the same consumers. */
@@ -363,10 +387,7 @@ object UnigramLm {
     import spark.implicits._
     val rows = vocab.select(col("piece"), col("cnt"))
       .as[(String, Long)].collect() // model-sized by the train contract
-    val total = rows.map(_._2).sum.toDouble
-    val scores: Map[String, Double] = rows.map { case (pc, c) =>
-      pc -> round6(math.log(c.toDouble) - math.log(total))
-    }.toMap
+    val (scores, _) = scoreTables(rows)
     val bc = spark.sparkContext.broadcast(scores)
     val p = maxPieceLen
     val perWord = wordCounts(df, textCol).as[(String, Long)]
@@ -379,5 +400,123 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("__ntok")).as("n_tokens"))
+  }
+
+  /** Cross-session form of [[train]]: load the published vocabulary
+    * for `(corpusKey, version)` if it exists, else train and publish
+    * ([[Bpe.trainPublished]]'s lifecycle, kind `unigram_vocab`). */
+  def trainPublished(df: DataFrame, root: String, corpusKey: String,
+                     version: String, textCol: String,
+                     maxPieceLen: Int = 4, seedTop: Int = 40,
+                     keepMulti: Int = 16, iters: Int = 2): DataFrame = {
+    import graft.sources.ArtifactStore
+    val spark = df.sparkSession
+    if (ArtifactStore.exists(spark, root, "unigram_vocab", corpusKey, version))
+      ArtifactStore.load(spark, root, "unigram_vocab", corpusKey, version)
+    else {
+      val v = train(df, textCol, maxPieceLen, seedTop, keepMulti, iters)
+      ArtifactStore.save(v, root, "unigram_vocab", corpusKey, version)
+      ArtifactStore.load(spark, root, "unigram_vocab", corpusKey, version)
+    }
+  }
+
+  /** Per-document log-probability under a trained vocabulary — the
+    * CCNet-style LM quality signal (Wenzek et al. LREC'20 §4.3)
+    * computed from a PUBLISHED model instead of the corpus's own
+    * counts (contrast [[TextAnalysis.ngramLmScore]]): segment each
+    * word with the same Viterbi pass [[encode]] runs, then sum the
+    * chosen pieces' scores in integer MICRO-NATS (score × 1e6 — exact
+    * because scores carry 6 decimals), so the per-word and per-doc
+    * sums are order-independent integer arithmetic, bit-identical in
+    * any engine and under any partitioning — no float-summation
+    * firewall needed. OOV characters cost [[UnkMicros]] each (the
+    * [[encode]] UNK contract), so scoring is total on any corpus and
+    * heavily OOV documents sink to the tail, which is exactly the
+    * filter semantics. Returns (idCol, n_words, n_tokens, lp_micros).
+    *
+    * Scale shape: [[encode]]'s — one broadcast-scored Viterbi pass
+    * over DISTINCT words, per-doc aggregate at scan throughput; rank
+    * the output with [[Relational.globalRowNumber]] for CCNet
+    * head/middle/tail terciles without a single-partition sort. */
+  def docScore(df: DataFrame, idCol: String, textCol: String,
+               vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = vocab.select(col("piece"), col("cnt"))
+      .as[(String, Long)].collect() // model-sized by the train contract
+    val (scores, micros) = scoreTables(rows)
+    val bc = spark.sparkContext.broadcast((scores, micros))
+    val p = maxPieceLen
+    val perWord = wordCounts(df, textCol).as[(String, Long)]
+      .mapPartitions { it =>
+        val (sc, mi) = bc.value
+        it.map { case (w, _) =>
+          val pieces = viterbi(w, sc, p)
+          var lpm = 0L
+          pieces.foreach(pc => lpm += mi.getOrElse(pc, UnkMicros))
+          (w, pieces.length, lpm)
+        }
+      }.toDF("word", "__ntok", "__lpm")
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(perWord, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__lpm")).as("lp_micros"))
+  }
+
+  /** Oracle twin of [[train]] + [[docScore]] + CCNet tercile ranking
+    * composed: the [[encodeSql]] chain up through the final Viterbi
+    * pass, then per-piece scores converted to integer micro-nats
+    * (`round(sc * 1e6, 0)` of the ALREADY-6-dp-rounded score — exact,
+    * the product sits within 5e-10 of an integer), UNK pieces at
+    * [[UnkMicros]], integer per-word and per-doc sums, and the
+    * q140-style global-rank integer tercile (no float quantile
+    * threshold to straddle engines). */
+  def docScoreSql(table: String, idExpr: String, textExpr: String,
+                  maxPieceLen: Int = 4, seedTop: Int = 40,
+                  keepMulti: Int = 16, iters: Int = 2,
+                  maxWordLen: Int = 8, encodeTable: String = ""): String = {
+    val et = if (encodeTable.isEmpty) table else encodeTable
+    val p = maxPieceLen
+    val train = trainSql(table, textExpr, maxPieceLen, seedTop,
+      keepMulti, iters, maxWordLen)
+    val ctes = train.substring(0, train.lastIndexOf("\nSELECT piece, cnt,"))
+    s"""$ctes,
+       |ewords AS MATERIALIZED (SELECT word, count(*) AS wcount
+       |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $et)
+       |  WHERE word <> '' GROUP BY word),
+       |eguard AS (SELECT CASE WHEN max(len(word)) > $maxWordLen THEN
+       |    error('unigram oracle: score corpus word exceeds maxWordLen=$maxWordLen')
+       |  ELSE 1 END AS ok FROM ewords),
+       |epos AS (SELECT word, unnest(generate_series(1, len(word))) AS i
+       |  FROM ewords),
+       |eij AS MATERIALIZED (SELECT word, i,
+       |    unnest(generate_series(greatest(0, i - $p), i - 1)) AS j
+       |  FROM epos),
+       |${viterbiCtes("f", s"v_$iters", maxWordLen, "ewords", "eij", unk = true)},
+       |scm AS MATERIALIZED (SELECT piece,
+       |    CAST(round(sc * 1000000.0, 0) AS BIGINT) AS scm FROM sc_f),
+       |wlp AS MATERIALIZED (SELECT u.word,
+       |    CAST(count(*) AS INTEGER) AS ntok,
+       |    CAST(sum(coalesce(s.scm, $UnkMicros)) AS BIGINT) AS lpm
+       |  FROM use_f u LEFT JOIN scm s ON s.piece = u.piece
+       |  GROUP BY u.word),
+       |dw AS (SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
+       |       FROM $et),
+       |d AS MATERIALIZED (SELECT id AS doc_id, count(*) AS n_words,
+       |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(lpm) AS BIGINT) AS lp_micros
+       |  FROM dw JOIN wlp USING (word)
+       |  CROSS JOIN wguard CROSS JOIN eguard
+       |  WHERE word <> '' GROUP BY id),
+       |r AS (SELECT *, CAST(lp_micros AS DOUBLE) / n_tokens AS avg_lp FROM d),
+       |rr AS (SELECT *, row_number() OVER (ORDER BY avg_lp, doc_id) AS rn,
+       |    count(*) OVER () AS n FROM r)
+       |SELECT doc_id, n_words, n_tokens, lp_micros, avg_lp,
+       |  CASE ((rn - 1) * 3) // n WHEN 0 THEN 'tail'
+       |    WHEN 1 THEN 'middle' ELSE 'head' END AS bucket
+       |FROM rr""".stripMargin
   }
 }

@@ -1191,6 +1191,42 @@ object PipelineQueries {
         d.withColumn("text", concat(col("text"), lit(OovPlant))),
         "doc_id", "text",
         graft.operators.WordPiece.train(d, "text", BpeMerges, BpeMinPair))
+    }),
+
+    // CCNet perplexity filtering from a PUBLISHED language model
+    // (UnigramLm.docScore, Wenzek et al. LREC'20 §4.3): q140 scores
+    // docs with the corpus's OWN bigram counts; this is the production
+    // form — the LM is a versioned artifact (train → publish → load
+    // through the pruned scan → score), the shape a months-long
+    // pipeline reuses across crawls. Per-doc log-prob sums run in
+    // integer MICRO-NATS (piece score × 1e6, exact at 6 dp), so the
+    // result is bit-identical under any partitioning with no
+    // float-summation firewall; OOV words sink to the tail (the
+    // planted OOV docs are exactly the filter's target). Terciles via
+    // the q140 global-rank integer arithmetic — no single-partition
+    // sort, no float quantile threshold
+    "q165_unigram_ppl" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = docs(s, dir)
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_artifacts").toString
+      val vocab = graft.operators.UnigramLm.train(d, "text",
+        maxPieceLen = 4, seedTop = UnigramSeedTop,
+        keepMulti = UnigramKeepMulti, iters = UnigramIters)
+      ArtifactStore.save(vocab, root, "unigram_vocab", dir, "v0001")
+      val loaded = ArtifactStore.load(s, root, "unigram_vocab", dir, "v0001")
+      val scored = graft.operators.UnigramLm.docScore(
+        d.withColumn("text", concat(col("text"), lit(OovPlant))),
+        "doc_id", "text", loaded, maxPieceLen = 4)
+        .withColumn("avg_lp",
+          col("lp_micros").cast("double") / col("n_tokens"))
+      val ranked = graft.operators.Relational.globalRowNumber(
+        scored, Seq("avg_lp", "doc_id"), "__rn")
+      ranked.crossJoin(broadcast(ranked.agg(max(col("__rn")).as("__n"))))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          col("lp_micros"), col("avg_lp"),
+          expr("CASE ((__rn - 1) * 3) div __n WHEN 0 THEN 'tail' " +
+            "WHEN 1 THEN 'middle' ELSE 'head' END").as("bucket"))
     })
   )
 
@@ -2409,6 +2445,12 @@ object PipelineQueries {
     "q164_wordpiece_encode" -> graft.operators.WordPiece.encodeSql(
       "documents", "doc_id", "text", BpeMerges, BpeMinPair,
       maxWordLen = 8,
+      encodeTable =
+        s"(SELECT doc_id, text || '$OovPlant' AS text FROM documents)"),
+    "q165_unigram_ppl" -> graft.operators.UnigramLm.docScoreSql(
+      "documents", "doc_id", "text", maxPieceLen = 4,
+      seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
+      iters = UnigramIters, maxWordLen = 8,
       encodeTable =
         s"(SELECT doc_id, text || '$OovPlant' AS text FROM documents)")
   )

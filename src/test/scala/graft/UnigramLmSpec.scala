@@ -108,6 +108,56 @@ class UnigramLmSpec extends SparkTestBase {
     assert(one.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 4L)))
   }
 
+  test("docScore: hand-derived integer micro-nat sums, OOV sinks to UnkMicros") {
+    import spark.implicits._
+    // vocab from 'ab ab b': ab:2, a:1, b:1; total 4.
+    // micros: ab = round(ln(0.5), 6)·1e6  = -693147
+    //         a = b = round(ln(0.25), 6)·1e6 = -1386294
+    val vocab = UnigramLm.train(Seq("ab ab b").toDF("text"), "text", 2, 10, 2, 1)
+    val got = UnigramLm.docScore(
+        Seq((1L, "ab ab b"), // 2·(-693147) + (-1386294) = -2772588, 3 toks
+            (2L, "az"))      // [a, z·UNK]: -1386294 - 1e12, 2 toks
+          .toDF("doc_id", "text"),
+        "doc_id", "text", vocab, maxPieceLen = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, -2772588L)),
+      2L -> ((1L, 2L, -1000001386294L))), s"$got")
+  }
+
+  test("docScore is partitioning-invariant (integer sums, no float association)") {
+    import spark.implicits._
+    val d = graft.core.Tables.load(spark, sfDir, "documents")
+    val vocab = UnigramLm.train(d, "text", 4, 40, 16, 2)
+    def run(parts: Int) = UnigramLm.docScore(
+        d.repartition(parts), "doc_id", "text", vocab, maxPieceLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(run(1) == run(13))
+  }
+
+  test("trainPublished: load-from-store equals train, second call loads") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("unigram_store").toString
+    val docs = Seq("ab ab b").toDF("text")
+    val direct = UnigramLm.train(docs, "text", 2, 10, 2, 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val published = UnigramLm.trainPublished(docs, root, "c1", "v0001",
+        "text", 2, 10, 2, 1)
+      .select("piece", "cnt", "token_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(published == direct)
+    // second call must hit the store (same result from the snapshot)
+    val again = UnigramLm.trainPublished(
+        Seq("completely different corpus").toDF("text"), // ignored: loads
+        root, "c1", "v0001", "text", 2, 10, 2, 1)
+      .select("piece", "cnt", "token_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == direct, "existing snapshot must short-circuit training")
+  }
+
   test("OOV contract: known pieces still win over UNK inside mixed words") {
     // viterbi('azb') must use piece scores for a and b, UNK only for z;
     // and a segmentation avoiding UNK always beats one using it
