@@ -563,6 +563,55 @@ object PipelineQueries {
       UrlNormalize.politenessSchedule(urls, "doc_id", "url", delays)
     }),
 
+    // q156 AS A LIVE FRONTIER (CrawlStream.politenessStream): URLs
+    // arrive in four pinned micro-batches (one file per trigger,
+    // arrival order fixed by the writeArrivalBatches mtime contract)
+    // and each host's next free slot SURVIVES across batches in
+    // flatMapGroupsWithState — 8 bytes of state per host, never the
+    // URLs. Slot order is (arrival batch, content-hash, id): the
+    // batch scheduler's order refined by arrival time, because slots
+    // already handed to a fetcher can never renumber. The oracle is
+    // the q156 window with the batch key prepended to its ORDER BY
+    "q166_stream_schedule" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val h = pmod(col("doc_id"), lit(20)).cast("string")
+      val v = pmod(col("doc_id"), lit(6))
+      val ids = col("doc_id").cast("string")
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://example"), h, lit(".com"),
+          when(v === 0, concat(lit("/q/"), ids))
+            .when(v === 1, concat(lit("/private/x"), ids))
+            .when(v === 2, concat(lit("/private/ok/"), ids))
+            .when(v === 3, concat(lit("/ok/"), ids))
+            .when(v === 4, concat(lit("/tmp"), ids, lit(".html")))
+            .otherwise(concat(lit("/q/ok/"), ids))).as("url"),
+        pmod(col("doc_id"), lit(4)).as("bseq"))
+      val arrivalDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_sched_" + Integer.toHexString(dir.hashCode)).toString
+      graft.streaming.CrawlStream.writeArrivalBatches(urls, "bseq", arrivalDir)
+      val robots = d.select(pmod(col("doc_id"), lit(20)).as("dnum"))
+        .distinct()
+        .select(
+          concat(lit("example"), col("dnum").cast("string"),
+            lit(".com")).as("domain"),
+          concat(
+            lit("User-agent: *\nDisallow: /private\n"),
+            when(pmod(col("dnum"), lit(7)) === 6, lit(""))
+              .otherwise(concat(lit("Crawl-delay: "),
+                (pmod(col("dnum"), lit(5)) + 1).cast("string"),
+                lit("\n"))),
+            when(pmod(col("dnum"), lit(5)) === 2,
+              lit("Crawl-delay: 10\nCrawl-delay: fast\n"))
+              .otherwise(lit("")),
+            when(pmod(col("dnum"), lit(4)) === 0,
+              lit("\nUser-agent: graftbot\nCrawl-delay: 0.5\n"))
+              .otherwise(lit(""))).as("robots_txt"))
+      val delays = UrlNormalize.crawlDelay(robots, "domain",
+        "robots_txt", "graftbot")
+      graft.streaming.CrawlStream.drainSchedule(s, arrivalDir, delays)
+    }),
+
     // one-parse robots POLICY (UrlNormalize.robotsPolicy): the q146
     // rule table AND the q152 Crawl-delay from a single parse of the
     // robots corpus — exploded flat so the driver can hash it. The
@@ -1955,6 +2004,36 @@ object PipelineQueries {
          |  FROM documents),
          |r AS (SELECT *, row_number() OVER (PARTITION BY host
          |    ORDER BY ($order) % 1000000, doc_id) - 1 AS slot
+         |  FROM u)
+         |SELECT doc_id, url, host, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN dn % 4 = 0 THEN 0.5
+         |    WHEN dn % 5 = 2 THEN 10.0
+         |    WHEN dn % 7 = 6 THEN 1.0
+         |    ELSE CAST(dn % 5 + 1 AS DOUBLE) END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
+    // the q156 window with the arrival-batch key (doc_id % 4)
+    // prepended: slots issued in earlier micro-batches outrank every
+    // later arrival within the host, the hash order breaks ties
+    // within a batch — the streaming scheduler's issued-slot contract
+    "q166_stream_schedule" -> {
+      val order = graft.functions.PortableHash
+        .hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH u AS (SELECT doc_id,
+         |    'https://example' || (doc_id % 20) || '.com' ||
+         |    CASE doc_id % 6
+         |      WHEN 0 THEN '/q/' || doc_id
+         |      WHEN 1 THEN '/private/x' || doc_id
+         |      WHEN 2 THEN '/private/ok/' || doc_id
+         |      WHEN 3 THEN '/ok/' || doc_id
+         |      WHEN 4 THEN '/tmp' || doc_id || '.html'
+         |      ELSE '/q/ok/' || doc_id END AS url,
+         |    'example' || (doc_id % 20) || '.com' AS host,
+         |    doc_id % 20 AS dn,
+         |    doc_id % 4 AS bseq
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY bseq, ($order) % 1000000, doc_id) - 1 AS slot
          |  FROM u)
          |SELECT doc_id, url, host, CAST(slot AS INTEGER) AS slot_idx,
          |  round(slot * (CASE WHEN dn % 4 = 0 THEN 0.5

@@ -96,4 +96,113 @@ object CrawlStream {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** STREAMING politeness scheduler — the stateful rung
+    * [[UrlNormalize.politenessSchedule]] can't express: a live
+    * frontier discovers URLs in micro-batches, and each host's next
+    * free fetch slot must SURVIVE across batches (a fetcher may
+    * already be executing the slots handed out last batch, so the
+    * scheduler can never renumber). Per-host state is ONE counter —
+    * `flatMapGroupsWithState` keyed by host assigns each arriving
+    * URL `slot_idx = counter + its rank within the batch`, ranked by
+    * the same deterministic content-hash order the batch scheduler
+    * uses, then advances the counter.
+    *
+    * Slot order is therefore (arrival batch, hash-bucket, id) — the
+    * batch operator's order refined by arrival time, which IS the
+    * streaming semantics: the future cannot outrank slots already
+    * issued. With a deterministic batch composition (the
+    * [[writeArrivalBatches]] fixture contract) the whole schedule has
+    * a closed-form batch oracle: one window ranked by
+    * (batch, hash, id).
+    *
+    * Scale shape: state is 8 bytes per host (the counter), NOT the
+    * URLs — task residency is one micro-batch's rows for the hosts in
+    * it, independent of frontier history (the q157 funnel-kernel
+    * property). The delay table rides a stream-static broadcast join
+    * BEFORE the stateful op, so the state function is pure counter
+    * arithmetic. Input: a streaming frame with `idCol`/`urlCol`.
+    * Output: (doc_id, url, host, slot_idx, fetch_at_s). */
+  def politenessStream(urls: DataFrame, idCol: String, urlCol: String,
+                       delays: DataFrame, domainCol: String = "domain",
+                       delayCol: String = "crawl_delay",
+                       defaultDelaySecs: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val keyed = urls.select(
+        col(idCol).cast("long").as("id"), col(urlCol).as("url"),
+        UrlNormalize.hostOf(col(urlCol)).as("host"),
+        pmod(graft.functions.PortableHash.hash60(col(idCol).cast("string")),
+          lit(1000000)).as("ord"))
+      .join(broadcast(delays.select(col(domainCol).as("host"),
+        col(delayCol).cast("double").as("__d"))), Seq("host"), "left")
+      .select(col("id"), col("url"), col("host"), col("ord"),
+        coalesce(col("__d"), lit(defaultDelaySecs)).as("delay"))
+      .as[(Long, String, String, Long, Double)]
+    keyed.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (host: String, it: Iterator[(Long, String, String, Long, Double)],
+         st: GroupState[Long]) => {
+          val start = st.getOption.getOrElse(0L)
+          // batch-group-sized, bounded by one micro-batch's arrivals
+          // for this host — never the frontier history
+          val batch = it.toArray.sortBy(r => (r._4, r._1))
+          st.update(start + batch.length)
+          batch.iterator.zipWithIndex.map { case (r, k) =>
+            (r._1, r._2, host, (start + k).toInt, (start + k) * r._5)
+          }
+        })
+      .toDF("doc_id", "url", "host", "slot_idx", "__raw")
+      .withColumn("fetch_at_s", round(col("__raw"), 6)).drop("__raw")
+  }
+
+  /** Deterministic-arrival fixture writer: split `df` by `bseqCol`
+    * (ascending batch sequence), write each batch as ONE parquet file
+    * named `batch_<k>.parquet` directly in `dir`, and stamp strictly
+    * increasing modification times (60 s apart) so the file stream
+    * source's timestamp order — hence the micro-batch composition
+    * under `maxFilesPerTrigger = 1` — is pinned. Returns the batch
+    * count. Fixture plumbing (driver-side loop over the HANDFUL of
+    * batches, not corpus rows). */
+  def writeArrivalBatches(df: DataFrame, bseqCol: String,
+                          dir: String): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(dir)
+    if (Files.exists(target)) { // overwrite: stale files would replay
+      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(target)
+    val bs = df.select(col(bseqCol)).distinct()
+      .collect().map(_.getLong(0)).sorted // a handful of batches
+    val base = 1700000000000L // fixed epoch: mtimes must be reproducible
+    bs.zipWithIndex.foreach { case (b, k) =>
+      val staging = Files.createTempDirectory("graft_arrival").toString
+      df.filter(col(bseqCol) === b).drop(bseqCol)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+        .filter(p => p.contains("part-") && p.endsWith(".parquet")).head
+      val dest = target.resolve(f"batch_$k%04d.parquet")
+      Files.move(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(base + k * 60000L)
+    }
+    bs.length
+  }
+
+  /** Drain a [[writeArrivalBatches]] directory through
+    * [[politenessStream]] one file per trigger (the pinned arrival
+    * order) into a memory sink; returns the accumulated schedule. */
+  def drainSchedule(spark: SparkSession, dir: String, delays: DataFrame,
+                    defaultDelaySecs: Double = 1.0,
+                    queryName: String = "graft_stream_schedule"): DataFrame = {
+    val in = spark.readStream.schema("doc_id BIGINT, url STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = politenessStream(in, "doc_id", "url", delays,
+      defaultDelaySecs = defaultDelaySecs)
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

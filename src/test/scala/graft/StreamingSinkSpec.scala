@@ -275,4 +275,47 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(got.filter(col("crawl_delay") === 5.0).count() > 0)
   }
 
+  test("streaming politeness scheduler: slots survive across micro-batches, " +
+    "arrival outranks hash, delays ride the static join") {
+    import spark.implicits._
+    import graft.streaming.CrawlStream
+    // two hosts, two arrival batches. Host a.com gets ids 1,2 in batch
+    // 0 and 3 in batch 1; b.com gets 9 in batch 0 and 10,11 in batch 1.
+    val urls = Seq(
+      (1L, "https://a.com/x1", 0L), (2L, "https://a.com/x2", 0L),
+      (9L, "https://b.com/y9", 0L),
+      (3L, "https://a.com/x3", 1L),
+      (10L, "https://b.com/y10", 1L), (11L, "https://b.com/y11", 1L)
+    ).toDF("doc_id", "url", "bseq")
+    val dir = tmp("sched_arrivals")
+    assert(CrawlStream.writeArrivalBatches(urls, "bseq", dir) == 2)
+    val delays = Seq(("a.com", 2.0)).toDF("domain", "crawl_delay")
+    val got = CrawlStream.drainSchedule(spark, dir, delays,
+        defaultDelaySecs = 1.0, queryName = "sched_spec")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    // within a batch the hash order ranks; ACROSS batches the earlier
+    // batch always outranks — id 3 lands at slot 2 no matter its hash
+    assert(got(3L)._2 == 2, s"batch-1 arrival must follow batch-0 slots: $got")
+    assert(Set(got(1L)._2, got(2L)._2) == Set(0, 1), s"$got")
+    assert(got(9L)._2 == 0 && Set(got(10L)._2, got(11L)._2) == Set(1, 2))
+    // fetch_at_s = slot * delay; a.com published 2.0, b.com defaults 1.0
+    got.foreach { case (_, (host, slot, at)) =>
+      val d = if (host == "a.com") 2.0 else 1.0
+      assert(at == slot * d, s"$host slot $slot at $at")
+    }
+    // the stream answers the closed-form batch window: rank by
+    // (bseq, hash, id) within host
+    val order = pmod(graft.functions.PortableHash
+      .hash60(col("doc_id").cast("string")), lit(1000000))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("bseq"), order, col("doc_id"))
+    val oracle = urls
+      .withColumn("host", graft.operators.UrlNormalize.hostOf(col("url")))
+      .withColumn("slot", row_number().over(w) - 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("slot")).toMap
+    assert(got.map { case (id, (_, s, _)) => id -> s } == oracle)
+  }
+
 }
