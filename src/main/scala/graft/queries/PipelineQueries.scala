@@ -1276,6 +1276,36 @@ object PipelineQueries {
           col("lp_micros"), col("avg_lp"),
           expr("CASE ((__rn - 1) * 3) div __n WHEN 0 THEN 'tail' " +
             "WHEN 1 THEN 'middle' ELSE 'head' END").as("bucket"))
+    }),
+
+    // tokenizer FERTILITY comparison — the decision query a pipeline
+    // runs before committing to a tokenizer family: train all three
+    // (BPE count-criterion, WordPiece likelihood-criterion, unigram-LM
+    // hard-EM) on the same corpus and measure tokens-per-word on the
+    // same OOV-planted encode corpus. One corpus-sized word-count
+    // aggregate per family; the three 5-row aggregates union. The
+    // oracle composes the three families' full DP chains as subqueries
+    "q167_tokenizer_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val enc = d.withColumn("text", concat(col("text"), lit(OovPlant)))
+      def fert(df: org.apache.spark.sql.DataFrame, fam: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("total_words"),
+            sum(col("n_tokens")).as("total_tokens"))
+          .select(lit(fam).as("family"), col("n_docs"),
+            col("total_words"), col("total_tokens"),
+            round(col("total_tokens").cast("double") / col("total_words"), 6)
+              .as("fertility"))
+      val bpe = graft.operators.Bpe.encode(enc, "doc_id", "text",
+        graft.operators.Bpe.train(d, "text", BpeMerges, BpeMinPair))
+      val uni = graft.operators.UnigramLm.encode(enc, "doc_id", "text",
+        graft.operators.UnigramLm.train(d, "text", maxPieceLen = 4,
+          seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
+          iters = UnigramIters), maxPieceLen = 4)
+      val wp = graft.operators.WordPiece.encode(enc, "doc_id", "text",
+        graft.operators.WordPiece.train(d, "text", BpeMerges, BpeMinPair))
+      fert(bpe, "bpe").unionByName(fert(uni, "unigram"))
+        .unionByName(fert(wp, "wordpiece"))
     })
   )
 
@@ -2531,6 +2561,28 @@ object PipelineQueries {
       seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
       iters = UnigramIters, maxWordLen = 8,
       encodeTable =
-        s"(SELECT doc_id, text || '$OovPlant' AS text FROM documents)")
+        s"(SELECT doc_id, text || '$OovPlant' AS text FROM documents)"),
+    "q167_tokenizer_fertility" -> {
+      val encT = s"(SELECT doc_id, text || '$OovPlant' AS text FROM documents)"
+      def fert(fam: String, sub: String): String =
+        s"""SELECT '$fam' AS family, count(*) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS total_words,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 6)
+           |    AS fertility
+           |FROM ($sub)""".stripMargin
+      Seq(
+        fert("bpe", graft.operators.Bpe.encodeSql(
+          "documents", "doc_id", "text", BpeMerges, BpeMinPair,
+          encodeTable = encT)),
+        fert("unigram", graft.operators.UnigramLm.encodeSql(
+          "documents", "doc_id", "text", maxPieceLen = 4,
+          seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
+          iters = UnigramIters, maxWordLen = 8, encodeTable = encT)),
+        fert("wordpiece", graft.operators.WordPiece.encodeSql(
+          "documents", "doc_id", "text", BpeMerges, BpeMinPair,
+          maxWordLen = 8, encodeTable = encT))
+      ).mkString("\nUNION ALL\n")
+    }
   )
 }

@@ -91,6 +91,25 @@ class WordPieceSpec extends SparkTestBase {
     assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 3L))
   }
 
+  test("trainPublished: load-from-store equals train, second call loads") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("wordpiece_store").toString
+    val docs = trainCorpus.toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("merge_rank", "pair", "merged", "cnt", "score").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    val direct = rows(WordPiece.train(docs, "text", 3, 2L))
+    val published = rows(WordPiece.trainPublished(docs, root, "c1", "v0001",
+      "text", 3, 2L))
+    assert(published == direct)
+    val again = rows(WordPiece.trainPublished(
+      Seq("other corpus entirely").toDF("text"), // ignored: loads
+      root, "c1", "v0001", "text", 3, 2L))
+    assert(again == direct, "existing snapshot must short-circuit training")
+  }
+
   test("encode is invariant to input partitioning") {
     import spark.implicits._
     val docs = (0 until 40).map(i => (i.toLong,
