@@ -469,6 +469,51 @@ object UrlNormalize {
           coalesce(col("__d"), lit(defaultDelaySecs)), 6).as("fetch_at_s"))
   }
 
+  /** Sitemap ingestion (sitemaps.org protocol v0.9) — the crawl
+    * front-end's third standard input next to robots.txt
+    * ([[robotsPolicy]]) and fetched WARC segments
+    * ([[graft.sources.Warc]]): a `<urlset>` document publishes the
+    * site's own URL inventory, the highest-precision frontier seed a
+    * crawler gets. One row per `<url>` entry:
+    * (domain, url, lastmod, priority) where
+    *  - `url` is the entity-DECODED `<loc>` (the protocol requires
+    *    XML-escaping `& < > ' "` in loc values — the same five the
+    *    [[graft.functions.HtmlEntityDecode]] named table carries),
+    *    whitespace-trimmed per spec;
+    *  - `lastmod` is the raw W3C datetime string, NULL when absent
+    *    (compose a cast downstream — crawlers treat it as advisory);
+    *  - `priority` defaults to 0.5 when absent (protocol §"priority"
+    *    default); entries with no `<loc>` are dropped (invalid).
+    * `<sitemapindex>` files (pointers to child sitemaps) yield no
+    * urlset entries here BY DESIGN — index recursion is an ingest-
+    * loop concern (fetch the children, feed them back through this
+    * same parser), not a per-document transform.
+    *
+    * Scale shape: two `regexp_extract_all`/`regexp_extract` passes +
+    * the entity-decode expression — all codegen'd scalar work on the
+    * scan (the [[Html.extractLinks]] discipline); the only rows
+    * entering any downstream shuffle are the extracted URLs. At
+    * 100 TB sitemaps ride the same ingest scan as the pages. */
+  def sitemapUrls(df: DataFrame, domainCol: String,
+                  xmlCol: String): DataFrame = {
+    val entries = regexp_extract_all(col(xmlCol),
+      lit("(?s)<url\\s*>(.*?)</url\\s*>"), lit(1))
+    def field(e: Column, tag: String): Column =
+      regexp_extract(e, s"(?s)<$tag\\s*>\\s*(.*?)\\s*</$tag\\s*>", 1)
+    df.select(col(domainCol).as("domain"), explode(entries).as("__e"))
+      .select(col("domain"),
+        org.apache.spark.sql.graftext.HtmlEntityDecode.column(
+          field(col("__e"), "loc")).as("url"),
+        field(col("__e"), "lastmod").as("__lm"),
+        field(col("__e"), "priority").as("__pr"))
+      .filter(col("url") =!= "")
+      .select(col("domain"), col("url"),
+        when(col("__lm") === "", lit(null: String))
+          .otherwise(col("__lm")).as("lastmod"),
+        when(col("__pr") === "", lit(0.5))
+          .otherwise(col("__pr").cast("double")).as("priority"))
+  }
+
   /** URL-level dedup over (doc_id, url): group by canonical form, keep
     * the smallest doc_id as the canonical record (first-crawled wins
     * under a monotone id), count the dupes. The shuffle carries only

@@ -612,6 +612,44 @@ object PipelineQueries {
       graft.streaming.CrawlStream.drainSchedule(s, arrivalDir, delays)
     }),
 
+    // sitemap ingestion (UrlNormalize.sitemapUrls, sitemaps.org v0.9):
+    // the crawl front-end's third standard input — each domain's
+    // <urlset> inventory parsed to (domain, url, lastmod, priority)
+    // rows, loc entity-decoded (&amp; planted in every URL), lastmod
+    // NULL where the plant omits it, priority at the protocol's 0.5
+    // default where absent. The XML is synthesized per domain from the
+    // doc_id formula (sorted-struct collect, multi-line entries with
+    // spec-legal whitespace inside <loc>), so the oracle states the
+    // closed form — a parser that misreads any byte hash-mismatches
+    "q168_sitemap_urls" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dn = pmod(col("doc_id"), lit(7)).cast("string")
+      val ids = col("doc_id").cast("string")
+      val locEsc = concat(lit("https://site"), dn, lit(".example/page/"),
+        ids, lit("?a=1&amp;b="), pmod(col("doc_id"), lit(5)).cast("string"))
+      val lastmod = when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit("\n    <lastmod>2026-02-"),
+          (lit(10) + pmod(col("doc_id"), lit(18))).cast("string"),
+          lit("</lastmod>"))).otherwise(lit(""))
+      val prio = when(pmod(col("doc_id"), lit(4)) =!= 1,
+        concat(lit("\n    <priority>0."),
+          pmod(col("doc_id"), lit(10)).cast("string"),
+          lit("</priority>"))).otherwise(lit(""))
+      val entry = concat(lit("  <url>\n    <loc> "), locEsc,
+        lit(" </loc>"), lastmod, prio, lit("\n  </url>"))
+      val sitemaps = d.select(
+          concat(lit("site"), dn, lit(".example")).as("domain"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("domain"))
+        .agg(concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          array_join(transform(sort_array(collect_list(col("se"))),
+            x => x.getField("e")), "\n"),
+          lit("\n</urlset>")).as("xml"))
+      UrlNormalize.sitemapUrls(sitemaps, "domain", "xml")
+    }),
+
     // one-parse robots POLICY (UrlNormalize.robotsPolicy): the q146
     // rule table AND the q152 Crawl-delay from a single parse of the
     // robots corpus — exploded flat so the driver can hash it. The
@@ -2042,6 +2080,18 @@ object PipelineQueries {
          |    ELSE CAST(dn % 5 + 1 AS DOUBLE) END), 6) AS fetch_at_s
          |FROM r""".stripMargin
     },
+    // states the sitemap planting formula directly: the engine must
+    // recover every field from the synthesized XML byte-exactly
+    "q168_sitemap_urls" ->
+      s"""SELECT 'site' || (doc_id % 7) || '.example' AS domain,
+         |  'https://site' || (doc_id % 7) || '.example/page/' || doc_id ||
+         |    '?a=1&b=' || (doc_id % 5) AS url,
+         |  CASE WHEN doc_id % 3 <> 0
+         |    THEN '2026-02-' || (10 + doc_id % 18) END AS lastmod,
+         |  CASE WHEN doc_id % 4 <> 1
+         |    THEN CAST('0.' || (doc_id % 10) AS DOUBLE)
+         |    ELSE 0.5 END AS priority
+         |FROM documents""".stripMargin,
     // the q156 window with the arrival-batch key (doc_id % 4)
     // prepended: slots issued in earlier micro-batches outrank every
     // later arrival within the host, the hash order breaks ties

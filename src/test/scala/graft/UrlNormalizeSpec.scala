@@ -282,4 +282,46 @@ class UrlNormalizeSpec extends SparkTestBase {
     assert(out(1L) == ((true, Some("/éb"))),
       "longer-octet Allow must win")
   }
+
+  test("sitemapUrls: entity decode, whitespace trim, defaults, loc-less drop") {
+    import spark.implicits._
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>
+        |      https://a.com/p?x=1&amp;y=2
+        |    </loc>
+        |    <lastmod>2026-01-05</lastmod>
+        |    <priority>0.8</priority>
+        |  </url>
+        |  <url><loc>https://a.com/bare</loc></url>
+        |  <url><lastmod>2026-01-06</lastmod></url>
+        |  <url>
+        |    <loc>https://a.com/apos&apos;d</loc>
+        |    <priority>0.1</priority>
+        |  </url>
+        |</urlset>""".stripMargin
+    val got = graft.operators.UrlNormalize.sitemapUrls(
+        Seq(("a.com", xml)).toDF("domain", "xml"), "domain", "xml")
+      .collect()
+      .map(r => r.getString(1) ->
+        ((Option(r.getString(2)), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "https://a.com/p?x=1&y=2" -> ((Some("2026-01-05"), 0.8)),
+      "https://a.com/bare" -> ((None, 0.5)),      // protocol defaults
+      "https://a.com/apos'd" -> ((None, 0.1))),
+      s"$got")                                     // loc-less entry dropped
+  }
+
+  test("sitemapUrls: a sitemapindex yields no urlset entries by design") {
+    import spark.implicits._
+    val idx =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap><loc>https://a.com/sitemap1.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    assert(graft.operators.UrlNormalize.sitemapUrls(
+      Seq(("a.com", idx)).toDF("domain", "xml"), "domain", "xml")
+      .count() == 0)
+  }
 }
