@@ -650,6 +650,59 @@ object PipelineQueries {
       UrlNormalize.sitemapUrls(sitemaps, "domain", "xml")
     }),
 
+    // the DISCOVERY→GATE→SCHEDULE frontier loop composed end-to-end:
+    // per-domain sitemaps parsed (q168 machinery), each discovered URL
+    // gated by the domain's robots policy (one parse, broadcast,
+    // per-row verdict — the q149 rungs), survivors slotted under the
+    // per-host politeness schedule with the policy's own Crawl-delay
+    // (q156). Plant: odd ids sit under /private (killed everywhere),
+    // site3 disallows /page too (whole-domain kill), even-numbered
+    // sites publish Crawl-delay h+1. The oracle states the closed
+    // form: survivors are even ids off site3, ranked by the url hash
+    "q169_frontier_compose" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dn = pmod(col("doc_id"), lit(7))
+      val ids = col("doc_id").cast("string")
+      val path = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("/page/"), ids, lit("?a=1&amp;b="),
+            pmod(col("doc_id"), lit(5)).cast("string")))
+        .otherwise(concat(lit("/private/x"), ids))
+      val entry = concat(lit("  <url><loc>https://site"),
+        dn.cast("string"), lit(".example"), path, lit("</loc></url>"))
+      val sitemaps = d.select(
+          concat(lit("site"), dn.cast("string"), lit(".example"))
+            .as("domain"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("domain"))
+        .agg(concat(lit("<urlset>\n"),
+          array_join(transform(sort_array(collect_list(col("se"))),
+            x => x.getField("e")), "\n"),
+          lit("\n</urlset>")).as("xml"))
+      val sm = UrlNormalize.sitemapUrls(sitemaps, "domain", "xml")
+      val robots = d.select(dn.as("h")).distinct().select(
+        concat(lit("site"), col("h").cast("string"), lit(".example"))
+          .as("domain"),
+        concat(lit("User-agent: *\nDisallow: /private\n"),
+          when(col("h") === 3, lit("Disallow: /page\n"))
+            .otherwise(lit("")),
+          when(col("h") % 2 === 0,
+            concat(lit("Crawl-delay: "), (col("h") + 1).cast("string"),
+              lit("\n"))).otherwise(lit(""))).as("robots_txt"))
+      val policy = UrlNormalize.robotsPolicy(robots, "domain",
+        "robots_txt", "graftbot").localCheckpoint()
+      val (allowed, _) = UrlNormalize.robotsVerdictCols(
+        UrlNormalize.pathOf(col("url")), col("rules"))
+      val gated = sm
+        .join(broadcast(policy.select(col("domain"), col("rules"))),
+          Seq("domain"), "left")
+        .filter(allowed)
+        .select(col("url")).withColumn("uid", col("url"))
+      UrlNormalize.politenessSchedule(gated, "uid", "url",
+          policy.select(col("domain"), col("crawl_delay")))
+        .select(col("url"), col("host"), col("slot_idx"),
+          col("fetch_at_s"))
+    }),
+
     // one-parse robots POLICY (UrlNormalize.robotsPolicy): the q146
     // rule table AND the q152 Crawl-delay from a single parse of the
     // robots corpus — exploded flat so the driver can hash it. The
@@ -2092,6 +2145,27 @@ object PipelineQueries {
          |    THEN CAST('0.' || (doc_id % 10) AS DOUBLE)
          |    ELSE 0.5 END AS priority
          |FROM documents""".stripMargin,
+    // survivors: even ids (odd sit under the /private disallow) off
+    // site3 (whole-domain /page kill); slots rank by the url hash
+    // within host; delay h+1 on even-numbered sites, default 1.0 on
+    // odd (they publish no Crawl-delay)
+    "q169_frontier_compose" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH u AS (SELECT
+         |    'site' || (doc_id % 7) || '.example' AS host,
+         |    doc_id % 7 AS h,
+         |    'https://site' || (doc_id % 7) || '.example/page/' || doc_id ||
+         |      '?a=1&b=' || (doc_id % 5) AS url
+         |  FROM documents
+         |  WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN h % 2 = 0 THEN CAST(h + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
     // the q156 window with the arrival-batch key (doc_id % 4)
     // prepended: slots issued in earlier micro-batches outrank every
     // later arrival within the host, the hash order breaks ties
