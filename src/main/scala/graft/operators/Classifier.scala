@@ -43,11 +43,14 @@ import graft.functions.PortableHash
   */
 object Classifier {
 
-  def logisticQuality(df: DataFrame, idCol: String, textCol: String,
-                      label: Column, buckets: Int = 64, iters: Int = 3,
-                      learnRate: Double = 0.5): DataFrame = {
-    require(iters >= 1, "at least one iteration")
-    val spark = df.sparkSession
+  /** Shared featurizer: the sparse (doc, bucket, x) hashed-bigram
+    * matrix + bias feature (bucket id = `buckets`, constant 1.0),
+    * checkpointed (the ONE corpus-sized artifact — every later pass
+    * is a keyed aggregate over it, never a re-tokenize), and the
+    * per-doc (id, y, n) frame. */
+  private def featurize(df: DataFrame, idCol: String, textCol: String,
+                        label: Column, buckets: Int)
+      : (DataFrame, DataFrame) = {
     val grams = df.select(col(idCol).as("__id"),
         when(label, 1.0).otherwise(0.0).as("__y"),
         split(col(textCol), " ").as("ws"))
@@ -60,28 +63,31 @@ object Classifier {
     val bucketed = grams
       .withColumn("__b", pmod(PortableHash.hash60(col("bg")), lit(buckets)).cast("int"))
       .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
-    // sparse feature matrix: hashed-bigram frequencies + bias feature
-    // (bucket id = `buckets`, constant 1.0). The ONE corpus-sized
-    // artifact — materialized so the per-iteration passes and the
-    // final scoring pass never re-tokenize the corpus.
     val feats = bucketed
       .select(col("__id"), col("__b"), col("__cnt").cast("double").as("__x"))
       .union(perDoc.select(col("__id"), lit(buckets).as("__b"),
         lit(1.0).as("__x")))
       .localCheckpoint(true)
+    (feats, perDoc.localCheckpoint(true))
+  }
+
+  private def marginsOf(feats: DataFrame, w: DataFrame): DataFrame =
+    feats.join(broadcast(w), Seq("__b"))
+      .groupBy(col("__id")).agg(sum(col("__x") * col("__w")).as("__m"))
+
+  /** The GD loop over a featurized corpus; returns the final weight
+    * vector (`buckets`+1 rows incl. the bias). */
+  private def gdLoop(feats: DataFrame, perDoc: DataFrame, buckets: Int,
+                     iters: Int, learnRate: Double): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val spark = feats.sparkSession
     val labels = perDoc.select(col("__id"), col("__y"))
-      .localCheckpoint(true)
     // 1-row doc count rides a broadcast, never a driver fetch
     val nDocs = broadcast(labels.agg(count(lit(1)).as("__nd")))
-
-    def margins(w: DataFrame): DataFrame =
-      feats.join(broadcast(w), Seq("__b"))
-        .groupBy(col("__id")).agg(sum(col("__x") * col("__w")).as("__m"))
-
     var w: DataFrame = spark.range(buckets + 1)
       .select(col("id").cast("int").as("__b"), lit(0.0).as("__w"))
     for (_ <- 1 to iters) {
-      val err = margins(w).join(labels, Seq("__id"))
+      val err = marginsOf(feats, w).join(labels, Seq("__id"))
         .select(col("__id"),
           (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y")).as("__e"))
       val grad = feats.join(err, Seq("__id"))
@@ -92,7 +98,60 @@ object Classifier {
             coalesce(col("__g"), lit(0.0)) / col("__nd"), 9).as("__w"))
         .localCheckpoint(true) // buckets+1 rows; truncates the lineage
     }
-    margins(w).join(perDoc, Seq("__id"))
+    w
+  }
+
+  def logisticQuality(df: DataFrame, idCol: String, textCol: String,
+                      label: Column, buckets: Int = 64, iters: Int = 3,
+                      learnRate: Double = 0.5): DataFrame = {
+    val (feats, perDoc) = featurize(df, idCol, textCol, label, buckets)
+    val w = gdLoop(feats, perDoc, buckets, iters, learnRate)
+    marginsOf(feats, w).join(perDoc, Seq("__id"))
+      .select(col("__id").as(idCol), col("__n").as("n_grams"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
+  }
+
+  /** Train and return the MODEL: (bucket, weight), `buckets`+1 rows
+    * (bias at bucket id = `buckets`) — the artifact a production
+    * pipeline publishes once and scores every later crawl with
+    * ([[graft.sources.ArtifactStore]]; kind `clf_weights` via
+    * [[trainPublished]]). */
+  def trainWeights(df: DataFrame, idCol: String, textCol: String,
+                   label: Column, buckets: Int = 64, iters: Int = 3,
+                   learnRate: Double = 0.5): DataFrame = {
+    val (feats, perDoc) = featurize(df, idCol, textCol, label, buckets)
+    gdLoop(feats, perDoc, buckets, iters, learnRate)
+      .select(col("__b").as("bucket"), col("__w").as("weight"))
+  }
+
+  /** Cross-session form of [[trainWeights]] ([[Bpe.trainPublished]]'s
+    * lifecycle, kind `clf_weights`). */
+  def trainPublished(df: DataFrame, root: String, corpusKey: String,
+                     version: String, idCol: String, textCol: String,
+                     label: Column, buckets: Int = 64, iters: Int = 3,
+                     learnRate: Double = 0.5): DataFrame = {
+    import graft.sources.ArtifactStore
+    val spark = df.sparkSession
+    if (ArtifactStore.exists(spark, root, "clf_weights", corpusKey, version))
+      ArtifactStore.load(spark, root, "clf_weights", corpusKey, version)
+    else {
+      val w = trainWeights(df, idCol, textCol, label, buckets, iters, learnRate)
+      ArtifactStore.save(w, root, "clf_weights", corpusKey, version)
+      ArtifactStore.load(spark, root, "clf_weights", corpusKey, version)
+    }
+  }
+
+  /** Score a corpus under a TRAINED weight vector (the inference-only
+    * half: no labels needed) — featurize with the same hash/buckets
+    * (`buckets` must match the training run; the bias row's id makes a
+    * mismatch loud since margins would silently drop it otherwise),
+    * one broadcast join + per-doc aggregate, sigmoid. Returns the
+    * [[logisticQuality]] output shape (idCol, n_grams, score). */
+  def scoreWith(df: DataFrame, idCol: String, textCol: String,
+                weights: DataFrame, buckets: Int): DataFrame = {
+    val (feats, perDoc) = featurize(df, idCol, textCol, lit(false), buckets)
+    val w = weights.select(col("bucket").as("__b"), col("weight").as("__w"))
+    marginsOf(feats, w).join(perDoc, Seq("__id"))
       .select(col("__id").as(idCol), col("__n").as("n_grams"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
   }

@@ -417,6 +417,26 @@ object PipelineQueries {
         "doc_id", "text", col("text").contains("spark"),
         ClfBuckets, ClfIters, ClfLearnRate)),
 
+    // the cross-SESSION half of the quality gate (the q158/q162
+    // treatment for the classifier): train the weight vector, PUBLISH
+    // it versioned, load it back through the pruned scan, and score
+    // the corpus from the LOADED weights — inference needs no labels,
+    // which is the production asymmetry (one labeled training run,
+    // unlabeled crawls scored forever after). Oracle-equal to q119
+    // (same logisticQualitySql): the roundtrip may not change a score
+    "q170_clf_roundtrip" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = docs(s, dir)
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_artifacts").toString
+      val w = graft.operators.Classifier.trainWeights(d, "doc_id", "text",
+        col("text").contains("spark"), ClfBuckets, ClfIters, ClfLearnRate)
+      ArtifactStore.save(w, root, "clf_weights", dir, "v0001")
+      val loaded = ArtifactStore.load(s, root, "clf_weights", dir, "v0001")
+      graft.operators.Classifier.scoreWith(d, "doc_id", "text",
+        loaded, ClfBuckets)
+    }),
+
     // URL canonicalization + URL-level dedup — the first gate of a
     // web-crawl pipeline (drops records without touching bodies).
     // Four planted presentation variants per base URL (case, default
@@ -2321,6 +2341,12 @@ object PipelineQueries {
     "q118_dsir_weights" -> Sampling.importanceWeightsSql(
       "documents", "doc_id", "text", s"lang = '$DsirTargetLang'", DsirBuckets),
     "q119_quality_classifier" -> graft.operators.Classifier.logisticQualitySql(
+      "documents", "doc_id", "text", "text LIKE '%spark%'",
+      ClfBuckets, ClfIters, ClfLearnRate),
+    // q170 must agree with q119's oracle VERBATIM: publishing the
+    // weights and scoring from the loaded snapshot may not move a
+    // single score
+    "q170_clf_roundtrip" -> graft.operators.Classifier.logisticQualitySql(
       "documents", "doc_id", "text", "text LIKE '%spark%'",
       ClfBuckets, ClfIters, ClfLearnRate),
     "q120_vocab_build" ->

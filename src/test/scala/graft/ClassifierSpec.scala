@@ -62,4 +62,26 @@ class ClassifierSpec extends SparkTestBase {
     assert(scores.size == 1, s"identical docs must share one score: $out")
     assert(math.abs(scores.head - 0.5) < 0.05)
   }
+
+  test("scoreWith(trained weights) reproduces logisticQuality exactly; " +
+    "the published roundtrip does too") {
+    val direct = run(corpus)
+    val w = Classifier.trainWeights(corpus, "doc_id", "text",
+      col("is_good"), buckets = 64, iters = 8, learnRate = 2.0)
+    val scored = Classifier.scoreWith(corpus, "doc_id", "text", w, 64)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(scored == direct,
+      "inference from the weight vector must equal train-and-score")
+    // through the store: publish, load, score — still identical
+    val root = java.nio.file.Files
+      .createTempDirectory("clf_store").toString
+    val loaded = Classifier.trainPublished(corpus, root, "c1", "v0001",
+      "doc_id", "text", col("is_good"), 64, 8, 2.0)
+    val viaStore = Classifier.scoreWith(corpus, "doc_id", "text", loaded, 64)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viaStore == direct)
+    // the model really is buckets+1 rows with the bias at id=buckets
+    assert(w.count() == 65)
+    assert(w.filter(col("bucket") === 64).count() == 1)
+  }
 }
