@@ -723,6 +723,57 @@ object PipelineQueries {
           col("fetch_at_s"))
     }),
 
+    // q169 AS A LIVE DISCOVERY LOOP: each domain publishes TWO sitemap
+    // files (the protocol's multi-file split), arriving over two
+    // pinned micro-batches; every rung runs ON THE STREAM — the
+    // urlset parse is stateless projections, the robots verdict a
+    // stream-static broadcast join, and the politeness scheduler
+    // carries each host's slot counter ACROSS the parts (q166's
+    // state), so slots issued from part 0 never renumber when part 1
+    // lands. Plant: /private paths (doc_id%3==1) killed everywhere,
+    // site3 killed wholesale, parts split by doc_id%2 (independent of
+    // the kills, so every host has survivors in BOTH parts). Oracle:
+    // the q169 window with the part key prepended
+    "q171_stream_frontier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dn = pmod(col("doc_id"), lit(7))
+      val ids = col("doc_id").cast("string")
+      val path = when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("/private/x"), ids))
+        .otherwise(concat(lit("/page/"), ids, lit("?a=1&amp;b="),
+          pmod(col("doc_id"), lit(5)).cast("string")))
+      val entry = concat(lit("  <url><loc>https://site"),
+        dn.cast("string"), lit(".example"), path, lit("</loc></url>"))
+      val parts = d.select(
+          concat(lit("site"), dn.cast("string"), lit(".example"))
+            .as("domain"),
+          pmod(col("doc_id"), lit(2)).as("part"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("domain"), col("part"))
+        .agg(concat(lit("<urlset>\n"),
+          array_join(transform(sort_array(collect_list(col("se"))),
+            x => x.getField("e")), "\n"),
+          lit("\n</urlset>")).as("xml"))
+        .select(col("part").as("bseq"), col("domain"), col("xml"))
+      val arrivalDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_front_" + Integer.toHexString(dir.hashCode)).toString
+      graft.streaming.CrawlStream.writeArrivalBatches(parts, "bseq",
+        arrivalDir)
+      val robots = d.select(dn.as("h")).distinct().select(
+        concat(lit("site"), col("h").cast("string"), lit(".example"))
+          .as("domain"),
+        concat(lit("User-agent: *\nDisallow: /private\n"),
+          when(col("h") === 3, lit("Disallow: /page\n"))
+            .otherwise(lit("")),
+          when(col("h") % 2 === 0,
+            concat(lit("Crawl-delay: "), (col("h") + 1).cast("string"),
+              lit("\n"))).otherwise(lit(""))).as("robots_txt"))
+      val policy = UrlNormalize.robotsPolicy(robots, "domain",
+        "robots_txt", "graftbot").localCheckpoint()
+      graft.streaming.CrawlStream.drainFrontier(s, arrivalDir, policy)
+    }),
+
     // one-parse robots POLICY (UrlNormalize.robotsPolicy): the q146
     // rule table AND the q152 Crawl-delay from a single parse of the
     // robots corpus — exploded flat so the driver can hash it. The
@@ -2186,6 +2237,26 @@ object PipelineQueries {
          |    ELSE 1.0 END), 6) AS fetch_at_s
          |FROM r""".stripMargin
     },
+    // the q169 window with the sitemap-part key prepended: a host's
+    // part-0 slots outrank every part-1 arrival (the issued-slot
+    // contract carried across the protocol's multi-file split)
+    "q171_stream_frontier" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH u AS (SELECT
+         |    'site' || (doc_id % 7) || '.example' AS host,
+         |    doc_id % 7 AS h, doc_id % 2 AS part,
+         |    'https://site' || (doc_id % 7) || '.example/page/' || doc_id ||
+         |      '?a=1&b=' || (doc_id % 5) AS url
+         |  FROM documents
+         |  WHERE doc_id % 3 <> 1 AND doc_id % 7 <> 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY part, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN h % 2 = 0 THEN CAST(h + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
     // the q156 window with the arrival-batch key (doc_id % 4)
     // prepended: slots issued in earlier micro-batches outrank every
     // later arrival within the host, the hash order breaks ties
@@ -2207,7 +2278,8 @@ object PipelineQueries {
          |    doc_id % 4 AS bseq
          |  FROM documents),
          |r AS (SELECT *, row_number() OVER (PARTITION BY host
-         |    ORDER BY bseq, ($order) % 1000000, doc_id) - 1 AS slot
+         |    ORDER BY bseq, ($order) % 1000000,
+         |      CAST(doc_id AS VARCHAR)) - 1 AS slot
          |  FROM u)
          |SELECT doc_id, url, host, CAST(slot AS INTEGER) AS slot_idx,
          |  round(slot * (CASE WHEN dn % 4 = 0 THEN 0.5

@@ -130,8 +130,12 @@ object CrawlStream {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val spark = urls.sparkSession
     import spark.implicits._
+    // the id rides as a STRING so ANY key type schedules (a frontier
+    // often has only the URL itself as identity — q171); within-batch
+    // hash ties therefore break in STRING order, which the oracle
+    // replays as CAST(id AS VARCHAR)
     val keyed = urls.select(
-        col(idCol).cast("long").as("id"), col(urlCol).as("url"),
+        col(idCol).cast("string").as("id"), col(urlCol).as("url"),
         UrlNormalize.hostOf(col(urlCol)).as("host"),
         pmod(graft.functions.PortableHash.hash60(col(idCol).cast("string")),
           lit(1000000)).as("ord"))
@@ -139,10 +143,10 @@ object CrawlStream {
         col(delayCol).cast("double").as("__d"))), Seq("host"), "left")
       .select(col("id"), col("url"), col("host"), col("ord"),
         coalesce(col("__d"), lit(defaultDelaySecs)).as("delay"))
-      .as[(Long, String, String, Long, Double)]
+      .as[(String, String, String, Long, Double)]
     keyed.groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (host: String, it: Iterator[(Long, String, String, Long, Double)],
+        (host: String, it: Iterator[(String, String, String, Long, Double)],
          st: GroupState[Long]) => {
           val start = st.getOption.getOrElse(0L)
           // batch-group-sized, bounded by one micro-batch's arrivals
@@ -190,6 +194,40 @@ object CrawlStream {
     bs.length
   }
 
+  /** The full DISCOVERY LOOP on a stream — sitemap files arriving in
+    * a directory, each micro-batch parsed
+    * ([[UrlNormalize.sitemapUrls]] is stateless projections, so it
+    * runs on a streaming frame as-is), robots-gated against the
+    * static policy (stream-static broadcast join, the [[gatedRecords]]
+    * rung), survivors slotted by [[politenessStream]] — whose per-host
+    * counter SURVIVES across sitemap parts, so a site splitting its
+    * inventory over multiple files (the protocol's 50k-URL split)
+    * schedules exactly as if it had published one file per batch.
+    * Output: (url, host, slot_idx, fetch_at_s). */
+  def drainFrontier(spark: SparkSession, sitemapDir: String,
+                    policy: DataFrame,
+                    defaultDelaySecs: Double = 1.0,
+                    queryName: String = "graft_stream_frontier"): DataFrame = {
+    val in = spark.readStream.schema("domain STRING, xml STRING")
+      .option("maxFilesPerTrigger", 1).parquet(sitemapDir)
+    val sm = UrlNormalize.sitemapUrls(in, "domain", "xml")
+    val (allowed, _) = UrlNormalize.robotsVerdictCols(
+      UrlNormalize.pathOf(col("url")), col("rules"))
+    val gated = sm
+      .join(broadcast(policy.select(col("domain"), col("rules"))),
+        Seq("domain"), "left")
+      .filter(allowed)
+      .select(col("url")).withColumn("uid", col("url"))
+    val out = politenessStream(gated, "uid", "url",
+        policy.select(col("domain"), col("crawl_delay")),
+        defaultDelaySecs = defaultDelaySecs)
+      .select(col("url"), col("host"), col("slot_idx"), col("fetch_at_s"))
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Drain a [[writeArrivalBatches]] directory through
     * [[politenessStream]] one file per trigger (the pinned arrival
     * order) into a memory sink; returns the accumulated schedule. */
@@ -199,7 +237,8 @@ object CrawlStream {
     val in = spark.readStream.schema("doc_id BIGINT, url STRING")
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val out = politenessStream(in, "doc_id", "url", delays,
-      defaultDelaySecs = defaultDelaySecs)
+        defaultDelaySecs = defaultDelaySecs)
+      .withColumn("doc_id", col("doc_id").cast("long")) // numeric ids back
     val q = out.writeStream.format("memory").queryName(queryName)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
