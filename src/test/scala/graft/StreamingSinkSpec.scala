@@ -318,4 +318,56 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(got.map { case (id, (_, s, _)) => id -> s } == oracle)
   }
 
+  test("politeness scheduler: the slot counter survives a checkpoint RESTART " +
+    "— issued slots never renumber when the crawler comes back up") {
+    import spark.implicits._
+    import graft.streaming.CrawlStream
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val arrivals = tmp("sched_restart_in")
+    val out = tmp("sched_restart_out")
+    val ckpt = tmp("sched_restart_ckpt")
+    val delays = Seq(("a.com", 3.0)).toDF("domain", "crawl_delay")
+    def drain(): Unit = {
+      val in = spark.readStream.schema("doc_id BIGINT, url STRING")
+        .option("maxFilesPerTrigger", 1).parquet(arrivals)
+      val q = CrawlStream.politenessStream(in, "doc_id", "url", delays)
+        .withColumn("doc_id", col("doc_id").cast("long"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // wave 1: host a.com gets ids 1 and 2 over two batches; drain, "crash"
+    CrawlStream.writeArrivalBatches(Seq(
+      (1L, "https://a.com/p1", 0L), (2L, "https://a.com/p2", 1L)
+    ).toDF("doc_id", "url", "bseq"), "bseq", arrivals)
+    drain()
+    val wave1 = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(wave1 == Map(1L -> 0, 2L -> 1), s"$wave1")
+    // wave 2 lands AFTER the restartable state was checkpointed: a new
+    // file (later mtime) with a third a.com URL and a brand-new host
+    val staging = Files.createTempDirectory("sched_wave2").toString
+    Seq((3L, "https://a.com/p3"), (9L, "https://b.com/p9"))
+      .toDF("doc_id", "url").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
+      .filter(p => p.contains("part-") && p.endsWith(".parquet")).head
+    val dest = Paths.get(arrivals, "batch_0002.parquet")
+    Files.move(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+    dest.toFile.setLastModified(1700000000000L + 2 * 60000L)
+    // a FRESH query on the same checkpoint resumes: a.com continues at
+    // slot 2 (never renumbering 0/1, already issued to fetchers);
+    // b.com starts fresh at 0; nothing is emitted twice
+    drain()
+    val all = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), (r.getString(2), r.getInt(3), r.getDouble(4))))
+    assert(all.length == 4, s"exactly-once across the restart: ${all.toSeq}")
+    val m = all.toMap
+    assert(m(3L) == (("a.com", 2, 6.0)), s"$m")  // 2 * 3.0s delay
+    assert(m(9L) == (("b.com", 0, 0.0)), s"$m")
+    assert(m(1L)._2 == 0 && m(2L)._2 == 1, "wave-1 slots unchanged")
+  }
+
 }
