@@ -74,37 +74,73 @@ object HtmlEntityDecode {
     0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x9D, 0x017E, 0x0178)
 
   /** Named table (semicolon excluded here, required by the scanner).
-    * `&#39;`/`&#34;` from the old table are now the numeric path. */
-  private val names: Array[String] =
+    * `&#39;`/`&#34;` from the old table are now the numeric path.
+    * Names are pure ASCII, so the scanner compares raw UTF-8 bytes. */
+  private val names: Array[Array[Byte]] =
     Array("lt", "gt", "quot", "apos", "nbsp", "amp")
-  private val repls: Array[Char] =
-    Array('<', '>', '"', '\'', ' ', '&')
+      .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  private val repls: Array[Byte] =
+    Array('<', '>', '"', '\'', ' ', '&').map(_.toByte)
 
   private def mapCodepoint(v: Int): Int =
     if (v == 0 || v > 0x10FFFF || (v >= 0xD800 && v <= 0xDFFF)) 0xFFFD
     else if (v >= 0x80 && v <= 0x9F) win1252(v - 0x80)
     else v
 
-  /** One pass; called from both interpreted eval and codegen. */
+  /** UTF-8-encode one codepoint into `out` at `pos`; returns the new
+    * position. mapCodepoint never yields a surrogate, so the 3-byte
+    * band is safe to emit unconditionally. */
+  private def putCp(out: Array[Byte], pos: Int, cp: Int): Int = {
+    if (cp < 0x80) { out(pos) = cp.toByte; pos + 1 }
+    else if (cp < 0x800) {
+      out(pos) = (0xC0 | (cp >> 6)).toByte
+      out(pos + 1) = (0x80 | (cp & 0x3F)).toByte
+      pos + 2
+    } else if (cp < 0x10000) {
+      out(pos) = (0xE0 | (cp >> 12)).toByte
+      out(pos + 1) = (0x80 | ((cp >> 6) & 0x3F)).toByte
+      out(pos + 2) = (0x80 | (cp & 0x3F)).toByte
+      pos + 3
+    } else {
+      out(pos) = (0xF0 | (cp >> 18)).toByte
+      out(pos + 1) = (0x80 | ((cp >> 12) & 0x3F)).toByte
+      out(pos + 2) = (0x80 | ((cp >> 6) & 0x3F)).toByte
+      out(pos + 3) = (0x80 | (cp & 0x3F)).toByte
+      pos + 4
+    }
+  }
+
+  /** One pass over the RAW UTF-8 BYTES; called from both interpreted
+    * eval and codegen. All reference syntax (`&`, `#`, hex digits,
+    * the named table, `;`) is ASCII, and UTF-8 continuation bytes are
+    * >= 0x80, so a byte scan can never split a multi-byte character.
+    * A decoded reference is never longer than its source text
+    * (minimal numeric `&#N;` is 4 bytes in vs <= 3 out; named are
+    * 4+ in vs 1 out), so one input-sized buffer suffices — no
+    * String/StringBuilder round-trip per row (the q141 hot path). */
   def decode(text: UTF8String): UTF8String = {
-    val s = text.toString
-    var j = s.indexOf('&')
-    if (j < 0) return text // fast path: no reference can exist
-    val len = s.length
-    val sb = new java.lang.StringBuilder(len)
-    var i = 0
-    while (j >= 0) {
-      sb.append(s, i, j)
-      if (j + 1 < len && s.charAt(j + 1) == '#') {
+    val n = text.numBytes
+    var j = 0
+    while (j < n && text.getByte(j) != '&') j += 1
+    if (j == n) return text // fast path: no reference can exist
+    val in = text.getBytes
+    val out = new Array[Byte](n)
+    var o = j
+    if (j > 0) System.arraycopy(in, 0, out, 0, j)
+    var i = j // next un-copied input byte; in(j) == '&'
+    while (j < n) {
+      // copy the run before this '&'
+      if (j > i) { System.arraycopy(in, i, out, o, j - i); o += j - i; i = j }
+      if (j + 1 < n && in(j + 1) == '#') {
         // numeric reference
         var k = j + 2
-        val hex = k < len && (s.charAt(k) == 'x' || s.charAt(k) == 'X')
+        val hex = k < n && (in(k) == 'x' || in(k) == 'X')
         if (hex) k += 1
         val start = k
         var v = 0
         var ok = true
-        while (ok && k < len) {
-          val c = s.charAt(k)
+        while (ok && k < n) {
+          val c = in(k)
           val d =
             if (c >= '0' && c <= '9') c - '0'
             else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
@@ -117,28 +153,35 @@ object HtmlEntityDecode {
             k += 1
           }
         }
-        if (k > start && k < len && s.charAt(k) == ';') {
-          sb.appendCodePoint(mapCodepoint(v))
+        if (k > start && k < n && in(k) == ';') {
+          o = putCp(out, o, mapCodepoint(v))
           i = k + 1
-        } else { sb.append('&'); i = j + 1 } // not a reference
+        } else { out(o) = '&'; o += 1; i = j + 1 } // not a reference
       } else {
         // named reference
-        var n = 0
         var hit = -1
-        while (hit < 0 && n < names.length) {
-          val name = names(n)
+        var t = 0
+        while (hit < 0 && t < names.length) {
+          val name = names(t)
           val end = j + 1 + name.length
-          if (end < len && s.charAt(end) == ';' &&
-              s.regionMatches(j + 1, name, 0, name.length)) hit = n
-          n += 1
+          if (end < n && in(end) == ';') {
+            var m = 0
+            while (m < name.length && in(j + 1 + m) == name(m)) m += 1
+            if (m == name.length) hit = t
+          }
+          t += 1
         }
-        if (hit >= 0) { sb.append(repls(hit)); i = j + 2 + names(hit).length }
-        else { sb.append('&'); i = j + 1 }
+        if (hit >= 0) {
+          out(o) = repls(hit); o += 1
+          i = j + 2 + names(hit).length
+        } else { out(o) = '&'; o += 1; i = j + 1 }
       }
-      j = s.indexOf('&', i)
+      // scanning resumes AFTER the replacement: find the next '&'
+      j = i
+      while (j < n && in(j) != '&') j += 1
     }
-    sb.append(s, i, len)
-    UTF8String.fromString(sb.toString)
+    if (n > i) { System.arraycopy(in, i, out, o, n - i); o += n - i }
+    UTF8String.fromBytes(out, 0, o)
   }
 
   def column(text: Column): Column =
