@@ -193,9 +193,7 @@ object ExtensionQueries {
     // late-segment two-drain checkpoint case.
     "q161_stream_crawl" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val warcDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_stream_warc_" + Integer.toHexString(dir.hashCode)).toString
+      val warcDir = Scratch.fixtureDir("graft_stream_warc", dir)
       graft.sources.Warc.synthesizeWarc(
           d.select(col("doc_id"), crawlPageHtml.as("text")))
         .repartition(8).write.mode("overwrite").parquet(warcDir)

@@ -12,6 +12,7 @@ import graft.functions.PortableHash
   * Spark plan and the oracle can't drift apart.
   */
 object PipelineQueries {
+  import Scratch.{artifactRoot, fixtureDir}
 
   // shared parameters (also baked into the generated oracle SQL)
   val MinhashK = 16
@@ -427,8 +428,7 @@ object PipelineQueries {
     "q170_clf_roundtrip" -> ((s, dir) => {
       import graft.sources.ArtifactStore
       val d = docs(s, dir)
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_artifacts").toString
+      val root = artifactRoot
       val w = graft.operators.Classifier.trainWeights(d, "doc_id", "text",
         col("text").contains("spark"), ClfBuckets, ClfIters, ClfLearnRate)
       ArtifactStore.save(w, root, "clf_weights", dir, "v0001")
@@ -606,9 +606,7 @@ object PipelineQueries {
             .when(v === 4, concat(lit("/tmp"), ids, lit(".html")))
             .otherwise(concat(lit("/q/ok/"), ids))).as("url"),
         pmod(col("doc_id"), lit(4)).as("bseq"))
-      val arrivalDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_stream_sched_" + Integer.toHexString(dir.hashCode)).toString
+      val arrivalDir = fixtureDir("graft_stream_sched", dir)
       graft.streaming.CrawlStream.writeArrivalBatches(urls, "bseq", arrivalDir)
       val robots = d.select(pmod(col("doc_id"), lit(20)).as("dnum"))
         .distinct()
@@ -755,9 +753,7 @@ object PipelineQueries {
             x => x.getField("e")), "\n"),
           lit("\n</urlset>")).as("xml"))
         .select(col("part").as("bseq"), col("domain"), col("xml"))
-      val arrivalDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_stream_front_" + Integer.toHexString(dir.hashCode)).toString
+      val arrivalDir = fixtureDir("graft_stream_front", dir)
       graft.streaming.CrawlStream.writeArrivalBatches(parts, "bseq",
         arrivalDir)
       val robots = d.select(dn.as("h")).distinct().select(
@@ -933,8 +929,7 @@ object PipelineQueries {
       val e = embs(s, dir)
       val cells = Similarity.cellsOf(e, dir, "vec_id", "embedding",
         KmeansK, KmeansIters)
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_artifacts").toString
+      val root = artifactRoot
       ArtifactStore.save(cells, root, "kmeans_cells", dir, "v0001")
       val loaded = ArtifactStore.load(s, root, "kmeans_cells", dir, "v0001")
       Similarity.ivfTopK(e.join(loaded, Seq("vec_id")), "vec_id",
@@ -1156,8 +1151,7 @@ object PipelineQueries {
       val d = docs(s, dir)
       val seen = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       val newBatch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_artifacts").toString
+      val root = artifactRoot
       val (digests, bands) = Dedup.dedupStatePublished(seen, root,
         dir + "#seen3", "v0001", "doc_id", "text", MinhashK, MinhashBands)
       Dedup.incrementalDedup(newBatch, "doc_id", "text", digests, bands,
@@ -1419,8 +1413,7 @@ object PipelineQueries {
     "q165_unigram_ppl" -> ((s, dir) => {
       import graft.sources.ArtifactStore
       val d = docs(s, dir)
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_artifacts").toString
+      val root = artifactRoot
       val vocab = graft.operators.UnigramLm.train(d, "text",
         maxPieceLen = 4, seedTop = UnigramSeedTop,
         keepMulti = UnigramKeepMulti, iters = UnigramIters)

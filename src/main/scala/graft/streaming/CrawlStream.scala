@@ -52,6 +52,23 @@ object CrawlStream {
   private def uniqueName(prefix: String): String =
     s"${prefix}_${drainSeq.incrementAndGet()}"
 
+  /** Last drain view per prefix. A unique view per drain fixes the
+    * name-collision race, but a repeated-drain harness (bench warmup +
+    * timed passes) would otherwise pin one full result copy per drain
+    * in driver memory for the JVM lifetime. When a newer drain with
+    * the same prefix supersedes the old one, the old view is dropped —
+    * safe for a caller still holding the prior DataFrame, whose plan
+    * already resolved to the in-memory relation; only the catalog
+    * reference (and thus the sink data, once the caller lets go) is
+    * released. */
+  private val lastDrain =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def superseded(spark: SparkSession, prefix: String,
+                         name: String): Unit = {
+    val old = lastDrain.put(prefix, name)
+    if (old != null) spark.catalog.dropTempView(old)
+  }
+
   /** The gated-ingest TRANSFORM: works on a streaming OR batch
     * `files` frame (file_id, content) — the spec drains the stream
     * and compares against this very function applied in batch.
@@ -105,6 +122,7 @@ object CrawlStream {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    superseded(spark, queryName, name)
     spark.table(name)
   }
 
@@ -163,6 +181,11 @@ object CrawlStream {
           // batch-group-sized, bounded by one micro-batch's arrivals
           // for this host — never the frontier history
           val batch = it.toArray.sortBy(r => (r._4, r._1))
+          // slot_idx is surfaced as INT (the batch oracle's type); a
+          // host issued more than 2^31 slots would wrap silently, so
+          // the issued-slot contract fails LOUDLY here instead
+          require(start + batch.length <= Int.MaxValue,
+            s"host $host exceeded ${Int.MaxValue} issued slots")
           st.update(start + batch.length)
           batch.iterator.zipWithIndex.map { case (r, k) =>
             (r._1, r._2, host, (start + k).toInt, (start + k) * r._5)
@@ -180,27 +203,42 @@ object CrawlStream {
     * under `maxFilesPerTrigger = 1` — is pinned. Returns the batch
     * count. Fixture plumbing (driver-side loop over the HANDFUL of
     * batches, not corpus rows). */
+  /** Recursive delete with the walk stream closed (Files.walk holds a
+    * directory handle until closed). */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   def writeArrivalBatches(df: DataFrame, bseqCol: String,
                           dir: String): Int = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val target = Paths.get(dir)
-    if (Files.exists(target)) { // overwrite: stale files would replay
-      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
+    if (Files.exists(target)) deleteTree(target) // stale files would replay
     Files.createDirectories(target)
     val bs = df.select(col(bseqCol)).distinct()
       .collect().map(_.getLong(0)).sorted // a handful of batches
     val base = 1700000000000L // fixed epoch: mtimes must be reproducible
     bs.zipWithIndex.foreach { case (b, k) =>
-      val staging = Files.createTempDirectory("graft_arrival").toString
+      val staging = Files.createTempDirectory("graft_arrival")
       df.filter(col(bseqCol) === b).drop(bseqCol)
-        .coalesce(1).write.mode("overwrite").parquet(staging)
-      val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
-        .filter(p => p.contains("part-") && p.endsWith(".parquet")).head
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val listing = Files.list(staging)
+      val part =
+        try listing.toArray.map(_.toString)
+          .filter(p => p.contains("part-") && p.endsWith(".parquet")).head
+        finally listing.close()
       val dest = target.resolve(f"batch_$k%04d.parquet")
       Files.move(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
-      dest.toFile.setLastModified(base + k * 60000L)
+      // the pinned mtime IS the arrival order under maxFilesPerTrigger;
+      // a filesystem that rejects the update must fail loudly, not
+      // degrade into a confusing oracle mismatch downstream
+      require(dest.toFile.setLastModified(base + k * 60000L),
+        s"cannot pin mtime on $dest — arrival order would be unpinned")
+      // staging dir now holds only _SUCCESS/.crc leftovers; remove it
+      deleteTree(staging)
     }
     bs.length
   }
@@ -237,6 +275,7 @@ object CrawlStream {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    superseded(spark, queryName, name)
     spark.table(name)
   }
 
@@ -255,6 +294,7 @@ object CrawlStream {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    superseded(spark, queryName, name)
     spark.table(name)
   }
 }
