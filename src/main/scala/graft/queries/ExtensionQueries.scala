@@ -58,6 +58,57 @@ object ExtensionQueries {
     // then a response record carrying the doc text; every doc_id%50==0
     // file plants a Content-Length lie and must yield NO rows (the
     // broken-file contract). Oracle replays the planting formula.
+    // the SAME walk over `.warc.gz` — the form every real Common
+    // Crawl artifact ships in: per-record gzip members verified
+    // (header walk, raw-deflate inflate, CRC32+ISIZE trailer) and
+    // concatenated, then the identical length-framed fold. The
+    // corruption plant moves a layer down — doc_id%50==0 files carry
+    // a flipped CRC byte in the response member's trailer, so the gz
+    // walk (not the framing) must erase them. Same surviving set,
+    // same closed form: the q137 oracle carries over verbatim.
+    "q172_warc_gz" -> ((s, dir) =>
+      graft.sources.Warc.gzRecords(
+        graft.sources.Warc.synthesizeWarcGz(Tables.load(s, dir, "documents")))
+        .select(col("file_id"), col("rec_idx"), col("rec_type"),
+          col("target_uri"), col("warc_date"), col("content_length"),
+          decode(col("payload"), "ISO-8859-1").as("payload_text"))),
+
+    // the q149 crawl gate composed over the GZ path end-to-end:
+    // member-verified gunzip → record fold → robots gate → category
+    // gate → text extraction → delay join. Corrupt members die at the
+    // gz rung before any gate runs; everything downstream is the q149
+    // machinery unchanged, so the q149 oracle carries over verbatim
+    "q173_crawl_gate_gz" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val recs = graft.sources.Warc.gzRecords(
+          graft.sources.Warc.synthesizeWarcGz(
+            d.select(col("doc_id"), crawlPageHtml.as("text"))))
+        .filter(col("rec_type") === "response")
+        .select(col("file_id"), col("target_uri").as("url"),
+          col("payload"))
+        .localCheckpoint()
+      val urls = recs.select("file_id", "url")
+      val policy = graft.operators.UrlNormalize
+        .robotsPolicy(crawlRobots(d), "domain", "robots_txt", "graftbot")
+        .localCheckpoint()
+      val robotsOk = graft.operators.UrlNormalize
+        .robotsGateFromPolicy(urls, "file_id", "url", policy)
+        .filter(col("allowed")).select("file_id")
+      val catOk = graft.operators.UrlNormalize
+        .categoryGate(urls, "file_id", "url", crawlBlocklist(s))
+        .filter(col("keep")).select("file_id")
+      recs
+        .join(robotsOk, Seq("file_id"), "left_semi")
+        .join(catOk, Seq("file_id"), "left_semi")
+        .select(col("file_id"), col("url"),
+          graft.operators.Html.extractText(
+            decode(col("payload"), "ISO-8859-1")).as("clean_text"),
+          graft.operators.UrlNormalize.hostOf(col("url")).as("__dom"))
+        .join(broadcast(policy.select(col("domain").as("__dom"),
+          col("crawl_delay"))), Seq("__dom"), "left")
+        .drop("__dom")
+    }),
+
     "q137_warc_records" -> ((s, dir) =>
       graft.sources.Warc.records(
         graft.sources.Warc.synthesizeWarc(Tables.load(s, dir, "documents")))
@@ -424,6 +475,36 @@ object ExtensionQueries {
     // the doc text); corrupted files (doc_id % 50 = 0, the planted
     // Content-Length lie) contribute nothing. A missing header field
     // (warcinfo has no Target-URI) reads as '' per the reader contract
+    // gz variant: identical closed form — the corrupt-CRC plant kills
+    // the same doc_id%50==0 files the framing lie kills in q137
+    "q172_warc_gz" ->
+      """WITH clean AS (SELECT doc_id, text,
+        |    '2026-01-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
+        |      || 'T00:00:00Z' AS wdate
+        |  FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+        |  'warcinfo' AS rec_type, '' AS target_uri, wdate AS warc_date,
+        |  CAST(18 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+        |    AS content_length,
+        |  'software: graft-' || doc_id || chr(13) || chr(10) AS payload_text
+        |FROM clean
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER), 'response',
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id,
+        |  wdate, CAST(length(text) AS BIGINT), text
+        |FROM clean""".stripMargin,
+    // gz-composed gate: same survivors, same form as q149
+    "q173_crawl_gate_gz" ->
+      """SELECT doc_id AS file_id,
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+        |    AS url,
+        |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
+        |  ' tail <' || doc_id || '>' AS clean_text,
+        |  CASE WHEN (doc_id % 7) % 2 = 0
+        |    THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
+        |FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)""".stripMargin,
     "q137_warc_records" ->
       """WITH clean AS (SELECT doc_id, text,
         |    '2026-01-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')

@@ -127,6 +127,151 @@ object Warc {
           "ISO-8859-1").as("payload"): _*)
   }
 
+  /** Strict record-at-a-time gzip member walk (RFC 1952): a real
+    * `.warc.gz` is a concatenation of gzip MEMBERS, one per record,
+    * so each record is independently seekable. This walks the members
+    * of one file — header (magic/CM=8, the four optional FLG fields
+    * skipped per spec), raw-deflate inflate (JDK `Inflater`, nowrap),
+    * then the 8-byte trailer VERIFIED (CRC32 + ISIZE mod 2^32) —
+    * and requires the members to tile the file exactly. Returns the
+    * concatenated decompressed bytes, which the length-framed record
+    * fold then walks unchanged; None for any violation — a bad magic,
+    * a broken deflate stream, a trailer mismatch, trailing garbage —
+    * so a corrupt member erases the whole FILE, never a prefix (the
+    * [[records]] malformed-file contract, one layer down).
+    *
+    * Plain JVM codec work (the PNG-inflate discipline in
+    * [[Multimodal.decodePng]]): runs inside a typed map per file, no
+    * UDF registry, no shuffle. */
+  private[graft] def gunzipMembers(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length == 0) return None
+    val out = new java.io.ByteArrayOutputStream(b.length * 3)
+    var pos = 0
+    while (pos < b.length) {
+      // fixed header: ID1 ID2 CM FLG MTIME(4) XFL OS
+      if (pos + 10 > b.length || (b(pos) & 0xff) != 0x1f ||
+          (b(pos + 1) & 0xff) != 0x8b || b(pos + 2) != 8) return None
+      val flg = b(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA: little-endian XLEN then bytes
+        if (p + 2 > b.length) return None
+        p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p >= b.length) return None
+      val infl = new java.util.zip.Inflater(true) // nowrap: raw deflate
+      try {
+        infl.setInput(b, p, b.length - p)
+        val buf = new Array[Byte](8192)
+        val crc = new java.util.zip.CRC32()
+        var size = 0L
+        while (!infl.finished()) {
+          val n =
+            try infl.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => return None }
+          if (n == 0 && !infl.finished()) return None // truncated stream
+          crc.update(buf, 0, n); out.write(buf, 0, n); size += n
+        }
+        p += infl.getBytesRead.toInt
+        if (p + 8 > b.length) return None // trailer must be present
+        def le32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+          ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+        if (le32(p) != crc.getValue ||
+            le32(p + 4) != (size & 0xffffffffL)) return None
+        pos = p + 8
+      } finally infl.end()
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Decompress a frame of whole `.warc.gz` files: content is replaced
+    * by the member-concatenated decompressed bytes; a file with any
+    * broken member contributes NO row (and therefore no records). */
+  def gunzip(files: DataFrame, contentCol: String = "content",
+             idCol: String = "file_id"): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        gunzipMembers(bytes).map(d => (id, d))
+      })
+      .toDF(idCol, contentCol)
+  }
+
+  /** [[records]] over `.warc.gz` files — the form every real
+    * Common Crawl artifact ships in: per-record gzip members walked
+    * and verified ([[gunzipMembers]]), then the SAME length-framed
+    * record fold over the decompressed stream. */
+  def gzRecords(files: DataFrame, contentCol: String = "content",
+                idCol: String = "file_id",
+                maxRecords: Int = 8): DataFrame =
+    records(gunzip(files, contentCol, idCol), contentCol, maxRecords)
+
+  /** Gzip one member (RFC 1952; minimal header, FLG=0, zero MTIME so
+    * the bytes are deterministic). */
+  private def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      defl.setInput(data); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue); le32(data.length.toLong)
+    out.toByteArray
+  }
+
+  /** Synthetic `.warc.gz` files: the SAME two-record planting as
+    * [[synthesizeWarc]] (so the q137 oracle's closed form carries
+    * over verbatim), but each record compressed into its OWN gzip
+    * member — the record-at-a-time convention real crawl writers use.
+    * The corruption plant moves DOWN a layer: `doc_id % corruptEvery
+    * == 0` files carry a flipped byte in the response member's CRC32
+    * trailer (framing intact, checksum wrong), and the whole file
+    * must yield no rows. Codec work → typed map, no expression. */
+  def synthesizeWarcGz(docs: DataFrame, corruptEvery: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        // resolved per task: Charset instances don't serialize
+        val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+        val date = f"2026-01-${id % 9 + 1}%02dT00:00:00Z"
+        val info = s"software: graft-$id\r\n"
+        val rec0 = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: " +
+          date + "\r\nContent-Length: " + info.length +
+          "\r\n\r\n" + info + "\r\n\r\n").getBytes(latin1)
+        val body = text.getBytes(latin1)
+        val rec1 = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://site${id % 7}.example/page/$id\r\n" +
+          s"WARC-Date: $date\r\nContent-Length: ${body.length}\r\n\r\n")
+          .getBytes(latin1) ++ body ++ "\r\n\r\n".getBytes(latin1)
+        val m1 = gzipMember(rec1)
+        if (id % corruptEvery == 0) // flip one CRC32 trailer byte
+          m1(m1.length - 8) = (m1(m1.length - 8) ^ 0x5a).toByte
+        (id, gzipMember(rec0) ++ m1)
+      })
+      .toDF("file_id", "content")
+  }
+
   /** Synthetic multi-record WARC files with REAL framing, one file
     * per document: a `warcinfo` record (variable-length payload —
     * the response record's offset is never fixed) then a `response`

@@ -85,4 +85,84 @@ class WarcSpec extends SparkTestBase {
       == "one doc")
     assert(resp.getAs[String]("target_uri") == "http://site1.example/page/1")
   }
+
+  // --- gzip member walk (.warc.gz) ---
+
+  private def gz(data: Array[Byte], mtime: Boolean = false,
+                 fname: Option[String] = None): Array[Byte] = {
+    // a WRITER richer than the repo's own (MTIME, FNAME): the reader
+    // must handle members other tools produce, not just its own
+    val bos = new java.io.ByteArrayOutputStream()
+    val flg = if (fname.isDefined) 8 else 0
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, flg.toByte,
+      if (mtime) 1 else 0, 0, 0, 0, 0, 3))
+    fname.foreach { n => bos.write(n.getBytes("US-ASCII")); bos.write(0) }
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    def le32(v: Long): Unit = (0 to 3).foreach(i =>
+      bos.write(((v >> (8 * i)) & 0xff).toInt))
+    le32(crc.getValue); le32(data.length.toLong)
+    bos.toByteArray
+  }
+
+  private def parseGz(files: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    Warc.gzRecords(files.toSeq.toDF("file_id", "content"))
+  }
+
+  test("gz member walk: per-record members with optional header fields round-trip") {
+    val r1 = rec("response", Some("http://g/1"), "first").getBytes("ISO-8859-1")
+    val r2 = rec("response", Some("http://g/2"), "second").getBytes("ISO-8859-1")
+    val out = parseGz(1L -> (gz(r1, mtime = true, fname = Some("r1.warc")) ++ gz(r2)))
+      .select("rec_idx", "target_uri", "payload").collect()
+    assert(out.length == 2)
+    assert(new String(out(0).getAs[Array[Byte]]("payload"), "ISO-8859-1") == "first")
+    assert(out(1).getAs[String]("target_uri") == "http://g/2")
+  }
+
+  test("gz broken members erase the whole file: bad CRC, bad ISIZE, truncation, garbage") {
+    val r = rec("response", Some("http://g/1"), "payload x").getBytes("ISO-8859-1")
+    val good = gz(r) ++ gz(r)
+    def mut(b: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = b.clone(); f(c); c
+    }
+    val cases = Seq(
+      2L -> mut(good)(b => b(b.length - 6) = (b(b.length - 6) ^ 1).toByte), // ISIZE
+      3L -> mut(good)(b => b(b.length - 10) = (b(b.length - 10) ^ 1).toByte), // CRC
+      4L -> good.dropRight(5),                          // truncated trailer
+      5L -> (good ++ Array[Byte](1, 2, 3)),             // trailing garbage
+      6L -> mut(good)(b => b(0) = 0x1e),                // bad magic
+      7L -> Array.empty[Byte],                          // empty file
+      8L -> good)                                       // control
+    val out = parseGz(cases: _*).select("file_id").collect().map(_.getLong(0))
+    assert(out.toSet == Set(8L), s"only the control may survive: ${out.toSeq}")
+  }
+
+  test("gz payload desync still caught one layer up: framing lie inside a valid member") {
+    // members verify (CRC fine) but the DECOMPRESSED framing lies —
+    // the record fold's contract must still reject the file
+    val lie = rec("response", Some("http://g/1"), "abc")
+      .replace("Content-Length: 3", "Content-Length: 5").getBytes("ISO-8859-1")
+    assert(parseGz(1L -> gz(lie)).count() == 0)
+  }
+
+  test("synthesizeWarcGz round-trip matches the uncompressed planting; corrupt plant rejected") {
+    import spark.implicits._
+    val docs = Seq((0L, "zero doc"), (1L, "one doc"), (2L, "two doc"))
+      .toDF("doc_id", "text")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("file_id"), col("rec_idx"), col("rec_type"),
+        col("target_uri"), col("warc_date"), col("content_length"),
+        decode(col("payload"), "ISO-8859-1").as("payload_text"))
+    val gzOut = proj(Warc.gzRecords(Warc.synthesizeWarcGz(docs)))
+    val plainOut = proj(Warc.records(Warc.synthesizeWarc(docs)))
+    assert(gzOut.collect().map(_.toString).sorted.toSeq
+      == plainOut.collect().map(_.toString).sorted.toSeq)
+    assert(gzOut.select("file_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L)) // 0 is the planted corrupt member
+  }
 }
