@@ -30,14 +30,35 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** One word per row: (word, seq = "c h a r s _", wcount). */
-  private[graft] def wordSeqs(df: DataFrame, textCol: String): DataFrame =
+  /** Character-level seeding: "chars" → "c h a r s _". */
+  private[graft] def charSeqOf(word: Column): Column =
+    concat(regexp_replace(word, "(.)", "$1 "), lit("_"))
+
+  /** BYTE-level seeding — the production pre-tokenization (GPT-2
+    * lineage): the word's UTF-8 bytes, each rendered as a 2-hex-digit
+    * token ("ab" → "61 62 _"). Hex keeps every token in the same
+    * ASCII token-string algebra the merge machinery already speaks
+    * (pair order, replace, concat-on-merge all carry over verbatim),
+    * and byte seeding makes encode total BY CONSTRUCTION: every
+    * character of any input has UTF-8 bytes, so there is no OOV
+    * contract to document — multi-byte characters simply seed as
+    * several byte tokens. lower() pins one case across engines. */
+  private[graft] def byteSeqOf(word: Column): Column =
+    concat(regexp_replace(lower(hex(
+      org.apache.spark.sql.functions.encode(word, "UTF-8"))),
+      "(..)", "$1 "), lit("_"))
+
+  /** One word per row: (word, seq, wcount) under the given seeding. */
+  private def wordSeqsWith(df: DataFrame, textCol: String,
+                           seedOf: Column => Column): DataFrame =
     df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
-      .select(col("word"),
-        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("_")).as("seq"),
-        col("wcount"))
+      .select(col("word"), seedOf(col("word")).as("seq"), col("wcount"))
+
+  /** One word per row: (word, seq = "c h a r s _", wcount). */
+  private[graft] def wordSeqs(df: DataFrame, textCol: String): DataFrame =
+    wordSeqsWith(df, textCol, charSeqOf)
 
   /** Adjacent token pairs of `seq`, weighted by word count. */
   private[operators] def pairCounts(words: DataFrame): DataFrame =
@@ -77,9 +98,19 @@ object Bpe {
     * (the oracle's empty CTE rows vanish from its UNION identically).
     */
   def train(df: DataFrame, textCol: String, merges: Int,
-            minPairCount: Long = 2L): DataFrame = {
+            minPairCount: Long = 2L): DataFrame =
+    trainLoop(wordSeqs(df, textCol), merges, minPairCount)
+
+  /** [[train]] under byte-level seeding: merges learned over UTF-8
+    * byte tokens ([[byteSeqOf]]); pairs/merged are hex strings. */
+  def trainBytes(df: DataFrame, textCol: String, merges: Int,
+                 minPairCount: Long = 2L): DataFrame =
+    trainLoop(wordSeqsWith(df, textCol, byteSeqOf), merges, minPairCount)
+
+  private def trainLoop(words0: DataFrame, merges: Int,
+                        minPairCount: Long): DataFrame = {
     require(merges >= 1, "at least one merge")
-    var words = wordSeqs(df, textCol).localCheckpoint(true)
+    var words = words0.localCheckpoint(true)
     val picked = Seq.newBuilder[DataFrame]
     for (i <- 1 to merges) {
       val best = pairCounts(words)
@@ -121,6 +152,23 @@ object Bpe {
     }
   }
 
+  /** [[trainPublished]] for the byte-level family (artifact kind
+    * `bpe_byte_merges`): the merge table is the model, the encode
+    * session loads it and never touches the training corpus. */
+  def trainBytesPublished(df: DataFrame, root: String, corpusKey: String,
+                          version: String, textCol: String, merges: Int,
+                          minPairCount: Long = 2L): DataFrame = {
+    import graft.sources.ArtifactStore
+    val spark = df.sparkSession
+    if (ArtifactStore.exists(spark, root, "bpe_byte_merges", corpusKey, version))
+      ArtifactStore.load(spark, root, "bpe_byte_merges", corpusKey, version)
+    else {
+      val m = trainBytes(df, textCol, merges, minPairCount)
+      ArtifactStore.save(m, root, "bpe_byte_merges", corpusKey, version)
+      ArtifactStore.load(spark, root, "bpe_byte_merges", corpusKey, version)
+    }
+  }
+
   /** Tokenize with a trained merge table: per-document BPE token
     * counts. The merge table is a MODEL artifact (≤ `merges` rows) —
     * it is collected once and folded into a single codegen'd chain of
@@ -137,17 +185,29 @@ object Bpe {
     * TOTAL on any corpus; each unknown character costs one token
     * (the [[UnigramLm.encode]] UNK analog). */
   def encode(df: DataFrame, idCol: String, textCol: String,
-             mergeTable: DataFrame): DataFrame = {
+             mergeTable: DataFrame): DataFrame =
+    encodeLoop(df, idCol, textCol, mergeTable, charSeqOf)
+
+  /** [[encode]] under byte-level seeding — total on ANY corpus with
+    * no OOV contract at all: unseen characters decompose into their
+    * UTF-8 byte tokens (1–4 tokens per character, merge rules
+    * permitting), never an UNK. */
+  def encodeBytes(df: DataFrame, idCol: String, textCol: String,
+                  mergeTable: DataFrame): DataFrame =
+    encodeLoop(df, idCol, textCol, mergeTable, byteSeqOf)
+
+  private def encodeLoop(df: DataFrame, idCol: String, textCol: String,
+                         mergeTable: DataFrame,
+                         seedOf: Column => Column): DataFrame = {
     val ms = mergeTable.orderBy(col("merge_rank")).collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
     val padded = ms.foldLeft(
-      concat(lit(" "),
-        concat(regexp_replace(col("word"), "(.)", "$1 "), lit("_")),
-        lit(" ")): Column) { case (s, (p, m)) =>
-      call_function("replace", s,
-        lit(" " + p + " "), lit(" " + m + " "))
+      concat(lit(" "), seedOf(col("word")), lit(" ")): Column) {
+      case (s, (p, m)) =>
+        call_function("replace", s,
+          lit(" " + p + " "), lit(" " + m + " "))
     }
-    val perWord = wordSeqs(df, textCol)
+    val perWord = wordSeqsWith(df, textCol, seedOf)
       .select(col("word"), size(split(trim(padded), " ")).as("__ntok"))
     df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -163,14 +223,23 @@ object Bpe {
   // re-evaluates the whole prefix exponentially.
   // ---------------------------------------------------------------
 
+  /** Character seeding, DuckDB form. */
+  private val charSeedSql = "regexp_replace(word, '(.)', '\\1 ', 'g') || '_'"
+
+  /** Byte seeding, DuckDB form — encode() is DuckDB's VARCHAR→BLOB
+    * (UTF-8), hex() its uppercase hex; lower() matches the engine. */
+  private val byteSeedSql =
+    "regexp_replace(lower(hex(encode(word))), '(..)', '\\1 ', 'g') || '_'"
+
   private def chainCtes(table: String, textExpr: String, merges: Int,
-                        minPairCount: Long): String = {
+                        minPairCount: Long,
+                        seedSql: String = charSeedSql): String = {
     val head =
       s"""wc AS MATERIALIZED (SELECT word, count(*) AS wcount
          |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table)
          |  WHERE word <> '' GROUP BY word),
          |w_0 AS MATERIALIZED (SELECT word,
-         |    regexp_replace(word, '(.)', '\\1 ', 'g') || '_' AS seq, wcount
+         |    $seedSql AS seq, wcount
          |  FROM wc)""".stripMargin
     val rounds = (1 to merges).map { i =>
       s"""p_$i AS MATERIALIZED (SELECT ws[i] || ' ' || ws[i + 1] AS pair,
@@ -198,6 +267,50 @@ object Bpe {
       s"SELECT CAST($i AS INTEGER) AS merge_rank, pair, merged, cnt FROM b_$i"
     }.mkString("\nUNION ALL ")
     s"WITH ${chainCtes(table, textExpr, merges, minPairCount)}\n$union"
+  }
+
+  /** Oracle twin of [[trainBytes]]. */
+  def trainBytesSql(table: String, textExpr: String, merges: Int,
+                    minPairCount: Long): String = {
+    val union = (1 to merges).map { i =>
+      s"SELECT CAST($i AS INTEGER) AS merge_rank, pair, merged, cnt FROM b_$i"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${chainCtes(table, textExpr, merges, minPairCount, byteSeedSql)}\n$union"
+  }
+
+  /** Oracle twin of [[trainBytes]] + [[encodeBytes]] composed, with
+    * an optionally distinct encode corpus (the published-artifact
+    * lifecycle; under byte seeding "OOV" words simply seed as bytes). */
+  def encodeBytesSql(table: String, idExpr: String, textExpr: String,
+                     merges: Int, minPairCount: Long,
+                     encodeTable: String): String = {
+    val ehead =
+      s"""ewc AS MATERIALIZED (SELECT word, count(*) AS wcount
+         |  FROM (SELECT unnest(string_split($textExpr, ' ')) AS word
+         |        FROM $encodeTable)
+         |  WHERE word <> '' GROUP BY word),
+         |ew_0 AS MATERIALIZED (SELECT word,
+         |    $byteSeedSql AS seq
+         |  FROM ewc)""".stripMargin
+    val erounds = (1 to merges).map { i =>
+      s"""ew_$i AS MATERIALIZED (SELECT word,
+         |    CASE WHEN b.pair IS NULL THEN seq
+         |         ELSE trim(replace(' ' || seq || ' ',
+         |           ' ' || b.pair || ' ', ' ' || b.merged || ' ')) END AS seq
+         |  FROM ew_${i - 1} LEFT JOIN b_$i b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${chainCtes(table, textExpr, merges, minPairCount, byteSeedSql)},
+       |$ehead,
+       |$erounds,
+       |v AS MATERIALIZED (SELECT word,
+       |    CAST(len(string_split(seq, ' ')) AS INTEGER) AS ntok
+       |  FROM ew_$merges),
+       |dw AS (SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
+       |       FROM $encodeTable)
+       |SELECT id AS doc_id, count(*) AS n_words,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+       |FROM dw JOIN v USING (word) WHERE word <> ''
+       |GROUP BY id""".stripMargin
   }
 
   /** Oracle twin of [[train]] + [[encode]] composed. `encodeTable`

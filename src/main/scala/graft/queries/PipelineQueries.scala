@@ -185,6 +185,11 @@ object PipelineQueries {
   // (" abcdefghijklmnopqrstuvwy"), q is inside — one word mixing
   // known/unknown chars, one all-unknown
   val OovPlant = " xq7z zzz"
+  // byte-BPE multi-byte plant (q175): é is 2-byte UTF-8, 世/界 are
+  // 3-byte — characters NO char-level tokenizer in this registry can
+  // seed, but byte seeding decomposes them totally (2–3 byte tokens
+  // each), which is the family's defining property
+  val ByteOovPlant = " café 世界"
   // prefix-filter set-similarity join (q144): high-threshold regime —
   // the corpus's shared vocabulary puts thousands of doc pairs above
   // 0.9 word-set jaccard at sf0.01, so 0.95 keeps the result ~1.9k
@@ -1340,6 +1345,32 @@ object PipelineQueries {
         graft.operators.Bpe.train(d, "text", BpeMerges, BpeMinPair))
     }),
 
+    // BYTE-LEVEL BPE training (Bpe.trainBytes) — the production
+    // pre-tokenization (GPT-2 lineage): merges learned over UTF-8
+    // byte tokens (2-hex-digit strings), so the trained model can
+    // encode ANY text with no OOV contract at all. Same scale shape
+    // as q122: one corpus-sized word-count aggregate, vocab-sized
+    // merge iterations, 1-row broadcast rewrites
+    "q174_bytebpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.trainBytes(docs(s, dir), "text",
+        BpeMerges, BpeMinPair)),
+
+    // byte-level encode THROUGH the published artifact (kind
+    // bpe_byte_merges): train → save → pruned-scan load → encode, the
+    // cross-session lifecycle. The encode corpus plants MULTI-BYTE
+    // characters (2- and 3-byte UTF-8) on top of the ASCII OOV words —
+    // the byte family's whole point: they seed as byte tokens and
+    // encode totally, no UNK row anywhere
+    "q175_bytebpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.operators.Bpe.trainBytesPublished(d,
+        Scratch.artifactRoot, dir, "v0001", "text", BpeMerges, BpeMinPair)
+      graft.operators.Bpe.encodeBytes(
+        d.withColumn("text",
+          concat(col("text"), lit(OovPlant), lit(ByteOovPlant))),
+        "doc_id", "text", merges)
+    }),
+
     // unigram-LM tokenizer training (UnigramLm.train) — the OTHER
     // production tokenizer family next to BPE: substring seed vocab,
     // then deterministic Viterbi hard-EM (segment under rounded
@@ -1453,13 +1484,16 @@ object PipelineQueries {
               .as("fertility"))
       val bpe = graft.operators.Bpe.encode(enc, "doc_id", "text",
         graft.operators.Bpe.train(d, "text", BpeMerges, BpeMinPair))
+      val bbpe = graft.operators.Bpe.encodeBytes(enc, "doc_id", "text",
+        graft.operators.Bpe.trainBytes(d, "text", BpeMerges, BpeMinPair))
       val uni = graft.operators.UnigramLm.encode(enc, "doc_id", "text",
         graft.operators.UnigramLm.train(d, "text", maxPieceLen = 4,
           seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
           iters = UnigramIters), maxPieceLen = 4)
       val wp = graft.operators.WordPiece.encode(enc, "doc_id", "text",
         graft.operators.WordPiece.train(d, "text", BpeMerges, BpeMinPair))
-      fert(bpe, "bpe").unionByName(fert(uni, "unigram"))
+      fert(bpe, "bpe").unionByName(fert(bbpe, "byte_bpe"))
+        .unionByName(fert(uni, "unigram"))
         .unionByName(fert(wp, "wordpiece"))
     })
   )
@@ -2751,6 +2785,12 @@ object PipelineQueries {
 
     "q122_bpe_train" -> graft.operators.Bpe.trainSql(
       "documents", "text", BpeMerges, BpeMinPair),
+    "q174_bytebpe_train" -> graft.operators.Bpe.trainBytesSql(
+      "documents", "text", BpeMerges, BpeMinPair),
+    "q175_bytebpe_encode" -> graft.operators.Bpe.encodeBytesSql(
+      "documents", "doc_id", "text", BpeMerges, BpeMinPair,
+      encodeTable = s"(SELECT doc_id, text || '$OovPlant' || " +
+        s"'$ByteOovPlant' AS text FROM documents)"),
     "q123_bpe_encode" -> graft.operators.Bpe.encodeSql(
       "documents", "doc_id", "text", BpeMerges, BpeMinPair,
       encodeTable =
@@ -2788,6 +2828,9 @@ object PipelineQueries {
            |FROM ($sub)""".stripMargin
       Seq(
         fert("bpe", graft.operators.Bpe.encodeSql(
+          "documents", "doc_id", "text", BpeMerges, BpeMinPair,
+          encodeTable = encT)),
+        fert("byte_bpe", graft.operators.Bpe.encodeBytesSql(
           "documents", "doc_id", "text", BpeMerges, BpeMinPair,
           encodeTable = encT)),
         fert("unigram", graft.operators.UnigramLm.encodeSql(

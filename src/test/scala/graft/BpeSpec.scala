@@ -97,4 +97,29 @@ class BpeSpec extends SparkTestBase {
     assert(got(3L) < 5L, s"$got")
     assert(got(2L) >= got(3L), s"$got")
   }
+
+  test("byte-level family: hand-derived hex merges; multi-byte chars encode totally") {
+    import spark.implicits._
+    // corpus "ab" x3: byte seq "61 62 _"; pairs (61,62)=3, (62,_)=3
+    // merge 1: count tie 3 -> '61 62' (asc, digits before _)
+    // merge 2: (6162,_)=3 -> '6162 _'
+    val docs = Seq.fill(3)("ab").toDF("text")
+    val merges = Bpe.trainBytes(docs, "text", merges = 2, minPairCount = 2L)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1, "61 62", "6162", 3L),
+      (2, "6162 _", "6162_", 3L)))
+    // encode: 'ab' -> 1 token; 'café' -> c a f é(2 bytes) + _ = 5
+    // tokens (no rule matches); '世' -> 3 byte tokens + _ = 4. No UNK,
+    // no dropped word: encode is total BY CONSTRUCTION
+    val mt = Bpe.trainBytes(docs, "text", merges = 2, minPairCount = 2L)
+    val enc = Bpe.encodeBytes(
+        Seq((1L, "ab"), (2L, "café"), (3L, "世")).toDF("doc_id", "text"),
+        "doc_id", "text", mt)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(1L) == (1L, 1L), s"$enc")
+    assert(enc(2L) == (1L, 6L), s"$enc") // 3 ascii + 2 bytes of é + _
+    assert(enc(3L) == (1L, 4L), s"$enc") // 3 bytes + _
+  }
 }
