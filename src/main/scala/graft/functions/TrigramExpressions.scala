@@ -53,20 +53,70 @@ object TrigramScores {
   private def langs = graft.operators.TextAnalysis.langOrder
   private def dim = graft.operators.TextAnalysis.langTrigrams
 
+  // the baked profile as a table, built once — the static scorer is
+  // now just the dynamic machinery over the shipped-default profile
+  private lazy val defaultTable: TrigramTable =
+    TrigramTable.build(langs, langs.flatMap(l =>
+      dim(l).map { case (g, wt) => (l, g, wt) }))
+
+  /** One rolling pass; called from both interpreted eval and codegen. */
+  def scoreArrayData(text: UTF8String): ArrayData = defaultTable.score(text)
+
+  def column(text: Column): Column =
+    ExpressionUtils.column(TrigramScores(ExpressionUtils.expression(text)))
+}
+
+/** Precomputed open-addressing trigram table: keys are 48-bit packed
+  * trigrams, values flat per-language weight rows. Serializable so a
+  * TRAINED profile (loaded from the artifact store, model-sized) ships
+  * to executors inside the expression — the [[TrigramScoresWith]]
+  * carrier. Grams shared between languages credit each. */
+final class TrigramTable(val nLangs: Int, keys: Array[Long],
+                         wts: Array[Long], mask: Int) extends Serializable {
+
+  def score(text: UTF8String): ArrayData = {
+    val scores = new Array[Long](nLangs)
+    val s = text.toString
+    val len = s.length
+    if (len >= 3) {
+      var k = TrigramTable.key3(0.toChar, s.charAt(0), s.charAt(1))
+      var i = 2
+      while (i < len) {
+        k = ((k << 16) | s.charAt(i).toLong) & 0xFFFFFFFFFFFFL
+        var slot = java.lang.Long.hashCode(k) & mask
+        while (keys(slot) != 0L && keys(slot) != k) slot = (slot + 1) & mask
+        if (keys(slot) == k) {
+          val base = slot * nLangs
+          var li = 0
+          while (li < nLangs) { scores(li) += wts(base + li); li += 1 }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(scores)
+  }
+}
+
+object TrigramTable {
+
   /** 48-bit key for a trigram: three UTF-16 units packed big-endian.
     * No dim gram contains NUL, so key 0 doubles as the empty slot. */
-  private def key3(c0: Char, c1: Char, c2: Char): Long =
+  private[graftext] def key3(c0: Char, c1: Char, c2: Char): Long =
     (c0.toLong << 32) | (c1.toLong << 16) | c2.toLong
 
-  // linear-probe table: keys + flat per-language weight rows, built once
-  private lazy val (tblKeys, tblWts, tblMask, nLangs) = {
+  /** Build the linear-probe table from (lang, gram, weight) rows;
+    * `langs` fixes the score-vector slot order. */
+  def build(langs: Seq[String], rows: Seq[(String, String, Int)]): TrigramTable = {
     val n = langs.length
+    val idx = langs.zipWithIndex.toMap
     val entries = new java.util.HashMap[Long, Array[Long]]()
-    for ((lang, grams) <- dim; li = langs.indexOf(lang); (g, wt) <- grams) {
-      require(g.length == 3, s"dim gram '$g' is not a trigram")
+    for ((lang, g, wt) <- rows) {
+      require(g.length == 3, s"profile gram '$g' is not a trigram")
+      val li = idx.getOrElse(lang,
+        throw new IllegalArgumentException(s"profile lang '$lang' not in $langs"))
       val k = key3(g.charAt(0), g.charAt(1), g.charAt(2))
       val row = entries.computeIfAbsent(k, _ => new Array[Long](n))
-      row(li) += wt.toLong // grams shared between languages credit each
+      row(li) += wt.toLong
     }
     var cap = 16
     while (cap < entries.size * 4) cap <<= 1
@@ -78,33 +128,38 @@ object TrigramScores {
       keys(i) = k
       System.arraycopy(row, 0, wts, i * n, n)
     }
-    (keys, wts, cap - 1, n)
+    new TrigramTable(n, keys, wts, cap - 1)
+  }
+}
+
+/** [[TrigramScores]] over a TRAINED profile: the same one-pass rolling
+  * scorer, with the table shipped as an expression-bound reference
+  * object instead of a process-wide constant — the scored profile is
+  * a loaded model artifact, different per (corpus, version). Codegen
+  * binds the table via `addReferenceObj`, so the hot loop is identical
+  * to the static form's. */
+case class TrigramScoresWith(child: Expression, table: TrigramTable)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_scores_with"
+
+  override def nullSafeEval(input: Any): Any =
+    table.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trigramTable", table,
+      classOf[TrigramTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.score($c)")
   }
 
-  /** One rolling pass; called from both interpreted eval and codegen. */
-  def scoreArrayData(text: UTF8String): ArrayData = {
-    val keys = tblKeys; val wts = tblWts; val mask = tblMask; val n = nLangs
-    val scores = new Array[Long](n)
-    val s = text.toString
-    val len = s.length
-    if (len >= 3) {
-      var k = key3(0.toChar, s.charAt(0), s.charAt(1))
-      var i = 2
-      while (i < len) {
-        k = ((k << 16) | s.charAt(i).toLong) & 0xFFFFFFFFFFFFL
-        var slot = java.lang.Long.hashCode(k) & mask
-        while (keys(slot) != 0L && keys(slot) != k) slot = (slot + 1) & mask
-        if (keys(slot) == k) {
-          val base = slot * n
-          var li = 0
-          while (li < n) { scores(li) += wts(base + li); li += 1 }
-        }
-        i += 1
-      }
-    }
-    new GenericArrayData(scores)
-  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
 
-  def column(text: Column): Column =
-    ExpressionUtils.column(TrigramScores(ExpressionUtils.expression(text)))
+object TrigramScoresWith {
+  def column(text: Column, table: TrigramTable): Column =
+    ExpressionUtils.column(
+      TrigramScoresWith(ExpressionUtils.expression(text), table))
 }

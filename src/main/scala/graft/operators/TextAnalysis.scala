@@ -118,6 +118,142 @@ object TextAnalysis {
        |ls AS (SELECT d.doc_id, $coalesced FROM $table d LEFT JOIN lraw USING (doc_id))""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // TRAINABLE language profiles — the lift from 5 baked tables to
+  // profiles learned from any labeled corpus and published like every
+  // other model artifact (kind `lang_profiles`). The scorer is the
+  // same one-pass codegen'd machinery ([[languageId]]'s static table
+  // is now just the shipped-default profile of the same class).
+  // ------------------------------------------------------------------
+
+  /** Learn per-language trigram profiles from a LABELED corpus: for
+    * each language, the `topK` most frequent character trigrams of
+    * the lowered text (count DESC, gram ASC — a total order both
+    * engines compare identically), weighted by descending rank
+    * (rank 1 → topK … rank topK → 1; integers, so scores stay exactly
+    * portable). Output: (lang, gram, wt, cnt).
+    *
+    * Scale shape: the corpus-sized work is one explode + hash
+    * aggregate keyed (lang, gram) — partial aggregation collapses the
+    * 300× trigram explosion map-side, so the shuffle carries distinct
+    * (lang, gram) counts (alphabet-bounded), not corpus rows. The
+    * rank filter is `row_number <= topK` over that model-sized frame,
+    * which Spark executes as WindowGroupLimit (partial top-K per
+    * partition, never a global sort). */
+  def trainLangProfiles(df: DataFrame, langCol: String, textCol: String,
+                        topK: Int = 15): DataFrame = {
+    val grams = df
+      .select(col(langCol).as("lang"), lower(col(textCol)).as("__t"))
+      .select(col("lang"), explode(expr(
+        """transform(sequence(1, greatest(length(__t) - 2, 0)),
+          |  i -> substring(__t, i, 3))""".stripMargin)).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    grams.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col("lang"), col("gram"),
+        (lit(topK) + 1 - col("__rk")).cast("int").as("wt"), col("cnt"))
+  }
+
+  /** Cross-session form: load the published profile table for
+    * `(corpusKey, version)` if it exists, else train and publish —
+    * the [[graft.operators.Bpe.trainPublished]] lifecycle, kind
+    * `lang_profiles`. The profile is the MODEL (≤ topK rows per
+    * language), so a scoring session loads a one-file artifact and
+    * never touches the labeled corpus. */
+  def trainLangProfilesPublished(df: DataFrame, root: String,
+                                 corpusKey: String, version: String,
+                                 langCol: String, textCol: String,
+                                 topK: Int = 15): DataFrame = {
+    import graft.sources.ArtifactStore
+    val spark = df.sparkSession
+    if (ArtifactStore.exists(spark, root, "lang_profiles", corpusKey, version))
+      ArtifactStore.load(spark, root, "lang_profiles", corpusKey, version)
+    else {
+      val p = trainLangProfiles(df, langCol, textCol, topK)
+      ArtifactStore.save(p, root, "lang_profiles", corpusKey, version)
+      ArtifactStore.load(spark, root, "lang_profiles", corpusKey, version)
+    }
+  }
+
+  /** Language-ID scored against a TRAINED profile frame (lang, gram,
+    * wt): collects the model-sized profile once, builds the
+    * open-addressing table, and scores every document in the same
+    * one-pass narrow projection as [[languageId]] — the table rides
+    * the expression as a reference object, so 100 TB of text is still
+    * touched exactly once with no join and no shuffle. Output:
+    * (idCol, pred_lang, best_score); the argmax tie-break is
+    * lexicographic language order (the winner of `ORDER BY score
+    * DESC, lang ASC`), deterministic for any trained language set. */
+  def languageIdWith(df: DataFrame, idCol: String, textCol: String,
+                     profiles: DataFrame): DataFrame = {
+    val rows = profiles.select(col("lang"), col("gram"), col("wt"))
+      .collect() // model-sized: ≤ topK rows per language by contract
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val langs = rows.map(_._1).distinct.sorted.toSeq
+    require(langs.nonEmpty, "empty language profile")
+    val table = org.apache.spark.sql.graftext.TrigramTable
+      .build(langs, rows.toSeq)
+    val scored = df.select(col(idCol),
+      org.apache.spark.sql.graftext.TrigramScoresWith.column(
+        lower(coalesce(col(textCol), lit(""))), table).as("__sc"))
+    val agg = scored.select(
+      col(idCol) +: langs.zipWithIndex.map { case (lang, i) =>
+        col("__sc")(i).as(s"score_$lang")
+      }: _*)
+    val pred = langs.foldRight(lit("und")) { case (lang, acc) =>
+      val isMax = langs.filter(_ != lang).foldLeft(lit(true)) { (c, other) =>
+        val cmp = if (other < lang) col(s"score_$lang") > col(s"score_$other")
+        else col(s"score_$lang") >= col(s"score_$other")
+        c && cmp
+      }
+      when(isMax, lang).otherwise(acc)
+    }
+    agg.select(col(idCol), pred.as("pred_lang"),
+      greatest(langs.map(l => col(s"score_$l")): _*).as("best_score"))
+  }
+
+  /** Oracle twin of [[trainLangProfiles]]. */
+  def trainLangProfilesSql(table: String, langExpr: String,
+                           textExpr: String, topK: Int = 15): String =
+    s"""WITH g AS (SELECT lang, substr(t, CAST(i AS INTEGER), 3) AS gram
+       |  FROM (SELECT $langExpr AS lang, lower($textExpr) AS t,
+       |          unnest(generate_series(1,
+       |            greatest(length(lower($textExpr)) - 2, 0))) AS i
+       |        FROM $table)),
+       |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+       |r AS (SELECT lang, gram, cnt, row_number() OVER
+       |        (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rk
+       |      FROM c)
+       |SELECT lang, gram, CAST($topK + 1 - rk AS INTEGER) AS wt, cnt
+       |FROM r WHERE rk <= $topK""".stripMargin
+
+  /** Oracle twin of [[trainLangProfiles]] + [[languageIdWith]]
+    * composed over the same table: long-form scores (zero-filled via
+    * the doc × lang base) with the `ORDER BY score DESC, lang ASC`
+    * winner — exactly the engine's lexicographic tie-break. */
+  def languageIdWithSql(table: String, idExpr: String, langExpr: String,
+                        textExpr: String, topK: Int = 15): String =
+    s"""WITH prof AS (${trainLangProfilesSql(table, langExpr, textExpr, topK)}),
+       |lg AS (SELECT $idExpr AS doc_id, substr(t, CAST(i AS INTEGER), 3) AS gram
+       |  FROM (SELECT $idExpr, lower($textExpr) AS t,
+       |          unnest(generate_series(1,
+       |            greatest(length(lower($textExpr)) - 2, 0))) AS i
+       |        FROM $table)),
+       |hit AS (SELECT doc_id, p.lang, CAST(sum(p.wt) AS BIGINT) AS s
+       |        FROM lg JOIN prof p USING (gram) GROUP BY 1, 2),
+       |base AS (SELECT d.$idExpr AS doc_id, l.lang
+       |         FROM $table d CROSS JOIN (SELECT DISTINCT lang FROM prof) l),
+       |sc AS (SELECT b.doc_id, b.lang, coalesce(h.s, 0) AS score
+       |       FROM base b LEFT JOIN hit h
+       |         ON b.doc_id = h.doc_id AND b.lang = h.lang)
+       |SELECT doc_id, lang AS pred_lang, score AS best_score
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk
+       |      FROM sc)
+       |WHERE rk = 1""".stripMargin
+
   /** The quality metrics as bare column expressions over a text
     * column — shared by [[quality]] and by compositions that want the
     * metrics INLINE on an existing frame without a join (the metrics

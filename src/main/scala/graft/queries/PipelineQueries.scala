@@ -184,6 +184,9 @@ object PipelineQueries {
   // doc; x, 7, z are outside the corpus alphabet
   // (" abcdefghijklmnopqrstuvwy"), q is inside — one word mixing
   // known/unknown chars, one all-unknown
+  // trained language-ID profile width (q176/q177): 15 matches the
+  // baked q39 tables' per-language gram count
+  val LangProfileTopK = 15
   val OovPlant = " xq7z zzz"
   // byte-BPE multi-byte plant (q175): é is 2-byte UTF-8, 世/界 are
   // 3-byte — characters NO char-level tokenizer in this registry can
@@ -1206,6 +1209,31 @@ object PipelineQueries {
 
     "q39_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+
+    // TRAINED language profiles (TextAnalysis.trainLangProfiles):
+    // per-language top-K trigram tables with descending-rank integer
+    // weights, learned from the corpus's own labels — the lift from
+    // the 5 baked q39 tables to profiles any labeled corpus can
+    // produce. Corpus-sized work is one explode + (lang, gram) hash
+    // aggregate; the rank filter runs as WindowGroupLimit over the
+    // alphabet-bounded count frame
+    "q176_lang_profiles" -> ((s, dir) =>
+      TextAnalysis.trainLangProfiles(docs(s, dir), "lang", "text",
+        LangProfileTopK)),
+
+    // language-ID through the PUBLISHED profile (kind lang_profiles):
+    // train → save → pruned-scan load → score. The scorer is the same
+    // one-pass codegen'd trigram machinery as q39, with the loaded
+    // model riding the expression as a reference object — zero
+    // shuffle over the scored corpus, the production asymmetry (label
+    // once, score unlabeled crawls forever after)
+    "q177_langid_trained" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prof = TextAnalysis.trainLangProfilesPublished(d,
+        Scratch.artifactRoot, dir, "v0001", "lang", "text",
+        LangProfileTopK)
+      TextAnalysis.languageIdWith(d, "doc_id", "text", prof)
+    }),
 
     "q40_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
@@ -2536,6 +2564,11 @@ object PipelineQueries {
          |GROUP BY 1, 2""".stripMargin,
     "q57_ann_lsh" -> annLshSql,
     "q39_langid" -> langidSql,
+    "q176_lang_profiles" -> graft.operators.TextAnalysis
+      .trainLangProfilesSql("documents", "lang", "text", LangProfileTopK),
+    "q177_langid_trained" -> graft.operators.TextAnalysis
+      .languageIdWithSql("documents", "doc_id", "lang", "text",
+        LangProfileTopK),
     "q40_text_quality" -> qualitySql,
     "q41_tokenize" -> tokenizeSql,
     "q42_fingerprint" -> fingerprintSql,

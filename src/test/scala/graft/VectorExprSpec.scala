@@ -168,4 +168,60 @@ class VectorExprSpec extends SparkTestBase {
       graft.operators.TextAnalysis.languageId(
         Tables.load(s, dir, "documents"), "doc_id", "text")
   }
+
+  test("trainLangProfiles: hand-derived top-K, rank weights, gram-asc ties") {
+    import spark.implicits._
+    // lang a: 'abab ' -> grams aba(1) bab(1) 'ab '(1), doc x3 so all x3;
+    // plus one 'ababab' doc -> aba x2, bab x2. Totals: aba 5, bab 5,
+    // 'ab ' 3. topK=2 -> rank1 aba (tie 5/5, gram asc), rank2 bab.
+    val docs = (Seq.fill(3)(("a", "abab ")) :+ ("a", "ababab") :+
+      ("b", "zzzz")).toDF("lang", "text")
+    val got = graft.operators.TextAnalysis
+      .trainLangProfiles(docs, "lang", "text", topK = 2)
+      .orderBy("lang", "wt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", "bab", 1, 5L), ("a", "aba", 2, 5L),
+      ("b", "zzz", 2, 2L))) // one distinct gram: rank 1 -> wt topK+1-1=2
+  }
+
+  test("languageIdWith on the BAKED profile == languageId's argmax (same machinery)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val baked = graft.operators.TextAnalysis.langTrigrams.toSeq
+      .flatMap { case (l, gs) => gs.map { case (g, w) => (l, g, w) } }
+      .toDF("lang", "gram", "wt")
+    import org.apache.spark.sql.functions.{col => c, greatest}
+    val trained = graft.operators.TextAnalysis
+      .languageIdWith(docs, "doc_id", "text", baked)
+      .select(c("doc_id"), c("pred_lang").as("p1"))
+    val staticFull = graft.operators.TextAnalysis
+      .languageId(docs, "doc_id", "text")
+    // the two tie-breaks differ (langOrder vs lexicographic), so the
+    // winners must agree exactly where the max is UNIQUE
+    val langs = graft.operators.TextAnalysis.langOrder
+    val best = greatest(langs.map(l => c(s"score_$l")): _*)
+    val nAtMax = langs.map(l =>
+        org.apache.spark.sql.functions.when(c(s"score_$l") === best, 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    val static = staticFull.filter(nAtMax === 1)
+      .select(c("doc_id"), c("pred_lang").as("p2"))
+    val both = trained.join(static, "doc_id")
+    assert(both.count() > 0) // the filter must leave something to compare
+    val disagree = both.filter(c("p1") =!= c("p2")).count()
+    assert(disagree == 0, s"$disagree unique-max disagreements")
+  }
+
+  test("languageIdWith plan stays a shuffle-free codegen projection") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val prof = graft.operators.TextAnalysis
+      .trainLangProfiles(docs, "lang", "text", 15)
+    val scored = graft.operators.TextAnalysis
+      .languageIdWith(docs, "doc_id", "text", prof)
+    scored.collect()
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"trained scorer should not shuffle:\n$p")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+  }
 }
