@@ -778,6 +778,68 @@ object PipelineQueries {
       graft.streaming.CrawlStream.drainFrontier(s, arrivalDir, policy)
     }),
 
+    // the discovery loop with RECRAWL DISCIPLINE (q171 × q162): the
+    // q171 planting re-drained against a PUBLISHED seen-URL digest
+    // state — survivors with doc_id%5==2 are pre-seeded as already
+    // fetched (their md5 digests published as frontier_seen v0001),
+    // the stream anti-probes every discovered URL against that state
+    // before the scheduler, and the union'd state publishes back as
+    // v0002. Oracle: the q171 window over the set minus the seen
+    // plant — the anti gate re-ranks every host's slots
+    "q178_frontier_recrawl" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = docs(s, dir)
+      val dn = pmod(col("doc_id"), lit(7))
+      val ids = col("doc_id").cast("string")
+      val path = when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("/private/x"), ids))
+        .otherwise(concat(lit("/page/"), ids, lit("?a=1&amp;b="),
+          pmod(col("doc_id"), lit(5)).cast("string")))
+      val entry = concat(lit("  <url><loc>https://site"),
+        dn.cast("string"), lit(".example"), path, lit("</loc></url>"))
+      val parts = d.select(
+          concat(lit("site"), dn.cast("string"), lit(".example"))
+            .as("domain"),
+          pmod(col("doc_id"), lit(2)).as("part"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("domain"), col("part"))
+        .agg(concat(lit("<urlset>\n"),
+          array_join(transform(sort_array(collect_list(col("se"))),
+            x => x.getField("e")), "\n"),
+          lit("\n</urlset>")).as("xml"))
+        .select(col("part").as("bseq"), col("domain"), col("xml"))
+      val arrivalDir = fixtureDir("graft_stream_recrawl", dir)
+      graft.streaming.CrawlStream.writeArrivalBatches(parts, "bseq",
+        arrivalDir)
+      val robots = d.select(dn.as("h")).distinct().select(
+        concat(lit("site"), col("h").cast("string"), lit(".example"))
+          .as("domain"),
+        concat(lit("User-agent: *\nDisallow: /private\n"),
+          when(col("h") === 3, lit("Disallow: /page\n"))
+            .otherwise(lit("")),
+          when(col("h") % 2 === 0,
+            concat(lit("Crawl-delay: "), (col("h") + 1).cast("string"),
+              lit("\n"))).otherwise(lit(""))).as("robots_txt"))
+      val policy = UrlNormalize.robotsPolicy(robots, "domain",
+        "robots_txt", "graftbot").localCheckpoint()
+      // the seen plant: already-fetched survivors, digests only —
+      // published once (exists-guard) so repeated runs stay stable
+      if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
+          dir + "#recrawl", "v0001")) {
+        val seenPlant = d
+          .filter(pmod(col("doc_id"), lit(3)) =!= 1 &&
+            pmod(col("doc_id"), lit(7)) =!= 3 &&
+            pmod(col("doc_id"), lit(5)) === 2)
+          .select(md5(concat(lit("https://site"), dn.cast("string"),
+            lit(".example/page/"), ids, lit("?a=1&b="),
+            pmod(col("doc_id"), lit(5)).cast("string"))).as("url_digest"))
+        ArtifactStore.save(seenPlant, Scratch.artifactRoot,
+          "frontier_seen", dir + "#recrawl", "v0001")
+      }
+      graft.streaming.CrawlStream.drainFrontierDedup(s, arrivalDir,
+        policy, Scratch.artifactRoot, dir + "#recrawl", "v0001", "v0002")
+    }),
+
     // one-parse robots POLICY (UrlNormalize.robotsPolicy): the q146
     // rule table AND the q152 Crawl-delay from a single parse of the
     // robots corpus — exploded flat so the driver can hash it. The
@@ -2304,6 +2366,27 @@ object PipelineQueries {
          |      '?a=1&b=' || (doc_id % 5) AS url
          |  FROM documents
          |  WHERE doc_id % 3 <> 1 AND doc_id % 7 <> 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY part, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN h % 2 = 0 THEN CAST(h + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
+    // the q171 window minus the seen plant (doc_id%5==2 survivors
+    // were pre-published as fetched): the anti gate removes them
+    // BEFORE the scheduler, so every host's slots re-rank over the
+    // remaining set
+    "q178_frontier_recrawl" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH u AS (SELECT
+         |    'site' || (doc_id % 7) || '.example' AS host,
+         |    doc_id % 7 AS h, doc_id % 2 AS part,
+         |    'https://site' || (doc_id % 7) || '.example/page/' || doc_id ||
+         |      '?a=1&b=' || (doc_id % 5) AS url
+         |  FROM documents
+         |  WHERE doc_id % 3 <> 1 AND doc_id % 7 <> 3 AND doc_id % 5 <> 2),
          |r AS (SELECT *, row_number() OVER (PARTITION BY host
          |    ORDER BY part, ($order) % 1000000, url) - 1 AS slot
          |  FROM u)

@@ -279,6 +279,64 @@ object CrawlStream {
     spark.table(name)
   }
 
+  /** [[drainFrontier]] with RECRAWL DISCIPLINE — the q162 dedup-state
+    * lifecycle composed into the discovery loop: URLs already drained
+    * by ANY earlier run are anti-probed away against the published
+    * seen-URL digest table (kind `frontier_seen`) BEFORE the
+    * scheduler, so a months-long crawl never rescheduled a page it
+    * already fetched; after the drain the union'd state is published
+    * back under `publishVersion` for the next run.
+    *
+    * Scale shape: the gate is a stream-static LEFT ANTI join on a
+    * 16-byte md5 digest — state is digests, never URLs-with-payloads,
+    * and Spark re-reads the static side per micro-batch (the refresh
+    * cadence a live frontier wants). The publish-back is one
+    * distinct-union of (old state ∪ this drain's digests): a linear
+    * shuffle of digest keys, the probe-compact-state discipline. An
+    * absent `loadVersion` state reads as empty (the first run). */
+  def drainFrontierDedup(spark: SparkSession, sitemapDir: String,
+                         policy: DataFrame, root: String, corpusKey: String,
+                         loadVersion: String, publishVersion: String,
+                         defaultDelaySecs: Double = 1.0,
+                         queryName: String = "graft_stream_recrawl"): DataFrame = {
+    import graft.sources.ArtifactStore
+    val seen =
+      if (ArtifactStore.exists(spark, root, "frontier_seen", corpusKey,
+          loadVersion))
+        ArtifactStore.load(spark, root, "frontier_seen", corpusKey,
+          loadVersion).select(col("url_digest"))
+      else spark.range(0).select(lit("").as("url_digest"))
+    val in = spark.readStream.schema("domain STRING, xml STRING")
+      .option("maxFilesPerTrigger", 1).parquet(sitemapDir)
+    val sm = UrlNormalize.sitemapUrls(in, "domain", "xml")
+    val (allowed, _) = UrlNormalize.robotsVerdictCols(
+      UrlNormalize.pathOf(col("url")), col("rules"))
+    val gated = sm
+      .join(broadcast(policy.select(col("domain"), col("rules"))),
+        Seq("domain"), "left")
+      .filter(allowed)
+      .select(col("url"))
+      .withColumn("url_digest", md5(col("url")))
+      .join(seen, Seq("url_digest"), "left_anti") // the recrawl gate
+      .drop("url_digest").withColumn("uid", col("url"))
+    val out = politenessStream(gated, "uid", "url",
+        policy.select(col("domain"), col("crawl_delay")),
+        defaultDelaySecs = defaultDelaySecs)
+      .select(col("url"), col("host"), col("slot_idx"), col("fetch_at_s"))
+    val name = uniqueName(queryName)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    superseded(spark, queryName, name)
+    val drained = spark.table(name)
+    val updated = seen
+      .union(drained.select(md5(col("url")).as("url_digest")))
+      .distinct()
+    ArtifactStore.save(updated, root, "frontier_seen", corpusKey,
+      publishVersion)
+    drained
+  }
+
   /** Drain a [[writeArrivalBatches]] directory through
     * [[politenessStream]] one file per trigger (the pinned arrival
     * order) into a memory sink; returns the accumulated schedule. */

@@ -370,4 +370,57 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(m(1L)._2 == 0 && m(2L)._2 == 1, "wave-1 slots unchanged")
   }
 
+  test("frontier recrawl gate: a drained URL is never re-emitted across " +
+      "drains; the published state accumulates both waves") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.ArtifactStore
+    val root = Files.createTempDirectory("recrawl_store").toString
+    val sitemaps = Files.createTempDirectory("recrawl_maps").toString + "/in"
+    def urlset(urls: String*): String =
+      "<urlset>\n" +
+        urls.map(u => s"  <url><loc>$u</loc></url>").mkString("\n") +
+        "\n</urlset>"
+    val policy = graft.operators.UrlNormalize.robotsPolicy(
+      Seq(("a.com", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"))
+        .toDF("domain", "robots_txt"),
+      "domain", "robots_txt", "graftbot").localCheckpoint()
+    // wave 1: two pages (plus a robots-killed one that must NOT enter
+    // the seen state — it was never scheduled)
+    CrawlStream.writeArrivalBatches(Seq(
+      ("a.com", urlset("https://a.com/p1", "https://a.com/private/x",
+        "https://a.com/p2"), 0L)
+    ).toDF("domain", "xml", "bseq"), "bseq", sitemaps)
+    val w1 = CrawlStream.drainFrontierDedup(spark, sitemaps, policy,
+      root, "ck", "v0001", "v0002").collect()
+    assert(w1.map(_.getString(0)).sorted.toSeq
+      == Seq("https://a.com/p1", "https://a.com/p2"), s"${w1.toSeq}")
+    // wave 2 REPEATS p1/p2 (a site republishing its sitemap — the
+    // recrawl case) and adds p3; loads the wave-1 state
+    CrawlStream.writeArrivalBatches(Seq(
+      ("a.com", urlset("https://a.com/p1", "https://a.com/p3",
+        "https://a.com/p2"), 0L)
+    ).toDF("domain", "xml", "bseq"), "bseq", sitemaps)
+    val w2 = CrawlStream.drainFrontierDedup(spark, sitemaps, policy,
+      root, "ck", "v0002", "v0003").collect()
+    assert(w2.map(_.getString(0)).toSeq == Seq("https://a.com/p3"),
+      s"repeats must not re-emit: ${w2.toSeq}")
+    // fresh host counter per drain run: p3 is the only scheduled URL
+    assert(w2.head.getInt(2) == 0 && w2.head.getDouble(3) == 0.0)
+    // the published state accumulates exactly the three scheduled
+    // URLs' digests — never the robots-killed one
+    val st = ArtifactStore.load(spark, root, "frontier_seen", "ck", "v0003")
+    val want = Seq("https://a.com/p1", "https://a.com/p2",
+      "https://a.com/p3").toDF("u")
+      .select(org.apache.spark.sql.functions.md5(col("u"))).collect()
+      .map(_.getString(0)).toSet
+    assert(st.collect().map(_.getString(0)).toSet == want)
+    // a third drain of the SAME wave-2 inventory against v0003 emits
+    // nothing at all — the loop is quiescent
+    val w3 = CrawlStream.drainFrontierDedup(spark, sitemaps, policy,
+      root, "ck", "v0003", "v0004")
+    assert(w3.isEmpty, s"quiescent drain re-emitted: ${w3.collect().toSeq}")
+  }
+
 }
