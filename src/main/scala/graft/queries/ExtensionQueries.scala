@@ -255,6 +255,27 @@ object ExtensionQueries {
         crawlBlocklist(s), maxFilesPerTrigger = Some(2))
     }),
 
+    // q161 over REAL-artifact framing: the same planted segments
+    // arrive as .warc.gz (per-record gzip members, the q172 walk) on
+    // the stream — the member-verify typed map is stateless, so it
+    // rides the micro-batch frame unchanged and the corrupt-member
+    // plant (here the q172 flipped-CRC, not the q137 framing lie)
+    // erases its file before any gate runs. Answers the SAME batch
+    // oracle as q149/q161/q173 (the stream≡batch≡gz discipline)
+    "q179_stream_crawl_gz" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val warcDir = Scratch.fixtureDir("graft_stream_warcgz", dir)
+      graft.sources.Warc.synthesizeWarcGz(
+          d.select(col("doc_id"), crawlPageHtml.as("text")))
+        .repartition(8).write.mode("overwrite").parquet(warcDir)
+      val policy = graft.operators.UrlNormalize
+        .robotsPolicy(crawlRobots(d), "domain", "robots_txt", "graftbot")
+        .localCheckpoint()
+      graft.streaming.CrawlStream.drainGated(s, warcDir, policy,
+        crawlBlocklist(s), maxFilesPerTrigger = Some(2),
+        queryName = "graft_stream_crawl_gz", gz = true)
+    }),
+
     // mapPartitions batched "decode" over binary media columns.
     // The feature vector is flattened to scalar columns for the oracle
     // compare (the gate's comparator cannot hash array cells); the
@@ -537,6 +558,18 @@ object ExtensionQueries {
     // q139 extraction form, the synthesizer's target URI, and the
     // planted Crawl-delay (h+1 on even sites, NULL elsewhere)
     "q149_crawl_gate" ->
+      """SELECT doc_id AS file_id,
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+        |    AS url,
+        |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
+        |  ' tail <' || doc_id || '>' AS clean_text,
+        |  CASE WHEN (doc_id % 7) % 2 = 0
+        |    THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
+        |FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)""".stripMargin,
+    // stream over gz members: same survivors, same closed form
+    "q179_stream_crawl_gz" ->
       """SELECT doc_id AS file_id,
         |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
         |    AS url,

@@ -114,10 +114,17 @@ object CrawlStream {
   def drainGated(spark: SparkSession, warcDir: String, policy: DataFrame,
                  blocklist: DataFrame,
                  maxFilesPerTrigger: Option[Int] = None,
-                 queryName: String = "graft_stream_crawl"): DataFrame = {
+                 queryName: String = "graft_stream_crawl",
+                 gz: Boolean = false): DataFrame = {
     val reader = spark.readStream.schema("file_id BIGINT, content BINARY")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val out = gatedRecords(reader.parquet(warcDir), policy, blocklist)
+    // gz: the strict per-member walk runs as a typed map per file —
+    // stateless, so it composes onto the streaming frame unchanged
+    // (a broken member erases its file from the micro-batch, the
+    // batch contract carried onto the stream)
+    val files0 = reader.parquet(warcDir)
+    val files = if (gz) Warc.gunzip(files0) else files0
+    val out = gatedRecords(files, policy, blocklist)
     val name = uniqueName(queryName)
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

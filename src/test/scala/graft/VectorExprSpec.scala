@@ -213,6 +213,38 @@ class VectorExprSpec extends SparkTestBase {
     assert(disagree == 0, s"$disagree unique-max disagreements")
   }
 
+  test("languageIdWith breadth: a 12-language trained profile set classifies " +
+      "each language's held-out text correctly (no 5-lang assumption anywhere)") {
+    import spark.implicits._
+    // 12 synthetic "languages", each with a private 3-letter alphabet
+    // block so its trigrams are disjoint from every other's; 20
+    // training docs per language, one held-out doc each
+    def word(li: Int): String = {
+      val a = ('a' + (li * 2) % 26).toChar
+      val b = ('a' + (li * 2 + 1) % 26).toChar
+      s"$a$b$a$b$a"
+    }
+    val langs = (0 until 12).map(i => f"lg$i%02d")
+    val train = langs.zipWithIndex.flatMap { case (l, i) =>
+      (0 until 20).map(_ => (l, s"${word(i)} ${word(i)} ${word(i)}"))
+    }.toDF("lang", "text")
+    val prof = graft.operators.TextAnalysis
+      .trainLangProfiles(train, "lang", "text", topK = 10)
+    assert(prof.select("lang").distinct().count() == 12)
+    val heldOut = langs.zipWithIndex
+      .map { case (l, i) => (l, s"${word(i)} ${word(i)}") }
+      .toDF("truth", "text")
+      .withColumn("doc_id", org.apache.spark.sql.functions
+        .monotonically_increasing_id())
+    val pred = graft.operators.TextAnalysis
+      .languageIdWith(heldOut, "doc_id", "text", prof)
+      .join(heldOut, "doc_id")
+    val wrong = pred.filter(org.apache.spark.sql.functions
+      .col("pred_lang") =!= org.apache.spark.sql.functions.col("truth"))
+      .count()
+    assert(wrong == 0, s"$wrong misclassified of 12")
+  }
+
   test("languageIdWith plan stays a shuffle-free codegen projection") {
     val docs = Tables.load(spark, sfDir, "documents")
     val prof = graft.operators.TextAnalysis
