@@ -514,6 +514,69 @@ object UrlNormalize {
           .otherwise(col("__pr").cast("double")).as("priority"))
   }
 
+  /** Sitemapindex parse (sitemaps.org v0.9 `<sitemapindex>`) — the
+    * protocol's OTHER document kind: a site past the 50k-URL/50MB
+    * limit publishes an INDEX of child sitemap locations, and a
+    * crawler must walk the index before any urlset exists to parse
+    * (the q171 multi-file drain assumes the children are already
+    * known; this is where they come from). One row per `<sitemap>`
+    * entry: (domain, sitemap_url, lastmod) with the loc
+    * entity-decoded and trimmed, lastmod NULL when absent — the same
+    * contracts as [[sitemapUrls]]. The two parsers are disjoint by
+    * element name, so feeding either document kind to the other
+    * yields zero rows (spec-pinned). Same scale shape: codegen'd
+    * regexp passes on the scan, only extracted locations enter any
+    * downstream shuffle. */
+  def sitemapIndexUrls(df: DataFrame, domainCol: String,
+                       xmlCol: String): DataFrame = {
+    val entries = regexp_extract_all(col(xmlCol),
+      lit("(?s)<sitemap\\s*>(.*?)</sitemap\\s*>"), lit(1))
+    def field(e: Column, tag: String): Column =
+      regexp_extract(e, s"(?s)<$tag\\s*>\\s*(.*?)\\s*</$tag\\s*>", 1)
+    df.select(col(domainCol).as("domain"), explode(entries).as("__e"))
+      .select(col("domain"),
+        org.apache.spark.sql.graftext.HtmlEntityDecode.column(
+          field(col("__e"), "loc")).as("sitemap_url"),
+        field(col("__e"), "lastmod").as("__lm"))
+      .filter(col("sitemap_url") =!= "")
+      .select(col("domain"), col("sitemap_url"),
+        when(col("__lm") === "", lit(null: String))
+          .otherwise(col("__lm")).as("lastmod"))
+  }
+
+  /** [[politenessSchedule]] driven by the sitemap's OWN signals: slot
+    * order within a host is (priority DESC, lastmod DESC NULLS LAST,
+    * content-hash, url) — the highest-priority freshest pages fetch
+    * first, which is what the protocol's advisory fields exist for;
+    * the hash breaks ties exactly as the plain scheduler does. W3C
+    * datetime strings compare lexicographically == chronologically,
+    * so the order is engine-portable with no timestamp parse. Input
+    * needs `urlCol` + `priorityCol` + `lastmodCol` (the
+    * [[sitemapUrls]] output shape); same ONE host-keyed window, same
+    * (url, host, slot_idx, fetch_at_s) output plus the priority
+    * carried through. */
+  def prioritySchedule(urls: DataFrame, urlCol: String,
+                       priorityCol: String, lastmodCol: String,
+                       delays: DataFrame, domainCol: String = "domain",
+                       delayCol: String = "crawl_delay",
+                       defaultDelaySecs: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = pmod(graft.functions.PortableHash.hash60(col(urlCol)),
+      lit(1000000))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col(priorityCol).desc, col(lastmodCol).desc_nulls_last,
+        order.asc, col(urlCol).asc)
+    urls.select(col(urlCol), col(priorityCol), col(lastmodCol),
+        hostOf(col(urlCol)).as("host"))
+      .withColumn("slot_idx", (row_number().over(w) - 1).cast("int"))
+      .join(delays.select(col(domainCol).as("host"),
+        col(delayCol).as("__d")), Seq("host"), "left")
+      .select(col(urlCol), col("host"), col(priorityCol),
+        col("slot_idx"),
+        round(col("slot_idx") *
+          coalesce(col("__d"), lit(defaultDelaySecs)), 6).as("fetch_at_s"))
+  }
+
   /** URL-level dedup over (doc_id, url): group by canonical form, keep
     * the smallest doc_id as the canonical record (first-crawled wins
     * under a monotone id), count the dupes. The shuffle carries only

@@ -676,6 +676,89 @@ object PipelineQueries {
       UrlNormalize.sitemapUrls(sitemaps, "domain", "xml")
     }),
 
+    // sitemapindex parse (UrlNormalize.sitemapIndexUrls): the
+    // protocol's OTHER document kind — an index of CHILD sitemap
+    // locations a 50k+-URL site publishes; this is where q171's
+    // multi-file inventory comes from. Plant: one <sitemap> entry per
+    // doc (loc entity-escaped, lastmod omitted every 3rd), PLUS the
+    // q168-style urlset corpus as a DECOY — the two parsers are
+    // element-disjoint, so the urlset docs must contribute ZERO index
+    // rows (and vice versa, spec-pinned)
+    "q180_sitemap_index" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dn = pmod(col("doc_id"), lit(7)).cast("string")
+      val ids = col("doc_id").cast("string")
+      val locEsc = concat(lit("https://site"), dn,
+        lit(".example/sitemaps/part"), ids, lit(".xml.gz?x=1&amp;y="),
+        pmod(col("doc_id"), lit(3)).cast("string"))
+      val lastmod = when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit("\n    <lastmod>2026-03-"),
+          (lit(10) + pmod(col("doc_id"), lit(18))).cast("string"),
+          lit("</lastmod>"))).otherwise(lit(""))
+      val entry = concat(lit("  <sitemap>\n    <loc> "), locEsc,
+        lit(" </loc>"), lastmod, lit("\n  </sitemap>"))
+      val index = d.select(
+          concat(lit("site"), dn, lit(".example")).as("domain"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("domain"))
+        .agg(concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          array_join(transform(sort_array(collect_list(col("se"))),
+            x => x.getField("e")), "\n"),
+          lit("\n</sitemapindex>")).as("xml"))
+      // decoy: a urlset document per domain — must parse to NOTHING
+      val decoy = d.limit(50).select(
+          concat(lit("decoy"), dn, lit(".example")).as("domain"),
+          concat(lit("<urlset>\n  <url><loc>https://x.example/"), ids,
+            lit("</loc></url>\n</urlset>")).as("xml"))
+      UrlNormalize.sitemapIndexUrls(index.unionByName(decoy),
+        "domain", "xml")
+    }),
+
+    // priority-driven frontier (UrlNormalize.prioritySchedule): the
+    // politeness schedule ordered by the sitemap's OWN advisory
+    // signals — (priority DESC, lastmod DESC NULLS LAST, hash) within
+    // each host, so the freshest highest-priority pages fetch first.
+    // Input is q168's parsed urlset verbatim (priority 0.5 default,
+    // lastmod NULL plants included); delays from the q169 ladder
+    // (even-numbered sites publish h+1). W3C datetimes compare
+    // lexicographically == chronologically, so no timestamp parse
+    "q181_priority_frontier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dn = pmod(col("doc_id"), lit(7)).cast("string")
+      val ids = col("doc_id").cast("string")
+      val locEsc = concat(lit("https://site"), dn, lit(".example/page/"),
+        ids, lit("?a=1&amp;b="), pmod(col("doc_id"), lit(5)).cast("string"))
+      val lastmod = when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit("\n    <lastmod>2026-02-"),
+          (lit(10) + pmod(col("doc_id"), lit(18))).cast("string"),
+          lit("</lastmod>"))).otherwise(lit(""))
+      val prio = when(pmod(col("doc_id"), lit(4)) =!= 1,
+        concat(lit("\n    <priority>0."),
+          pmod(col("doc_id"), lit(10)).cast("string"),
+          lit("</priority>"))).otherwise(lit(""))
+      val entry = concat(lit("  <url>\n    <loc> "), locEsc,
+        lit(" </loc>"), lastmod, prio, lit("\n  </url>"))
+      val sitemaps = d.select(
+          concat(lit("site"), dn, lit(".example")).as("domain"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("domain"))
+        .agg(concat(lit("<urlset>\n"),
+          array_join(transform(sort_array(collect_list(col("se"))),
+            x => x.getField("e")), "\n"),
+          lit("\n</urlset>")).as("xml"))
+      val sm = UrlNormalize.sitemapUrls(sitemaps, "domain", "xml")
+      val delays = d.select(pmod(col("doc_id"), lit(7)).as("h")).distinct()
+        .select(
+          concat(lit("site"), col("h").cast("string"), lit(".example"))
+            .as("domain"),
+          when(col("h") % 2 === 0, (col("h") + 1).cast("double"))
+            .as("crawl_delay"))
+      UrlNormalize.prioritySchedule(sm, "url", "priority", "lastmod",
+        delays)
+    }),
+
     // the DISCOVERY→GATE→SCHEDULE frontier loop composed end-to-end:
     // per-domain sitemaps parsed (q168 machinery), each discovered URL
     // gated by the domain's robots policy (one parse, broadcast,
@@ -2370,6 +2453,40 @@ object PipelineQueries {
          |    ORDER BY part, ($order) % 1000000, url) - 1 AS slot
          |  FROM u)
          |SELECT url, host, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN h % 2 = 0 THEN CAST(h + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
+    // the index planting's closed form; the urlset decoy contributes
+    // zero rows by element disjointness
+    "q180_sitemap_index" ->
+      """SELECT 'site' || (doc_id % 7) || '.example' AS domain,
+        |  'https://site' || (doc_id % 7) || '.example/sitemaps/part' ||
+        |    doc_id || '.xml.gz?x=1&y=' || (doc_id % 3) AS sitemap_url,
+        |  CASE WHEN doc_id % 3 <> 0
+        |    THEN '2026-03-' || (10 + doc_id % 18) END AS lastmod
+        |FROM documents""".stripMargin,
+    // the q168 planting re-ranked by (priority DESC, lastmod DESC
+    // NULLS LAST, hash, url) within host, priced by the q169 delay
+    // ladder
+    "q181_priority_frontier" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH u AS (SELECT
+         |    'https://site' || (doc_id % 7) || '.example/page/' || doc_id ||
+         |      '?a=1&b=' || (doc_id % 5) AS url,
+         |    'site' || (doc_id % 7) || '.example' AS host,
+         |    doc_id % 7 AS h,
+         |    CASE WHEN doc_id % 3 <> 0
+         |      THEN '2026-02-' || (10 + doc_id % 18) END AS lastmod,
+         |    CASE WHEN doc_id % 4 <> 1
+         |      THEN CAST('0.' || (doc_id % 10) AS DOUBLE)
+         |      ELSE 0.5 END AS priority
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY priority DESC, lastmod DESC NULLS LAST,
+         |      ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, priority, CAST(slot AS INTEGER) AS slot_idx,
          |  round(slot * (CASE WHEN h % 2 = 0 THEN CAST(h + 1 AS DOUBLE)
          |    ELSE 1.0 END), 6) AS fetch_at_s
          |FROM r""".stripMargin

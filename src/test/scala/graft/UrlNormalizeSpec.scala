@@ -324,4 +324,54 @@ class UrlNormalizeSpec extends SparkTestBase {
       Seq(("a.com", idx)).toDF("domain", "xml"), "domain", "xml")
       .count() == 0)
   }
+
+  test("sitemapIndexUrls: entity decode, lastmod NULL default, element " +
+      "disjointness both ways") {
+    import spark.implicits._
+    val idx =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap>
+        |    <loc> https://a.com/maps/part1.xml.gz?x=1&amp;y=2 </loc>
+        |    <lastmod>2026-03-01</lastmod>
+        |  </sitemap>
+        |  <sitemap><loc>https://a.com/maps/part2.xml</loc></sitemap>
+        |  <sitemap><lastmod>2026-03-02</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin
+    val urlset = "<urlset><url><loc>https://a.com/p1</loc></url></urlset>"
+    val got = graft.operators.UrlNormalize.sitemapIndexUrls(
+        Seq(("a.com", idx), ("b.com", urlset)).toDF("domain", "xml"),
+        "domain", "xml")
+      .collect().map(r => (r.getString(1), Option(r.getString(2)))).toMap
+    assert(got == Map(
+      "https://a.com/maps/part1.xml.gz?x=1&y=2" -> Some("2026-03-01"),
+      "https://a.com/maps/part2.xml" -> None), s"$got") // loc-less dropped
+    // and the index doc yields no urlset rows (the reverse direction)
+    assert(graft.operators.UrlNormalize.sitemapUrls(
+      Seq(("a.com", idx)).toDF("domain", "xml"), "domain", "xml")
+      .count() == 0)
+  }
+
+  test("prioritySchedule: priority desc, lastmod desc NULLS LAST, hash ties; " +
+      "delay pricing") {
+    import spark.implicits._
+    val urls = Seq(
+      ("https://a.com/low", 0.1, Some("2026-02-20")),
+      ("https://a.com/hi-old", 0.9, Some("2026-02-01")),
+      ("https://a.com/hi-new", 0.9, Some("2026-02-15")),
+      ("https://a.com/hi-nolm", 0.9, None),
+      ("https://b.com/only", 0.5, None)
+    ).toDF("url", "priority", "lastmod")
+    val delays = Seq(("a.com", 2.0)).toDF("domain", "crawl_delay")
+    val got = graft.operators.UrlNormalize.prioritySchedule(
+        urls, "url", "priority", "lastmod", delays)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(3), r.getDouble(4)))).toMap
+    // a.com: 0.9 group first, within it lastmod desc (2026-02-15 then
+    // 2026-02-01), NULL lastmod last of the group; 0.1 last overall
+    assert(got("https://a.com/hi-new") == ((0, 0.0)), s"$got")
+    assert(got("https://a.com/hi-old") == ((1, 2.0)), s"$got")
+    assert(got("https://a.com/hi-nolm") == ((2, 4.0)), s"$got")
+    assert(got("https://a.com/low") == ((3, 6.0)), s"$got")
+    assert(got("https://b.com/only") == ((0, 0.0)), s"$got") // default 1.0s
+  }
 }
