@@ -308,6 +308,102 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("HtmlEntityDecode byte scanner == a char-level reference model on " +
+      "random texts (multi-byte chars, partial refs, adversarial '&' runs)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent char-level model of the documented contract
+    def model(s: String): String = {
+      val names = Seq("lt" -> '<', "gt" -> '>', "quot" -> '"',
+        "apos" -> '\'', "nbsp" -> ' ', "amp" -> '&')
+      val win = Array(0x20AC, 0x81, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020,
+        0x2021, 0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x8D, 0x017D, 0x8F,
+        0x90, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+        0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x9D, 0x017E, 0x0178)
+      def mapCp(v: Int) =
+        if (v == 0 || v > 0x10FFFF || (v >= 0xD800 && v <= 0xDFFF)) 0xFFFD
+        else if (v >= 0x80 && v <= 0x9F) win(v - 0x80) else v
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) != '&') { sb.append(s.charAt(i)); i += 1 }
+        else if (i + 1 < s.length && s.charAt(i + 1) == '#') {
+          var k = i + 2
+          val hex = k < s.length && (s.charAt(k) == 'x' || s.charAt(k) == 'X')
+          if (hex) k += 1
+          val start = k
+          var v = 0
+          while (k < s.length && {
+            val c = s.charAt(k)
+            (c >= '0' && c <= '9') || (hex &&
+              ((c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+          }) {
+            if (v <= 0x10FFFF)
+              v = v * (if (hex) 16 else 10) + Character.digit(s.charAt(k), 16)
+            k += 1
+          }
+          if (k > start && k < s.length && s.charAt(k) == ';') {
+            sb.appendAll(Character.toChars(mapCp(v))); i = k + 1
+          } else { sb.append('&'); i += 1 }
+        } else {
+          names.find { case (n, _) =>
+            s.regionMatches(i + 1, n, 0, n.length) &&
+              i + 1 + n.length < s.length && s.charAt(i + 1 + n.length) == ';'
+          } match {
+            case Some((n, r)) => sb.append(r); i += 2 + n.length
+            case None => sb.append('&'); i += 1
+          }
+        }
+      }
+      sb.toString
+    }
+    val piece = Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaNumChar),
+      Gen.const("&"), Gen.const("&#"), Gen.const("&amp;"), Gen.const("&lt;"),
+      Gen.const("&ampx"), Gen.const("&#39;"), Gen.const("&#x1F600;"),
+      Gen.const("&#146;"), Gen.const("&#0;"), Gen.const("&#xD800;"),
+      Gen.const("&#99999999999;"), Gen.const("&nbsp;"), Gen.const("&&&"),
+      Gen.const("é世界🎉"), Gen.const(";"), Gen.const("&#x"),
+      Gen.const("&quot"), Gen.const("&amp;lt;"))
+    val texts = Gen.listOfN(12, piece).map(_.mkString)
+    val seeds = (1 to 300).map(i => Seed(i.toLong))
+    seeds.foreach { sd =>
+      val s = texts.pureApply(Gen.Parameters.default, sd)
+      val got = org.apache.spark.sql.graftext.HtmlEntityDecode
+        .decode(UTF8String.fromString(s)).toString
+      assert(got == model(s), s"input <$s>: got <$got> want <${model(s)}>")
+    }
+  }
+
+  test("gunzipMembers: random multi-member roundtrip identity; any single " +
+      "byte corruption in a trailer -> None") {
+    val rnd = new scala.util.Random(7)
+    def gz(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(data); g.close()
+      bos.toByteArray
+    }
+    (1 to 60).foreach { _ =>
+      val members = (1 to (1 + rnd.nextInt(4))).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(2000))
+        rnd.nextBytes(b); b
+      }
+      val file = members.map(gz).reduce(_ ++ _)
+      val got = graft.sources.Warc.gunzipMembers(file)
+      assert(got.exists(_.sameElements(members.reduce(_ ++ _))),
+        s"roundtrip failed for ${members.map(_.length)}")
+      // flip one bit in the LAST member's CRC trailer
+      val bad = file.clone()
+      bad(bad.length - 7) = (bad(bad.length - 7) ^ 0x10).toByte
+      assert(graft.sources.Warc.gunzipMembers(bad).isEmpty,
+        "corrupt trailer must erase the file")
+      // truncate mid-stream
+      assert(graft.sources.Warc.gunzipMembers(
+        file.dropRight(1 + rnd.nextInt(9))).isEmpty,
+        "truncation must erase the file")
+    }
+  }
+
   private def grayPng(px: Array[Array[Int]]): Array[Byte] = {
     val h = px.length; val w = px(0).length
     val img = new java.awt.image.BufferedImage(
