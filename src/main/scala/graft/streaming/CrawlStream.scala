@@ -307,6 +307,12 @@ object CrawlStream {
                          defaultDelaySecs: Double = 1.0,
                          queryName: String = "graft_stream_recrawl"): DataFrame = {
     import graft.sources.ArtifactStore
+    // the publish-back UNION lazily scans the loaded state, so writing
+    // the same (corpusKey, version) partition would dynamic-overwrite
+    // files under its own reader — the store's documented unguarded
+    // case. Versions must advance.
+    require(loadVersion != publishVersion,
+      s"recrawl state must publish a NEW version (got $loadVersion twice)")
     val seen =
       if (ArtifactStore.exists(spark, root, "frontier_seen", corpusKey,
           loadVersion))
