@@ -61,7 +61,19 @@ object CorpusPipeline {
   /** Clean `df` down to surviving documents, with the metrics that
     * drove the decisions: (id, pred_lang, n_words, quality_score). */
   def clean(dfRaw: DataFrame, idCol: String, textCol: String,
-            cfg: Config): DataFrame = {
+            cfg: Config): DataFrame =
+    clean(dfRaw, idCol, textCol, cfg, None)
+
+  /** [[clean]] with the language gate scored against a TRAINED
+    * profile frame (lang, gram, wt) — typically loaded from the
+    * artifact store (kind lang_profiles): the production cleaning run
+    * scores with the published model, not the shipped default. The
+    * gate stays one shuffle-free projection — the loaded table rides
+    * the scoring expression as a reference object — and the argmax
+    * tie-break is the trained convention (lexicographic) instead of
+    * the baked langOrder. */
+  def clean(dfRaw: DataFrame, idCol: String, textCol: String,
+            cfg: Config, langProfiles: Option[DataFrame]): DataFrame = {
     val extracted =
       if (cfg.htmlExtract)
         // line breaks survive extraction exactly when the line-level
@@ -87,17 +99,30 @@ object CorpusPipeline {
     // (Before the TrigramScores expression, language scoring needed an
     // explode + dim join + re-group, which forced a join-back on id
     // here; that join and both its shuffles are gone.)
+    val (langs, scoreCol, lexTieBreak) = langProfiles match {
+      case Some(p) =>
+        val (ls, tbl) = TextAnalysis.profileTable(p)
+        (ls, org.apache.spark.sql.graftext.TrigramScoresWith.column(
+          lower(coalesce(col(textCol), lit(""))), tbl), true)
+      case None =>
+        (TextAnalysis.langOrder,
+          org.apache.spark.sql.graftext.TrigramScores.column(
+            lower(coalesce(col(textCol), lit("")))), false)
+    }
     val scored = df.select(col(idCol), col(textCol),
         TextAnalysis.nWordsCol(col(textCol)).as("n_words"),
         TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
-        org.apache.spark.sql.graftext.TrigramScores.column(
-          lower(coalesce(col(textCol), lit("")))).as("__sc"))
+        scoreCol.as("__sc"))
     val withScores = scored.select(
       scored.columns.filterNot(_ == "__sc").map(col) ++
-        TextAnalysis.langOrder.zipWithIndex.map { case (l, i) =>
+        langs.zipWithIndex.map { case (l, i) =>
           col("__sc")(i).as(s"score_$l")
         }: _*)
-    val kept = TextAnalysis.languageIdFromScores(withScores)
+    val predicted =
+      if (lexTieBreak)
+        withScores.withColumn("pred_lang", TextAnalysis.lexArgmaxPred(langs))
+      else TextAnalysis.languageIdFromScores(withScores)
+    val kept = predicted
       .filter(col("pred_lang").isin(cfg.keepLangs: _*) &&
         col("n_words") >= cfg.minWords &&
         col("quality_score") >= cfg.minQualityScore)

@@ -186,23 +186,24 @@ object TextAnalysis {
     * (idCol, pred_lang, best_score); the argmax tie-break is
     * lexicographic language order (the winner of `ORDER BY score
     * DESC, lang ASC`), deterministic for any trained language set. */
-  def languageIdWith(df: DataFrame, idCol: String, textCol: String,
-                     profiles: DataFrame): DataFrame = {
+  /** Collect a model-sized (lang, gram, wt) profile frame into the
+    * one-pass scorer table; langs come back SORTED — the lexicographic
+    * tie-break order every trained-profile consumer uses. */
+  def profileTable(profiles: DataFrame):
+      (Seq[String], org.apache.spark.sql.graftext.TrigramTable) = {
     val rows = profiles.select(col("lang"), col("gram"), col("wt"))
       .collect() // model-sized: ≤ topK rows per language by contract
       .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     val langs = rows.map(_._1).distinct.sorted.toSeq
     require(langs.nonEmpty, "empty language profile")
-    val table = org.apache.spark.sql.graftext.TrigramTable
-      .build(langs, rows.toSeq)
-    val scored = df.select(col(idCol),
-      org.apache.spark.sql.graftext.TrigramScoresWith.column(
-        lower(coalesce(col(textCol), lit(""))), table).as("__sc"))
-    val agg = scored.select(
-      col(idCol) +: langs.zipWithIndex.map { case (lang, i) =>
-        col("__sc")(i).as(s"score_$lang")
-      }: _*)
-    val pred = langs.foldRight(lit("und")) { case (lang, acc) =>
+    (langs, org.apache.spark.sql.graftext.TrigramTable.build(langs, rows.toSeq))
+  }
+
+  /** Lexicographic-tie-break argmax over `score_<lang>` columns — the
+    * winner of `ORDER BY score DESC, lang ASC`, deterministic for any
+    * trained language set. */
+  def lexArgmaxPred(langs: Seq[String]): Column =
+    langs.foldRight(lit("und")) { case (lang, acc) =>
       val isMax = langs.filter(_ != lang).foldLeft(lit(true)) { (c, other) =>
         val cmp = if (other < lang) col(s"score_$lang") > col(s"score_$other")
         else col(s"score_$lang") >= col(s"score_$other")
@@ -210,7 +211,18 @@ object TextAnalysis {
       }
       when(isMax, lang).otherwise(acc)
     }
-    agg.select(col(idCol), pred.as("pred_lang"),
+
+  def languageIdWith(df: DataFrame, idCol: String, textCol: String,
+                     profiles: DataFrame): DataFrame = {
+    val (langs, table) = profileTable(profiles)
+    val scored = df.select(col(idCol),
+      org.apache.spark.sql.graftext.TrigramScoresWith.column(
+        lower(coalesce(col(textCol), lit(""))), table).as("__sc"))
+    val agg = scored.select(
+      col(idCol) +: langs.zipWithIndex.map { case (lang, i) =>
+        col("__sc")(i).as(s"score_$lang")
+      }: _*)
+    agg.select(col(idCol), lexArgmaxPred(langs).as("pred_lang"),
       greatest(langs.map(l => col(s"score_$l")): _*).as("best_score"))
   }
 

@@ -1479,6 +1479,23 @@ object PipelineQueries {
           MinhashK, MinhashBands, Some(MinhashVerifyAgree),
           MinhashMaxBucket))),
 
+    // the q61 cleaning composition with the language gate scored by
+    // the PUBLISHED trained profile (q176/q177 machinery through the
+    // artifact store) — the production shape: label once, clean every
+    // crawl with the loaded model. The gate stays one shuffle-free
+    // projection; only the argmax tie-break changes (lexicographic,
+    // the trained convention). Oracle shares q61's whole tail
+    "q182_corpus_clean_trained" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prof = TextAnalysis.trainLangProfilesPublished(d,
+        Scratch.artifactRoot, dir + "#clean", "v0001", "lang", "text",
+        LangProfileTopK)
+      CorpusPipeline.clean(d, "doc_id", "text",
+        CorpusPipeline.Config(CorpusLangs, CorpusMinWords, CorpusMinQuality,
+          MinhashK, MinhashBands, Some(MinhashVerifyAgree),
+          MinhashMaxBucket), Some(prof))
+    }),
+
     // deterministic epoch shuffling via SCALABLE global row numbering
     // (Relational.globalRowNumber): each epoch's training order is
     // rank-by-hash — reproducible anywhere — and the rank is assigned
@@ -2221,15 +2238,41 @@ object PipelineQueries {
   /** The whole cleaning composition as one generated oracle: the same
     * language/quality/minhash constants, the survivor `words` CTE
     * feeding the shared signature SELECT. */
-  private val corpusCleanSql: String = {
+  private val corpusCleanSql: String = corpusCleanSqlFrom(
+    s"""${TextAnalysis.langScoresCtesSql()},
+       |lang AS (SELECT doc_id, ${TextAnalysis.languageIdPredSql} AS pred_lang FROM ls)""".stripMargin)
+
+  /** q61's composition with the language gate scored by the TRAINED
+    * profile (the q176 chain) and the lexicographic argmax — q182's
+    * oracle. Everything downstream of the `lang` CTE is shared with
+    * q61's builder, so the two cannot drift. */
+  private val corpusCleanTrainedSql: String = corpusCleanSqlFrom(
+    s"""prof AS (${TextAnalysis.trainLangProfilesSql("documents", "lang", "text", LangProfileTopK)}),
+       |plg AS (SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS gram
+       |  FROM (SELECT doc_id, lower(text) AS t,
+       |          unnest(generate_series(1,
+       |            greatest(length(lower(text)) - 2, 0))) AS i
+       |        FROM documents)),
+       |phit AS (SELECT doc_id, p.lang, CAST(sum(p.wt) AS BIGINT) AS s
+       |        FROM plg JOIN prof p USING (gram) GROUP BY 1, 2),
+       |pbase AS (SELECT d.doc_id, l.lang FROM documents d
+       |          CROSS JOIN (SELECT DISTINCT lang FROM prof) l),
+       |psc AS (SELECT b.doc_id, b.lang, coalesce(h.s, 0) AS score
+       |       FROM pbase b LEFT JOIN phit h
+       |         ON b.doc_id = h.doc_id AND b.lang = h.lang),
+       |lang AS (SELECT doc_id, lang AS pred_lang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, lang ASC) AS rk FROM psc)
+       |  WHERE rk = 1)""".stripMargin)
+
+  private def corpusCleanSqlFrom(langCtes: String): String = {
     val langsIn = CorpusLangs.map(l => s"'$l'").mkString(", ")
     val rows = MinhashK / MinhashBands
     val bandBranches = (0 until MinhashBands).map { b =>
       val cols = ((b * rows) until ((b + 1) * rows)).map(i => s"mh_$i").mkString(", ")
       s"SELECT doc_id, '$b' AS band, concat_ws('-', $cols) AS sig FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH ${TextAnalysis.langScoresCtesSql()},
-       |lang AS (SELECT doc_id, ${TextAnalysis.languageIdPredSql} AS pred_lang FROM ls),
+    s"""WITH $langCtes,
        |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words,
        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) *
        |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
@@ -2885,6 +2928,7 @@ object PipelineQueries {
         |  lang_entropy
         |FROM ws JOIN e ON ws.source = e.source""".stripMargin,
     "q61_corpus_clean" -> corpusCleanSql,
+    "q182_corpus_clean_trained" -> corpusCleanTrainedSql,
     "q66_chunk_tokens" -> chunkSql,
     "q74_pack_sequences" ->
       s"""WITH chunks AS ($chunkSql),
