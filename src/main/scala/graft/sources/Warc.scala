@@ -145,7 +145,10 @@ object Warc {
     * UDF registry, no shuffle. */
   private[graft] def gunzipMembers(b: Array[Byte]): Option[Array[Byte]] = {
     if (b.length == 0) return None
-    val out = new java.io.ByteArrayOutputStream(b.length * 3)
+    // initial capacity only (the stream grows): clamp — b.length * 3
+    // overflows negative past ~715 MB and a real crawl segment is ~1 GB
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 3, 1L << 26).toInt)
     var pos = 0
     while (pos < b.length) {
       // fixed header: ID1 ID2 CM FLG MTIME(4) XFL OS
