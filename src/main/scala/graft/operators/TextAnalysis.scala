@@ -142,10 +142,15 @@ object TextAnalysis {
     * partition, never a global sort). */
   def trainLangProfiles(df: DataFrame, langCol: String, textCol: String,
                         topK: Int = 15): DataFrame = {
+    // guard BEFORE the sequence: Spark's sequence(1, 0) steps
+    // DESCENDING ([1, 0]), so an unguarded stop of length-2 would emit
+    // spurious short "grams" for sub-trigram docs — rows the oracle's
+    // generate_series (empty when stop < start) never produces
     val grams = df
       .select(col(langCol).as("lang"), lower(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= 3)
       .select(col("lang"), explode(expr(
-        """transform(sequence(1, greatest(length(__t) - 2, 0)),
+        """transform(sequence(1, length(__t) - 2),
           |  i -> substring(__t, i, 3))""".stripMargin)).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("lang"))

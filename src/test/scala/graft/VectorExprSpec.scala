@@ -185,6 +185,17 @@ class VectorExprSpec extends SparkTestBase {
       ("b", "zzz", 2, 2L))) // one distinct gram: rank 1 -> wt topK+1-1=2
   }
 
+  test("trainLangProfiles: sub-trigram and empty docs contribute NO grams " +
+      "(Spark's sequence(1,0) steps DESCENDING — the unguarded form emits)") {
+    import spark.implicits._
+    val docs = Seq(("a", ""), ("a", "ab"), ("a", "x"), ("b", "qqq"))
+      .toDF("lang", "text")
+    val got = graft.operators.TextAnalysis
+      .trainLangProfiles(docs, "lang", "text", topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("b", "qqq")), s"$got") // never ("a", "ab") etc.
+  }
+
   test("languageIdWith on the BAKED profile == languageId's argmax (same machinery)") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
