@@ -52,9 +52,14 @@ object CrawlScale {
         lit("<body><!-- c --><h1 title=\"a > b\">Heading &amp; "), id,
         lit("</h1>\n<p>"), col("text"),
         lit(".</p><div>tail &lt;"), id, lit("&gt;</div></body></html>"))
-      val recs = graft.sources.Warc.records(
-          graft.sources.Warc.synthesizeWarc(
-            d.select(col("doc_id"), page.as("text"))))
+      // GRAFT_CRAWL_GZ=1: run the whole composed chain over .warc.gz
+      // framing (per-record gzip members, the q172 member-verify walk)
+      // — measures what REAL-artifact decompression costs the pipeline
+      val gz = sys.env.get("GRAFT_CRAWL_GZ").contains("1")
+      val files = d.select(col("doc_id"), page.as("text"))
+      val recs = (if (gz)
+          graft.sources.Warc.gzRecords(graft.sources.Warc.synthesizeWarcGz(files))
+        else graft.sources.Warc.records(graft.sources.Warc.synthesizeWarc(files)))
         .filter(col("rec_type") === "response")
         .select(col("file_id"), col("target_uri").as("url"), col("payload"))
       // skinny (id, url) barrier: the WARC walk runs once for the
