@@ -109,6 +109,23 @@ object ExtensionQueries {
         .drop("__dom")
     }),
 
+    // SEGMENT-shaped gz walk — the realistic Common Crawl shape: 100
+    // records per file, one gzip member each (plus the warcinfo
+    // stamp), every 10th file carrying a flipped CRC byte in its
+    // MIDDLE member. Exercises what the one-file-per-doc plantings
+    // never do: per-member emission at record counts far beyond any
+    // fold cap, and the whole-file-erase contract for a codec
+    // violation landing mid-file. Oracle replays the grouped planting
+    // with one window (rec_idx = 1 + rank of doc_id within its file).
+    "q183_warc_segment" -> ((s, dir) =>
+      graft.sources.Warc.gzRecords(
+        graft.sources.Warc.synthesizeWarcGzSegment(
+          Tables.load(s, dir, "documents"),
+          recordsPerFile = 100, corruptEvery = 10))
+        .select(col("file_id"), col("rec_idx"), col("rec_type"),
+          col("target_uri"), col("warc_date"), col("content_length"),
+          decode(col("payload"), "ISO-8859-1").as("payload_text"))),
+
     "q137_warc_records" -> ((s, dir) =>
       graft.sources.Warc.records(
         graft.sources.Warc.synthesizeWarc(Tables.load(s, dir, "documents")))
@@ -526,6 +543,28 @@ object ExtensionQueries {
         |    THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
         |FROM documents
         |WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)""".stripMargin,
+    // replays the segment planting: file_id = doc_id // 100, every
+    // 10th file erased whole (the mid-file CRC flip), member 0 the
+    // warcinfo stamp, responses ranked by doc_id within their file
+    "q183_warc_segment" ->
+      """WITH clean AS (SELECT doc_id, text, doc_id // 100 AS fid,
+        |    CAST(row_number() OVER (PARTITION BY doc_id // 100
+        |      ORDER BY doc_id) AS INTEGER) AS rn,
+        |    '2026-01-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
+        |      || 'T00:00:00Z' AS wdate
+        |  FROM documents WHERE (doc_id // 100) % 10 <> 0)
+        |SELECT fid AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+        |  'warcinfo' AS rec_type, '' AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  CAST(18 + length(CAST(fid AS VARCHAR)) AS BIGINT)
+        |    AS content_length,
+        |  'software: graft-' || fid || chr(13) || chr(10) AS payload_text
+        |FROM (SELECT DISTINCT fid FROM clean)
+        |UNION ALL
+        |SELECT fid, rn, 'response',
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id,
+        |  wdate, CAST(length(text) AS BIGINT), text
+        |FROM clean""".stripMargin,
     "q137_warc_records" ->
       """WITH clean AS (SELECT doc_id, text,
         |    '2026-01-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')

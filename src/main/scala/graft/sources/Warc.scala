@@ -129,26 +129,34 @@ object Warc {
 
   /** Strict record-at-a-time gzip member walk (RFC 1952): a real
     * `.warc.gz` is a concatenation of gzip MEMBERS, one per record,
-    * so each record is independently seekable. This walks the members
-    * of one file — header (magic/CM=8, the four optional FLG fields
-    * skipped per spec), raw-deflate inflate (JDK `Inflater`, nowrap),
-    * then the 8-byte trailer VERIFIED (CRC32 + ISIZE mod 2^32) —
-    * and requires the members to tile the file exactly. Returns the
-    * concatenated decompressed bytes, which the length-framed record
-    * fold then walks unchanged; None for any violation — a bad magic,
-    * a broken deflate stream, a trailer mismatch, trailing garbage —
-    * so a corrupt member erases the whole FILE, never a prefix (the
-    * [[records]] malformed-file contract, one layer down).
+    * so each record is independently seekable. This is PASS 1 of the
+    * two-pass member protocol: walk every member of one file — header
+    * (magic/CM=8, the four optional FLG fields skipped per spec),
+    * raw-deflate inflate (JDK `Inflater`, nowrap) with the output
+    * DISCARDED (only CRC32 + byte count are kept), then the 8-byte
+    * trailer VERIFIED (CRC32 + ISIZE mod 2^32) — and require the
+    * members to tile the file exactly. Returns each member's
+    * (compressed-data offset, compressed-data length); None for any
+    * violation — a bad magic, a broken deflate stream, a trailer
+    * mismatch, trailing garbage — so a CODEC-layer corruption erases
+    * the whole FILE (member boundaries past a broken member can't be
+    * trusted; the [[records]] malformed-file contract, one layer
+    * down). Verifying before emitting anything is what lets PASS 2
+    * ([[inflateMember]]) stream one member at a time: peak heap is
+    * the compressed input plus ONE decompressed member, never the
+    * whole decompressed segment — a real Common Crawl segment is
+    * ~1 GB gz / ~4 GB raw, past the 2 GB JVM array ceiling that a
+    * whole-file concatenation would hit. The price is inflating
+    * twice (verify + emit); codec CPU is cheap next to a 4 GB
+    * single-cell allocation that cannot exist.
     *
     * Plain JVM codec work (the PNG-inflate discipline in
     * [[Multimodal.decodePng]]): runs inside a typed map per file, no
     * UDF registry, no shuffle. */
-  private[graft] def gunzipMembers(b: Array[Byte]): Option[Array[Byte]] = {
+  private[graft] def memberOffsets(
+      b: Array[Byte]): Option[IndexedSeq[(Int, Int)]] = {
     if (b.length == 0) return None
-    // initial capacity only (the stream grows): clamp — b.length * 3
-    // overflows negative past ~715 MB and a real crawl segment is ~1 GB
-    val out = new java.io.ByteArrayOutputStream(
-      math.min(b.length.toLong * 3, 1L << 26).toInt)
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var pos = 0
     while (pos < b.length) {
       // fixed header: ID1 ID2 CM FLG MTIME(4) XFL OS
@@ -181,10 +189,16 @@ object Warc {
             try infl.inflate(buf)
             catch { case _: java.util.zip.DataFormatException => return None }
           if (n == 0 && !infl.finished()) return None // truncated stream
-          crc.update(buf, 0, n); out.write(buf, 0, n); size += n
+          crc.update(buf, 0, n); size += n
         }
-        p += infl.getBytesRead.toInt
-        if (p + 8 > b.length) return None // trailer must be present
+        // compressed bytes read — bounded by the array length (< 2^31),
+        // so the Long→Int narrowing cannot truncate; kept as Long math
+        // anyway so the bound is visible
+        val read = infl.getBytesRead
+        val end = p.toLong + read
+        if (end + 8 > b.length) return None // trailer must be present
+        offs += ((p, read.toInt))
+        p = end.toInt
         def le32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
           ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
         if (le32(p) != crc.getValue ||
@@ -192,32 +206,91 @@ object Warc {
         pos = p + 8
       } finally infl.end()
     }
-    Some(out.toByteArray)
+    Some(offs.toIndexedSeq)
   }
 
-  /** Decompress a frame of whole `.warc.gz` files: content is replaced
-    * by the member-concatenated decompressed bytes; a file with any
-    * broken member contributes NO row (and therefore no records). */
-  def gunzip(files: DataFrame, contentCol: String = "content",
-             idCol: String = "file_id"): DataFrame = {
+  /** PASS 2: inflate ONE already-verified member's raw-deflate bytes.
+    * Called lazily per emitted row, so only one member's decompressed
+    * form is live at a time. */
+  private[graft] def inflateMember(b: Array[Byte], off: Int,
+                                   len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(len * 4, 1 << 20))
+    val infl = new java.util.zip.Inflater(true)
+    try {
+      infl.setInput(b, off, len)
+      val buf = new Array[Byte](8192)
+      while (!infl.finished()) out.write(buf, 0, infl.inflate(buf))
+    } finally infl.end()
+    out.toByteArray
+  }
+
+  /** Whole-file member concatenation — [[memberOffsets]] then every
+    * member inflated into one buffer. Test/probe surface only: the
+    * production path ([[gzRecords]]) never concatenates, precisely
+    * because a real segment's concatenation (~4 GB) cannot fit a JVM
+    * array. */
+  private[graft] def gunzipMembers(b: Array[Byte]): Option[Array[Byte]] =
+    memberOffsets(b).map { offs =>
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(b.length.toLong * 3, 1L << 26).toInt)
+      offs.foreach { case (p, l) => out.write(inflateMember(b, p, l)) }
+      out.toByteArray
+    }
+
+  /** Explode a frame of whole `.warc.gz` files into ONE ROW PER GZIP
+    * MEMBER: (idCol, member_idx, contentCol = the member's
+    * decompressed bytes). Two-pass per file inside a typed map:
+    * [[memberOffsets]] verifies EVERY member before anything is
+    * emitted (a file with any codec-layer violation contributes no
+    * rows), then the returned iterator inflates members one at a time
+    * as Spark consumes rows — peak heap is one decompressed member,
+    * never the file's concatenation. */
+  def gunzipPerMember(files: DataFrame, contentCol: String = "content",
+                      idCol: String = "file_id"): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     files.select(col(idCol).cast("long"), col(contentCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        gunzipMembers(bytes).map(d => (id, d))
+        memberOffsets(bytes) match {
+          case None => Iterator.empty
+          case Some(offs) => offs.iterator.zipWithIndex.map {
+            case ((p, l), i) => (id, i, inflateMember(bytes, p, l))
+          }
+        }
       })
-      .toDF(idCol, contentCol)
+      .toDF(idCol, "member_idx", contentCol)
   }
 
   /** [[records]] over `.warc.gz` files — the form every real
-    * Common Crawl artifact ships in: per-record gzip members walked
-    * and verified ([[gunzipMembers]]), then the SAME length-framed
-    * record fold over the decompressed stream. */
+    * Common Crawl artifact ships in. Per-member emission
+    * ([[gunzipPerMember]]): each gzip member is one row, and the
+    * length-framed record fold runs PER MEMBER under the strict
+    * record-at-a-time convention (exactly ONE record tiling each
+    * member — what every real crawl writer emits, and what makes
+    * records independently seekable), so `rec_idx` IS the member
+    * index and a segment's record count is unbounded by any fold
+    * cap — a 50k-record Common Crawl segment walks with per-member
+    * peak memory and O(records) total work (the whole-file fold's
+    * `array_append` accumulation was O(records²)).
+    *
+    * Layered corruption contract: a CODEC violation (bad magic,
+    * broken deflate, trailer mismatch, trailing garbage) erases the
+    * whole FILE — member boundaries past it can't be trusted; a
+    * RECORD-framing violation inside a cleanly-delimited member
+    * (a Content-Length lie, a missing terminator, >1 record packed
+    * into one member) erases that MEMBER only — the member boundary
+    * is exactly the isolation real record-at-a-time framing buys,
+    * and is why one bad record doesn't cost a 1 GB segment. */
   def gzRecords(files: DataFrame, contentCol: String = "content",
-                idCol: String = "file_id",
-                maxRecords: Int = 8): DataFrame =
-    records(gunzip(files, contentCol, idCol), contentCol, maxRecords)
+                idCol: String = "file_id"): DataFrame = {
+    val members = gunzipPerMember(files, contentCol, idCol)
+    records(members, contentCol, maxRecords = 1)
+      .drop("rec_idx")
+      .select(col(idCol), col("member_idx").as("rec_idx"), col("rec_type"),
+        col("target_uri"), col("warc_date"), col("content_length"),
+        col("payload"))
+  }
 
   /** Gzip one member (RFC 1952; minimal header, FLG=0, zero MTIME so
     * the bytes are deterministic). */
@@ -272,6 +345,56 @@ object Warc {
           m1(m1.length - 8) = (m1(m1.length - 8) ^ 0x5a).toByte
         (id, gzipMember(rec0) ++ m1)
       })
+      .toDF("file_id", "content")
+  }
+
+  /** Synthetic SEGMENT-shaped `.warc.gz` files — the realistic Common
+    * Crawl shape the one-file-per-doc plantings never exercise:
+    * `recordsPerFile` documents per file (file_id = doc_id /
+    * recordsPerFile), each response record in its OWN gzip member,
+    * preceded by one warcinfo member (`software: graft-<file_id>`,
+    * the segment writer's stamp). Record fields keep the
+    * [[synthesizeWarcGz]] closed forms of doc_id, and rec_idx within
+    * a file is 1 + the doc's rank by doc_id (member 0 is the
+    * warcinfo), so an oracle replays the planting with one window.
+    * With `corruptEvery > 0`, files where `file_id % corruptEvery
+    * == 0` carry a flipped CRC byte in their MIDDLE member — a
+    * codec-layer violation mid-file, which must erase the whole
+    * file (never a prefix). The per-file grouping is one shuffle of
+    * the docs (fixture synthesis, not a measured operator). */
+  def synthesizeWarcGzSegment(docs: DataFrame, recordsPerFile: Int,
+                              corruptEvery: Int = 0): DataFrame = {
+    require(recordsPerFile >= 1, "a segment holds at least one record")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select((col("doc_id") / recordsPerFile).cast("long").as("fid"),
+        col("doc_id"), col("text"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (fid, it) =>
+        val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+        val docs = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        val info = s"software: graft-$fid\r\n"
+        out.write(gzipMember(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: " +
+          info.length + "\r\n\r\n" + info + "\r\n\r\n").getBytes(latin1)))
+        val corruptAt = // middle member, counting the warcinfo
+          if (corruptEvery > 0 && fid % corruptEvery == 0)
+            (docs.length + 1) / 2 else -1
+        docs.zipWithIndex.foreach { case ((id, text), k) =>
+          val date = f"2026-01-${id % 9 + 1}%02dT00:00:00Z"
+          val body = text.getBytes(latin1)
+          val m = gzipMember((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://site${id % 7}.example/page/$id\r\n" +
+            s"WARC-Date: $date\r\nContent-Length: ${body.length}\r\n\r\n")
+            .getBytes(latin1) ++ body ++ "\r\n\r\n".getBytes(latin1))
+          if (k + 1 == corruptAt)
+            m(m.length - 8) = (m(m.length - 8) ^ 0x5a).toByte
+          out.write(m)
+        }
+        (fid, out.toByteArray)
+      }
       .toDF("file_id", "content")
   }
 

@@ -75,8 +75,15 @@ object CrawlStream {
     * Output: (file_id, url, clean_text, crawl_delay) — q149's shape. */
   def gatedRecords(files: DataFrame, policy: DataFrame,
                    blocklist: DataFrame,
-                   maxSuffixDepth: Int = 6): DataFrame = {
-    val recs = Warc.records(files)
+                   maxSuffixDepth: Int = 6,
+                   gz: Boolean = false): DataFrame = {
+    // gz: the strict per-member walk runs as a typed map per file —
+    // stateless, so it composes onto the streaming frame unchanged;
+    // one row per member means micro-batch task memory is one
+    // decompressed RECORD, not a whole segment (a broken member
+    // erases its file from the micro-batch, the batch contract
+    // carried onto the stream)
+    val recs = (if (gz) Warc.gzRecords(files) else Warc.records(files))
       .filter(col("rec_type") === "response")
       .select(col("file_id"), col("target_uri").as("url"), col("payload"))
       .withColumn("__dom", UrlNormalize.hostOf(col("url")))
@@ -118,13 +125,8 @@ object CrawlStream {
                  gz: Boolean = false): DataFrame = {
     val reader = spark.readStream.schema("file_id BIGINT, content BINARY")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    // gz: the strict per-member walk runs as a typed map per file —
-    // stateless, so it composes onto the streaming frame unchanged
-    // (a broken member erases its file from the micro-batch, the
-    // batch contract carried onto the stream)
-    val files0 = reader.parquet(warcDir)
-    val files = if (gz) Warc.gunzip(files0) else files0
-    val out = gatedRecords(files, policy, blocklist)
+    val files = reader.parquet(warcDir)
+    val out = gatedRecords(files, policy, blocklist, gz = gz)
     val name = uniqueName(queryName)
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -150,6 +150,74 @@ class WarcSpec extends SparkTestBase {
     assert(parseGz(1L -> gz(lie)).count() == 0)
   }
 
+  test("gz member granularity: a record-framing lie erases its MEMBER, not the file") {
+    // codec layer clean (all CRCs verify) but member 1's record lies
+    // about its length — under the record-at-a-time convention the
+    // member is the corruption unit: members 0 and 2 must survive
+    // with their member indices as rec_idx
+    val r1 = rec("response", Some("http://m/1"), "aa").getBytes("ISO-8859-1")
+    val lie = rec("response", Some("http://m/2"), "bb")
+      .replace("Content-Length: 2", "Content-Length: 4").getBytes("ISO-8859-1")
+    val r3 = rec("response", Some("http://m/3"), "cc").getBytes("ISO-8859-1")
+    val out = parseGz(1L -> (gz(r1) ++ gz(lie) ++ gz(r3)))
+      .select("rec_idx", "target_uri").collect().sortBy(_.getInt(0))
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq(0 -> "http://m/1", 2 -> "http://m/3"))
+    // two records packed into ONE member violate the strict
+    // record-at-a-time convention — that member is erased alone
+    val packed = gz(r1 ++ r3)
+    val out2 = parseGz(2L -> (packed ++ gz(r1)))
+      .select("rec_idx", "target_uri").collect()
+    assert(out2.map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq(1 -> "http://m/1"))
+  }
+
+  test("gz segment scale: member count far beyond any fold cap, corrupt member mid-file") {
+    // 3000 members in ONE file — the whole-file fold capped record
+    // count at maxRecords (8); the per-member walk must be unbounded
+    val n = 3000
+    val members = new java.io.ByteArrayOutputStream()
+    (0 until n).foreach { i =>
+      members.write(gz(
+        rec("response", Some(s"http://big/$i"), s"payload $i")
+          .getBytes("ISO-8859-1")))
+    }
+    val whole = members.toByteArray
+    val out = parseGz(1L -> whole)
+      .select("rec_idx", "target_uri").collect().sortBy(_.getInt(0))
+    assert(out.length == n)
+    assert(out(0).getString(1) == "http://big/0")
+    assert(out(n - 1).getString(1) == s"http://big/${n - 1}")
+    assert(out.map(_.getInt(0)).toSeq == (0 until n))
+    // one flipped CRC byte mid-file (member ~n/2) — codec-layer
+    // corruption, so the WHOLE file must vanish, never a prefix
+    val corrupt = whole.clone()
+    val half = (0 until n / 2).map(i => gz(
+      rec("response", Some(s"http://big/$i"), s"payload $i")
+        .getBytes("ISO-8859-1")).length).sum
+    corrupt(half - 6) = (corrupt(half - 6) ^ 0x5a).toByte
+    assert(parseGz(2L -> corrupt).count() == 0)
+  }
+
+  test("synthesizeWarcGzSegment: grouped planting round-trips; corrupt file erased whole") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, s"doc text $i"))
+      .toDF("doc_id", "text")
+    val out = Warc.gzRecords(
+      Warc.synthesizeWarcGzSegment(docs, recordsPerFile = 5, corruptEvery = 2))
+    // file 0 (docs 0-4) is corrupt mid-file -> erased whole;
+    // file 1 (docs 5-9): warcinfo at rec_idx 0 then 5 responses
+    assert(out.select("file_id").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    val rows = out.orderBy("rec_idx").collect()
+    assert(rows.length == 6)
+    assert(rows(0).getAs[String]("rec_type") == "warcinfo")
+    assert(new String(rows(0).getAs[Array[Byte]]("payload"), "ISO-8859-1")
+      == "software: graft-1\r\n")
+    assert(rows.drop(1).map(_.getAs[String]("target_uri")).toSeq
+      == (5 to 9).map(i => s"http://site${i % 7}.example/page/$i"))
+  }
+
   test("synthesizeWarcGz round-trip matches the uncompressed planting; corrupt plant rejected") {
     import spark.implicits._
     val docs = Seq((0L, "zero doc"), (1L, "one doc"), (2L, "two doc"))
