@@ -152,6 +152,14 @@ object TextAnalysis {
       .select(col("lang"), explode(expr(
         """transform(sequence(1, length(__t) - 2),
           |  i -> substring(__t, i, 3))""".stripMargin)).as("gram"))
+      // BMP contract: the one-pass scorer rolls over UTF-16 units, so
+      // a gram containing a supplementary-plane character (emoji,
+      // astral CJK) could never match at score time — and would throw
+      // in TrigramTable.build, whose 48-bit keys pack three UTF-16
+      // units. Training and scoring must agree on the gram universe,
+      // so such grams are excluded HERE (before ranking, so topK fills
+      // with scorable grams) and the SQL twin applies the same filter.
+      .filter(!col("gram").rlike("[\\x{10000}-\\x{10FFFF}]"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("gram").asc)
@@ -227,8 +235,14 @@ object TextAnalysis {
       col(idCol) +: langs.zipWithIndex.map { case (lang, i) =>
         col("__sc")(i).as(s"score_$lang")
       }: _*)
+    // greatest() requires ≥2 args — a single-language profile (a
+    // legitimate degenerate artifact: one-language corpus) scores as
+    // that language's column directly
+    val best =
+      if (langs.size == 1) col(s"score_${langs.head}")
+      else greatest(langs.map(l => col(s"score_$l")): _*)
     agg.select(col(idCol), lexArgmaxPred(langs).as("pred_lang"),
-      greatest(langs.map(l => col(s"score_$l")): _*).as("best_score"))
+      best.as("best_score"))
   }
 
   /** Oracle twin of [[trainLangProfiles]]. */
@@ -239,7 +253,9 @@ object TextAnalysis {
        |          unnest(generate_series(1,
        |            greatest(length(lower($textExpr)) - 2, 0))) AS i
        |        FROM $table)),
-       |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+       |c AS (SELECT lang, gram, count(*) AS cnt FROM g
+       |      WHERE NOT regexp_matches(gram, '[\\x{10000}-\\x{10FFFF}]')
+       |      GROUP BY 1, 2),
        |r AS (SELECT lang, gram, cnt, row_number() OVER
        |        (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rk
        |      FROM c)

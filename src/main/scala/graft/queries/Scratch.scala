@@ -15,8 +15,23 @@ package graft.queries
   * rely on — a fresh dir per CALL would leak one copy per pass). */
 private[queries] object Scratch {
 
-  lazy val root: String =
-    java.nio.file.Files.createTempDirectory("graft_scratch").toString
+  lazy val root: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch")
+    // the per-JVM dir would otherwise outlive every run (one parquet
+    // fixture tree leaked per Verify/Bench invocation); best-effort
+    // delete at JVM exit — a crash still leaks, but the OS tmp
+    // reaper owns that case
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p =>
+            { try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: Throwable => () } })
+        finally walk.close()
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
 
   /** Artifact-store root for in-query save/load roundtrips. */
   def artifactRoot: String = s"$root/artifacts"

@@ -131,8 +131,14 @@ object CrawlStream {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // resolve BEFORE publishing the name for supersession: our view
+    // can only be dropped by a later same-prefix drain once it is in
+    // lastDrain, so the lookup-then-publish order closes the
+    // concurrent-drain race (a sibling's dropTempView landing between
+    // our awaitTermination and our table lookup)
+    val drained = spark.table(name)
     superseded(spark, queryName, name)
-    spark.table(name)
+    drained
   }
 
   /** STREAMING politeness scheduler — the stateful rung
@@ -284,8 +290,14 @@ object CrawlStream {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // resolve BEFORE publishing the name for supersession: our view
+    // can only be dropped by a later same-prefix drain once it is in
+    // lastDrain, so the lookup-then-publish order closes the
+    // concurrent-drain race (a sibling's dropTempView landing between
+    // our awaitTermination and our table lookup)
+    val drained = spark.table(name)
     superseded(spark, queryName, name)
-    spark.table(name)
+    drained
   }
 
   /** [[drainFrontier]] with RECRAWL DISCIPLINE — the q162 dedup-state
@@ -342,8 +354,8 @@ object CrawlStream {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    val drained = spark.table(name) // resolve before publish (race note above)
     superseded(spark, queryName, name)
-    val drained = spark.table(name)
     val updated = seen
       .union(drained.select(md5(col("url")).as("url_digest")))
       .distinct()
@@ -367,7 +379,13 @@ object CrawlStream {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // resolve BEFORE publishing the name for supersession: our view
+    // can only be dropped by a later same-prefix drain once it is in
+    // lastDrain, so the lookup-then-publish order closes the
+    // concurrent-drain race (a sibling's dropTempView landing between
+    // our awaitTermination and our table lookup)
+    val drained = spark.table(name)
     superseded(spark, queryName, name)
-    spark.table(name)
+    drained
   }
 }

@@ -256,6 +256,43 @@ class VectorExprSpec extends SparkTestBase {
     assert(wrong == 0, s"$wrong misclassified of 12")
   }
 
+  test("single-language profile scores instead of throwing (greatest() needs 2 args)") {
+    import spark.implicits._
+    val train = Seq(("only", "aaa aaa aaa")).toDF("lang", "text")
+    val prof = graft.operators.TextAnalysis
+      .trainLangProfiles(train, "lang", "text", topK = 5)
+    val docs = Seq((1L, "aaa"), (2L, "zzz")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .languageIdWith(docs, "doc_id", "text", prof)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("only", "only"))
+    assert(got(0).getLong(2) > 0L && got(1).getLong(2) == 0L)
+  }
+
+  test("supplementary-plane grams are excluded at train time (BMP contract): " +
+      "the UTF-16 scorer could never match them and the table build would throw") {
+    import spark.implicits._
+    // an emoji-heavy corpus: every trigram containing the astral char
+    // must be dropped BEFORE ranking, so topK fills with scorable
+    // grams and profileTable/TrigramTable.build never sees one
+    val train = Seq(
+      ("em", "ab😀cd ab😀cd xyz xyz xyz"),
+      ("pl", "nnn nnn")).toDF("lang", "text")
+    val prof = graft.operators.TextAnalysis
+      .trainLangProfiles(train, "lang", "text", topK = 10)
+    val grams = prof.select("gram").collect().map(_.getString(0))
+    assert(grams.nonEmpty)
+    grams.foreach(g => assert(g.length == 3 &&
+      !g.exists(Character.isSurrogate),
+      s"supplementary gram '$g' leaked into the profile"))
+    // the trained profile loads and scores end-to-end
+    val docs = Seq((1L, "xyz xyz"), (2L, "nnn")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .languageIdWith(docs, "doc_id", "text", prof)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("em", "pl"))
+  }
+
   test("languageIdWith plan stays a shuffle-free codegen projection") {
     val docs = Tables.load(spark, sfDir, "documents")
     val prof = graft.operators.TextAnalysis
