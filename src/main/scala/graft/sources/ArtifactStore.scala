@@ -137,6 +137,61 @@ object ArtifactStore {
       .drop("corpus_key", "version")
   }
 
+  /** One corpus's published versions (sorted ascending) — the same
+    * driver-side directory listing as [[versions]], filtered. */
+  def listVersions(spark: SparkSession, root: String, kind: String,
+                   corpusKey: String): Seq[String] = {
+    val k = normKey(corpusKey)
+    listPairs(spark, root, kind).collect { case (ck, v) if ck == k => v }
+      .sorted
+  }
+
+  /** DELTA-STATE read: the union of every version ≤ `upTo`
+    * (lexicographic — the store's snapshot order) for one corpus, as
+    * ONE pruned scan (`corpus_key = k AND version <= upTo` are both
+    * partition filters, so only the matching partition directories
+    * are listed or read). This is the accumulating-state counterpart
+    * of [[load]]: a kind whose publishers append per-run DELTAS
+    * (e.g. a crawl frontier's newly-seen digests) reads its full
+    * state without any run ever rewriting history. None when the
+    * corpus has no version ≤ `upTo` (the first run). */
+  def loadUpTo(spark: SparkSession, root: String, kind: String,
+               corpusKey: String, upTo: String): Option[DataFrame] = {
+    requireVersion(upTo)
+    val k = normKey(corpusKey)
+    if (!listVersions(spark, root, kind, corpusKey).exists(_ <= upTo)) None
+    else Some(spark.read.parquet(kindPath(root, kind))
+      .filter(col("corpus_key") === k && col("version") <= upTo)
+      .drop("corpus_key", "version"))
+  }
+
+  /** Compact one corpus's delta versions into a single snapshot:
+    * union every version ≤ the current maximum into `into` (which
+    * must sort strictly AFTER every existing version, so readers
+    * pinned ≤ an old version fail loudly on the vanished partition
+    * rather than silently reading half a state), then delete the
+    * merged partition directories. Returns the retired versions.
+    * The months-long-crawl cadence rung: per-drain publishes stay
+    * O(new digests), and a weekly compact bounds the version count
+    * the union scan lists. Same concurrent-reader caveat as [[save]]
+    * (the published-version protocol is the isolation mechanism). */
+  def compact(spark: SparkSession, root: String, kind: String,
+              corpusKey: String, into: String): Seq[String] = {
+    requireVersion(into)
+    val old = listVersions(spark, root, kind, corpusKey)
+    require(old.nonEmpty, s"nothing to compact for ${normKey(corpusKey)}")
+    require(old.forall(_ < into),
+      s"compaction target $into must sort after every existing version " +
+        s"(have ${old.mkString(",")})")
+    val merged = loadUpTo(spark, root, kind, corpusKey, old.last).get
+    save(merged, root, kind, corpusKey, into) // executes the union read
+    old.foreach { v =>
+      val p = partitionPath(root, kind, corpusKey, v)
+      fsOf(spark, p).delete(p, true)
+    }
+    old
+  }
+
   /** All published `(corpus_key, version)` pairs of a kind — TRULY
     * metadata-only: a driver-side directory listing (no Spark job, no
     * parquet footer reads; a projection of the partition columns

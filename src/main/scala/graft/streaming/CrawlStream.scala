@@ -303,36 +303,44 @@ object CrawlStream {
   /** [[drainFrontier]] with RECRAWL DISCIPLINE — the q162 dedup-state
     * lifecycle composed into the discovery loop: URLs already drained
     * by ANY earlier run are anti-probed away against the published
-    * seen-URL digest table (kind `frontier_seen`) BEFORE the
-    * scheduler, so a months-long crawl never rescheduled a page it
-    * already fetched; after the drain the union'd state is published
-    * back under `publishVersion` for the next run.
+    * seen-URL digest state (kind `frontier_seen`) BEFORE the
+    * scheduler, so a months-long crawl never reschedules a page it
+    * already fetched.
+    *
+    * DELTA-STATE protocol: the seen state is the UNION of every
+    * published version ≤ `loadVersion` (one pruned scan —
+    * [[graft.sources.ArtifactStore.loadUpTo]]), and after the drain
+    * only THIS run's new digests are published under
+    * `publishVersion`. A drain therefore writes O(new URLs), never
+    * O(total URLs ever seen) — the full-state rewrite the previous
+    * design paid per drain grows linearly with crawl history and
+    * would make each publish a months-long crawl's whole frontier.
+    * Deltas are disjoint by construction (every emitted URL just
+    * passed the anti-join), so the union needs no distinct; a
+    * quiescent drain publishes nothing at all. Version growth is
+    * bounded by [[graft.sources.ArtifactStore.compact]] on the
+    * operator's cadence (weekly, per store root).
     *
     * Scale shape: the gate is a stream-static LEFT ANTI join on a
     * 16-byte md5 digest — state is digests, never URLs-with-payloads,
     * and Spark re-reads the static side per micro-batch (the refresh
-    * cadence a live frontier wants). The publish-back is one
-    * distinct-union of (old state ∪ this drain's digests): a linear
-    * shuffle of digest keys, the probe-compact-state discipline. An
-    * absent `loadVersion` state reads as empty (the first run). */
+    * cadence a live frontier wants). `publishVersion` must sort
+    * strictly after `loadVersion`: the new delta partition is then
+    * invisible to the ≤-loadVersion seen scan, so the publish never
+    * overwrites files under its own reader. */
   def drainFrontierDedup(spark: SparkSession, sitemapDir: String,
                          policy: DataFrame, root: String, corpusKey: String,
                          loadVersion: String, publishVersion: String,
                          defaultDelaySecs: Double = 1.0,
                          queryName: String = "graft_stream_recrawl"): DataFrame = {
     import graft.sources.ArtifactStore
-    // the publish-back UNION lazily scans the loaded state, so writing
-    // the same (corpusKey, version) partition would dynamic-overwrite
-    // files under its own reader — the store's documented unguarded
-    // case. Versions must advance.
-    require(loadVersion != publishVersion,
-      s"recrawl state must publish a NEW version (got $loadVersion twice)")
-    val seen =
-      if (ArtifactStore.exists(spark, root, "frontier_seen", corpusKey,
-          loadVersion))
-        ArtifactStore.load(spark, root, "frontier_seen", corpusKey,
-          loadVersion).select(col("url_digest"))
-      else spark.range(0).select(lit("").as("url_digest"))
+    require(loadVersion < publishVersion,
+      s"recrawl state must publish a version sorting after the loaded one " +
+        s"(got load=$loadVersion publish=$publishVersion)")
+    val seen = ArtifactStore
+      .loadUpTo(spark, root, "frontier_seen", corpusKey, loadVersion)
+      .map(_.select(col("url_digest")))
+      .getOrElse(spark.range(0).select(lit("").as("url_digest")))
     val in = spark.readStream.schema("domain STRING, xml STRING")
       .option("maxFilesPerTrigger", 1).parquet(sitemapDir)
     val sm = UrlNormalize.sitemapUrls(in, "domain", "xml")
@@ -356,10 +364,12 @@ object CrawlStream {
     q.awaitTermination()
     val drained = spark.table(name) // resolve before publish (race note above)
     superseded(spark, queryName, name)
-    val updated = seen
-      .union(drained.select(md5(col("url")).as("url_digest")))
-      .distinct()
-    ArtifactStore.save(updated, root, "frontier_seen", corpusKey,
+    // the DELTA: only this run's digests (distinct within-run — a
+    // sitemap may list one URL twice in a single drain). An empty
+    // delta writes no partition (dynamic overwrite with zero rows is
+    // a no-op), so quiescent drains leave the store untouched.
+    val delta = drained.select(md5(col("url")).as("url_digest")).distinct()
+    ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
       publishVersion)
     drained
   }

@@ -57,6 +57,35 @@ class ArtifactStoreSpec extends SparkTestBase {
     assert(loaded.count() == 10, "other corpus's partition never read")
   }
 
+  test("loadUpTo unions delta versions (≤ pin, pruned); compact merges and retires them") {
+    import spark.implicits._
+    val root = freshRoot()
+    def d(xs: Int*): DataFrame = xs.toDF("x")
+    ArtifactStore.save(d(1, 2), root, "deltas", "c", "v0001")
+    ArtifactStore.save(d(3), root, "deltas", "c", "v0002")
+    ArtifactStore.save(d(4), root, "deltas", "c", "v0003")
+    ArtifactStore.save(d(99), root, "deltas", "other", "v0001") // sibling
+    def xs(df: DataFrame): Seq[Int] =
+      df.collect().map(_.getInt(0)).sorted.toSeq
+    // ≤-pin semantics: v0003 invisible at pin v0002; absent corpus -> None
+    assert(xs(ArtifactStore.loadUpTo(spark, root, "deltas", "c", "v0002").get)
+      == Seq(1, 2, 3))
+    assert(ArtifactStore.loadUpTo(spark, root, "deltas", "nope", "v9").isEmpty)
+    // compact: one snapshot carrying the union, the deltas retired,
+    // the sibling corpus untouched; target must sort after every
+    // existing version
+    intercept[IllegalArgumentException] {
+      ArtifactStore.compact(spark, root, "deltas", "c", "v0003")
+    }
+    assert(ArtifactStore.compact(spark, root, "deltas", "c", "v0004")
+      == Seq("v0001", "v0002", "v0003"))
+    assert(ArtifactStore.listVersions(spark, root, "deltas", "c") == Seq("v0004"))
+    assert(xs(ArtifactStore.load(spark, root, "deltas", "c", "v0004"))
+      == Seq(1, 2, 3, 4))
+    assert(xs(ArtifactStore.load(spark, root, "deltas", "other", "v0001"))
+      == Seq(99))
+  }
+
   test("dynamic overwrite replaces ONE snapshot; siblings untouched; no orphans") {
     val root = freshRoot()
     def frame(n: Int) = spark.range(n).select(col("id"), lit(0L).as("cell"))

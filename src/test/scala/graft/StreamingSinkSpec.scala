@@ -408,19 +408,42 @@ class StreamingSinkSpec extends SparkTestBase {
       s"repeats must not re-emit: ${w2.toSeq}")
     // fresh host counter per drain run: p3 is the only scheduled URL
     assert(w2.head.getInt(2) == 0 && w2.head.getDouble(3) == 0.0)
-    // the published state accumulates exactly the three scheduled
-    // URLs' digests — never the robots-killed one
-    val st = ArtifactStore.load(spark, root, "frontier_seen", "ck", "v0003")
-    val want = Seq("https://a.com/p1", "https://a.com/p2",
-      "https://a.com/p3").toDF("u")
+    def dig(us: String*): Set[String] = us.toDF("u")
       .select(org.apache.spark.sql.functions.md5(col("u"))).collect()
       .map(_.getString(0)).toSet
-    assert(st.collect().map(_.getString(0)).toSet == want)
+    // DELTA contract: each drain's partition holds ONLY its new
+    // digests (per-drain write size ∝ new URLs, never the history) —
+    // and the robots-killed URL never enters any of them
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "ck", "v0002")
+      .collect().map(_.getString(0)).toSet
+      == dig("https://a.com/p1", "https://a.com/p2"))
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "ck", "v0003")
+      .collect().map(_.getString(0)).toSet == dig("https://a.com/p3"))
+    // the accumulated state is the union of the deltas
+    assert(ArtifactStore.loadUpTo(spark, root, "frontier_seen", "ck", "v0003")
+      .get.collect().map(_.getString(0)).toSet
+      == dig("https://a.com/p1", "https://a.com/p2", "https://a.com/p3"))
     // a third drain of the SAME wave-2 inventory against v0003 emits
-    // nothing at all — the loop is quiescent
+    // nothing at all — the loop is quiescent, and the empty delta
+    // publishes NO partition (the store stays untouched)
     val w3 = CrawlStream.drainFrontierDedup(spark, sitemaps, policy,
       root, "ck", "v0003", "v0004")
     assert(w3.isEmpty, s"quiescent drain re-emitted: ${w3.collect().toSeq}")
+    assert(!ArtifactStore.exists(spark, root, "frontier_seen", "ck", "v0004"))
+    // COMPACTION (the months-long-crawl cadence): merge the deltas
+    // into one snapshot, retire them, and the gate is unchanged —
+    // the next drain against the compacted state is still quiescent
+    val retired = ArtifactStore.compact(spark, root, "frontier_seen",
+      "ck", "v0005")
+    assert(retired == Seq("v0002", "v0003"), s"$retired")
+    assert(ArtifactStore.listVersions(spark, root, "frontier_seen", "ck")
+      == Seq("v0005"))
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "ck", "v0005")
+      .collect().map(_.getString(0)).toSet
+      == dig("https://a.com/p1", "https://a.com/p2", "https://a.com/p3"))
+    val w4 = CrawlStream.drainFrontierDedup(spark, sitemaps, policy,
+      root, "ck", "v0005", "v0006")
+    assert(w4.isEmpty, s"post-compaction drain re-emitted: ${w4.collect().toSeq}")
   }
 
 }
