@@ -293,6 +293,47 @@ object ExtensionQueries {
         queryName = "graft_stream_crawl_gz", gz = true)
     }),
 
+    // the PRODUCTION CRAWL LOOP as ONE streaming query (q179 × q178 ×
+    // q181 composed): .warc.gz segments stream in, members walk out,
+    // robots + category gates run off ONE checkpointed policy parse,
+    // the recrawl anti drops the planted already-fetched wave
+    // (doc_id%5==2 survivors, published as v0001 digests), and the
+    // survivors retire through the priority-ordered stateful
+    // politeness scheduler with their cleaned text riding inert
+    // through the state op. Single AvailableNow batch -> the schedule
+    // has a closed form: one window per host ordered by
+    // (priority DESC, hash, url). The drain's digests publish back
+    // as the v0002 delta (repeat runs re-load <= v0001, so the
+    // emission is stable across bench passes).
+    "q184_crawl_loop" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = Tables.load(s, dir, "documents")
+      val ids = col("doc_id").cast("string")
+      val dn = pmod(col("doc_id"), lit(7)).cast("string")
+      val url = concat(lit("http://site"), dn, lit(".example/page/"), ids)
+      val warcDir = Scratch.fixtureDir("graft_crawl_loop_warc", dir)
+      graft.sources.Warc.synthesizeWarcGz(
+          d.select(col("doc_id"), crawlPageHtml.as("text")))
+        .repartition(8).write.mode("overwrite").parquet(warcDir)
+      val priorities = d.select(url.as("url"),
+        when(pmod(col("doc_id"), lit(4)) =!= 1,
+          pmod(col("doc_id"), lit(10)).cast("double") / 10.0).as("priority"))
+      val key = dir + "#crawlloop"
+      if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
+          key, "v0001")) {
+        val seenPlant = d
+          .filter(pmod(col("doc_id"), lit(50)) =!= 0 &&
+            !pmod(col("doc_id"), lit(7)).isin(3, 5) &&
+            pmod(col("doc_id"), lit(5)) === 2)
+          .select(md5(url).as("url_digest"))
+        ArtifactStore.save(seenPlant, Scratch.artifactRoot, "frontier_seen",
+          key, "v0001")
+      }
+      graft.streaming.CrawlStream.drainCrawlLoop(s, warcDir,
+        crawlRobots(d), crawlBlocklist(s), priorities,
+        Scratch.artifactRoot, key, "v0001", "v0002")
+    }),
+
     // mapPartitions batched "decode" over binary media columns.
     // The feature vector is flattened to scalar columns for the oracle
     // compare (the gate's comparator cannot hash array cells); the
@@ -607,6 +648,33 @@ object ExtensionQueries {
         |    THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
         |FROM documents
         |WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)""".stripMargin,
+    // the composed loop's closed form: the q179 survivor set minus
+    // the planted already-fetched wave (%5==2), one window per host
+    // ordered (priority DESC, hash, url), delays from the robots
+    // planting, clean_text the q149 extraction form
+    "q184_crawl_loop" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH u AS (SELECT doc_id, text, doc_id % 7 AS h,
+         |    'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+         |      AS url,
+         |    CASE WHEN doc_id % 4 <> 1
+         |      THEN CAST(doc_id % 10 AS DOUBLE) / 10.0
+         |      ELSE 0.5 END AS prio
+         |  FROM documents
+         |  WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)
+         |    AND doc_id % 5 <> 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY h
+         |    ORDER BY prio DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, 'site' || h || '.example' AS host,
+         |  CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN h % 2 = 0 THEN CAST(h + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s,
+         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+         |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
+         |  ' tail <' || doc_id || '>' AS clean_text
+         |FROM r""".stripMargin
+    },
     // stream over gz members: same survivors, same closed form
     "q179_stream_crawl_gz" ->
       """SELECT doc_id AS file_id,

@@ -166,11 +166,23 @@ object CrawlStream {
     * property). The delay table rides a stream-static broadcast join
     * BEFORE the stateful op, so the state function is pure counter
     * arithmetic. Input: a streaming frame with `idCol`/`urlCol`.
-    * Output: (doc_id, url, host, slot_idx, fetch_at_s). */
+    * Output: (doc_id, url, host, slot_idx, fetch_at_s).
+    *
+    * `priorityCol` (optional) prepends a sitemap-style priority to
+    * the within-batch rank — (priority DESC, hash, id), the
+    * [[UrlNormalize.prioritySchedule]] order composed onto the
+    * counter semantics (arrival still outranks priority: issued
+    * slots never renumber). `payloadCol` (optional) carries one
+    * string column INERT through the stateful op and emits it as the
+    * last output column — the composed crawl loop schedules its
+    * cleaned pages without a post-schedule join (a stream-stream
+    * join is the alternative, and needs watermarks the loop doesn't). */
   def politenessStream(urls: DataFrame, idCol: String, urlCol: String,
                        delays: DataFrame, domainCol: String = "domain",
                        delayCol: String = "crawl_delay",
-                       defaultDelaySecs: Double = 1.0): DataFrame = {
+                       defaultDelaySecs: Double = 1.0,
+                       priorityCol: Option[String] = None,
+                       payloadCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     val spark = urls.sparkSession
     import spark.implicits._
@@ -178,24 +190,30 @@ object CrawlStream {
     // often has only the URL itself as identity — q171); within-batch
     // hash ties therefore break in STRING order, which the oracle
     // replays as CAST(id AS VARCHAR)
+    val prio = priorityCol
+      .map(c => coalesce(col(c).cast("double"), lit(0.5)))
+      .getOrElse(lit(0.5)) // constant -> the rank reduces to (hash, id)
     val keyed = urls.select(
         col(idCol).cast("string").as("id"), col(urlCol).as("url"),
         UrlNormalize.hostOf(col(urlCol)).as("host"),
         pmod(graft.functions.PortableHash.hash60(col(idCol).cast("string")),
-          lit(1000000)).as("ord"))
+          lit(1000000)).as("ord"),
+        prio.as("prio"),
+        payloadCol.map(col).getOrElse(lit("")).as("pay"))
       .join(broadcast(delays.select(col(domainCol).as("host"),
         col(delayCol).cast("double").as("__d"))), Seq("host"), "left")
-      .select(col("id"), col("url"), col("host"), col("ord"),
-        coalesce(col("__d"), lit(defaultDelaySecs)).as("delay"))
-      .as[(String, String, String, Long, Double)]
-    keyed.groupByKey(_._3)
+      .select(col("id"), col("url"), col("host"), col("ord"), col("prio"),
+        col("pay"), coalesce(col("__d"), lit(defaultDelaySecs)).as("delay"))
+      .as[(String, String, String, Long, Double, String, Double)]
+    val slotted = keyed.groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (host: String, it: Iterator[(String, String, String, Long, Double)],
+        (host: String,
+         it: Iterator[(String, String, String, Long, Double, String, Double)],
          st: GroupState[Long]) => {
           val start = st.getOption.getOrElse(0L)
           // batch-group-sized, bounded by one micro-batch's arrivals
           // for this host — never the frontier history
-          val batch = it.toArray.sortBy(r => (r._4, r._1))
+          val batch = it.toArray.sortBy(r => (-r._5, r._4, r._1))
           // slot_idx is surfaced as INT (the batch oracle's type); a
           // host issued more than 2^31 slots would wrap silently, so
           // the issued-slot contract fails LOUDLY here instead
@@ -203,11 +221,15 @@ object CrawlStream {
             s"host $host exceeded ${Int.MaxValue} issued slots")
           st.update(start + batch.length)
           batch.iterator.zipWithIndex.map { case (r, k) =>
-            (r._1, r._2, host, (start + k).toInt, (start + k) * r._5)
+            (r._1, r._2, host, (start + k).toInt, (start + k) * r._7, r._6)
           }
         })
-      .toDF("doc_id", "url", "host", "slot_idx", "__raw")
+      .toDF("doc_id", "url", "host", "slot_idx", "__raw", "__pay")
       .withColumn("fetch_at_s", round(col("__raw"), 6)).drop("__raw")
+    payloadCol match {
+      case Some(c) => slotted.withColumnRenamed("__pay", c)
+      case None => slotted.drop("__pay")
+    }
   }
 
   /** Deterministic-arrival fixture writer: split `df` by `bseqCol`
@@ -368,6 +390,81 @@ object CrawlStream {
     // sitemap may list one URL twice in a single drain). An empty
     // delta writes no partition (dynamic overwrite with zero rows is
     // a no-op), so quiescent drains leave the store untouched.
+    val delta = drained.select(md5(col("url")).as("url_digest")).distinct()
+    ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
+      publishVersion)
+    drained
+  }
+
+  /** The PRODUCTION CRAWL LOOP composed end-to-end, ONE streaming
+    * query — the artifact a crawl team lifts whole: `.warc.gz`
+    * segments arrive in `warcDir`, and each micro-batch runs
+    *
+    *   gz member walk → record fold → robots verdict → category gate
+    *   → HTML→text extraction ([[gatedRecords]], gz = true)
+    *   → RECRAWL ANTI against the published seen-digest state
+    *   → priority-ordered politeness schedule (slots survive
+    *     across batches), the cleaned page riding inert through
+    *     the scheduler's state
+    *
+    * with the drain's new digests published back as a DELTA
+    * ([[drainFrontierDedup]]'s protocol — per-drain write ∝ new
+    * pages). The robots corpus is parsed ONCE: `robots` →
+    * [[UrlNormalize.robotsPolicy]], checkpointed, feeding BOTH the
+    * per-record verdict and the scheduler's Crawl-delay — the
+    * checkpoint cuts the parse out of the streaming plan entirely
+    * (no `robots_txt` subtree re-executes per micro-batch; the spec
+    * plan-asserts this). `priorities` is a static sitemap-priority
+    * frame (url, priority) riding a broadcast join, the
+    * [[UrlNormalize.prioritySchedule]] rank composed onto the
+    * stateful counter; absent URLs rank at the protocol default 0.5.
+    *
+    * Output: (url, host, slot_idx, fetch_at_s, clean_text) — wave
+    * N's cleaned pages in the exact order a delay-respecting fetcher
+    * retires them, with wave-(N-1) repeats never re-emitted. */
+  def drainCrawlLoop(spark: SparkSession, warcDir: String,
+                     robots: DataFrame, blocklist: DataFrame,
+                     priorities: DataFrame,
+                     root: String, corpusKey: String,
+                     loadVersion: String, publishVersion: String,
+                     agent: String = "graftbot",
+                     maxFilesPerTrigger: Option[Int] = None,
+                     defaultDelaySecs: Double = 1.0,
+                     queryName: String = "graft_crawl_loop"): DataFrame = {
+    import graft.sources.ArtifactStore
+    require(loadVersion < publishVersion,
+      s"crawl-loop state must publish a version sorting after the loaded " +
+        s"one (got load=$loadVersion publish=$publishVersion)")
+    // ONE robots parse for the whole loop: verdict gate + delay table
+    val policy = UrlNormalize
+      .robotsPolicy(robots, "domain", "robots_txt", agent).localCheckpoint()
+    val seen = ArtifactStore
+      .loadUpTo(spark, root, "frontier_seen", corpusKey, loadVersion)
+      .map(_.select(col("url_digest")))
+      .getOrElse(spark.range(0).select(lit("").as("url_digest")))
+    val reader = spark.readStream.schema("file_id BIGINT, content BINARY")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val gated = gatedRecords(reader.parquet(warcDir), policy, blocklist,
+      gz = true)
+    val fresh = gated
+      .withColumn("url_digest", md5(col("url")))
+      .join(seen, Seq("url_digest"), "left_anti") // the recrawl gate
+      .drop("url_digest")
+      .join(broadcast(priorities.select(col("url"),
+        col("priority").cast("double").as("__prio"))), Seq("url"), "left")
+      .withColumn("uid", col("url"))
+    val out = politenessStream(fresh, "uid", "url",
+        policy.select(col("domain"), col("crawl_delay")),
+        defaultDelaySecs = defaultDelaySecs,
+        priorityCol = Some("__prio"), payloadCol = Some("clean_text"))
+      .select(col("url"), col("host"), col("slot_idx"), col("fetch_at_s"),
+        col("clean_text"))
+    val name = uniqueName(queryName)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = spark.table(name) // resolve before publish (race note above)
+    superseded(spark, queryName, name)
     val delta = drained.select(md5(col("url")).as("url_digest")).distinct()
     ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
       publishVersion)

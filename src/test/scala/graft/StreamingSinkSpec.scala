@@ -370,6 +370,64 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(m(1L)._2 == 0 && m(2L)._2 == 1, "wave-1 slots unchanged")
   }
 
+  test("production crawl loop: gz stream → gates → recrawl anti → priority " +
+      "schedule in ONE query; repeats never re-emit; robots parsed once") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.{ArtifactStore, Warc}
+    val root = Files.createTempDirectory("loop_store").toString
+    val warcDir = Files.createTempDirectory("loop_warc").toString + "/in"
+    val robots = Seq(
+      ("site0.example", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+      ("site1.example", "User-agent: *\nDisallow: /page\n")) // kills site1
+      .toDF("domain", "robots_txt")
+    val blocklist = Seq(("site2.example", "ads")).toDF("domain", "category")
+    def wave(ids: Long*): Unit =
+      Warc.synthesizeWarcGz(
+          ids.toDF("doc_id").select(col("doc_id"),
+            concat(lit("<html><body><p>page "), col("doc_id").cast("string"),
+              lit("</p></body></html>")).as("text")),
+          corruptEvery = 1000000)
+        .write.mode("overwrite").parquet(warcDir)
+    // synthesizeWarcGz URIs: http://site{id%7}.example/page/{id}
+    // ids 7,14,21 -> site0 (allowed); 1,8 -> site1 (robots-killed);
+    // 2 -> site2 (blocklisted)
+    wave(7L, 14L, 1L, 2L)
+    val prios = Seq(("http://site0.example/page/14", 0.9))
+      .toDF("url", "priority") // 14 outranks 7 (default 0.5)
+    val w1 = CrawlStream.drainCrawlLoop(spark, warcDir, robots, blocklist,
+      prios, root, "lk", "v0001", "v0002").collect()
+    assert(w1.map(r => (r.getString(0), r.getInt(2), r.getDouble(3))).sorted
+      .toSeq == Seq(
+        ("http://site0.example/page/14", 0, 0.0), // priority 0.9 first
+        ("http://site0.example/page/7", 1, 2.0)), // slot 1 × delay 2
+      s"${w1.toSeq}")
+    assert(w1.map(_.getString(4)).sorted.toSeq == Seq("page 14", "page 7"))
+    // wave 2 re-ships 7 and 14 (already fetched) plus new 21: only 21
+    // emits, its slot CONTINUING site0's counter would need the same
+    // checkpoint — a fresh drain starts at 0, but the RECRAWL gate is
+    // what must hold: no repeats
+    wave(7L, 14L, 21L)
+    val w2 = CrawlStream.drainCrawlLoop(spark, warcDir, robots, blocklist,
+      prios, root, "lk", "v0002", "v0003").collect()
+    assert(w2.map(_.getString(0)).toSeq
+      == Seq("http://site0.example/page/21"), s"${w2.toSeq}")
+    // delta protocol: v0003 carries ONLY page 21's digest
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "lk", "v0003")
+      .count() == 1)
+    // single-parse robots: the policy is checkpointed before the
+    // stream starts, so the BATCH form of the same composed plan has
+    // no robots_txt subtree — the parse cannot re-execute per batch
+    val policy = graft.operators.UrlNormalize.robotsPolicy(
+      robots, "domain", "robots_txt", "graftbot").localCheckpoint()
+    val batchFiles = spark.read.parquet(warcDir)
+    val batchPlan = CrawlStream.gatedRecords(batchFiles, policy, blocklist,
+      gz = true).queryExecution.optimizedPlan.toString
+    assert(!batchPlan.contains("robots_txt"),
+      s"robots parse leaked into the per-batch plan:\n$batchPlan")
+  }
+
   test("frontier recrawl gate: a drained URL is never re-emitted across " +
       "drains; the published state accumulates both waves") {
     import spark.implicits._
