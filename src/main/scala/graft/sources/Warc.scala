@@ -262,6 +262,51 @@ object Warc {
       .toDF(idCol, "member_idx", contentCol)
   }
 
+  /** One row per gzip member over STRING-keyed files — the
+    * [[gunzipPerMember]] walk with the id column carried as a string
+    * (file PATHS, not synthetic numeric ids). Same two-pass
+    * verify-then-lazy-inflate protocol. */
+  private def gunzipPerMemberKeyed(files: DataFrame, contentCol: String,
+                                   idCol: String): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(idCol).cast("string"), col(contentCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        memberOffsets(bytes) match {
+          case None => Iterator.empty
+          case Some(offs) => offs.iterator.zipWithIndex.map {
+            case ((p, l), i) => (id, i, inflateMember(bytes, p, l))
+          }
+        }
+      })
+      .toDF(idCol, "member_idx", contentCol)
+  }
+
+  /** Ingest REAL `.warc.gz` files from disk (or any Hadoop-visible
+    * store): Spark's `binaryFile` source reads each file as one
+    * (path, content) row — the COMPRESSED segment is the only whole
+    * cell that ever exists (a real ~1 GB Common Crawl segment fits;
+    * its ~4 GB decompressed form never materializes, because the
+    * per-member walk inflates one record at a time) — then the
+    * member walk and per-member record fold run exactly as
+    * [[gzRecords]]. Output: (path, rec_idx, rec_type, target_uri,
+    * warc_date, content_length, payload). The binaryFile source
+    * splits by FILE, so a directory of segments parallelizes
+    * per-segment — the unit a crawl batch actually ships. */
+  def gzRecordsFromFiles(spark: org.apache.spark.sql.SparkSession,
+                         pathGlob: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(pathGlob)
+      .select(col("path"), col("content"))
+    val members = gunzipPerMemberKeyed(files, "content", "path")
+    records(members, "content", maxRecords = 1)
+      .drop("rec_idx")
+      .select(col("path"), col("member_idx").as("rec_idx"), col("rec_type"),
+        col("target_uri"), col("warc_date"), col("content_length"),
+        col("payload"))
+  }
+
   /** [[records]] over `.warc.gz` files — the form every real
     * Common Crawl artifact ships in. Per-member emission
     * ([[gunzipPerMember]]): each gzip member is one row, and the

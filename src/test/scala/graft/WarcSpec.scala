@@ -218,6 +218,31 @@ class WarcSpec extends SparkTestBase {
       == (5 to 9).map(i => s"http://site${i % 7}.example/page/$i"))
   }
 
+  test("gzRecordsFromFiles: real .warc.gz files on disk walk via the binaryFile source") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("warc_files")
+    val r1 = rec("response", Some("http://f/1"), "first file")
+      .getBytes("ISO-8859-1")
+    val r2 = rec("response", Some("http://f/2"), "second file")
+      .getBytes("ISO-8859-1")
+    val bad = rec("response", Some("http://f/3"), "broken")
+      .getBytes("ISO-8859-1")
+    Files.write(dir.resolve("seg-00001.warc.gz"), gz(r1) ++ gz(r2))
+    val corrupt = gz(bad)
+    corrupt(corrupt.length - 6) = (corrupt(corrupt.length - 6) ^ 1).toByte
+    Files.write(dir.resolve("seg-00002.warc.gz"), corrupt)
+    Files.write(dir.resolve("notes.txt"), "not a segment".getBytes) // filtered
+    val out = Warc.gzRecordsFromFiles(spark, dir.toString)
+      .select(col("path"), col("rec_idx"), col("target_uri")).collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getString(2)))
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("seg-00001.warc.gz", 0, "http://f/1"),
+      ("seg-00001.warc.gz", 1, "http://f/2")), s"${out.toSeq}")
+    out.foreach(_ => ()) // corrupt segment contributed nothing
+    dir.toFile.listFiles.foreach(_.delete()); Files.delete(dir)
+  }
+
   test("synthesizeWarcGz round-trip matches the uncompressed planting; corrupt plant rejected") {
     import spark.implicits._
     val docs = Seq((0L, "zero doc"), (1L, "one doc"), (2L, "two doc"))
