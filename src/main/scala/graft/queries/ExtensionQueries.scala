@@ -126,6 +126,38 @@ object ExtensionQueries {
           col("target_uri"), col("warc_date"), col("content_length"),
           decode(col("payload"), "ISO-8859-1").as("payload_text"))),
 
+    // the REAL-FILE path end-to-end: the q183 segment planting written
+    // as ACTUAL .warc.gz files on disk (one file per segment, written
+    // from the executors — the shape a fetcher fleet drops on shared
+    // storage), then read back through Spark's binaryFile source and
+    // the per-member walk (Warc.gzRecordsFromFiles). file_id is
+    // recovered from the file NAME, so the q183 closed-form oracle
+    // carries over verbatim — a reader that mis-walks any real file's
+    // bytes hash-mismatches.
+    "q185_warc_files" -> ((s, dir) => {
+      val filesDir = Scratch.fixtureDir("graft_warc_files", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filesDir))
+      import s.implicits._
+      graft.sources.Warc.synthesizeWarcGzSegment(
+          Tables.load(s, dir, "documents"),
+          recordsPerFile = 100, corruptEvery = 10)
+        .as[(Long, Array[Byte])]
+        .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+          it.foreach { case (id, bytes) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$filesDir/seg-$id%05d.warc.gz"),
+              bytes)
+          }
+        }
+      graft.sources.Warc.gzRecordsFromFiles(s, filesDir)
+        .select(
+          regexp_extract(col("path"), "seg-(\\d+)\\.warc\\.gz$", 1)
+            .cast("bigint").as("file_id"),
+          col("rec_idx"), col("rec_type"), col("target_uri"),
+          col("warc_date"), col("content_length"),
+          decode(col("payload"), "ISO-8859-1").as("payload_text"))
+    }),
+
     "q137_warc_records" -> ((s, dir) =>
       graft.sources.Warc.records(
         graft.sources.Warc.synthesizeWarc(Tables.load(s, dir, "documents")))
@@ -330,6 +362,51 @@ object ExtensionQueries {
           key, "v0001")
       }
       graft.streaming.CrawlStream.drainCrawlLoop(s, warcDir,
+        crawlRobots(d), crawlBlocklist(s), priorities,
+        Scratch.artifactRoot, key, "v0001", "v0002")
+    }),
+
+    // the q184 loop over REAL FILES ON DISK: the same per-doc
+    // .warc.gz planting written as actual files (executor-side), the
+    // binaryFile STREAM source tailing the directory, and the whole
+    // gate→anti→schedule chain keyed by file PATH. No synthetic
+    // framing anywhere — files in, scheduled clean pages out. Same
+    // closed form as q184 (the planting is identical; only the
+    // transport differs), separate seen-state corpus key.
+    "q186_crawl_loop_files" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = Tables.load(s, dir, "documents")
+      val ids = col("doc_id").cast("string")
+      val dn = pmod(col("doc_id"), lit(7)).cast("string")
+      val url = concat(lit("http://site"), dn, lit(".example/page/"), ids)
+      val filesDir = Scratch.fixtureDir("graft_crawl_loop_files", dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filesDir))
+      import s.implicits._
+      graft.sources.Warc.synthesizeWarcGz(
+          d.select(col("doc_id"), crawlPageHtml.as("text")))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+          it.foreach { case (id, bytes) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$filesDir/seg-$id%07d.warc.gz"),
+              bytes)
+          }
+        }
+      val priorities = d.select(url.as("url"),
+        when(pmod(col("doc_id"), lit(4)) =!= 1,
+          pmod(col("doc_id"), lit(10)).cast("double") / 10.0).as("priority"))
+      val key = dir + "#crawlloopfiles"
+      if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
+          key, "v0001")) {
+        val seenPlant = d
+          .filter(pmod(col("doc_id"), lit(50)) =!= 0 &&
+            !pmod(col("doc_id"), lit(7)).isin(3, 5) &&
+            pmod(col("doc_id"), lit(5)) === 2)
+          .select(md5(url).as("url_digest"))
+        ArtifactStore.save(seenPlant, Scratch.artifactRoot, "frontier_seen",
+          key, "v0001")
+      }
+      graft.streaming.CrawlStream.drainCrawlLoopFromFiles(s, filesDir,
         crawlRobots(d), crawlBlocklist(s), priorities,
         Scratch.artifactRoot, key, "v0001", "v0002")
     }),
@@ -606,6 +683,25 @@ object ExtensionQueries {
         |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id,
         |  wdate, CAST(length(text) AS BIGINT), text
         |FROM clean""".stripMargin,
+    "q185_warc_files" ->
+      """WITH clean AS (SELECT doc_id, text, doc_id // 100 AS fid,
+        |    CAST(row_number() OVER (PARTITION BY doc_id // 100
+        |      ORDER BY doc_id) AS INTEGER) AS rn,
+        |    '2026-01-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
+        |      || 'T00:00:00Z' AS wdate
+        |  FROM documents WHERE (doc_id // 100) % 10 <> 0)
+        |SELECT fid AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+        |  'warcinfo' AS rec_type, '' AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  CAST(18 + length(CAST(fid AS VARCHAR)) AS BIGINT)
+        |    AS content_length,
+        |  'software: graft-' || fid || chr(13) || chr(10) AS payload_text
+        |FROM (SELECT DISTINCT fid FROM clean)
+        |UNION ALL
+        |SELECT fid, rn, 'response',
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id,
+        |  wdate, CAST(length(text) AS BIGINT), text
+        |FROM clean""".stripMargin,
     "q137_warc_records" ->
       """WITH clean AS (SELECT doc_id, text,
         |    '2026-01-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
@@ -653,6 +749,30 @@ object ExtensionQueries {
     // ordered (priority DESC, hash, url), delays from the robots
     // planting, clean_text the q149 extraction form
     "q184_crawl_loop" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH u AS (SELECT doc_id, text, doc_id % 7 AS h,
+         |    'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+         |      AS url,
+         |    CASE WHEN doc_id % 4 <> 1
+         |      THEN CAST(doc_id % 10 AS DOUBLE) / 10.0
+         |      ELSE 0.5 END AS prio
+         |  FROM documents
+         |  WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)
+         |    AND doc_id % 5 <> 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY h
+         |    ORDER BY prio DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, 'site' || h || '.example' AS host,
+         |  CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN h % 2 = 0 THEN CAST(h + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s,
+         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+         |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
+         |  ' tail <' || doc_id || '>' AS clean_text
+         |FROM r""".stripMargin
+    },
+    // real-file transport, same planting, same closed form
+    "q186_crawl_loop_files" -> {
       val order = graft.functions.PortableHash.hash60Sql("url")
       s"""WITH u AS (SELECT doc_id, text, doc_id % 7 AS h,
          |    'http://site' || (doc_id % 7) || '.example/page/' || doc_id

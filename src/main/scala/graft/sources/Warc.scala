@@ -299,12 +299,7 @@ object Warc {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc.gz").load(pathGlob)
       .select(col("path"), col("content"))
-    val members = gunzipPerMemberKeyed(files, "content", "path")
-    records(members, "content", maxRecords = 1)
-      .drop("rec_idx")
-      .select(col("path"), col("member_idx").as("rec_idx"), col("rec_type"),
-        col("target_uri"), col("warc_date"), col("content_length"),
-        col("payload"))
+    gzRecords(files, "content", "path")
   }
 
   /** [[records]] over `.warc.gz` files — the form every real
@@ -329,7 +324,14 @@ object Warc {
     * and is why one bad record doesn't cost a 1 GB segment. */
   def gzRecords(files: DataFrame, contentCol: String = "content",
                 idCol: String = "file_id"): DataFrame = {
-    val members = gunzipPerMember(files, contentCol, idCol)
+    // id-type-preserving: numeric ids ride the Long-typed map
+    // (synthetic file_id frames), anything else the string-keyed one
+    // (file PATHS from the binaryFile source)
+    val members = files.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        gunzipPerMember(files, contentCol, idCol)
+      case _ => gunzipPerMemberKeyed(files, contentCol, idCol)
+    }
     records(members, contentCol, maxRecords = 1)
       .drop("rec_idx")
       .select(col(idCol), col("member_idx").as("rec_idx"), col("rec_type"),

@@ -431,6 +431,49 @@ object CrawlStream {
                      maxFilesPerTrigger: Option[Int] = None,
                      defaultDelaySecs: Double = 1.0,
                      queryName: String = "graft_crawl_loop"): DataFrame = {
+    val reader = spark.readStream.schema("file_id BIGINT, content BINARY")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    crawlLoopCore(spark, reader.parquet(warcDir), robots, blocklist,
+      priorities, root, corpusKey, loadVersion, publishVersion, agent,
+      defaultDelaySecs, queryName)
+  }
+
+  /** [[drainCrawlLoop]] over REAL `.warc.gz` FILES — the loop tails a
+    * directory a fetcher fleet drops actual segments into, via the
+    * binaryFile STREAM source (one compressed segment per row; the
+    * decompressed form never materializes — the per-member walk).
+    * This is the full production artifact with no synthetic framing
+    * anywhere: files on disk in, scheduled clean pages out. */
+  def drainCrawlLoopFromFiles(spark: SparkSession, filesDir: String,
+                              robots: DataFrame, blocklist: DataFrame,
+                              priorities: DataFrame,
+                              root: String, corpusKey: String,
+                              loadVersion: String, publishVersion: String,
+                              agent: String = "graftbot",
+                              maxFilesPerTrigger: Option[Int] = None,
+                              defaultDelaySecs: Double = 1.0,
+                              queryName: String = "graft_crawl_loop_files"): DataFrame = {
+    val reader = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length LONG, content BINARY")
+      .option("pathGlobFilter", "*.warc.gz")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // the gate chain carries file_id only as an opaque passthrough,
+    // so the file PATH serves as the identity unchanged
+    val files = reader.load(filesDir)
+      .select(col("path").as("file_id"), col("content"))
+    crawlLoopCore(spark, files, robots, blocklist, priorities, root,
+      corpusKey, loadVersion, publishVersion, agent, defaultDelaySecs,
+      queryName)
+  }
+
+  private def crawlLoopCore(spark: SparkSession, files: DataFrame,
+                            robots: DataFrame, blocklist: DataFrame,
+                            priorities: DataFrame,
+                            root: String, corpusKey: String,
+                            loadVersion: String, publishVersion: String,
+                            agent: String, defaultDelaySecs: Double,
+                            queryName: String): DataFrame = {
     import graft.sources.ArtifactStore
     require(loadVersion < publishVersion,
       s"crawl-loop state must publish a version sorting after the loaded " +
@@ -442,10 +485,7 @@ object CrawlStream {
       .loadUpTo(spark, root, "frontier_seen", corpusKey, loadVersion)
       .map(_.select(col("url_digest")))
       .getOrElse(spark.range(0).select(lit("").as("url_digest")))
-    val reader = spark.readStream.schema("file_id BIGINT, content BINARY")
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val gated = gatedRecords(reader.parquet(warcDir), policy, blocklist,
-      gz = true)
+    val gated = gatedRecords(files, policy, blocklist, gz = true)
     val fresh = gated
       .withColumn("url_digest", md5(col("url")))
       .join(seen, Seq("url_digest"), "left_anti") // the recrawl gate
