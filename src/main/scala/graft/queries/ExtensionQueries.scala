@@ -366,13 +366,18 @@ object ExtensionQueries {
         Scratch.artifactRoot, key, "v0001", "v0002")
     }),
 
-    // the q184 loop over REAL FILES ON DISK: the same per-doc
-    // .warc.gz planting written as actual files (executor-side), the
-    // binaryFile STREAM source tailing the directory, and the whole
-    // gate→anti→schedule chain keyed by file PATH. No synthetic
-    // framing anywhere — files in, scheduled clean pages out. Same
-    // closed form as q184 (the planting is identical; only the
-    // transport differs), separate seen-state corpus key.
+    // the q184 loop over REAL FILES ON DISK — at the SEGMENT transport
+    // shape (100 records per .warc.gz file, written executor-side),
+    // because that is what a fetcher fleet actually ships: the first
+    // sweep of a per-PAGE-file variant measured file-COUNT-bound walls
+    // (39 s at 10× for 50k files vs 1.1 s for the same bytes in 500
+    // segments — the small-files pathology every distributed store
+    // documents). The binaryFile STREAM source tails the directory and
+    // the whole gate→anti→schedule chain runs keyed by file PATH.
+    // Corruption moves to the segment unit: every 10th FILE's middle
+    // member is CRC-flipped, erasing its 100 docs whole. Closed form:
+    // q184's window with the corrupt-segment condition replacing the
+    // per-doc %50 plant; separate seen-state corpus key.
     "q186_crawl_loop_files" -> ((s, dir) => {
       import graft.sources.ArtifactStore
       val d = Tables.load(s, dir, "documents")
@@ -382,8 +387,9 @@ object ExtensionQueries {
       val filesDir = Scratch.fixtureDir("graft_crawl_loop_files", dir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filesDir))
       import s.implicits._
-      graft.sources.Warc.synthesizeWarcGz(
-          d.select(col("doc_id"), crawlPageHtml.as("text")))
+      graft.sources.Warc.synthesizeWarcGzSegment(
+          d.select(col("doc_id"), crawlPageHtml.as("text")),
+          recordsPerFile = 100, corruptEvery = 10)
         .as[(Long, Array[Byte])]
         .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
           it.foreach { case (id, bytes) =>
@@ -398,8 +404,8 @@ object ExtensionQueries {
       val key = dir + "#crawlloopfiles"
       if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
           key, "v0001")) {
-        val seenPlant = d
-          .filter(pmod(col("doc_id"), lit(50)) =!= 0 &&
+        val seenPlant = d // previously-fetched plant = gate survivors ∩ %5==2
+          .filter(pmod((col("doc_id") / 100).cast("long"), lit(10)) =!= 0 &&
             !pmod(col("doc_id"), lit(7)).isin(3, 5) &&
             pmod(col("doc_id"), lit(5)) === 2)
           .select(md5(url).as("url_digest"))
@@ -781,7 +787,7 @@ object ExtensionQueries {
          |      THEN CAST(doc_id % 10 AS DOUBLE) / 10.0
          |      ELSE 0.5 END AS prio
          |  FROM documents
-         |  WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)
+         |  WHERE (doc_id // 100) % 10 <> 0 AND doc_id % 7 NOT IN (3, 5)
          |    AND doc_id % 5 <> 2),
          |r AS (SELECT *, row_number() OVER (PARTITION BY h
          |    ORDER BY prio DESC, ($order) % 1000000, url) - 1 AS slot

@@ -426,6 +426,27 @@ class StreamingSinkSpec extends SparkTestBase {
       gz = true).queryExecution.optimizedPlan.toString
     assert(!batchPlan.contains("robots_txt"),
       s"robots parse leaked into the per-batch plan:\n$batchPlan")
+    // the REAL-FILE transport answers the same loop: the same wave
+    // written as actual .warc.gz files on disk, tailed by the
+    // binaryFile stream source, path-keyed — same schedule rows
+    val fdir = Files.createTempDirectory("loop_files").toString
+    Warc.synthesizeWarcGz(
+        Seq(7L, 14L).toDF("doc_id").select(col("doc_id"),
+          concat(lit("<html><body><p>page "), col("doc_id").cast("string"),
+            lit("</p></body></html>")).as("text")),
+        corruptEvery = 1000000)
+      .collect().foreach { r =>
+        Files.write(java.nio.file.Paths.get(
+          f"$fdir/seg-${r.getLong(0)}%03d.warc.gz"),
+          r.getAs[Array[Byte]]("content"))
+      }
+    val wf = CrawlStream.drainCrawlLoopFromFiles(spark, fdir, robots,
+      blocklist, prios, root, "lkf", "v0001", "v0002").collect()
+    assert(wf.map(r => (r.getString(0), r.getInt(2), r.getDouble(3),
+        r.getString(4))).sorted.toSeq
+      == w1.map(r => (r.getString(0), r.getInt(2), r.getDouble(3),
+        r.getString(4))).sorted.toSeq,
+      s"file transport diverged: ${wf.toSeq} vs ${w1.toSeq}")
   }
 
   test("frontier recrawl gate: a drained URL is never re-emitted across " +
