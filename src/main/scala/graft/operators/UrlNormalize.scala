@@ -305,6 +305,28 @@ object UrlNormalize {
         col("crawl_delay"))
   }
 
+  /** `Sitemap:` directives from a robots corpus — the discovery
+    * BOOTSTRAP rung: a crawl that knows only domains learns its
+    * sitemap locations HERE (robots.txt is the one canonical place a
+    * site publishes them). Per REP/sitemaps.org the directive is
+    * group-INDEPENDENT — it applies regardless of any `User-agent:`
+    * section, may appear anywhere in the file, any number of times —
+    * and must carry an ABSOLUTE url, so this parses lines directly
+    * (no group machinery) and drops relative values (spec
+    * violations). Comments strip as everywhere else. One row per
+    * directive: (domainCol, sitemap_url). Pure per-row projections —
+    * rides the robots-corpus scan, no shuffle. */
+  def robotsSitemaps(robots: DataFrame, domainCol: String,
+                     robotsCol: String): DataFrame =
+    robots.select(col(domainCol), explode(split(col(robotsCol), "\n"))
+        .as("__raw"))
+      .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .filter(lower(col("__line")).rlike("^sitemap\\s*:"))
+      .select(col(domainCol),
+        trim(regexp_extract(col("__line"), "(?i)^sitemap\\s*:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url").rlike("^https?://"))
+
   /** Cross-SESSION form of [[robotsPolicy]]: load the published
     * per-domain policy for `(corpusKey, version)` if it exists, else
     * parse, publish, and load back. A crawl refreshes robots bodies

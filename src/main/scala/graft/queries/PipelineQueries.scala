@@ -759,6 +759,114 @@ object PipelineQueries {
         delays)
     }),
 
+    // the discovery BOOTSTRAP (UrlNormalize.robotsSitemaps): robots.txt
+    // is the one canonical place a site publishes its sitemap
+    // locations (the REP `Sitemap:` directive — group-independent,
+    // any case, any count, absolute URLs only). The planting
+    // exercises case variants, surrounding rule groups, a trailing
+    // comment, and a RELATIVE decoy that must drop; every-3rd domain
+    // publishes a second (CDN) location.
+    "q187_robots_sitemaps" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hs = col("h").cast("string")
+      val robots = d.select(pmod(col("doc_id"), lit(7)).as("h")).distinct()
+        .select(
+          concat(lit("site"), hs, lit(".example")).as("domain"),
+          concat(lit("User-agent: *\nDisallow: /private\n"),
+            when(col("h") % 2 === 0, concat(lit("Crawl-delay: "),
+              (col("h") + 1).cast("string"), lit("\n")))
+              .otherwise(lit("")),
+            lit("SITEMAP: https://site"), hs,
+            lit(".example/sitemap_index.xml # canonical\n"),
+            lit("Sitemap: /relative/ignored.xml\n"),
+            when(col("h") % 3 === 0,
+              concat(lit("sitemap:   https://cdn"), hs,
+                lit(".example/extra.xml\n"))).otherwise(lit("")))
+            .as("robots_txt"))
+      UrlNormalize.robotsSitemaps(robots, "domain", "robots_txt")
+    }),
+
+    // the FULL DISCOVERY CHAIN composed as one plan — the rung a crawl
+    // actually starts from, with no location assumed known anywhere:
+    // robots.txt (ONE parse: Sitemap bootstrap + verdict rules +
+    // Crawl-delay) → fetch the published sitemapindex (the body join
+    // stands in for the fetch) → child sitemap locations → fetch the
+    // child urlsets → per-URL entries with advisory priority/lastmod
+    // → robots verdict gate off the SAME policy → priority-ordered
+    // politeness schedule with the SAME policy's delays. site3's
+    // Disallow /page kills its whole inventory at the gate; /private
+    // paths (doc_id%3==1) die everywhere; the schedule is q181's
+    // window over the survivors.
+    "q188_discovery_chain" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dn = pmod(col("doc_id"), lit(7)).cast("string")
+      val ids = col("doc_id").cast("string")
+      val hs = col("h").cast("string")
+      val domains = d.select(pmod(col("doc_id"), lit(7)).as("h")).distinct()
+      val robots = domains.select(
+        concat(lit("site"), hs, lit(".example")).as("domain"),
+        concat(lit("User-agent: *\nDisallow: /private\n"),
+          when(col("h") === 3, lit("Disallow: /page\n")).otherwise(lit("")),
+          when(col("h") % 2 === 0, concat(lit("Crawl-delay: "),
+            (col("h") + 1).cast("string"), lit("\n"))).otherwise(lit("")),
+          lit("Sitemap: https://site"), hs,
+          lit(".example/sitemap_index.xml\n")).as("robots_txt"))
+      // ONE robots parse: verdict rules + delays; the bootstrap reads
+      // the same corpus with the line-level parser
+      val policy = UrlNormalize.robotsPolicy(robots, "domain",
+        "robots_txt", "graftbot").localCheckpoint()
+      val boot = UrlNormalize.robotsSitemaps(robots, "domain", "robots_txt")
+      // published index bodies, keyed by the bootstrap's URL: two
+      // child sitemaps per domain (the 50k-entry split convention)
+      val indexBodies = domains.select(
+        concat(lit("https://site"), hs, lit(".example/sitemap_index.xml"))
+          .as("sitemap_url"),
+        concat(lit("<sitemapindex>\n  <sitemap><loc>https://site"), hs,
+          lit(".example/sm0.xml</loc></sitemap>\n  <sitemap><loc>"),
+          lit("https://site"), hs,
+          lit(".example/sm1.xml</loc></sitemap>\n</sitemapindex>"))
+          .as("xml"))
+      val children = UrlNormalize.sitemapIndexUrls(
+        boot.join(indexBodies, Seq("sitemap_url")), "domain", "xml")
+      // published child urlsets (q181's entry forms), split doc_id%2
+      val locEsc = concat(lit("https://site"), dn, lit(".example"),
+        when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("/private/x"), ids))
+        .otherwise(concat(lit("/page/"), ids, lit("?a=1&amp;b="),
+          pmod(col("doc_id"), lit(5)).cast("string"))))
+      val lastmod = when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit("\n    <lastmod>2026-02-"),
+          (lit(10) + pmod(col("doc_id"), lit(18))).cast("string"),
+          lit("</lastmod>"))).otherwise(lit(""))
+      val prio = when(pmod(col("doc_id"), lit(4)) =!= 1,
+        concat(lit("\n    <priority>0."),
+          pmod(col("doc_id"), lit(10)).cast("string"),
+          lit("</priority>"))).otherwise(lit(""))
+      val entry = concat(lit("  <url>\n    <loc> "), locEsc,
+        lit(" </loc>"), lastmod, prio, lit("\n  </url>"))
+      val childBodies = d.select(
+          concat(lit("https://site"), dn, lit(".example/sm"),
+            pmod(col("doc_id"), lit(2)).cast("string"), lit(".xml"))
+            .as("sitemap_url"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("sitemap_url"))
+        .agg(concat(lit("<urlset>\n"),
+          array_join(transform(sort_array(collect_list(col("se"))),
+            x => x.getField("e")), "\n"),
+          lit("\n</urlset>")).as("xml"))
+      val urls = UrlNormalize.sitemapUrls(
+        children.select(col("domain"), col("sitemap_url"))
+          .join(childBodies, Seq("sitemap_url")), "domain", "xml")
+      val (allowed, _) = UrlNormalize.robotsVerdictCols(
+        UrlNormalize.pathOf(col("url")), col("rules"))
+      val gated = urls
+        .join(broadcast(policy.select(col("domain"), col("rules"))),
+          Seq("domain"), "left")
+        .filter(allowed)
+      UrlNormalize.prioritySchedule(gated, "url", "priority", "lastmod",
+        policy.select(col("domain"), col("crawl_delay")))
+    }),
+
     // the DISCOVERY→GATE→SCHEDULE frontier loop composed end-to-end:
     // per-domain sitemaps parsed (q168 machinery), each discovered URL
     // gated by the domain's robots policy (one parse, broadcast,
@@ -2525,6 +2633,46 @@ object PipelineQueries {
          |      THEN CAST('0.' || (doc_id % 10) AS DOUBLE)
          |      ELSE 0.5 END AS priority
          |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY priority DESC, lastmod DESC NULLS LAST,
+         |      ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, priority, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN h % 2 = 0 THEN CAST(h + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
+    // replays the bootstrap planting: the canonical index location
+    // per domain (comment stripped, case-insensitive key), the CDN
+    // extra on every h%3==0 domain, the relative decoy dropped
+    "q187_robots_sitemaps" ->
+      """WITH hh AS (SELECT DISTINCT doc_id % 7 AS h FROM documents)
+        |SELECT 'site' || h || '.example' AS domain,
+        |  'https://site' || h || '.example/sitemap_index.xml'
+        |    AS sitemap_url
+        |FROM hh
+        |UNION ALL
+        |SELECT 'site' || h || '.example',
+        |  'https://cdn' || h || '.example/extra.xml'
+        |FROM hh WHERE h % 3 = 0""".stripMargin,
+    // the q181 window over the chain's survivors: /private paths
+    // (doc_id%3==1) die at the verdict everywhere, site3's whole
+    // inventory dies at its Disallow /page, everything else arrives
+    // through index→child→entry with its advisory signals intact
+    "q188_discovery_chain" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH u AS (SELECT
+         |    'https://site' || (doc_id % 7) || '.example/page/' || doc_id ||
+         |      '?a=1&b=' || (doc_id % 5) AS url,
+         |    'site' || (doc_id % 7) || '.example' AS host,
+         |    doc_id % 7 AS h,
+         |    CASE WHEN doc_id % 3 <> 0
+         |      THEN '2026-02-' || (10 + doc_id % 18) END AS lastmod,
+         |    CASE WHEN doc_id % 4 <> 1
+         |      THEN CAST('0.' || (doc_id % 10) AS DOUBLE)
+         |      ELSE 0.5 END AS priority
+         |  FROM documents
+         |  WHERE doc_id % 3 <> 1 AND doc_id % 7 <> 3),
          |r AS (SELECT *, row_number() OVER (PARTITION BY host
          |    ORDER BY priority DESC, lastmod DESC NULLS LAST,
          |      ($order) % 1000000, url) - 1 AS slot

@@ -283,6 +283,29 @@ class UrlNormalizeSpec extends SparkTestBase {
       "longer-octet Allow must win")
   }
 
+  test("robotsSitemaps: group-independent, case-insensitive, comments " +
+      "stripped, relative and schemeless values dropped") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com",
+        "# header comment\n" +
+        "Sitemap: https://a.com/sm.xml\n" +          // before any group
+        "User-agent: *\nDisallow: /x\n" +
+        "SITEMAP:https://a.com/sm2.xml # trailing\n" + // inside a group, no space
+        "sitemap:   http://cdn.a.com/sm3.xml   \n" +   // lower, padded
+        "Sitemap: /relative.xml\n" +                   // spec violation
+        "Sitemap: ftp://a.com/nope.xml\n"),            // wrong scheme
+      ("b.com", "User-agent: *\nAllow: /\n"))          // no directive
+      .toDF("domain", "robots_txt")
+    val got = graft.operators.UrlNormalize
+      .robotsSitemaps(robots, "domain", "robots_txt")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq(
+      ("a.com", "http://cdn.a.com/sm3.xml"),
+      ("a.com", "https://a.com/sm.xml"),
+      ("a.com", "https://a.com/sm2.xml")), s"$got")
+  }
+
   test("sitemapUrls: entity decode, whitespace trim, defaults, loc-less drop") {
     import spark.implicits._
     val xml =
