@@ -247,19 +247,13 @@ object Warc {
     * never the file's concatenation. */
   def gunzipPerMember(files: DataFrame, contentCol: String = "content",
                       idCol: String = "file_id"): DataFrame = {
-    val spark = files.sparkSession
-    import spark.implicits._
-    files.select(col(idCol).cast("long"), col(contentCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        memberOffsets(bytes) match {
-          case None => Iterator.empty
-          case Some(offs) => offs.iterator.zipWithIndex.map {
-            case ((p, l), i) => (id, i, inflateMember(bytes, p, l))
-          }
-        }
-      })
-      .toDF(idCol, "member_idx", contentCol)
+    // one walk implementation: the typed map carries the id as a
+    // string (any key type rides — synthetic longs, file paths) and
+    // the original type is restored on the way out
+    val t = files.schema(idCol).dataType
+    val members = gunzipPerMemberKeyed(files, contentCol, idCol)
+    if (t == org.apache.spark.sql.types.StringType) members
+    else members.withColumn(idCol, col(idCol).cast(t))
   }
 
   /** One row per gzip member over STRING-keyed files — the
@@ -324,14 +318,7 @@ object Warc {
     * and is why one bad record doesn't cost a 1 GB segment. */
   def gzRecords(files: DataFrame, contentCol: String = "content",
                 idCol: String = "file_id"): DataFrame = {
-    // id-type-preserving: numeric ids ride the Long-typed map
-    // (synthetic file_id frames), anything else the string-keyed one
-    // (file PATHS from the binaryFile source)
-    val members = files.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType =>
-        gunzipPerMember(files, contentCol, idCol)
-      case _ => gunzipPerMemberKeyed(files, contentCol, idCol)
-    }
+    val members = gunzipPerMember(files, contentCol, idCol)
     records(members, contentCol, maxRecords = 1)
       .drop("rec_idx")
       .select(col(idCol), col("member_idx").as("rec_idx"), col("rec_type"),
