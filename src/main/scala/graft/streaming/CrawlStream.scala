@@ -467,13 +467,55 @@ object CrawlStream {
       queryName)
   }
 
-  private def crawlLoopCore(spark: SparkSession, files: DataFrame,
+  /** DURABLE form of [[drainCrawlLoop]]: parquet sink + explicit
+    * checkpoint, the shape a real crawl RUNS AS (a memory sink cannot
+    * recover, so the plain drains start every call from scratch). A
+    * later call with the same `checkpointDir` RESUMES: only files
+    * that arrived since are processed (exactly-once into the sink),
+    * and every host's politeness counter SURVIVES the restart —
+    * issued slots never renumber, the contract a fetcher fleet
+    * holding last drain's slots depends on. The seen-state delta for
+    * THIS call is recovered as (sink digests) ANTI (state ≤
+    * loadVersion) — exactly the rows earlier publishes don't hold,
+    * provided the caller advances versions per call (the
+    * [[drainFrontierDedup]] protocol). Returns the sink's current
+    * accumulated contents. */
+  def drainCrawlLoopDurable(spark: SparkSession, warcDir: String,
                             robots: DataFrame, blocklist: DataFrame,
                             priorities: DataFrame,
                             root: String, corpusKey: String,
                             loadVersion: String, publishVersion: String,
-                            agent: String, defaultDelaySecs: Double,
-                            queryName: String): DataFrame = {
+                            sinkDir: String, checkpointDir: String,
+                            agent: String = "graftbot",
+                            maxFilesPerTrigger: Option[Int] = None,
+                            defaultDelaySecs: Double = 1.0): DataFrame = {
+    import graft.sources.ArtifactStore
+    val reader = spark.readStream.schema("file_id BIGINT, content BINARY")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val (out, seen) = crawlLoopPlan(spark, reader.parquet(warcDir), robots,
+      blocklist, priorities, root, corpusKey, loadVersion, publishVersion,
+      agent, defaultDelaySecs)
+    val q = out.writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = spark.read.parquet(sinkDir)
+    val delta = drained.select(md5(col("url")).as("url_digest")).distinct()
+      .join(seen, Seq("url_digest"), "left_anti")
+    ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
+      publishVersion)
+    drained
+  }
+
+  /** The loop's unsunk plan: (output frame, the loaded seen state). */
+  private def crawlLoopPlan(spark: SparkSession, files: DataFrame,
+                            robots: DataFrame, blocklist: DataFrame,
+                            priorities: DataFrame,
+                            root: String, corpusKey: String,
+                            loadVersion: String, publishVersion: String,
+                            agent: String, defaultDelaySecs: Double):
+      (DataFrame, DataFrame) = {
     import graft.sources.ArtifactStore
     require(loadVersion < publishVersion,
       s"crawl-loop state must publish a version sorting after the loaded " +
@@ -499,6 +541,20 @@ object CrawlStream {
         priorityCol = Some("__prio"), payloadCol = Some("clean_text"))
       .select(col("url"), col("host"), col("slot_idx"), col("fetch_at_s"),
         col("clean_text"))
+    (out, seen)
+  }
+
+  private def crawlLoopCore(spark: SparkSession, files: DataFrame,
+                            robots: DataFrame, blocklist: DataFrame,
+                            priorities: DataFrame,
+                            root: String, corpusKey: String,
+                            loadVersion: String, publishVersion: String,
+                            agent: String, defaultDelaySecs: Double,
+                            queryName: String): DataFrame = {
+    import graft.sources.ArtifactStore
+    val (out, _) = crawlLoopPlan(spark, files, robots, blocklist,
+      priorities, root, corpusKey, loadVersion, publishVersion, agent,
+      defaultDelaySecs)
     val name = uniqueName(queryName)
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

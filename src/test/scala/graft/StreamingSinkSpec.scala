@@ -449,6 +449,54 @@ class StreamingSinkSpec extends SparkTestBase {
       s"file transport diverged: ${wf.toSeq} vs ${w1.toSeq}")
   }
 
+  test("durable crawl loop: checkpoint resume processes only new segments, " +
+      "politeness counters survive the restart, deltas hold only new digests") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.{ArtifactStore, Warc}
+    val root = Files.createTempDirectory("dloop_store").toString
+    val base = Files.createTempDirectory("dloop")
+    val (warcDir, sinkDir, ckpt) = (s"$base/in", s"$base/sink", s"$base/ckpt")
+    val robots = Seq(("site0.example",
+      "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"))
+      .toDF("domain", "robots_txt")
+    val blocklist = Seq(("none.example", "ads")).toDF("domain", "category")
+    val prios = Seq(("http://site0.example/page/14", 0.9))
+      .toDF("url", "priority")
+    def ship(ids: Long*): Unit =
+      Warc.synthesizeWarcGz(
+          ids.toDF("doc_id").select(col("doc_id"),
+            concat(lit("<html><body><p>page "), col("doc_id").cast("string"),
+              lit("</p></body></html>")).as("text")),
+          corruptEvery = 1000000)
+        .coalesce(1).write.mode("append").parquet(warcDir)
+    ship(7L, 14L) // both site0 (id % 7 == 0)
+    val w1 = CrawlStream.drainCrawlLoopDurable(spark, warcDir, robots,
+      blocklist, prios, root, "dlk", "v0001", "v0002", sinkDir, ckpt)
+      .collect()
+    assert(w1.map(r => (r.getString(0), r.getInt(2), r.getDouble(3))).sorted
+      .toSeq == Seq(
+        ("http://site0.example/page/14", 0, 0.0), // priority 0.9 first
+        ("http://site0.example/page/7", 1, 2.0)), s"${w1.toSeq}")
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "dlk", "v0002")
+      .count() == 2)
+    // wave 2: a NEW segment arrives carrying page 21 plus a RE-SHIP of
+    // page 7 (a fetcher retrying). The resume must read only the new
+    // file, the anti gate must drop the repeat, and site0's counter
+    // must CONTINUE at 2 — slots 0/1 were already issued to fetchers
+    ship(21L, 7L)
+    val w2 = CrawlStream.drainCrawlLoopDurable(spark, warcDir, robots,
+      blocklist, prios, root, "dlk", "v0002", "v0003", sinkDir, ckpt)
+      .collect()
+    assert(w2.length == 3, s"sink must accumulate exactly once: ${w2.toSeq}")
+    val p21 = w2.find(_.getString(0) == "http://site0.example/page/21").get
+    assert(p21.getInt(2) == 2 && p21.getDouble(3) == 4.0,
+      s"counter must survive the restart: $p21")
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "dlk", "v0003")
+      .count() == 1, "delta must hold only page 21")
+  }
+
   test("frontier recrawl gate: a drained URL is never re-emitted across " +
       "drains; the published state accumulates both waves") {
     import spark.implicits._
