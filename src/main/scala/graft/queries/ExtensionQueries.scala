@@ -128,8 +128,13 @@ object ExtensionQueries {
 
     // the REAL-FILE path end-to-end: the q183 segment planting written
     // as ACTUAL .warc.gz files on disk (one file per segment, written
-    // from the executors — the shape a fetcher fleet drops on shared
-    // storage), then read back through Spark's binaryFile source and
+    // from the executors via java.nio — sound ONLY because this
+    // harness runs local-mode, where executors and driver share a
+    // filesystem; a multi-node deployment would land the files on
+    // executor-local disks and the driver's read-back would see a
+    // partial directory. A real fetcher fleet writes through the
+    // Hadoop FileSystem API against genuinely shared storage; the
+    // READ side below is already that shape), then read back through
     // the per-member walk (Warc.gzRecordsFromFiles). file_id is
     // recovered from the file NAME, so the q183 closed-form oracle
     // carries over verbatim — a reader that mis-walks any real file's
@@ -377,7 +382,10 @@ object ExtensionQueries {
     // Corruption moves to the segment unit: every 10th FILE's middle
     // member is CRC-flipped, erasing its 100 docs whole. Closed form:
     // q184's window with the corrupt-segment condition replacing the
-    // per-doc %50 plant; separate seen-state corpus key.
+    // per-doc %50 plant; separate seen-state corpus key. The
+    // executor-side java.nio fixture write is local-mode-only (the
+    // q185 caveat: on a multi-node cluster the segments would land on
+    // executor-local disks, invisible to the tailing stream).
     "q186_crawl_loop_files" -> ((s, dir) => {
       import graft.sources.ArtifactStore
       val d = Tables.load(s, dir, "documents")

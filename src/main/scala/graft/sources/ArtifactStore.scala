@@ -60,10 +60,47 @@ object ArtifactStore {
   private def requireVersion(version: String): Unit =
     require(version.matches("[A-Za-z0-9._-]+"), s"bad version: $version")
 
+  private def corpusPath(root: String, kind: String,
+                         corpusKey: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"${kindPath(root, kind)}/corpus_key=${normKey(corpusKey)}")
+
   private def partitionPath(root: String, kind: String, corpusKey: String,
                             version: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(
-      s"${kindPath(root, kind)}/corpus_key=${normKey(corpusKey)}/version=$version")
+    new org.apache.hadoop.fs.Path(corpusPath(root, kind, corpusKey),
+      s"version=$version")
+
+  /** A half-finished [[compact]] must be detectable, or a reader
+    * between the snapshot save and the delta deletes would union BOTH
+    * and double-count (harmless only for set-semantics kinds). The
+    * marker `_compact_into_<v>` lives directly under the corpus
+    * directory (a `_`-prefixed FILE — invisible to Spark's partition
+    * discovery) and is ACTIVE once the `version=<v>` snapshot exists:
+    * from that moment every version sorting before `<v>` is retired,
+    * whether or not its directory has been deleted yet. Before the
+    * snapshot lands the marker is inert, so the compactor's own union
+    * read still sees the deltas it is merging. */
+  private def compactFloor(spark: SparkSession, root: String, kind: String,
+                           corpusKey: String): Option[String] = {
+    val cp = corpusPath(root, kind, corpusKey)
+    val fs = fsOf(spark, cp)
+    if (!fs.exists(cp)) None
+    else fs.listStatus(cp).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_compact_into_"))
+      .map(_.stripPrefix("_compact_into_"))
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(cp, s"version=$v")))
+      .maxOption
+  }
+
+  /** Version directories as they sit on disk, floor-unaware — the
+    * resume path needs to see retired leftovers to finish deleting
+    * them. */
+  private def rawVersions(spark: SparkSession, root: String, kind: String,
+                          corpusKey: String): Seq[String] = {
+    val k = normKey(corpusKey)
+    listPairs(spark, root, kind).collect { case (ck, v) if ck == k => v }
+      .sorted
+  }
 
   private def fsOf(spark: SparkSession,
                    p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
@@ -137,13 +174,19 @@ object ArtifactStore {
       .drop("corpus_key", "version")
   }
 
-  /** One corpus's published versions (sorted ascending) — the same
-    * driver-side directory listing as [[versions]], filtered. */
+  /** One corpus's LIVE published versions (sorted ascending) — the
+    * same driver-side directory listing as [[versions]], filtered to
+    * the corpus, with versions retired by an (possibly half-finished)
+    * [[compact]] excluded: once a compaction snapshot exists, the
+    * deltas it merged are logically gone even if their directories
+    * outlive a crash mid-delete. */
   def listVersions(spark: SparkSession, root: String, kind: String,
                    corpusKey: String): Seq[String] = {
-    val k = normKey(corpusKey)
-    listPairs(spark, root, kind).collect { case (ck, v) if ck == k => v }
-      .sorted
+    val raw = rawVersions(spark, root, kind, corpusKey)
+    compactFloor(spark, root, kind, corpusKey) match {
+      case Some(floor) => raw.filter(_ >= floor)
+      case None => raw
+    }
   }
 
   /** DELTA-STATE read: the union of every version ≤ `upTo`
@@ -153,16 +196,35 @@ object ArtifactStore {
     * are listed or read). This is the accumulating-state counterpart
     * of [[load]]: a kind whose publishers append per-run DELTAS
     * (e.g. a crawl frontier's newly-seen digests) reads its full
-    * state without any run ever rewriting history. None when the
-    * corpus has no version ≤ `upTo` (the first run). */
+    * state without any run ever rewriting history. None ONLY when the
+    * corpus has never published at all (the legitimate first run). A
+    * corpus that HAS versions but none ≤ `upTo` is a reader pinned
+    * below compacted/retired state — e.g. a drain still passing its
+    * last publish after a compact folded it away — and returning None
+    * there would silently read the state as empty and re-emit the
+    * whole frontier; it fails loudly instead (the [[compact]]
+    * stale-pin contract). */
   def loadUpTo(spark: SparkSession, root: String, kind: String,
                corpusKey: String, upTo: String): Option[DataFrame] = {
     requireVersion(upTo)
     val k = normKey(corpusKey)
-    if (!listVersions(spark, root, kind, corpusKey).exists(_ <= upTo)) None
-    else Some(spark.read.parquet(kindPath(root, kind))
-      .filter(col("corpus_key") === k && col("version") <= upTo)
-      .drop("corpus_key", "version"))
+    val vs = listVersions(spark, root, kind, corpusKey)
+    if (vs.isEmpty) None
+    else {
+      require(vs.exists(_ <= upTo),
+        s"pin upTo=$upTo predates the earliest live version ${vs.head} of " +
+          s"kind=$kind corpus_key=$k — the state it names was retired " +
+          "(compacted or pruned); re-pin at a live version")
+      // the floor also excludes retired directories a crashed compact
+      // left behind: without it the union would double-count them
+      val floored = compactFloor(spark, root, kind, corpusKey) match {
+        case Some(f) => col("version") >= f
+        case None => lit(true)
+      }
+      Some(spark.read.parquet(kindPath(root, kind))
+        .filter(col("corpus_key") === k && col("version") <= upTo && floored)
+        .drop("corpus_key", "version"))
+    }
   }
 
   /** Compact one corpus's delta versions into a single snapshot:
@@ -174,22 +236,48 @@ object ArtifactStore {
     * The months-long-crawl cadence rung: per-drain publishes stay
     * O(new digests), and a weekly compact bounds the version count
     * the union scan lists. Same concurrent-reader caveat as [[save]]
-    * (the published-version protocol is the isolation mechanism). */
+    * (the published-version protocol is the isolation mechanism).
+    *
+    * RECOVERABLE: the compactor writes a `_compact_into_<into>` marker
+    * before the snapshot save; the marker activates the moment the
+    * snapshot partition exists, from which point [[listVersions]] /
+    * [[loadUpTo]] treat every version < `into` as retired REGARDLESS
+    * of whether its directory was deleted yet — a crash anywhere
+    * mid-delete can never make a reader union the snapshot with
+    * leftover deltas (the double-count a non-set-semantics kind
+    * cannot absorb). A re-run of compact with the same `into` resumes:
+    * it skips the save and finishes the deletes. */
   def compact(spark: SparkSession, root: String, kind: String,
               corpusKey: String, into: String): Seq[String] = {
     requireVersion(into)
-    val old = listVersions(spark, root, kind, corpusKey)
-    require(old.nonEmpty, s"nothing to compact for ${normKey(corpusKey)}")
-    require(old.forall(_ < into),
-      s"compaction target $into must sort after every existing version " +
-        s"(have ${old.mkString(",")})")
-    val merged = loadUpTo(spark, root, kind, corpusKey, old.last).get
-    save(merged, root, kind, corpusKey, into) // executes the union read
-    old.foreach { v =>
+    val cp = corpusPath(root, kind, corpusKey)
+    val fs = fsOf(spark, cp)
+    val marker = new org.apache.hadoop.fs.Path(cp, s"_compact_into_$into")
+    val resumable = fs.exists(marker) &&
+      fs.exists(partitionPath(root, kind, corpusKey, into))
+    if (!resumable) {
+      val old = listVersions(spark, root, kind, corpusKey)
+      require(old.nonEmpty, s"nothing to compact for ${normKey(corpusKey)}")
+      require(old.forall(_ < into),
+        s"compaction target $into must sort after every existing version " +
+          s"(have ${old.mkString(",")})")
+      // marker first: it stays inert until the snapshot lands (so the
+      // union read below still sees the deltas), then flips the store
+      // to snapshot-only semantics atomically with the save
+      fs.create(marker, true).close()
+      val merged = loadUpTo(spark, root, kind, corpusKey, old.last).get
+      save(merged, root, kind, corpusKey, into) // executes the union read
+    }
+    // retire the merged deltas (raw listing: the floor already hides
+    // them from readers; this walk must still SEE them to delete them)
+    val retired = rawVersions(spark, root, kind, corpusKey)
+      .filter(_ < into)
+    retired.foreach { v =>
       val p = partitionPath(root, kind, corpusKey, v)
       fsOf(spark, p).delete(p, true)
     }
-    old
+    fs.delete(marker, false)
+    retired
   }
 
   /** All published `(corpus_key, version)` pairs of a kind — TRULY

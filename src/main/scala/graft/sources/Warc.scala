@@ -214,12 +214,24 @@ object Warc {
     * form is live at a time. */
   private[graft] def inflateMember(b: Array[Byte], off: Int,
                                    len: Int): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.min(len * 4, 1 << 20))
+    // Long math: a verified member can legitimately be >512 MB of
+    // compressed data (a whole-file-gzipped segment is ONE member),
+    // where len * 4 overflows Int negative and the stream ctor throws
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(len.toLong * 4, 1L << 20).toInt)
     val infl = new java.util.zip.Inflater(true)
     try {
       infl.setInput(b, off, len)
       val buf = new Array[Byte](8192)
-      while (!infl.finished()) out.write(buf, 0, infl.inflate(buf))
+      while (!infl.finished()) {
+        val n = infl.inflate(buf)
+        // pass 1 verified the stream, so zero progress before finish
+        // should be impossible — but an impossible state must fail
+        // loudly, not spin this loop forever (mirrors pass 1's guard)
+        require(n > 0 || infl.finished(),
+          s"verified member at off=$off len=$len stalled mid-inflate")
+        out.write(buf, 0, n)
+      }
     } finally infl.end()
     out.toByteArray
   }

@@ -528,9 +528,22 @@ object CrawlStream {
       .map(_.select(col("url_digest")))
       .getOrElse(spark.range(0).select(lit("").as("url_digest")))
     val gated = gatedRecords(files, policy, blocklist, gz = true)
+    // WITHIN-DRAIN dedup: the anti gate above only sees state
+    // published BEFORE the drain, so a URL re-shipped in two files of
+    // ONE drain (two micro-batches — real crawls re-ship constantly
+    // across segments) would pass it twice and be SCHEDULED twice.
+    // A stateful streaming dropDuplicates on the 16-byte digest
+    // closes the gap: first arrival wins, state is digests only
+    // (the frontier_seen size discipline), sharded by digest — not
+    // per-host sets. In the durable loop the dedup state lives in the
+    // checkpoint and so also spans resumes; that overlap with the
+    // published seen state is redundancy, not conflict (both drop
+    // repeats), and the state's growth is bounded by the same
+    // compaction cadence argument as frontier_seen: 16 bytes/URL.
     val fresh = gated
       .withColumn("url_digest", md5(col("url")))
       .join(seen, Seq("url_digest"), "left_anti") // the recrawl gate
+      .dropDuplicates("url_digest")
       .drop("url_digest")
       .join(broadcast(priorities.select(col("url"),
         col("priority").cast("double").as("__prio"))), Seq("url"), "left")

@@ -267,4 +267,56 @@ class ArtifactStoreSpec extends SparkTestBase {
       spark.sql("DROP DATABASE IF EXISTS graft_artifacts_spec CASCADE")
     }
   }
+
+  test("loadUpTo: a pin retired by compact fails loudly, never reads-as-empty") {
+    import spark.implicits._
+    val root = freshRoot()
+    ArtifactStore.save(Seq(1, 2).toDF("x"), root, "deltas", "c", "v0001")
+    ArtifactStore.save(Seq(3).toDF("x"), root, "deltas", "c", "v0002")
+    ArtifactStore.compact(spark, root, "deltas", "c", "v0003")
+    // a reader still pinned at its pre-compact publish: the old code
+    // returned None here, and a frontier drain would silently treat
+    // the whole seen state as empty and re-emit everything
+    val ex = intercept[IllegalArgumentException] {
+      ArtifactStore.loadUpTo(spark, root, "deltas", "c", "v0002")
+    }
+    assert(ex.getMessage.contains("retired"))
+    // live pin still reads the full state; never-published corpus is
+    // still the legitimate first-run None
+    assert(ArtifactStore.loadUpTo(spark, root, "deltas", "c", "v0003").get
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    assert(ArtifactStore.loadUpTo(spark, root, "deltas", "never", "v9").isEmpty)
+  }
+
+  test("compact crash mid-delete: readers never double-count; re-run resumes") {
+    import spark.implicits._
+    val root = freshRoot()
+    ArtifactStore.save(Seq(1, 2).toDF("x"), root, "deltas", "c", "v0001")
+    ArtifactStore.save(Seq(3).toDF("x"), root, "deltas", "c", "v0002")
+    val corpusDir = java.nio.file.Paths.get(
+      s"$root/deltas/corpus_key=${ArtifactStore.normKey("c")}")
+    val marker = corpusDir.resolve("_compact_into_v0003")
+    // marker alone (crash BEFORE the snapshot landed) is inert
+    java.nio.file.Files.createFile(marker)
+    assert(ArtifactStore.listVersions(spark, root, "deltas", "c")
+      == Seq("v0001", "v0002"))
+    // replay compact's save step, then "crash" before any delete:
+    // snapshot + both deltas all sit on disk under an active marker
+    ArtifactStore.save(Seq(1, 2, 3).toDF("x"), root, "deltas", "c", "v0003")
+    assert(java.nio.file.Files.exists(
+      corpusDir.resolve("version=v0001")), "leftover delta still on disk")
+    // readers see snapshot-only state: no union with the leftovers
+    assert(ArtifactStore.listVersions(spark, root, "deltas", "c")
+      == Seq("v0003"))
+    assert(ArtifactStore.loadUpTo(spark, root, "deltas", "c", "v0003").get
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // re-running compact with the same target RESUMES: finishes the
+    // deletes, removes the marker, returns the retired versions
+    assert(ArtifactStore.compact(spark, root, "deltas", "c", "v0003")
+      == Seq("v0001", "v0002"))
+    assert(!java.nio.file.Files.exists(marker))
+    assert(!java.nio.file.Files.exists(corpusDir.resolve("version=v0001")))
+    assert(ArtifactStore.loadUpTo(spark, root, "deltas", "c", "v0003").get
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
 }

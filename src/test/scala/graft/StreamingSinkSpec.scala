@@ -449,6 +449,48 @@ class StreamingSinkSpec extends SparkTestBase {
       s"file transport diverged: ${wf.toSeq} vs ${w1.toSeq}")
   }
 
+  test("crawl loop within-drain dedup: a URL re-shipped in two files of ONE " +
+      "drain (two micro-batches) is emitted and scheduled exactly once") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.Warc
+    val root = Files.createTempDirectory("wdrain_store").toString
+    val warcDir = Files.createTempDirectory("wdrain_warc").toString + "/in"
+    val robots = Seq(("site0.example",
+      "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"))
+      .toDF("domain", "robots_txt")
+    val blocklist = Seq(("none.example", "ads")).toDF("domain", "category")
+    val prios = Seq(("http://site0.example/page/14", 0.9))
+      .toDF("url", "priority")
+    // two FILES in one drain, page 7 in BOTH (a fetcher re-shipping a
+    // URL across segments); maxFilesPerTrigger=1 forces the repeat
+    // into a LATER micro-batch than the first — the case the
+    // pre-drain anti gate cannot see
+    def seg(ids: Seq[Long], name: String): Unit =
+      Warc.synthesizeWarcGz(
+          ids.toDF("doc_id").select(col("doc_id"),
+            concat(lit("<html><body><p>page "), col("doc_id").cast("string"),
+              lit("</p></body></html>")).as("text")),
+          corruptEvery = 1000000)
+        .coalesce(1).write.mode("append").parquet(warcDir)
+    seg(Seq(7L, 14L), "a")
+    seg(Seq(7L, 21L), "b")
+    val w = CrawlStream.drainCrawlLoop(spark, warcDir, robots, blocklist,
+      prios, root, "wdk", "v0001", "v0002",
+      maxFilesPerTrigger = Some(1)).collect()
+    val urls = w.map(_.getString(0)).sorted.toSeq
+    assert(urls == Seq("http://site0.example/page/14",
+        "http://site0.example/page/21", "http://site0.example/page/7"),
+      s"within-drain repeat must emit once: ${w.toSeq}")
+    // and the slots are a consistent 0..2 run for the host (the
+    // duplicate never consumed a politeness slot)
+    assert(w.map(_.getInt(2)).sorted.toSeq == Seq(0, 1, 2), s"${w.toSeq}")
+    // the published delta holds each digest once
+    assert(graft.sources.ArtifactStore
+      .load(spark, root, "frontier_seen", "wdk", "v0002").count() == 3)
+  }
+
   test("durable crawl loop: checkpoint resume processes only new segments, " +
       "politeness counters survive the restart, deltas hold only new digests") {
     import spark.implicits._
