@@ -467,6 +467,21 @@ object CrawlStream {
       queryName)
   }
 
+  /** The sink's COMMITTED data files, read from its `_spark_metadata`
+    * manifest (the same log `spark.read.parquet(sinkDir)` consults for
+    * its exactly-once view) — a driver-side metadata parse, zero data
+    * read. Orphan part files from aborted task attempts are absent by
+    * construction; empty for a sink that has never committed a batch. */
+  private def committedSinkFiles(spark: SparkSession,
+                                 sinkDir: String): Set[String] = {
+    import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+    val metaDir = new org.apache.hadoop.fs.Path(sinkDir, "_spark_metadata")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaDir)) Set.empty
+    else new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+      metaDir.toString).allFiles().map(_.path).toSet
+  }
+
   /** DURABLE form of [[drainCrawlLoop]]: parquet sink + explicit
     * checkpoint, the shape a real crawl RUNS AS (a memory sink cannot
     * recover, so the plain drains start every call from scratch). A
@@ -474,12 +489,18 @@ object CrawlStream {
     * that arrived since are processed (exactly-once into the sink),
     * and every host's politeness counter SURVIVES the restart —
     * issued slots never renumber, the contract a fetcher fleet
-    * holding last drain's slots depends on. The seen-state delta for
-    * THIS call is recovered as (sink digests) ANTI (state ≤
-    * loadVersion) — exactly the rows earlier publishes don't hold,
-    * provided the caller advances versions per call (the
-    * [[drainFrontierDedup]] protocol). Returns the sink's current
-    * accumulated contents. */
+    * holding last drain's slots depends on.
+    *
+    * The seen-state delta for THIS call is derived from ONLY the sink
+    * files this drain committed (manifest diff around the drain —
+    * [[committedSinkFiles]]): per-call publish cost is ∝ new pages,
+    * never the accumulated sink. The previous design re-read and
+    * distinct-digested the FULL sink every call — the same
+    * O(total-ever) per-call shape the delta protocol exists to
+    * remove, reintroduced at the sink — and threw outright on a
+    * first drain that admitted zero rows (no files yet). A drain
+    * that admits nothing publishes nothing and returns the sink's
+    * (possibly empty) accumulated contents. */
   def drainCrawlLoopDurable(spark: SparkSession, warcDir: String,
                             robots: DataFrame, blocklist: DataFrame,
                             priorities: DataFrame,
@@ -492,30 +513,41 @@ object CrawlStream {
     import graft.sources.ArtifactStore
     val reader = spark.readStream.schema("file_id BIGINT, content BINARY")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val (out, seen) = crawlLoopPlan(spark, reader.parquet(warcDir), robots,
+    val out = crawlLoopPlan(spark, reader.parquet(warcDir), robots,
       blocklist, priorities, root, corpusKey, loadVersion, publishVersion,
       agent, defaultDelaySecs)
+    val before = committedSinkFiles(spark, sinkDir)
     val q = out.writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val drained = spark.read.parquet(sinkDir)
-    val delta = drained.select(md5(col("url")).as("url_digest")).distinct()
-      .join(seen, Seq("url_digest"), "left_anti")
-    ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
-      publishVersion)
-    drained
+    val after = committedSinkFiles(spark, sinkDir)
+    val newFiles = (after -- before).toSeq.sorted
+    if (newFiles.nonEmpty) {
+      // every row in this drain's files passed the anti gate against
+      // state ≤ loadVersion, and the caller publishes each drain under
+      // a fresh version (the protocol `require` above) — so this
+      // drain's distinct digests ARE the delta; no anti-join needed
+      val delta = spark.read.parquet(newFiles: _*)
+        .select(md5(col("url")).as("url_digest")).distinct()
+      ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
+        publishVersion)
+    }
+    if (after.isEmpty) // zero batches ever committed: nothing to read
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        out.schema)
+    else spark.read.parquet(sinkDir)
   }
 
-  /** The loop's unsunk plan: (output frame, the loaded seen state). */
+  /** The loop's unsunk plan. */
   private def crawlLoopPlan(spark: SparkSession, files: DataFrame,
                             robots: DataFrame, blocklist: DataFrame,
                             priorities: DataFrame,
                             root: String, corpusKey: String,
                             loadVersion: String, publishVersion: String,
                             agent: String, defaultDelaySecs: Double):
-      (DataFrame, DataFrame) = {
+      DataFrame = {
     import graft.sources.ArtifactStore
     require(loadVersion < publishVersion,
       s"crawl-loop state must publish a version sorting after the loaded " +
@@ -548,13 +580,12 @@ object CrawlStream {
       .join(broadcast(priorities.select(col("url"),
         col("priority").cast("double").as("__prio"))), Seq("url"), "left")
       .withColumn("uid", col("url"))
-    val out = politenessStream(fresh, "uid", "url",
+    politenessStream(fresh, "uid", "url",
         policy.select(col("domain"), col("crawl_delay")),
         defaultDelaySecs = defaultDelaySecs,
         priorityCol = Some("__prio"), payloadCol = Some("clean_text"))
       .select(col("url"), col("host"), col("slot_idx"), col("fetch_at_s"),
         col("clean_text"))
-    (out, seen)
   }
 
   private def crawlLoopCore(spark: SparkSession, files: DataFrame,
@@ -565,7 +596,7 @@ object CrawlStream {
                             agent: String, defaultDelaySecs: Double,
                             queryName: String): DataFrame = {
     import graft.sources.ArtifactStore
-    val (out, _) = crawlLoopPlan(spark, files, robots, blocklist,
+    val out = crawlLoopPlan(spark, files, robots, blocklist,
       priorities, root, corpusKey, loadVersion, publishVersion, agent,
       defaultDelaySecs)
     val name = uniqueName(queryName)

@@ -539,6 +539,61 @@ class StreamingSinkSpec extends SparkTestBase {
       .count() == 1, "delta must hold only page 21")
   }
 
+  test("durable loop per-call delta: zero-row first drain survives; each of " +
+      "three waves publishes exactly its own new digests (cost ∝ new pages)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.{ArtifactStore, Warc}
+    val root = Files.createTempDirectory("pcd_store").toString
+    val base = Files.createTempDirectory("pcd")
+    val (warcDir, sinkDir, ckpt) = (s"$base/in", s"$base/sink", s"$base/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(warcDir))
+    val robots = Seq(("site0.example",
+      "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"))
+      .toDF("domain", "robots_txt")
+    val blocklist = Seq(("none.example", "ads")).toDF("domain", "category")
+    val prios = spark.emptyDataset[(String, Double)].toDF("url", "priority")
+    def drain(lo: String, hi: String) =
+      CrawlStream.drainCrawlLoopDurable(spark, warcDir, robots, blocklist,
+        prios, root, "pcd", lo, hi, sinkDir, ckpt)
+    // wave 0: the input directory EXISTS but holds nothing — the old
+    // code threw on spark.read.parquet of the fileless sink; a
+    // zero-admission drain must return empty and publish nothing
+    val w0 = drain("v0001", "v0002")
+    assert(w0.isEmpty, s"zero-row first drain emitted: ${w0.collect().toSeq}")
+    assert(!ArtifactStore.exists(spark, root, "frontier_seen", "pcd", "v0002"))
+    def ship(ids: Long*): Unit =
+      Warc.synthesizeWarcGz(
+          ids.toDF("doc_id").select(col("doc_id"),
+            concat(lit("<html><body><p>page "), col("doc_id").cast("string"),
+              lit("</p></body></html>")).as("text")),
+          corruptEvery = 1000000)
+        .coalesce(1).write.mode("append").parquet(warcDir)
+    def dig(ids: Long*): Set[String] = ids.map(i =>
+        s"http://site${i % 7}.example/page/$i").toDF("u")
+      .select(md5(col("u"))).collect().map(_.getString(0)).toSet
+    def published(v: String): Set[String] =
+      ArtifactStore.load(spark, root, "frontier_seen", "pcd", v)
+        .collect().map(_.getString(0)).toSet
+    // three waves; each publish must carry EXACTLY that wave's new
+    // pages — never the accumulating sink (the old per-call full-sink
+    // re-read would still pass a count check on wave 1, so assert the
+    // exact digest sets on all three)
+    ship(7L, 14L)
+    assert(drain("v0002", "v0003").count() == 2)
+    assert(published("v0003") == dig(7L, 14L))
+    ship(21L, 7L) // one new page + a re-ship
+    assert(drain("v0003", "v0004").count() == 3)
+    assert(published("v0004") == dig(21L))
+    ship(28L, 35L)
+    assert(drain("v0004", "v0005").count() == 5)
+    assert(published("v0005") == dig(28L, 35L))
+    // and the accumulated state reads as the union of the deltas
+    assert(ArtifactStore.loadUpTo(spark, root, "frontier_seen", "pcd", "v0005")
+      .get.collect().map(_.getString(0)).toSet == dig(7L, 14L, 21L, 28L, 35L))
+  }
+
   test("frontier recrawl gate: a drained URL is never re-emitted across " +
       "drains; the published state accumulates both waves") {
     import spark.implicits._
