@@ -51,6 +51,50 @@ object ExtensionQueries {
     Seq(("site5.example", "ads")).toDF("domain", "category")
   }
 
+  // ---- shared q190/q191 crawl-cycle fixture (one planted two-wave
+  // link graph, two engines: the batch expansion and its streaming
+  // twin answer the same closed forms) ----
+
+  /** Wave-1 page URL for a `doc_id` row (the q149/q184 form). */
+  private def cycleSrcUrl: org.apache.spark.sql.Column =
+    concat(lit("http://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".example/page/"), col("doc_id").cast("string"))
+
+  /** Wave-1 page HTML: five links with closed-form targets —
+    * item (clean + canonical-variant dup), hub, a messy backlink to
+    * an already-fetched page, a relative href, a script decoy. */
+  private def cyclePageHtml: org.apache.spark.sql.Column = {
+    val ids = col("doc_id").cast("string")
+    val t = (col("doc_id") / 4).cast("long")
+    val g = (col("doc_id") / 40).cast("long")
+    val e = col("doc_id") - pmod(col("doc_id"), lit(2)) // even neighbor
+    val th = pmod(t, lit(5)).cast("string")
+    val gh = pmod(g, lit(5)).cast("string")
+    val eh = pmod(e, lit(7)).cast("string")
+    concat(
+      lit("<html><body><p>Doc "), ids, lit("</p>"),
+      lit("<a href=\"http://news"), th, lit(".example/item/"),
+      t.cast("string"), lit("\">item</a>\n"),
+      lit("<a rel=\"x\" href=\"HTTP://NEWS"), th, lit(".EXAMPLE:80/item/"),
+      t.cast("string"), lit("/#frag\">dup</a>\n"),
+      lit("<a href=\"http://news"), gh, lit(".example/hub/"),
+      g.cast("string"), lit("\">hub</a>\n"),
+      lit("<a href=\"http://SITE"), eh, lit(".EXAMPLE:80/page/"),
+      e.cast("string"), lit("\">back</a>\n"),
+      lit("<a href=\"/about\">rel</a>"),
+      lit("<script>var s = '<a href=\"http://evil.example/\">x</a>';"),
+      lit("</script></body></html>"))
+  }
+
+  /** Politeness delays for the wave-2 news hosts: even-numbered hosts
+    * publish k+1 seconds, odd ones ride the 1.0 default. */
+  private def cycleDelays(s: SparkSession): DataFrame =
+    s.range(5).select(
+      concat(lit("news"), col("id").cast("string"), lit(".example"))
+        .as("domain"),
+      when(col("id") % 2 === 0, (col("id") + 1).cast("double"))
+        .as("crawl_delay"))
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // WARC length-framed record walk (sources/Warc): one file per doc
@@ -467,6 +511,61 @@ object ExtensionQueries {
         Scratch.fixtureDir("graft_dloop_ckpt", dir))
     }),
 
+    // LINK-DRIVEN FRONTIER EXPANSION — the query that CLOSES the crawl
+    // cycle: wave-1's fetched pages (every document, at its planted
+    // site URL) carry links to wave-2 targets — an /item/ page shared
+    // by each run of 4 docs (linked twice: once clean, once as an
+    // uppercase-host/:80/trailing-slash/#fragment variant that must
+    // FOLD under canonicalization), a /hub/ page shared by each run
+    // of 40 (indegree 40 ≫ 4, so hubs outrank items in the schedule),
+    // a BACKLINK to an already-fetched wave-1 page in messy form
+    // (dead at the anti gate THROUGH canonicalization), a relative
+    // href (unfetchable, dropped), and a script decoy (never
+    // extracts). Wave-2's schedule: one window per news host ordered
+    // (indegree DESC, hash, url), delays from the planted news-host
+    // table. Seen state rides the frontier_seen artifact protocol.
+    "q190_frontier_expand" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = Tables.load(s, dir, "documents")
+      val key = dir + "#cycle"
+      if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
+          key, "v0001"))
+        ArtifactStore.save(d.select(md5(cycleSrcUrl).as("url_digest")),
+          Scratch.artifactRoot, "frontier_seen", key, "v0001")
+      val seen = ArtifactStore.loadUpTo(s, Scratch.artifactRoot,
+        "frontier_seen", key, "v0001").get
+      graft.streaming.CrawlStream.expandFrontier(
+        d.select(cycleSrcUrl.as("url"), cyclePageHtml.as("html")),
+        "url", "html", seen, cycleDelays(s))
+    }),
+
+    // the cycle's STREAMING twin: the same wave-1 pages arrive as a
+    // pinned-order file stream (one 200-doc block per micro-batch —
+    // block size a multiple of both link-group sizes, so every
+    // target's sources share one batch and the per-URL discovery
+    // state emits each target exactly once at its full indegree);
+    // per-host slots CONTINUE across batches, so the closed form is
+    // the batch window refined by arrival block: (block, indegree
+    // DESC, hash, url).
+    "q191_frontier_expand_stream" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = Tables.load(s, dir, "documents")
+      val pagesDir = Scratch.fixtureDir("graft_cycle_pages", dir)
+      graft.streaming.CrawlStream.writeArrivalBatches(
+        d.select(cycleSrcUrl.as("url"), cyclePageHtml.as("html"),
+          (col("doc_id") / 200).cast("long").as("bseq")),
+        "bseq", pagesDir)
+      val key = dir + "#cycles"
+      if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
+          key, "v0001"))
+        ArtifactStore.save(d.select(md5(cycleSrcUrl).as("url_digest")),
+          Scratch.artifactRoot, "frontier_seen", key, "v0001")
+      val seen = ArtifactStore.loadUpTo(s, Scratch.artifactRoot,
+        "frontier_seen", key, "v0001").get
+      graft.streaming.CrawlStream.drainFrontierExpand(s, pagesDir, seen,
+        cycleDelays(s))
+    }),
+
     // mapPartitions batched "decode" over binary media columns.
     // The feature vector is flattened to scalar columns for the oracle
     // compare (the gate's comparator cannot hash array cells); the
@@ -873,6 +972,62 @@ object ExtensionQueries {
          |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
          |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
          |  ' tail <' || doc_id || '>' AS clean_text
+         |FROM r""".stripMargin
+    },
+    // the crawl cycle's closed form: wave-2 targets are the item
+    // (one per 4-doc run) and hub (one per 40-doc run) pages with
+    // indegree = group size; the canonical-variant dup folds away,
+    // backlinks die at the anti gate, relative/script links never
+    // enter; one window per news host ordered (indegree DESC, hash,
+    // url), fetch offsets from the planted news delays
+    "q190_frontier_expand" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH items AS (
+         |  SELECT doc_id // 4 AS t, count(*) AS indegree
+         |  FROM documents GROUP BY 1),
+         |hubs AS (
+         |  SELECT doc_id // 40 AS g, count(*) AS indegree
+         |  FROM documents GROUP BY 1),
+         |u AS (
+         |  SELECT 'http://news' || (t % 5) || '.example/item/' || t AS url,
+         |    'news' || (t % 5) || '.example' AS host,
+         |    t % 5 AS k, indegree FROM items
+         |  UNION ALL
+         |  SELECT 'http://news' || (g % 5) || '.example/hub/' || g,
+         |    'news' || (g % 5) || '.example', g % 5, indegree FROM hubs),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY indegree DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, indegree, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
+    // streaming twin: the batch window refined by arrival block —
+    // blocks of 200 docs, so item t arrives in block t//50 and hub g
+    // in block g//5; slots continue across blocks per host
+    "q191_frontier_expand_stream" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH items AS (
+         |  SELECT doc_id // 4 AS t, count(*) AS indegree
+         |  FROM documents GROUP BY 1),
+         |hubs AS (
+         |  SELECT doc_id // 40 AS g, count(*) AS indegree
+         |  FROM documents GROUP BY 1),
+         |u AS (
+         |  SELECT 'http://news' || (t % 5) || '.example/item/' || t AS url,
+         |    'news' || (t % 5) || '.example' AS host,
+         |    t % 5 AS k, t // 50 AS b, indegree FROM items
+         |  UNION ALL
+         |  SELECT 'http://news' || (g % 5) || '.example/hub/' || g,
+         |    'news' || (g % 5) || '.example', g % 5, g // 5, indegree
+         |  FROM hubs),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY b, indegree DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, indegree, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
          |FROM r""".stripMargin
     },
     // stream over gz members: same survivors, same closed form

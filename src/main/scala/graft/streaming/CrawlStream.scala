@@ -611,6 +611,145 @@ object CrawlStream {
     drained
   }
 
+  /** One row per (source page, canonical absolute link target) — the
+    * shared front half of the frontier expansion: hyperlink
+    * extraction ([[Html.extractLinks]] — script/comment decoys never
+    * extract), URL canonicalization ([[UrlNormalize.canonicalize]] —
+    * case/port/slash/fragment variants of one target fold to one
+    * key BEFORE any counting or state), and the absolute-http(s)
+    * filter (relative and non-hierarchical hrefs pass canonicalize
+    * unchanged and drop here — a crawler cannot fetch them without a
+    * base-resolution step this operator deliberately does not
+    * guess at). All stateless scalar work riding the scan. */
+  private def linkTargets(pages: DataFrame, urlCol: String,
+                          htmlCol: String): DataFrame =
+    Html.extractLinks(pages.select(col(urlCol), col(htmlCol)),
+        urlCol, htmlCol)
+      .select(col(urlCol).as("__src"),
+        UrlNormalize.canonicalize(col("href")).as("url"))
+      .filter(col("url").rlike("^https?://"))
+
+  /** LINK-DRIVEN FRONTIER EXPANSION — the step that CLOSES the crawl
+    * cycle. Every other discovery rung starts from something a site
+    * PUBLISHES (sitemaps, robots `Sitemap:` bootstraps); the cycle a
+    * real crawler actually lives on is wave N's fetched pages feeding
+    * wave N+1's frontier:
+    *
+    *   fetched pages → extract links → canonicalize → aggregate the
+    *   link graph's indegree per target → recrawl LEFT ANTI against
+    *   the seen-digest state → per-host politeness schedule ordered
+    *   by link-graph priority (indegree DESC, hash, url)
+    *
+    * Output: (url, host, indegree, slot_idx, fetch_at_s) — wave N+1
+    * in the order a delay-respecting fetcher retires it, repeats dead
+    * at the anti gate.
+    *
+    * Plan shape at 100 TB: extraction + canonicalization are scalar
+    * projections on the page scan; the ONE corpus-sized exchange is
+    * the indegree aggregate (partial map-side combine, 8-byte counts);
+    * the anti probes 16-byte digests AFTER aggregation, so the join
+    * carries distinct targets, never raw link rows; the schedule
+    * window shuffles once by host. Indegree (not PageRank) is the
+    * priority by design: it needs no iteration, and for FRONTIER
+    * ordering the two are interchangeable signals — a team wanting
+    * PageRank composes [[graft.operators.Graph.pageRank]] over the
+    * accumulated edge list on its own cadence and feeds it through
+    * the same schedule rung ([[UrlNormalize.prioritySchedule]]). */
+  def expandFrontier(pages: DataFrame, urlCol: String, htmlCol: String,
+                     seen: DataFrame, delays: DataFrame,
+                     domainCol: String = "domain",
+                     delayCol: String = "crawl_delay",
+                     defaultDelaySecs: Double = 1.0): DataFrame = {
+    val targets = linkTargets(pages, urlCol, htmlCol)
+      .groupBy(col("url"))
+      .agg(countDistinct(col("__src")).as("indegree"))
+    val fresh = targets
+      .withColumn("url_digest", md5(col("url")))
+      .join(seen.select(col("url_digest")), Seq("url_digest"), "left_anti")
+      .drop("url_digest")
+      .withColumn("__lm", lit(null).cast("string"))
+    UrlNormalize.prioritySchedule(fresh, "url", "indegree", "__lm",
+        delays, domainCol, delayCol, defaultDelaySecs)
+      .select(col("url"), col("host"), col("indegree"), col("slot_idx"),
+        col("fetch_at_s"))
+  }
+
+  /** [[expandFrontier]] on a STREAM of fetched pages — the live form
+    * of the cycle: each micro-batch's pages are link-extracted and
+    * canonicalized statelessly, anti-gated against the static seen
+    * state (BEFORE any stateful op, so re-discovered old URLs never
+    * enter state), then deduplicated-and-counted by a per-URL
+    * `flatMapGroupsWithState`: the FIRST batch that discovers a
+    * target emits it once with its within-batch distinct-source
+    * indegree; later batches re-discovering it emit nothing. That is
+    * the honest streaming refinement of the batch semantics — a
+    * target is scheduled when first seen, at its discovery-time
+    * priority, because issued slots never renumber (the
+    * [[politenessStream]] contract, which then assigns the slots).
+    * Output matches [[expandFrontier]]: (url, host, indegree,
+    * slot_idx, fetch_at_s).
+    *
+    * State shape: one boolean per discovered target keyed by the
+    * canonical URL (a digest-keyed variant would shrink keys to 16
+    * bytes at the cost of carrying the URL in the value — same order
+    * of state), plus the scheduler's 8-byte per-host counter. Task
+    * residency per batch is that batch's link rows only. */
+  def expandFrontierStream(pages: DataFrame, urlCol: String,
+                           htmlCol: String,
+                           seen: DataFrame, delays: DataFrame,
+                           domainCol: String = "domain",
+                           delayCol: String = "crawl_delay",
+                           defaultDelaySecs: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val freshLinks = linkTargets(pages, urlCol, htmlCol)
+      .withColumn("url_digest", md5(col("url")))
+      .join(seen.select(col("url_digest")), Seq("url_digest"), "left_anti")
+      .select(col("__src"), col("url")).as[(String, String)]
+    val discovered = freshLinks
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (url: String, it: Iterator[(String, String)],
+         st: GroupState[Boolean]) => {
+          if (st.exists) Iterator.empty // discovered in an earlier batch
+          else {
+            st.update(true)
+            // batch-group-sized: one target's sources within one batch
+            Iterator.single((url, it.map(_._1).toSet.size.toLong))
+          }
+        })
+      .toDF("url", "indegree")
+      .withColumn("__ind", col("indegree").cast("string"))
+    politenessStream(discovered, "url", "url", delays, domainCol,
+        delayCol, defaultDelaySecs,
+        priorityCol = Some("indegree"), payloadCol = Some("__ind"))
+      .select(col("url"), col("host"),
+        col("__ind").cast("long").as("indegree"),
+        col("slot_idx"), col("fetch_at_s"))
+  }
+
+  /** Drain a [[writeArrivalBatches]] directory of fetched pages
+    * (url STRING, html STRING) through [[expandFrontierStream]] one
+    * file per trigger into a memory sink; returns the accumulated
+    * wave-N+1 schedule. */
+  def drainFrontierExpand(spark: SparkSession, pagesDir: String,
+                          seen: DataFrame, delays: DataFrame,
+                          defaultDelaySecs: Double = 1.0,
+                          queryName: String = "graft_stream_expand"): DataFrame = {
+    val in = spark.readStream.schema("url STRING, html STRING")
+      .option("maxFilesPerTrigger", 1).parquet(pagesDir)
+    val out = expandFrontierStream(in, "url", "html", seen, delays,
+      defaultDelaySecs = defaultDelaySecs)
+    val name = uniqueName(queryName)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = spark.table(name) // resolve before publish (race note above)
+    superseded(spark, queryName, name)
+    drained
+  }
+
   /** Drain a [[writeArrivalBatches]] directory through
     * [[politenessStream]] one file per trigger (the pinned arrival
     * order) into a memory sink; returns the accumulated schedule. */

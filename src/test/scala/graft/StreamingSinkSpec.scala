@@ -449,6 +449,84 @@ class StreamingSinkSpec extends SparkTestBase {
       s"file transport diverged: ${wf.toSeq} vs ${w1.toSeq}")
   }
 
+  test("crawl cycle: wave N's extracted links schedule wave N+1; publishing " +
+      "the delta closes the loop — wave N+2 never re-schedules, the stream " +
+      "twin answers the batch rows, cross-batch re-discovery emits once") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.ArtifactStore
+    val root = Files.createTempDirectory("cycle_store").toString
+    def html(links: String*): String =
+      "<html><body>" +
+        links.map(l => s"""<a href="$l">l</a>""").mkString("\n") +
+        """<a href="/rel">r</a><script>var s =
+          |'<a href="http://evil.example/">x</a>';</script>
+          |</body></html>""".stripMargin
+    val delays = Seq(("b.com", 3.0)).toDF("domain", "crawl_delay")
+    // wave 1: two fetched pages; b.com/x linked by BOTH (once as an
+    // uppercase/:80/trailing-slash/#frag variant that must fold), a
+    // backlink to the other wave-1 page (dead at the anti gate), a
+    // relative href and a script decoy (never enter)
+    val wave1 = Seq(
+      ("http://a.com/p1", html("http://b.com/x",
+        "HTTP://B.COM:80/x#frag", "http://c.com/y", "http://a.com/p2")),
+      ("http://a.com/p2", html("http://b.com/x/", "http://c.com/z")))
+      .toDF("url", "html")
+    def digests(us: String*): org.apache.spark.sql.DataFrame =
+      us.toDF("u").select(md5(col("u")).as("url_digest"))
+    ArtifactStore.save(digests("http://a.com/p1", "http://a.com/p2"),
+      root, "frontier_seen", "cy", "v0001")
+    val seen1 = ArtifactStore
+      .loadUpTo(spark, root, "frontier_seen", "cy", "v0001").get
+    val w2 = CrawlStream.expandFrontier(wave1, "url", "html", seen1, delays)
+    val rows2 = w2.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getInt(3), r.getDouble(4))).sortBy(_._1).toSeq
+    // b.com/x: both variants + the trailing-slash form fold to ONE
+    // target with indegree 2; c.com/{y,z} indegree 1 each, slots 0/1
+    // within c.com; b.com's delay 3 × slot 0 = 0
+    assert(rows2.map(r => (r._1, r._3)) == Seq(
+      ("http://b.com/x", 2L), ("http://c.com/y", 1L),
+      ("http://c.com/z", 1L)), s"$rows2")
+    assert(rows2.find(_._1 == "http://b.com/x").get._4 == 0)
+    assert(rows2.filter(_._2 == "c.com").map(_._4).sorted == Seq(0, 1))
+    // the STREAM twin over the same wave answers the same rows
+    val pagesDir = Files.createTempDirectory("cycle_pages").toString + "/in"
+    CrawlStream.writeArrivalBatches(
+      wave1.withColumn("bseq", lit(0L)), "bseq", pagesDir)
+    val tw = CrawlStream.drainFrontierExpand(spark, pagesDir, seen1, delays)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(tw == rows2, s"stream twin diverged: $tw vs $rows2")
+    // CLOSE THE CYCLE: wave-2's schedule publishes as the v0002 delta;
+    // wave-3 expansion loads ≤ v0002 — a wave-2 page re-linking an
+    // already-crawled target must die at the gate, only the genuinely
+    // new d.com target schedules
+    ArtifactStore.save(w2.select(md5(col("url")).as("url_digest")),
+      root, "frontier_seen", "cy", "v0002")
+    val wave2 = Seq(
+      ("http://b.com/x", html("http://c.com/y", "http://d.com/new")))
+      .toDF("url", "html")
+    val seen2 = ArtifactStore
+      .loadUpTo(spark, root, "frontier_seen", "cy", "v0002").get
+    val w3 = CrawlStream.expandFrontier(wave2, "url", "html", seen2, delays)
+      .collect()
+    assert(w3.map(_.getString(0)).toSeq == Seq("http://d.com/new"),
+      s"cycle re-scheduled a crawled page: ${w3.toSeq}")
+    // cross-batch re-discovery in the stream: batch 0 discovers t1;
+    // batch 1 re-links t1 and adds t2 — t1 emits ONCE (per-URL state),
+    // t2 continues e.com's slot counter at 1
+    val pd2 = Files.createTempDirectory("cycle_pages2").toString + "/in"
+    CrawlStream.writeArrivalBatches(Seq(
+        ("http://a.com/p1", html("http://e.com/t1"), 0L),
+        ("http://a.com/p2", html("http://e.com/t1", "http://e.com/t2"), 1L))
+      .toDF("url", "html", "bseq"), "bseq", pd2)
+    val re = CrawlStream.drainFrontierExpand(spark, pd2, seen1, delays)
+      .collect().map(r => (r.getString(0), r.getInt(3))).sortBy(_._1).toSeq
+    assert(re == Seq(("http://e.com/t1", 0), ("http://e.com/t2", 1)),
+      s"cross-batch re-discovery must emit once: $re")
+  }
+
   test("crawl loop within-drain dedup: a URL re-shipped in two files of ONE " +
       "drain (two micro-batches) is emitted and scheduled exactly once") {
     import spark.implicits._
