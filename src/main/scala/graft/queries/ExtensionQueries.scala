@@ -170,6 +170,26 @@ object ExtensionQueries {
           col("target_uri"), col("warc_date"), col("content_length"),
           decode(col("payload"), "ISO-8859-1").as("payload_text"))),
 
+    // the SEGMENT shape on the UNCOMPRESSED path: 100 raw
+    // length-framed records per plain .warc file, walked by the typed
+    // two-pass per-record scan — the transport the round-15 verdict
+    // flagged as the last single-cell/O(n²) ceiling (the old SQL fold
+    // decoded the whole file to a latin-1 string and array_append-ed
+    // records quadratically; a multi-GB plain .warc was unwalkable).
+    // The corruption plant is a Content-Length LIE in the MIDDLE
+    // record of every 10th file: with no member boundaries to isolate
+    // it, the whole file must vanish (never a valid prefix). Same
+    // closed forms as q183 — the oracle carries over verbatim.
+    "q192_warc_segment_plain" -> ((s, dir) =>
+      graft.sources.Warc.records(
+        graft.sources.Warc.synthesizeWarcSegmentPlain(
+          Tables.load(s, dir, "documents"),
+          recordsPerFile = 100, corruptEvery = 10),
+        maxRecords = 101)
+        .select(col("file_id"), col("rec_idx"), col("rec_type"),
+          col("target_uri"), col("warc_date"), col("content_length"),
+          decode(col("payload"), "ISO-8859-1").as("payload_text"))),
+
     // the REAL-FILE path end-to-end: the q183 segment planting written
     // as ACTUAL .warc.gz files on disk (one file per segment, written
     // from the executors via java.nio — sound ONLY because this
@@ -820,6 +840,29 @@ object ExtensionQueries {
     // 10th file erased whole (the mid-file CRC flip), member 0 the
     // warcinfo stamp, responses ranked by doc_id within their file
     "q183_warc_segment" ->
+      """WITH clean AS (SELECT doc_id, text, doc_id // 100 AS fid,
+        |    CAST(row_number() OVER (PARTITION BY doc_id // 100
+        |      ORDER BY doc_id) AS INTEGER) AS rn,
+        |    '2026-01-' || lpad(CAST(doc_id % 9 + 1 AS VARCHAR), 2, '0')
+        |      || 'T00:00:00Z' AS wdate
+        |  FROM documents WHERE (doc_id // 100) % 10 <> 0)
+        |SELECT fid AS file_id, CAST(0 AS INTEGER) AS rec_idx,
+        |  'warcinfo' AS rec_type, '' AS target_uri,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  CAST(18 + length(CAST(fid AS VARCHAR)) AS BIGINT)
+        |    AS content_length,
+        |  'software: graft-' || fid || chr(13) || chr(10) AS payload_text
+        |FROM (SELECT DISTINCT fid FROM clean)
+        |UNION ALL
+        |SELECT fid, rn, 'response',
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id,
+        |  wdate, CAST(length(text) AS BIGINT), text
+        |FROM clean""".stripMargin,
+    // uncompressed segments: same planting closed forms, same
+    // file-level corruption rule (the framing lie erases the FILE on
+    // the plain path — no member boundary isolates it), so the q183
+    // oracle carries over verbatim
+    "q192_warc_segment_plain" ->
       """WITH clean AS (SELECT doc_id, text, doc_id // 100 AS fid,
         |    CAST(row_number() OVER (PARTITION BY doc_id // 100
         |      ORDER BY doc_id) AS INTEGER) AS rn,

@@ -22,29 +22,33 @@ import org.apache.spark.sql.functions._
   * "WARC/1.0" (a crawled page ABOUT warc files must not desync the
   * reader; a regex split would).
   *
-  * Unlike the fixed-hop RIFF/ISO-BMFF walkers in [[Multimodal]]
-  * (per-hop `withColumn` stages), the whole walk here is ONE
-  * `aggregate()` higher-order expression folding a (pos, bad, recs)
-  * state struct over `maxRecords` iterations. The reason is a scale
-  * lesson, not style: each WARC hop derives ~6 intermediates (header
-  * end, header text, three header fields, content length) that each
-  * feed several downstream expressions, and an unrolled per-hop
-  * column chain multiplies those subtrees into the next hop's tree —
-  * the optimizer saw an exponentially-grown expression DAG (a
-  * Verify run was killed at 50 GB of driver heap before this
-  * restructure; SCALE.md round 10). The fold keeps the plan a single
-  * fixed-size expression; iteration happens at runtime, per row,
-  * inside one codegen stage. No UDF, no shuffle — at 100 TB this
-  * parses at scan throughput and the payload substring is the only
-  * wide value that survives. Intermediates inside the fold are bound
-  * once per iteration via single-element `transform` lambdas (SQL has
-  * no let-binding; a 1-element transform is one).
+  * The walk is a TYPED two-pass byte scan per file (the
+  * [[memberOffsets]] discipline, one layer up): pass 1 walks the raw
+  * bytes record-to-record via the parsed Content-Length, verifying
+  * magic, header block, bounds, and terminator for EVERY record and
+  * requiring the records to tile the file exactly; pass 2 lazily
+  * slices one payload per emitted row as Spark consumes the
+  * iterator — peak working set is the file cell plus ONE record's
+  * payload. The history here is two scale lessons, not style: the
+  * round-10 unrolled per-hop column chain blew the optimizer up
+  * (exponential expression DAG, a Verify run killed at 50 GB of
+  * driver heap — SCALE.md round 10); its replacement, a single SQL
+  * `aggregate()` fold, kept the plan fixed-size but paid a full
+  * latin-1 String copy of the file (2 bytes/char — a 1 GB segment
+  * became 2 GB of chars before parsing started) and an O(records²)
+  * `array_append` accumulation, which made multi-thousand-record
+  * UNCOMPRESSED segments the one transport the engine couldn't walk
+  * (round-15 verdict). The typed map is the shape both ceilings
+  * point away from: no decoded copy, O(records) work, per-record
+  * emission; plain JVM codec-style work inside `mapPartitions`, no
+  * UDF registry, no shuffle — at 100 TB this parses at scan
+  * throughput with per-file parallelism.
   *
-  * Byte-exact string walking: the binary content is decoded as
-  * ISO-8859-1 (latin-1 maps every byte to exactly one char, so char
-  * offsets ARE byte offsets — UTF-8 would shift offsets on any
-  * multi-byte payload); header fields are matched on the latin-1 view
-  * and the payload is re-encoded from its slice.
+  * Byte-exact walking: offsets are byte offsets on the raw content;
+  * only each record's HEADER block (hundreds of bytes) is decoded —
+  * as ISO-8859-1, where every byte maps to exactly one char, so the
+  * header regexes see precisely the bytes — and the payload is
+  * sliced, never decoded.
   *
   * Malformed-file contract (the [[Multimodal]] broken-file rule): a
   * file whose walk desyncs — a hop landing where no `WARC/1.0\r\n`
@@ -61,70 +65,123 @@ import org.apache.spark.sql.functions._
   * record (warcinfo has no Target-URI) reads as ''. */
 object Warc {
 
-  private val RecType = "array<struct<rec_type:string,target_uri:string," +
-    "warc_date:string,content_length:bigint,off:bigint>>"
+  /** One verified record's metadata: header fields + the payload's
+    * byte offset/length (the payload itself is sliced lazily at
+    * emission — pass 2). */
+  private[graft] final case class RecMeta(recType: String, targetUri: String,
+                                          warcDate: String, contentLength: Long,
+                                          off: Int)
+
+  private val ClenRe =
+    java.util.regex.Pattern.compile("(?im)^Content-Length: ([0-9]+)")
+  private val TypeRe =
+    java.util.regex.Pattern.compile("(?im)^WARC-Type: ([^\r\n]*)")
+  private val UriRe =
+    java.util.regex.Pattern.compile("(?im)^WARC-Target-URI: ([^\r\n]*)")
+  private val DateRe =
+    java.util.regex.Pattern.compile("(?im)^WARC-Date: ([^\r\n]*)")
+
+  private def firstGroup(p: java.util.regex.Pattern, s: String): String = {
+    val m = p.matcher(s)
+    if (m.find()) m.group(1) else ""
+  }
+
+  /** PASS 1 of the record walk: verify every record of one file (magic,
+    * header block, Content-Length bounds, record terminator) and
+    * require the records to tile the file exactly. None for ANY
+    * violation — desync, missing terminator, trailing bytes, more than
+    * `maxRecords` records — so a broken file contributes no rows
+    * (the malformed-file contract; emitting a valid prefix would
+    * present half-read data as whole). Only header blocks (hundreds
+    * of bytes) are decoded; payloads are never touched here. */
+  private[graft] def recordOffsets(b: Array[Byte],
+                                   maxRecords: Int): Option[IndexedSeq[RecMeta]] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    if (b.length == 0) return None
+    val recs = scala.collection.mutable.ArrayBuffer.empty[RecMeta]
+    val magic = "WARC/1.0\r\n".getBytes(latin1)
+    var pos = 0
+    while (pos < b.length) {
+      if (recs.length >= maxRecords) return None // over the writer's cap
+      // magic at the record start
+      if (pos + 10 > b.length) return None
+      var k = 0
+      while (k < 10) {
+        if (b(pos + k) != magic(k)) return None
+        k += 1
+      }
+      // header end: first \r\n\r\n at byte index >= pos + 9 (the SQL
+      // fold searched from 1-based pos+10; an index overlapping the
+      // magic's own \n can never match, so the bound is equivalent)
+      var h = math.max(pos + 9, 0)
+      var hend = -1
+      val stop = b.length - 3
+      while (hend < 0 && h < stop) {
+        if (b(h) == '\r' && b(h + 1) == '\n' && b(h + 2) == '\r' &&
+          b(h + 3) == '\n') hend = h
+        else h += 1
+      }
+      if (hend < 0) return None // no terminating blank line
+      val hdr = new String(b, pos, hend - pos, latin1)
+      val clenStr = firstGroup(ClenRe, hdr)
+      if (clenStr.isEmpty) return None
+      val clen =
+        try clenStr.toLong
+        catch { case _: NumberFormatException => return None }
+      // bounds + record terminator (Long math: a lying header must
+      // fail the check, not overflow it)
+      if (hend.toLong + 8 + clen > b.length) return None
+      val term = hend + 4 + clen.toInt
+      if (b(term) != '\r' || b(term + 1) != '\n' ||
+        b(term + 2) != '\r' || b(term + 3) != '\n') return None
+      recs += RecMeta(firstGroup(TypeRe, hdr), firstGroup(UriRe, hdr),
+        firstGroup(DateRe, hdr), clen, hend + 4)
+      pos = term + 4
+    }
+    Some(recs.toIndexedSeq) // pos == b.length: exact tiling
+  }
 
   /** Explode a binary column of whole WARC files into one row per
     * record: (inherited columns…, rec_idx, rec_type, target_uri,
     * warc_date, content_length, payload). `maxRecords` bounds the
-    * runtime fold (files with more records are rejected, never
-    * half-read) — size it to the writer's records-per-segment. */
+    * walk (files with more records are rejected, never half-read) —
+    * size it to the writer's records-per-segment; the per-member gz
+    * path passes 1 to ENFORCE record-at-a-time member framing. Runs
+    * as a typed map (streaming frames compose unchanged — the rung
+    * is stateless); payloads are sliced one record at a time as the
+    * iterator is consumed. */
   def records(files: DataFrame, contentCol: String = "content",
               maxRecords: Int = 8): DataFrame = {
     require(maxRecords >= 1, "walk needs at least one record hop")
-    // one hop of the fold: acc is (pos, bad, recs); __ws/__wn are the
-    // latin-1 view and its length. Finished files (pos = len + 1,
-    // not bad) pass through untouched; any framing violation sets bad.
-    val hop =
-      s"""(acc, i) -> if(acc.bad or acc.pos > __wn, acc,
-         |  element_at(transform(
-         |    array(bigint(locate('\\r\\n\\r\\n', __ws, int(acc.pos + 10)))),
-         |    hend -> element_at(transform(
-         |      array(substr(__ws, int(acc.pos), int(hend - acc.pos))),
-         |      hdr -> element_at(transform(
-         |        array(cast(nullif(regexp_extract(hdr,
-         |          '(?im)^Content-Length: ([0-9]+)', 1), '') as bigint)),
-         |        clen -> if(
-         |          substr(__ws, int(acc.pos), 10) = 'WARC/1.0\\r\\n'
-         |            and hend > 0 and clen is not null
-         |            and hend + 7 + clen <= __wn
-         |            and substr(__ws, int(hend + 4 + clen), 4) = '\\r\\n\\r\\n',
-         |          named_struct(
-         |            'pos', hend + 8 + clen, 'bad', false,
-         |            'recs', array_append(acc.recs, named_struct(
-         |              'rec_type', regexp_extract(hdr,
-         |                 '(?im)^WARC-Type: ([^\\r\\n]*)', 1),
-         |              'target_uri', regexp_extract(hdr,
-         |                 '(?im)^WARC-Target-URI: ([^\\r\\n]*)', 1),
-         |              'warc_date', regexp_extract(hdr,
-         |                 '(?im)^WARC-Date: ([^\\r\\n]*)', 1),
-         |              'content_length', clen,
-         |              'off', hend + 4))),
-         |          named_struct('pos', acc.pos, 'bad', true,
-         |            'recs', acc.recs))), 1)), 1)), 1))""".stripMargin
-    val walk =
-      s"""aggregate(
-         |  sequence(1, $maxRecords),
-         |  named_struct('pos', bigint(1), 'bad', __wn = 0,
-         |    'recs', cast(array() as $RecType)),
-         |  $hop)""".stripMargin
-    val passthrough = files.columns.filterNot(_ == contentCol).map(col)
-    files
-      .withColumn("__ws", decode(col(contentCol), "ISO-8859-1"))
-      .withColumn("__wn", length(col("__ws")).cast("long"))
-      .withColumn("__walk", expr(walk))
-      // fully consumed = the fold ended exactly one past the last
-      // byte; leftover bytes mean corruption or > maxRecords records
-      .filter(!col("__walk.bad") && col("__walk.pos") === col("__wn") + 1)
-      .select(passthrough :+ col("__ws") :+
-        posexplode(col("__walk.recs")).as(Seq("rec_idx", "__r")): _*)
-      .select(passthrough :+ col("rec_idx") :+
-        col("__r.rec_type").as("rec_type") :+
-        col("__r.target_uri").as("target_uri") :+
-        col("__r.warc_date").as("warc_date") :+
-        col("__r.content_length").as("content_length") :+
-        encode(col("__ws").substr(col("__r.off"), col("__r.content_length")),
-          "ISO-8859-1").as("payload"): _*)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val passFields = files.schema.fields.filterNot(_.name == contentCol)
+    val passIdx = passFields.map(f => files.schema.fieldIndex(f.name))
+    val cIdx = files.schema.fieldIndex(contentCol)
+    val outSchema = StructType(passFields ++ Seq(
+      StructField("rec_idx", IntegerType, nullable = false),
+      StructField("rec_type", StringType, nullable = true),
+      StructField("target_uri", StringType, nullable = true),
+      StructField("warc_date", StringType, nullable = true),
+      StructField("content_length", LongType, nullable = true),
+      StructField("payload", BinaryType, nullable = true)))
+    files.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](cIdx)
+        recordOffsets(if (bytes == null) Array.emptyByteArray else bytes,
+            maxRecords) match {
+          case None => Iterator.empty
+          case Some(recs) =>
+            val pass = passIdx.map(row.get)
+            recs.iterator.zipWithIndex.map { case (r, i) =>
+              Row.fromSeq((pass :+ i :+ r.recType :+ r.targetUri :+
+                r.warcDate :+ r.contentLength :+
+                java.util.Arrays.copyOfRange(bytes, r.off,
+                  r.off + r.contentLength.toInt)).toSeq)
+            }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Strict record-at-a-time gzip member walk (RFC 1952): a real
@@ -438,6 +495,52 @@ object Warc {
           if (k + 1 == corruptAt)
             m(m.length - 8) = (m(m.length - 8) ^ 0x5a).toByte
           out.write(m)
+        }
+        (fid, out.toByteArray)
+      }
+      .toDF("file_id", "content")
+  }
+
+  /** Synthetic SEGMENT-shaped PLAIN `.warc` files — the uncompressed
+    * twin of [[synthesizeWarcGzSegment]]: `recordsPerFile` documents
+    * per file (file_id = doc_id / recordsPerFile) concatenated as raw
+    * length-framed records after one warcinfo record, no gzip layer.
+    * Same closed forms, so the q183 oracle carries over verbatim.
+    * With `corruptEvery > 0`, files where `file_id % corruptEvery
+    * == 0` plant a Content-Length LIE (+3) in their middle record —
+    * with no member boundaries to isolate it, a framing violation
+    * anywhere must erase the whole FILE (the uncompressed contract;
+    * the gz path would have erased just the member). */
+  def synthesizeWarcSegmentPlain(docs: DataFrame, recordsPerFile: Int,
+                                 corruptEvery: Int = 0): DataFrame = {
+    require(recordsPerFile >= 1, "a segment holds at least one record")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select((col("doc_id") / recordsPerFile).cast("long").as("fid"),
+        col("doc_id"), col("text"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (fid, it) =>
+        val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+        val docs = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        val info = s"software: graft-$fid\r\n"
+        out.write(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: " +
+          info.length + "\r\n\r\n" + info + "\r\n\r\n").getBytes(latin1))
+        val corruptAt = // middle record, counting the warcinfo
+          if (corruptEvery > 0 && fid % corruptEvery == 0)
+            (docs.length + 1) / 2 else -1
+        docs.zipWithIndex.foreach { case ((id, text), k) =>
+          val date = f"2026-01-${id % 9 + 1}%02dT00:00:00Z"
+          val body = text.getBytes(latin1)
+          val lie = if (k + 1 == corruptAt) 3 else 0
+          out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://site${id % 7}.example/page/$id\r\n" +
+            s"WARC-Date: $date\r\nContent-Length: ${body.length + lie}" +
+            "\r\n\r\n").getBytes(latin1))
+          out.write(body)
+          out.write("\r\n\r\n".getBytes(latin1))
         }
         (fid, out.toByteArray)
       }

@@ -19,13 +19,22 @@ import org.apache.spark.sql.functions._
   * decompressed form at one JVM cell. A 10k-records-per-file probe
   * at 100× data is the direct evidence.
   *
-  * Usage: runMain graft.tools.SegmentProbe <recordsPerFile> <reps> <dir1> [dir2 ...]
+  * With a leading `plain` argument the probe runs the UNCOMPRESSED
+  * path instead ([[graft.sources.Warc.synthesizeWarcSegmentPlain]] +
+  * the typed per-record scan, corruption = a mid-file Content-Length
+  * lie that must erase the whole file) — the round-16 evidence that
+  * retiring the whole-file fold made plain multi-thousand-record
+  * segments walk linearly too.
+  *
+  * Usage: runMain graft.tools.SegmentProbe [plain] <recordsPerFile> <reps> <dir1> [dir2 ...]
   */
 object SegmentProbe {
   def main(args: Array[String]): Unit = {
-    val recordsPerFile = args(0).toInt
-    val reps = args(1).toInt
-    val dirs = args.drop(2).toSeq
+    val plain = args(0) == "plain"
+    val a = if (plain) args.drop(1) else args
+    val recordsPerFile = a(0).toInt
+    val reps = a(1).toInt
+    val dirs = a.drop(2).toSeq
     println(f"SCALE_CALIB ${graft.Bench.calibrate()}%.3f s")
     val spark = graft.core.GraftSession.build("graft-segment-probe",
       graft.core.GraftSession.envCores)
@@ -41,9 +50,14 @@ object SegmentProbe {
           .cast("long") - 1).as("doc_id"), col("text"))
       def run(): (Double, Long, Long) = {
         val t0 = System.nanoTime()
-        val recs = graft.sources.Warc.gzRecords(
-          graft.sources.Warc.synthesizeWarcGzSegment(docs,
-            recordsPerFile, corruptEvery = 10))
+        val recs =
+          if (plain) graft.sources.Warc.records(
+            graft.sources.Warc.synthesizeWarcSegmentPlain(docs,
+              recordsPerFile, corruptEvery = 10),
+            maxRecords = recordsPerFile + 1)
+          else graft.sources.Warc.gzRecords(
+            graft.sources.Warc.synthesizeWarcGzSegment(docs,
+              recordsPerFile, corruptEvery = 10))
         val row = recs.select(count(lit(1)).as("n"),
             coalesce(sum(col("content_length")), lit(0L)).as("bytes"),
             coalesce(sum(hash(col("target_uri"), col("payload"))
@@ -54,7 +68,8 @@ object SegmentProbe {
       run() // warmup (JIT + codegen)
       val runs = (1 to reps).map(_ => run())
       val best = runs.minBy(_._1)
-      println(f"SEGMENT $dir rpf=$recordsPerFile min=${best._1}%.2f " +
+      println(f"SEGMENT${if (plain) "_PLAIN" else ""} $dir " +
+        f"rpf=$recordsPerFile min=${best._1}%.2f " +
         f"reps=${runs.map(r => f"${r._1}%.2f").mkString(",")} " +
         f"records=${best._2} payload_bytes=${best._3}")
       s""""$dir":{"min":${best._1},"records":${best._2},"bytes":${best._3}}"""

@@ -199,6 +199,51 @@ class WarcSpec extends SparkTestBase {
     assert(parseGz(2L -> corrupt).count() == 0)
   }
 
+  test("plain segment scale: thousands of records in one uncompressed file; " +
+      "a mid-file framing lie erases the whole file") {
+    // the typed per-record scan must walk record counts the old SQL
+    // fold (O(records²) array_append, whole-file latin-1 copy) capped
+    // at single digits
+    val n = 3000
+    val whole = (0 until n).map(i =>
+      rec("response", Some(s"http://plain/$i"), s"payload $i")).mkString
+    import spark.implicits._
+    def df(id: Long, raw: String) = Seq(id -> raw).toDF("file_id", "raw")
+      .select(col("file_id"), encode(col("raw"), "ISO-8859-1").as("content"))
+    val out = Warc.records(df(1L, whole), maxRecords = n)
+      .select("rec_idx", "target_uri").collect().sortBy(_.getInt(0))
+    assert(out.length == n)
+    assert(out(0).getString(1) == "http://plain/0")
+    assert(out(n - 1).getString(1) == s"http://plain/${n - 1}")
+    assert(out.map(_.getInt(0)).toSeq == (0 until n))
+    // a Content-Length lie in record ~n/2: no member boundary isolates
+    // it on the plain path, so the WHOLE file vanishes — not a prefix
+    val lied = whole.replaceFirst(
+      s"Content-Length: ${s"payload ${n / 2}".length}\r\n\r\npayload ${n / 2}",
+      s"Content-Length: ${s"payload ${n / 2}".length + 3}\r\n\r\npayload ${n / 2}")
+    assert(lied != whole, "the corruption plant must land")
+    assert(Warc.records(df(2L, lied), maxRecords = n).count() == 0)
+  }
+
+  test("synthesizeWarcSegmentPlain: grouped planting round-trips; corrupt file erased whole") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc text $i"))
+      .toDF("doc_id", "text")
+    val out = Warc.records(
+        Warc.synthesizeWarcSegmentPlain(docs, recordsPerFile = 10,
+          corruptEvery = 3),
+        maxRecords = 11)
+      .select("file_id", "rec_idx", "rec_type", "target_uri").collect()
+    // files 0 and 3 corrupt (fid%3==0): 2 of 4 files survive whole —
+    // 10 responses + 1 warcinfo each
+    val byFile = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byFile == Map(1L -> 11, 2L -> 11), s"$byFile")
+    assert(out.filter(_.getLong(0) == 1L).sortBy(_.getInt(1)).map(
+      _.getString(2)).toSeq == "warcinfo" +: Seq.fill(10)("response"))
+    assert(out.find(r => r.getLong(0) == 1L && r.getInt(1) == 1).get
+      .getString(3) == "http://site3.example/page/10")
+  }
+
   test("synthesizeWarcGzSegment: grouped planting round-trips; corrupt file erased whole") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, s"doc text $i"))
