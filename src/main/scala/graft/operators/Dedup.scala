@@ -275,16 +275,35 @@ object Dedup {
   def minhashCandidatePairs(sigs: DataFrame, idCol: String, k: Int,
                             bands: Int, maxBucket: Int = 1000): DataFrame = {
     val banded = bandSignatures(sigs, idCol, k, bands).localCheckpoint(true)
-    val kept = banded
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("sig"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    // the capped frame is materialized too: both self-join sides
+    // consume it, and unmaterialized each side would re-run the
+    // census + anti probe (measured: the duplicated census cost q33
+    // more than the window it replaced — SCALE_MEASURE_r16)
+    val kept = capBuckets(banded, Seq("band", "sig"), maxBucket)
+      .localCheckpoint(true)
     val a = kept.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val b = kept.select(col(idCol).as("id_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Drop every row of a bucket whose population exceeds `maxBucket` —
+    * the flood guard the banded candidate generators share. Mechanism
+    * (round 16, measured): a combine-aggregate census + anti probe
+    * instead of a count WINDOW — the census shuffles only distinct
+    * bucket keys (map-side combine collapses the rows), the over-cap
+    * list is ≤ rows/maxBucket buckets by construction and rides a
+    * broadcast anti, where the window form shuffled AND SORTED the
+    * full banded row stream before the self-join re-used the
+    * exchange. Kept rows are EXACTLY those in buckets with count ≤
+    * maxBucket — the oracles' HAVING replay is untouched. */
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame = {
+    val over = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(keys.map(col): _*)
+    df.join(broadcast(over), keys, "left_anti")
   }
 
   /** SimHash signature width and banding. 60 bits is the widest
@@ -378,11 +397,10 @@ object Dedup {
     * barrier and for why checkpoint beats cache here). */
   def simhashPairs(sigs: DataFrame, idCol: String,
                    maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
-    val kept = simhashChunkRows(sigs, idCol).localCheckpoint(true)
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col("chunk"), col("v"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    // capped frame materialized once for both self-join sides (the
+    // minhashCandidatePairs duplicated-census lesson)
+    val kept = capBuckets(simhashChunkRows(sigs, idCol).localCheckpoint(true),
+      Seq("chunk", "v"), maxBucket).localCheckpoint(true)
     val a = kept.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
       col("chunk"), col("v"))
     val b = kept.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),

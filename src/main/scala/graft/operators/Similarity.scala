@@ -720,9 +720,8 @@ object Similarity {
     *
     * `maxBucket` (round 9) is the flood guard for when planes are
     * FIXED below the contract — any (table, bucket) group past the
-    * cap is dropped from candidate generation (window count filter
-    * riding the self-join's own exchange, the
-    * [[graft.operators.Dedup.simhashPairs]] shape; the oracle applies
+    * cap is dropped from candidate generation (census + anti probe,
+    * [[graft.operators.Dedup.capBuckets]]; the oracle applies
     * the identical HAVING). Measured necessity: the registered
     * 8-plane q57 at 100× embeddings (200k vectors, mean bucket ~780)
     * built a multi-billion-row candidate spill that filled the DISK
@@ -774,12 +773,11 @@ object Similarity {
           (id, t, bucket)
         }
       }).toDF("__ids", "t", "bucket")
-    val kept = wb
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("t"), col("bucket"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    // capped frame materialized once: both self-join sides consume
+    // it, and each would otherwise re-run the bucket kernel + census
+    // (the Dedup.minhashCandidatePairs duplicated-census lesson)
+    val kept = graft.operators.Dedup.capBuckets(wb, Seq("t", "bucket"),
+      maxBucket).localCheckpoint(true)
     val a = kept.select(col("t"), col("bucket"), col("__ids").as("id_a"))
     val bb = kept.select(col("t"), col("bucket"), col("__ids").as("id_b"))
     val cands = a.join(bb, Seq("t", "bucket"))

@@ -45,7 +45,15 @@ object PipelineQueries {
   // always leave one chunk untouched) — the operator emits every
   // qualifying pair, not a heuristic subset
   val SimhashMaxHamming = 3
-  val SimhashMaxBucket = 1000
+  // 4000, from the round-16 cap tuning law at 100× (SCALE_MEASURE_r16
+  // `cap_tuning_100x`): q35's wall is FLAT in the cap (the hamming
+  // filter severs flood pairs cheaply) while pairs saturate at 4000 —
+  // cap 1000 silently dropped 27% of true ≤3-hamming pairs for zero
+  // wall savings. 4000 captures every pair this corpus has at 100×
+  // and still guards a genuinely adversarial >4000-identical-chunk
+  // flood. q33's knee is different (candidate volume is flood-bucket
+  // QUADRATIC there: cap 4000 read 34× the wall) — its cap stays 1000.
+  val SimhashMaxBucket = 4000
   val TopK = 5
   val IvfProbes = 2
   // trained coarse quantizer for q38 (SimilarityRecallSpec: recall@10
