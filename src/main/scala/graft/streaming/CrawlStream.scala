@@ -18,8 +18,8 @@ import graft.sources.Warc
   *
   * Why it can run in append mode with ZERO state: every rung is
   * either a scalar projection or a stream-static broadcast join —
-  *  - the WARC walk is one `aggregate()` fold + posexplode
-  *    ([[Warc.records]], stateless);
+  *  - the WARC walk is the typed per-record scan ([[Warc.records]],
+  *    stateless);
   *  - the robots verdict is the per-row
   *    [[UrlNormalize.robotsVerdictCols]] (array `filter` +
   *    `array_max` over the joined policy's rule array — the batch
@@ -167,6 +167,24 @@ object CrawlStream {
     * BEFORE the stateful op, so the state function is pure counter
     * arithmetic. Input: a streaming frame with `idCol`/`urlCol`.
     * Output: (doc_id, url, host, slot_idx, fetch_at_s).
+    *
+    * STATE-HORIZON CONTRACT (documented position, round 16): the
+    * per-host counter uses `NoTimeout` DELIBERATELY — state grows
+    * with DISTINCT HOSTS forever and is never evicted. The trade is
+    * sharp: evicting an idle host would reset its counter to 0, and
+    * re-issuing slot numbers a fetcher fleet may still be executing
+    * breaks the never-renumber contract this operator exists to
+    * provide — silently, at the worst possible place (two fetchers
+    * scheduled into the same politeness slot of one host). 8 bytes ×
+    * even the full hostcount of the web (~1e9 registered domains) is
+    * ~tens of GB of distributed state — trivially shardable, cheaper
+    * than one day of crawl payloads — so a year-long loop holds ALL
+    * hosts rather than guess at idleness. An operator that truly must
+    * bound state should RESTART the loop at an epoch boundary (fresh
+    * checkpoint, drained fleet), which renumbers every host at a
+    * moment the contract is explicitly void; a TTL here is the same
+    * thing done implicitly and per-host, with no drained-fleet
+    * guarantee. See SCALE.md "Politeness state horizon".
     *
     * `priorityCol` (optional) prepends a sitemap-style priority to
     * the within-batch rank — (priority DESC, hash, id), the
