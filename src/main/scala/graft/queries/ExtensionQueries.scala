@@ -63,7 +63,19 @@ object ExtensionQueries {
   /** Wave-1 page HTML: five links with closed-form targets —
     * item (clean + canonical-variant dup), hub, a messy backlink to
     * an already-fetched page, a relative href, a script decoy. */
-  private def cyclePageHtml: org.apache.spark.sql.Column = {
+  private def cyclePageHtml: org.apache.spark.sql.Column =
+    cyclePageHtmlWith("page")
+
+  /** A previously-crawled /old/ page url (q193's wave-0 plant: the
+    * backlink namespace must be distinct from the pages being
+    * INGESTED, or the seen plant would kill the fetched branch). */
+  private def cycleOldUrl: org.apache.spark.sql.Column = {
+    val e = col("doc_id") - pmod(col("doc_id"), lit(2))
+    concat(lit("http://site"), pmod(e, lit(7)).cast("string"),
+      lit(".example/old/"), e.cast("string"))
+  }
+
+  private def cyclePageHtmlWith(backSeg: String): org.apache.spark.sql.Column = {
     val ids = col("doc_id").cast("string")
     val t = (col("doc_id") / 4).cast("long")
     val g = (col("doc_id") / 40).cast("long")
@@ -79,7 +91,7 @@ object ExtensionQueries {
       t.cast("string"), lit("/#frag\">dup</a>\n"),
       lit("<a href=\"http://news"), gh, lit(".example/hub/"),
       g.cast("string"), lit("\">hub</a>\n"),
-      lit("<a href=\"http://SITE"), eh, lit(".EXAMPLE:80/page/"),
+      lit("<a href=\"http://SITE"), eh, lit(s".EXAMPLE:80/$backSeg/"),
       e.cast("string"), lit("\">back</a>\n"),
       lit("<a href=\"/about\">rel</a>"),
       lit("<script>var s = '<a href=\"http://evil.example/\">x</a>';"),
@@ -586,6 +598,37 @@ object ExtensionQueries {
         cycleDelays(s))
     }),
 
+    // THE CYCLE COMPOSED INTO THE LOOP (q184 × q190, one streaming
+    // query): wave-1 segments arrive as .warc.gz, the gate chain
+    // admits the fetchable pages (site3 dies at robots, site5 at the
+    // category gate, %50 files at the CRC walk), and ONE drain emits
+    // BOTH crawl outputs — the fetched pages (kind 'fetched') and
+    // the next wave's politeness schedule built from their extracted
+    // links (kind 'frontier': items/hubs with survivor-group
+    // indegree, canonical variants folded, backlinks dead at the
+    // anti gate, relative/script links never entering). One delta
+    // publishes both kinds' digests.
+    "q193_cycle_loop" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = Tables.load(s, dir, "documents")
+      val warcDir = Scratch.fixtureDir("graft_cycle_loop_warc", dir)
+      graft.sources.Warc.synthesizeWarcGz(
+          d.select(col("doc_id"), cyclePageHtmlWith("old").as("text")))
+        .repartition(8).write.mode("overwrite").parquet(warcDir)
+      val key = dir + "#loopcycle"
+      // wave-0 plant: the /old/ pages the backlinks re-discover —
+      // distinct from the /page/ urls being ingested this drain
+      if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
+          key, "v0001"))
+        ArtifactStore.save(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .select(md5(cycleOldUrl).as("url_digest")),
+          Scratch.artifactRoot, "frontier_seen", key, "v0001")
+      graft.streaming.CrawlStream.drainCrawlLoopExpand(s, warcDir,
+        crawlRobots(d), crawlBlocklist(s), cycleDelays(s),
+        Scratch.artifactRoot, key, "v0001", "v0002")
+    }),
+
     // mapPartitions batched "decode" over binary media columns.
     // The feature vector is flattened to scalar columns for the oracle
     // compare (the gate's comparator cannot hash array cells); the
@@ -1071,6 +1114,45 @@ object ExtensionQueries {
          |SELECT url, host, indegree, CAST(slot AS INTEGER) AS slot_idx,
          |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)
          |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
+    // the composed cycle loop: fetched rows are the q149 survivor
+    // set (CRC %50, robots site3, category site5); frontier rows are
+    // the q190 window computed over SURVIVOR link groups (indegree =
+    // surviving sources per item/hub), backlinks dead against the
+    // planted wave-0 /old/ state, canonical variants folded
+    "q193_cycle_loop" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH surv AS (SELECT doc_id FROM documents
+         |  WHERE doc_id % 50 <> 0 AND doc_id % 7 NOT IN (3, 5)),
+         |fetched AS (SELECT 'fetched' AS kind,
+         |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+         |    AS url,
+         |  'site' || (doc_id % 7) || '.example' AS host,
+         |  CAST(NULL AS BIGINT) AS indegree,
+         |  CAST(NULL AS INTEGER) AS slot_idx,
+         |  CAST(NULL AS DOUBLE) AS fetch_at_s FROM surv),
+         |items AS (SELECT doc_id // 4 AS t, count(*) AS indegree
+         |  FROM surv GROUP BY 1),
+         |hubs AS (SELECT doc_id // 40 AS g, count(*) AS indegree
+         |  FROM surv GROUP BY 1),
+         |u AS (
+         |  SELECT 'http://news' || (t % 5) || '.example/item/' || t AS url,
+         |    'news' || (t % 5) || '.example' AS host,
+         |    t % 5 AS k, indegree FROM items
+         |  UNION ALL
+         |  SELECT 'http://news' || (g % 5) || '.example/hub/' || g,
+         |    'news' || (g % 5) || '.example', g % 5, indegree FROM hubs),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY indegree DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT kind, url, host, indegree, slot_idx, fetch_at_s
+         |FROM fetched
+         |UNION ALL
+         |SELECT 'frontier', url, host, indegree,
+         |  CAST(slot AS INTEGER),
+         |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6)
          |FROM r""".stripMargin
     },
     // stream over gz members: same survivors, same closed form

@@ -76,7 +76,20 @@ object CrawlStream {
   def gatedRecords(files: DataFrame, policy: DataFrame,
                    blocklist: DataFrame,
                    maxSuffixDepth: Int = 6,
-                   gz: Boolean = false): DataFrame = {
+                   gz: Boolean = false): DataFrame =
+    gatedPages(files, policy, blocklist, maxSuffixDepth, gz)
+      .select(col("file_id"), col("url"),
+        Html.extractText(col("html")).as("clean_text"),
+        col("crawl_delay"))
+
+  /** [[gatedRecords]] stopping BEFORE text extraction: the gated
+    * records with their RAW page html — the form the link-extraction
+    * rung of the composed cycle loop needs (extractText destroys the
+    * anchors). Output: (file_id, url, html, crawl_delay). */
+  def gatedPages(files: DataFrame, policy: DataFrame,
+                 blocklist: DataFrame,
+                 maxSuffixDepth: Int = 6,
+                 gz: Boolean = false): DataFrame = {
     // gz: the strict per-member walk runs as a typed map per file —
     // stateless, so it composes onto the streaming frame unchanged;
     // one row per member means micro-batch task memory is one
@@ -107,8 +120,7 @@ object CrawlStream {
     }.filter((1 to maxSuffixDepth).map(i => col(s"__bld_$i").isNull)
       .reduce(_ && _))
     gated.select(col("file_id"), col("url"),
-      Html.extractText(decode(col("payload"), "ISO-8859-1"))
-        .as("clean_text"),
+      decode(col("payload"), "ISO-8859-1").as("html"),
       col("crawl_delay"))
   }
 
@@ -745,6 +757,83 @@ object CrawlStream {
       .select(col("url"), col("host"),
         col("__ind").cast("long").as("indegree"),
         col("slot_idx"), col("fetch_at_s"))
+  }
+
+  /** THE CYCLE COMPOSED INTO THE LOOP — one streaming query that
+    * turns wave N's raw segments into BOTH of a crawl's outputs:
+    *
+    *   .warc.gz segments → member walk → robots + category gates
+    *   (ONE checkpointed policy parse) → recrawl ANTI on the seen
+    *   state → the FETCHED pages (kind `fetched`: url + host, the
+    *   corpus rows), UNION the same pages' links → canonicalize →
+    *   ANTI on the same seen state → per-URL discovery state
+    *   (first-seen wins, discovery-time indegree) → politeness
+    *   schedule for wave N+1 (kind `frontier`: url, host, indegree,
+    *   slot_idx, fetch_at_s — the next fetch list).
+    *
+    * The drain's DELTA publishes the digests of BOTH kinds: a later
+    * drain re-shipping a fetched page kills it at the fetched-branch
+    * anti, and re-discovering an already-scheduled link kills it at
+    * the frontier-branch anti — the crawl cycle's full state
+    * discipline in one versioned artifact. Within one drain, a page
+    * fetched AND linked-to by a sibling page still schedules once as
+    * `frontier` (the fetched rows join the seen state only at
+    * publish); the next drain's anti retires it — the documented
+    * one-drain lag, the price of keeping both branches stateless
+    * against each other (a stream-stream anti needs watermarks
+    * neither branch has).
+    *
+    * Output: (kind, url, host, indegree, slot_idx, fetch_at_s) —
+    * indegree/slot/fetch are NULL on `fetched` rows. */
+  def drainCrawlLoopExpand(spark: SparkSession, warcDir: String,
+                           robots: DataFrame, blocklist: DataFrame,
+                           delays: DataFrame,
+                           root: String, corpusKey: String,
+                           loadVersion: String, publishVersion: String,
+                           agent: String = "graftbot",
+                           maxFilesPerTrigger: Option[Int] = None,
+                           defaultDelaySecs: Double = 1.0,
+                           queryName: String = "graft_cycle_loop"): DataFrame = {
+    import graft.sources.ArtifactStore
+    require(loadVersion < publishVersion,
+      s"cycle-loop state must publish a version sorting after the loaded " +
+        s"one (got load=$loadVersion publish=$publishVersion)")
+    val policy = UrlNormalize
+      .robotsPolicy(robots, "domain", "robots_txt", agent).localCheckpoint()
+    val seen = ArtifactStore
+      .loadUpTo(spark, root, "frontier_seen", corpusKey, loadVersion)
+      .map(_.select(col("url_digest")))
+      .getOrElse(spark.range(0).select(lit("").as("url_digest")))
+    val reader = spark.readStream.schema("file_id BIGINT, content BINARY")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val pages = gatedPages(reader.parquet(warcDir), policy, blocklist,
+      gz = true)
+    val fetched = pages
+      .withColumn("url_digest", md5(col("url")))
+      .join(seen, Seq("url_digest"), "left_anti") // recrawl gate
+      .dropDuplicates("url_digest")               // within-drain repeats
+      .select(lit("fetched").as("kind"), col("url"),
+        UrlNormalize.hostOf(col("url")).as("host"),
+        lit(null).cast("long").as("indegree"),
+        lit(null).cast("int").as("slot_idx"),
+        lit(null).cast("double").as("fetch_at_s"))
+    val frontier = expandFrontierStream(pages, "url", "html", seen,
+        delays, defaultDelaySecs = defaultDelaySecs)
+      .select(lit("frontier").as("kind"), col("url"), col("host"),
+        col("indegree"), col("slot_idx"), col("fetch_at_s"))
+    val out = fetched.unionByName(frontier)
+    val name = uniqueName(queryName)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = spark.table(name) // resolve before publish (race note above)
+    superseded(spark, queryName, name)
+    // ONE delta for both kinds: fetched pages AND scheduled frontier
+    // URLs are equally "seen" to every later drain
+    val delta = drained.select(md5(col("url")).as("url_digest")).distinct()
+    ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
+      publishVersion)
+    drained
   }
 
   /** Drain a [[writeArrivalBatches]] directory of fetched pages

@@ -617,6 +617,68 @@ class StreamingSinkSpec extends SparkTestBase {
       .count() == 1, "delta must hold only page 21")
   }
 
+  test("cycle loop: one drain emits fetched pages AND their links' schedule; " +
+      "the shared delta kills re-ships and re-discoveries next drain") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.{ArtifactStore, Warc}
+    val root = Files.createTempDirectory("cycleloop_store").toString
+    val warcDir = Files.createTempDirectory("cycleloop_warc").toString + "/in"
+    val robots = Seq(("site0.example",
+      "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"))
+      .toDF("domain", "robots_txt")
+    val blocklist = Seq(("none.example", "ads")).toDF("domain", "category")
+    val delays = Seq(("t.example", 3.0)).toDF("domain", "crawl_delay")
+    // synthesizeWarcGz plants URI http://site{id%7}.example/page/{id};
+    // ids 7,14,21 -> site0. Page 7 links t.example/a twice (variant
+    // must fold) and t.example/b; page 14 links t.example/a (indegree
+    // 2) and a /rel decoy
+    def ship(pages: (Long, String)*): Unit =
+      Warc.synthesizeWarcGz(pages.toDF("doc_id", "text"),
+          corruptEvery = 1000000)
+        .coalesce(1).write.mode("append").parquet(warcDir)
+    ship(
+      7L -> ("""<html><body><a href="http://t.example/a">a</a>""" +
+        """<a href="HTTP://T.EXAMPLE:80/a#f">a2</a>""" +
+        """<a href="http://t.example/b">b</a></body></html>"""),
+      14L -> ("""<html><body><a href="http://t.example/a">a</a>""" +
+        """<a href="/rel">r</a></body></html>"""))
+    val w1 = CrawlStream.drainCrawlLoopExpand(spark, warcDir, robots,
+      blocklist, delays, root, "cyl", "v0001", "v0002").collect()
+    val fetched1 = w1.filter(_.getString(0) == "fetched")
+      .map(_.getString(1)).sorted.toSeq
+    assert(fetched1 == Seq("http://site0.example/page/14",
+      "http://site0.example/page/7"), s"${w1.toSeq}")
+    val frontier1 = w1.filter(_.getString(0) == "frontier")
+      .map(r => (r.getString(1), r.getLong(3), r.getInt(4),
+        r.getDouble(5))).sortBy(_._1).toSeq
+    // a: indegree 2 (variant folded, two distinct sources) outranks
+    // b: indegree 1; t.example delay 3
+    assert(frontier1 == Seq(
+      ("http://t.example/a", 2L, 0, 0.0),
+      ("http://t.example/b", 1L, 1, 3.0)), s"$frontier1")
+    // the delta holds BOTH kinds' digests
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "cyl", "v0002")
+      .count() == 4)
+    // drain 2: page 7 re-shipped (dies at the fetched anti), page 21
+    // arrives linking the already-SCHEDULED t.example/a (dies at the
+    // frontier anti) and a new t.example/c (emits, counter continues)
+    ship(
+      7L -> "<html><body>changed</body></html>",
+      21L -> ("""<html><body><a href="http://t.example/a">a</a>""" +
+        """<a href="http://t.example/c">c</a></body></html>"""))
+    val w2 = CrawlStream.drainCrawlLoopExpand(spark, warcDir, robots,
+      blocklist, delays, root, "cyl", "v0002", "v0003").collect()
+    assert(w2.filter(_.getString(0) == "fetched").map(_.getString(1)).toSeq
+      == Seq("http://site0.example/page/21"), s"${w2.toSeq}")
+    assert(w2.filter(_.getString(0) == "frontier")
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+      == Seq(("http://t.example/c", 1L)), s"${w2.toSeq}")
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "cyl", "v0003")
+      .count() == 2, "delta = page 21 + t.example/c only")
+  }
+
   test("durable loop per-call delta: zero-row first drain survives; each of " +
       "three waves publishes exactly its own new digests (cost ∝ new pages)") {
     import spark.implicits._
