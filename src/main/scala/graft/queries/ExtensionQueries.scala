@@ -572,21 +572,30 @@ object ExtensionQueries {
     }),
 
     // the cycle's STREAMING twin: the same wave-1 pages arrive as a
-    // pinned-order file stream (one 200-doc block per micro-batch —
-    // block size a multiple of both link-group sizes, so every
-    // target's sources share one batch and the per-URL discovery
-    // state emits each target exactly once at its full indegree);
-    // per-host slots CONTINUE across batches, so the closed form is
-    // the batch window refined by arrival block: (block, indegree
-    // DESC, hash, url).
+    // pinned-order file stream in FOUR blocks at any sf (block size
+    // B = 40·ceil(N/160) — a multiple of both link-group sizes, so
+    // every target's sources share one batch and the per-URL
+    // discovery state emits each target exactly once at its full
+    // indegree; a FIXED doc-count block was measured drain-latency-
+    // bound at sf0.1 — 25 triggers × ~1.2 s = a 31.7 s bench cell for
+    // a 2 s computation); per-host slots CONTINUE across batches, so
+    // the closed form is the batch window refined by arrival block:
+    // (block, indegree DESC, hash, url), with B replayed by the
+    // oracle as a CTE off count(*).
     "q191_frontier_expand_stream" -> ((s, dir) => {
       import graft.sources.ArtifactStore
       val d = Tables.load(s, dir, "documents")
       val pagesDir = Scratch.fixtureDir("graft_cycle_pages", dir)
-      graft.streaming.CrawlStream.writeArrivalBatches(
-        d.select(cycleSrcUrl.as("url"), cyclePageHtml.as("html"),
-          (col("doc_id") / 200).cast("long").as("bseq")),
-        "bseq", pagesDir)
+      // fixture memoized per JVM (the Scratch root is per-JVM, so no
+      // cross-run staleness): repeated bench/verify passes re-drain
+      // the same pinned arrival blocks instead of re-writing them
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesDir))) {
+        val bsz = 40L * math.max(1L, math.ceil(d.count() / 160.0).toLong)
+        graft.streaming.CrawlStream.writeArrivalBatches(
+          d.select(cycleSrcUrl.as("url"), cyclePageHtml.as("html"),
+            (col("doc_id") / bsz).cast("long").as("bseq")),
+          "bseq", pagesDir)
+      }
       val key = dir + "#cycles"
       if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
           key, "v0001"))
@@ -596,6 +605,43 @@ object ExtensionQueries {
         "frontier_seen", key, "v0001").get
       graft.streaming.CrawlStream.drainFrontierExpand(s, pagesDir, seen,
         cycleDelays(s))
+    }),
+
+    // ROBOTS-GATED frontier expansion (q190 × q146): the discovered
+    // targets whose hosts have KNOWN robots policies are path-gated
+    // BEFORE consuming politeness slots — news3 publishes
+    // `Disallow: /item`, killing its item pages while its hubs
+    // survive; the policy's own Crawl-delay feeds the scheduler (even
+    // news hosts publish k+1 — the q188 one-parse discipline: verdict
+    // rules and delays off the same checkpointed policy). Slot
+    // windows recompute over the gated survivors.
+    "q194_frontier_gated" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = Tables.load(s, dir, "documents")
+      val key = dir + "#cycleg"
+      if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
+          key, "v0001"))
+        ArtifactStore.save(d.select(md5(cycleSrcUrl).as("url_digest")),
+          Scratch.artifactRoot, "frontier_seen", key, "v0001")
+      val seen = ArtifactStore.loadUpTo(s, Scratch.artifactRoot,
+        "frontier_seen", key, "v0001").get
+      val ks = col("id").cast("string")
+      val newsRobots = s.range(5).select(
+        concat(lit("news"), ks, lit(".example")).as("domain"),
+        concat(lit("User-agent: *\nDisallow: /private\n"),
+          when(col("id") === 3, lit("Disallow: /item\n"))
+            .otherwise(lit("")),
+          when(col("id") % 2 === 0, concat(lit("Crawl-delay: "),
+            (col("id") + 1).cast("string"), lit("\n")))
+            .otherwise(lit(""))).as("robots_txt"))
+      val policy = graft.operators.UrlNormalize
+        .robotsPolicy(newsRobots, "domain", "robots_txt", "graftbot")
+        .localCheckpoint()
+      graft.streaming.CrawlStream.expandFrontier(
+        d.select(cycleSrcUrl.as("url"), cyclePageHtml.as("html")),
+        "url", "html", seen,
+        policy.select(col("domain"), col("crawl_delay")),
+        policy = Some(policy))
     }),
 
     // THE CYCLE COMPOSED INTO THE LOOP (q184 × q190, one streaming
@@ -1090,9 +1136,40 @@ object ExtensionQueries {
          |FROM r""".stripMargin
     },
     // streaming twin: the batch window refined by arrival block —
-    // blocks of 200 docs, so item t arrives in block t//50 and hub g
-    // in block g//5; slots continue across blocks per host
+    // four blocks of B = 40*ceil(N/160) docs, so item t arrives in
+    // block (4t)//B and hub g in block (40g)//B; slots continue
+    // across blocks per host
     "q191_frontier_expand_stream" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH c AS (SELECT 40 * CAST(ceil(count(*) / 160.0) AS BIGINT)
+         |    AS bsz FROM documents),
+         |items AS (
+         |  SELECT doc_id // 4 AS t, count(*) AS indegree
+         |  FROM documents GROUP BY 1),
+         |hubs AS (
+         |  SELECT doc_id // 40 AS g, count(*) AS indegree
+         |  FROM documents GROUP BY 1),
+         |u AS (
+         |  SELECT 'http://news' || (t % 5) || '.example/item/' || t AS url,
+         |    'news' || (t % 5) || '.example' AS host,
+         |    t % 5 AS k, (4 * t) // bsz AS b, indegree FROM items, c
+         |  UNION ALL
+         |  SELECT 'http://news' || (g % 5) || '.example/hub/' || g,
+         |    'news' || (g % 5) || '.example', g % 5, (40 * g) // bsz,
+         |    indegree
+         |  FROM hubs, c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY b, indegree DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, indegree, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
+    // robots-gated expansion: q190's closed form minus news3's items
+    // (Disallow: /item — its hubs survive), windows over the gated
+    // survivors, delays from the news robots planting (even hosts k+1)
+    "q194_frontier_gated" -> {
       val order = graft.functions.PortableHash.hash60Sql("url")
       s"""WITH items AS (
          |  SELECT doc_id // 4 AS t, count(*) AS indegree
@@ -1103,13 +1180,13 @@ object ExtensionQueries {
          |u AS (
          |  SELECT 'http://news' || (t % 5) || '.example/item/' || t AS url,
          |    'news' || (t % 5) || '.example' AS host,
-         |    t % 5 AS k, t // 50 AS b, indegree FROM items
+         |    t % 5 AS k, indegree FROM items
+         |  WHERE t % 5 <> 3
          |  UNION ALL
          |  SELECT 'http://news' || (g % 5) || '.example/hub/' || g,
-         |    'news' || (g % 5) || '.example', g % 5, g // 5, indegree
-         |  FROM hubs),
+         |    'news' || (g % 5) || '.example', g % 5, indegree FROM hubs),
          |r AS (SELECT *, row_number() OVER (PARTITION BY host
-         |    ORDER BY b, indegree DESC, ($order) % 1000000, url) - 1 AS slot
+         |    ORDER BY indegree DESC, ($order) % 1000000, url) - 1 AS slot
          |  FROM u)
          |SELECT url, host, indegree, CAST(slot AS INTEGER) AS slot_idx,
          |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)

@@ -684,12 +684,23 @@ object CrawlStream {
     * ordering the two are interchangeable signals — a team wanting
     * PageRank composes [[graft.operators.Graph.pageRank]] over the
     * accumulated edge list on its own cadence and feeds it through
-    * the same schedule rung ([[UrlNormalize.prioritySchedule]]). */
+    * the same schedule rung ([[UrlNormalize.prioritySchedule]]).
+    *
+    * `policy` (optional): a [[UrlNormalize.robotsPolicy]] frame — every
+    * discovered target whose host HAS a known policy is robots-gated
+    * BEFORE it consumes a politeness slot (the per-row verdict
+    * projection off a broadcast join, the [[gatedRecords]] rung);
+    * hosts with no policy pass, the crawl default — their robots get
+    * fetched with the wave. A real crawler re-visits hosts
+    * constantly, so most discovered targets hit an already-known
+    * policy and a disallowed path should die here, not after a
+    * wasted fetch slot. */
   def expandFrontier(pages: DataFrame, urlCol: String, htmlCol: String,
                      seen: DataFrame, delays: DataFrame,
                      domainCol: String = "domain",
                      delayCol: String = "crawl_delay",
-                     defaultDelaySecs: Double = 1.0): DataFrame = {
+                     defaultDelaySecs: Double = 1.0,
+                     policy: Option[DataFrame] = None): DataFrame = {
     val targets = linkTargets(pages, urlCol, htmlCol)
       .groupBy(col("url"))
       .agg(countDistinct(col("__src")).as("indegree"))
@@ -697,8 +708,19 @@ object CrawlStream {
       .withColumn("url_digest", md5(col("url")))
       .join(seen.select(col("url_digest")), Seq("url_digest"), "left_anti")
       .drop("url_digest")
-      .withColumn("__lm", lit(null).cast("string"))
-    UrlNormalize.prioritySchedule(fresh, "url", "indegree", "__lm",
+    val gated = policy match {
+      case None => fresh
+      case Some(p) =>
+        val (allowed, _) = UrlNormalize.robotsVerdictCols(
+          UrlNormalize.pathOf(col("url")), col("rules"))
+        fresh.withColumn("__h", UrlNormalize.hostOf(col("url")))
+          .join(broadcast(p.select(col("domain").as("__h"), col("rules"))),
+            Seq("__h"), "left")
+          .filter(allowed).drop("__h", "rules")
+    }
+    UrlNormalize.prioritySchedule(
+        gated.withColumn("__lm", lit(null).cast("string")),
+        "url", "indegree", "__lm",
         delays, domainCol, delayCol, defaultDelaySecs)
       .select(col("url"), col("host"), col("indegree"), col("slot_idx"),
         col("fetch_at_s"))
