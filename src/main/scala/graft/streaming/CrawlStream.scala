@@ -817,6 +817,34 @@ object CrawlStream {
                            defaultDelaySecs: Double = 1.0,
                            queryName: String = "graft_cycle_loop"): DataFrame = {
     import graft.sources.ArtifactStore
+    val out = cycleLoopPlan(spark, warcDir, robots, blocklist, delays,
+      root, corpusKey, loadVersion, publishVersion, agent,
+      maxFilesPerTrigger, defaultDelaySecs)
+    val name = uniqueName(queryName)
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = spark.table(name) // resolve before publish (race note above)
+    superseded(spark, queryName, name)
+    // ONE delta for both kinds: fetched pages AND scheduled frontier
+    // URLs are equally "seen" to every later drain
+    val delta = drained.select(md5(col("url")).as("url_digest")).distinct()
+    ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
+      publishVersion)
+    drained
+  }
+
+  /** The cycle loop's unsunk plan (the [[drainCrawlLoopExpand]]
+    * pipeline up to the sink). */
+  private def cycleLoopPlan(spark: SparkSession, warcDir: String,
+                            robots: DataFrame, blocklist: DataFrame,
+                            delays: DataFrame,
+                            root: String, corpusKey: String,
+                            loadVersion: String, publishVersion: String,
+                            agent: String,
+                            maxFilesPerTrigger: Option[Int],
+                            defaultDelaySecs: Double): DataFrame = {
+    import graft.sources.ArtifactStore
     require(loadVersion < publishVersion,
       s"cycle-loop state must publish a version sorting after the loaded " +
         s"one (got load=$loadVersion publish=$publishVersion)")
@@ -843,19 +871,53 @@ object CrawlStream {
         delays, defaultDelaySecs = defaultDelaySecs)
       .select(lit("frontier").as("kind"), col("url"), col("host"),
         col("indegree"), col("slot_idx"), col("fetch_at_s"))
-    val out = fetched.unionByName(frontier)
-    val name = uniqueName(queryName)
-    val q = out.writeStream.format("memory").queryName(name)
+    fetched.unionByName(frontier)
+  }
+
+  /** DURABLE form of [[drainCrawlLoopExpand]] — the COMPLETE
+    * production artifact, the last rung of the loop ladder
+    * (q184 composed → q186 real files → q189 durable → here the
+    * durable CYCLE): parquet sink + explicit checkpoint, so a later
+    * call RESUMES — only newly-arrived segments are processed
+    * (exactly-once into the sink), every host's politeness counter
+    * and the per-URL discovery state SURVIVE the restart (issued
+    * slots never renumber; a target discovered last month is never
+    * re-scheduled), and the per-call seen-delta is derived from ONLY
+    * this drain's committed files (the [[drainCrawlLoopDurable]]
+    * manifest-diff discipline — publish cost ∝ this drain's rows,
+    * zero-admission drains publish nothing and return the sink's
+    * accumulated contents, possibly empty). */
+  def drainCrawlLoopExpandDurable(spark: SparkSession, warcDir: String,
+                                  robots: DataFrame, blocklist: DataFrame,
+                                  delays: DataFrame,
+                                  root: String, corpusKey: String,
+                                  loadVersion: String, publishVersion: String,
+                                  sinkDir: String, checkpointDir: String,
+                                  agent: String = "graftbot",
+                                  maxFilesPerTrigger: Option[Int] = None,
+                                  defaultDelaySecs: Double = 1.0): DataFrame = {
+    import graft.sources.ArtifactStore
+    val out = cycleLoopPlan(spark, warcDir, robots, blocklist, delays,
+      root, corpusKey, loadVersion, publishVersion, agent,
+      maxFilesPerTrigger, defaultDelaySecs)
+    val before = committedSinkFiles(spark, sinkDir)
+    val q = out.writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val drained = spark.table(name) // resolve before publish (race note above)
-    superseded(spark, queryName, name)
-    // ONE delta for both kinds: fetched pages AND scheduled frontier
-    // URLs are equally "seen" to every later drain
-    val delta = drained.select(md5(col("url")).as("url_digest")).distinct()
-    ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
-      publishVersion)
-    drained
+    val after = committedSinkFiles(spark, sinkDir)
+    val newFiles = (after -- before).toSeq.sorted
+    if (newFiles.nonEmpty) {
+      val delta = spark.read.parquet(newFiles: _*)
+        .select(md5(col("url")).as("url_digest")).distinct()
+      ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
+        publishVersion)
+    }
+    if (after.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        out.schema)
+    else spark.read.parquet(sinkDir)
   }
 
   /** Drain a [[writeArrivalBatches]] directory of fetched pages

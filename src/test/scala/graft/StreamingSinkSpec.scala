@@ -679,6 +679,60 @@ class StreamingSinkSpec extends SparkTestBase {
       .count() == 2, "delta = page 21 + t.example/c only")
   }
 
+  test("durable cycle loop: resume processes only new segments; discovery " +
+      "state and politeness counters survive; per-call delta ∝ this drain") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.{ArtifactStore, Warc}
+    val root = Files.createTempDirectory("dcycle_store").toString
+    val base = Files.createTempDirectory("dcycle")
+    val (warcDir, sinkDir, ckpt) = (s"$base/in", s"$base/sink", s"$base/ckpt")
+    val robots = Seq(("site0.example",
+      "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"))
+      .toDF("domain", "robots_txt")
+    val blocklist = Seq(("none.example", "ads")).toDF("domain", "category")
+    val delays = Seq(("t.example", 3.0)).toDF("domain", "crawl_delay")
+    def ship(pages: (Long, String)*): Unit =
+      Warc.synthesizeWarcGz(pages.toDF("doc_id", "text"),
+          corruptEvery = 1000000)
+        .coalesce(1).write.mode("append").parquet(warcDir)
+    def drain(lo: String, hi: String) =
+      CrawlStream.drainCrawlLoopExpandDurable(spark, warcDir, robots,
+        blocklist, delays, root, "dcy", lo, hi, sinkDir, ckpt)
+    // wave 1: pages 7 and 14, linking t.example/a (indegree 2) and /b
+    ship(
+      7L -> ("""<html><body><a href="http://t.example/a">a</a>""" +
+        """<a href="http://t.example/b">b</a></body></html>"""),
+      14L -> ("""<html><body><a href="http://t.example/a">a</a>""" +
+        """</body></html>"""))
+    val w1 = drain("v0001", "v0002").collect()
+    assert(w1.count(_.getString(0) == "fetched") == 2, s"${w1.toSeq}")
+    val f1 = w1.filter(_.getString(0) == "frontier")
+      .map(r => (r.getString(1), r.getLong(3), r.getInt(4))).sortBy(_._1)
+    assert(f1.toSeq == Seq(("http://t.example/a", 2L, 0),
+      ("http://t.example/b", 1L, 1)), s"${f1.toSeq}")
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "dcy", "v0002")
+      .count() == 4)
+    // wave 2: page 21 arrives re-linking /a (already scheduled — the
+    // RESUMED discovery state must drop it even though the fMGWS ran
+    // in a previous call) and linking new /c, which must CONTINUE
+    // t.example's politeness counter at slot 2
+    ship(21L -> ("""<html><body><a href="http://t.example/a">a</a>""" +
+      """<a href="http://t.example/c">c</a></body></html>"""))
+    val w2 = drain("v0002", "v0003").collect()
+    assert(w2.length == 6, s"sink accumulates exactly once: ${w2.toSeq}")
+    val c = w2.find(r => r.getString(1) == "http://t.example/c").get
+    assert(c.getInt(4) == 2 && c.getDouble(5) == 6.0,
+      s"counter must survive the restart: $c")
+    assert(!w2.exists(r => r.getString(0) == "frontier" &&
+      r.getString(1) == "http://t.example/a" && r.getInt(4) > 0),
+      "resumed discovery state must not re-schedule /a")
+    // per-call delta: page 21 + /c only
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "dcy", "v0003")
+      .count() == 2)
+  }
+
   test("durable loop per-call delta: zero-row first drain survives; each of " +
       "three waves publishes exactly its own new digests (cost ∝ new pages)") {
     import spark.implicits._
