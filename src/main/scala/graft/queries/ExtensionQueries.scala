@@ -675,6 +675,46 @@ object ExtensionQueries {
         Scratch.artifactRoot, key, "v0001", "v0002")
     }),
 
+    // PAGERANK-priority frontier (q190 × q115 — the verdict-named
+    // alternative to indegree, composed rather than built-in): the
+    // wave-1 link graph (page URL → canonical target, backlinks and
+    // all — rank is computed over the FULL observed graph) feeds
+    // Graph.pageRank; the new targets join their page-level rank as
+    // the schedule priority. Within a host, hubs (40 in-links from
+    // rank-carrying pages) outrank items (4); the damped rank
+    // differentiates where raw indegree ties. Same seen plant as
+    // q190 (backlink targets die at the anti).
+    "q196_frontier_pagerank" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = Tables.load(s, dir, "documents")
+      val key = dir + "#cycle"
+      if (!ArtifactStore.exists(s, Scratch.artifactRoot, "frontier_seen",
+          key, "v0001"))
+        ArtifactStore.save(d.select(md5(cycleSrcUrl).as("url_digest")),
+          Scratch.artifactRoot, "frontier_seen", key, "v0001")
+      val seen = ArtifactStore.loadUpTo(s, Scratch.artifactRoot,
+        "frontier_seen", key, "v0001").get
+      val links = graft.operators.Html.extractLinks(
+          d.select(cycleSrcUrl.as("url"), cyclePageHtml.as("html")),
+          "url", "html")
+        .select(col("url").as("src"),
+          graft.operators.UrlNormalize.canonicalize(col("href")).as("dst"))
+        .filter(col("dst").rlike("^https?://"))
+        .localCheckpoint() // feeds pageRank AND the target list
+      val ranks = graft.operators.Graph.pageRank(links, "src", "dst",
+        PipelineQueries.PageRankIters, PipelineQueries.PageRankDamping)
+      val fresh = links.select(col("dst").as("url")).distinct()
+        .withColumn("url_digest", md5(col("url")))
+        .join(seen.select(col("url_digest")), Seq("url_digest"), "left_anti")
+        .drop("url_digest")
+        .join(ranks.withColumnRenamed("node", "url"), Seq("url"))
+        .withColumn("__lm", lit(null).cast("string"))
+      graft.operators.UrlNormalize.prioritySchedule(fresh, "url", "rank",
+          "__lm", cycleDelays(s))
+        .select(col("url"), col("host"), col("rank"), col("slot_idx"),
+          col("fetch_at_s"))
+    }),
+
     // the DURABLE cycle loop — the complete production artifact
     // (q193's one-query cycle under q189's parquet-sink + checkpoint
     // discipline): same planting, same closed form; repeated registry
@@ -1221,6 +1261,58 @@ object ExtensionQueries {
          |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)
          |    ELSE 1.0 END), 6) AS fetch_at_s
          |FROM r""".stripMargin
+    },
+    // pagerank-priority frontier: the q115 damped recurrence unrolled
+    // over the closed-form wave-1 link graph (every page has
+    // outdegree 3 after the variant folds: item, hub, backlink),
+    // joined as priority onto the q190 survivor targets (news URLs —
+    // the backlink targets are exactly the planted page urls, killed
+    // by the seen plant), windowed per host (rank DESC, hash, url)
+    "q196_frontier_pagerank" -> {
+      import PipelineQueries.{PageRankIters, PageRankDamping}
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      val base = 1.0 - PageRankDamping
+      val iters = (1 to PageRankIters).map { i =>
+        s"""r_$i AS (SELECT n.node,
+           |    round($base + $PageRankDamping * coalesce(s.x, 0.0), 6)
+           |      AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank / d.deg) AS x
+           |    FROM e JOIN r_${i - 1} r ON e.src = r.node
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l0 AS (SELECT doc_id,
+         |    'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+         |      AS src,
+         |    doc_id // 4 AS t, doc_id // 40 AS g,
+         |    doc_id - (doc_id % 2) AS e0
+         |  FROM documents),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src,
+         |    'http://news' || (t % 5) || '.example/item/' || t AS dst
+         |  FROM l0
+         |  UNION ALL SELECT src,
+         |    'http://news' || (g % 5) || '.example/hub/' || g FROM l0
+         |  UNION ALL SELECT src,
+         |    'http://site' || (e0 % 7) || '.example/page/' || e0 FROM l0)),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r_0 AS (SELECT node, 1.0 AS rank FROM nodes),
+         |$iters,
+         |u AS (SELECT dst AS url,
+         |    regexp_extract(dst, '^https?://([^/]+)', 1) AS host,
+         |    CAST(regexp_extract(dst, 'news([0-9])', 1) AS BIGINT) AS k
+         |  FROM e WHERE dst LIKE 'http://news%' GROUP BY dst),
+         |f AS (SELECT u.url, u.host, u.k, r.rank
+         |  FROM u JOIN r_$PageRankIters r ON u.url = r.node),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY rank DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM f)
+         |SELECT url, host, rank, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM w""".stripMargin
     },
     // durable cycle loop: identical planting and closed form
     "q195_cycle_loop_durable" -> {
