@@ -428,4 +428,82 @@ class PropertySpec extends SparkTestBase {
     samples.foreach(v => le(v.toLong & 0xffff, 2))
     out.toByteArray
   }
+
+  test("canonicalize is idempotent and folds presentation variants (q109/q190 law)") {
+    import spark.implicits._
+    import graft.operators.UrlNormalize
+    // URL components generated piecewise so every canonicalization
+    // rule is exercised in combination
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https")
+      host <- Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+      tld <- Gen.oneOf("com", "example", "org")
+      segs <- Gen.listOfN(2, Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString))
+      qk <- Gen.listOfN(3, Gen.zip(Gen.alphaLowerChar, Gen.choose(0, 9)))
+    } yield {
+      val q = qk.map { case (k, v) => s"$k=$v" }
+      (scheme, s"$host.$tld", "/" + segs.mkString("/"), q)
+    }
+    val cases = Gen.listOfN(60, urlGen).pureApply(params, Seed(7L))
+    val rows = cases.zipWithIndex.flatMap { case ((sc, h, p0, q), i) =>
+      val canonical = s"$sc://$h$p0" +
+        (if (q.isEmpty) "" else "?" + q.sorted.mkString("&"))
+      // presentation variants that MUST all fold to `canonical`:
+      // upper scheme/host, explicit default port, ONE trailing slash,
+      // shuffled query order, a fragment
+      val port = if (sc == "https") ":443" else ":80"
+      Seq(
+        (i.toLong, canonical),
+        (i.toLong, s"${sc.toUpperCase}://${h.toUpperCase}$p0" +
+          (if (q.isEmpty) "" else "?" + q.sorted.mkString("&"))),
+        (i.toLong, s"$sc://$h$port$p0/" +
+          (if (q.isEmpty) "" else "?" + q.reverse.mkString("&")) + "#frag"))
+        .map { case (id, u) => (id, u, canonical) }
+    }
+    val df = rows.toDF("id", "url", "expected")
+      .withColumn("canon", UrlNormalize.canonicalize(col("url")))
+    val bad = df.filter(col("canon") =!= col("expected")).collect()
+    assert(bad.isEmpty, s"variants failed to fold: ${bad.take(3).toSeq}")
+    // idempotence: canonicalize is a projection to its own fixed points
+    val twice = df.select(col("canon"),
+      UrlNormalize.canonicalize(col("canon")).as("canon2"))
+    assert(twice.filter(col("canon") =!= col("canon2")).isEmpty,
+      "canonicalize must be idempotent")
+  }
+
+  test("WARC record scan round-trips arbitrary payloads, including framing decoys") {
+    import spark.implicits._
+    import graft.sources.Warc
+    // payloads drawn to maximize framing hazards: CRLF runs, the
+    // record magic itself, header-shaped lines, empty payloads
+    val payloadGen = Gen.frequency(
+      (3, Gen.listOfN(20, Gen.asciiPrintableChar).map(_.mkString)),
+      (2, Gen.const("WARC/1.0\r\nContent-Length: 7\r\n\r\ndecoy!!")),
+      (2, Gen.const("\r\n\r\n\r\n")),
+      (1, Gen.const("")),
+      (2, Gen.listOfN(8, Gen.oneOf('\r', '\n', 'x', ' ')).map(_.mkString)))
+    (1L to 5L).foreach { seed =>
+      val payloads = Gen.listOfN(12, payloadGen).pureApply(params, Seed(seed))
+      val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+      val file = payloads.zipWithIndex.map { case (pl, i) =>
+        val body = pl.getBytes(latin1)
+        s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://p/$i\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n" + pl + "\r\n\r\n"
+      }.mkString
+      val out = Warc.records(
+          Seq((seed, file)).toDF("file_id", "raw")
+            .select(col("file_id"),
+              encode(col("raw"), "ISO-8859-1").as("content")),
+          maxRecords = payloads.length)
+        .select("rec_idx", "target_uri", "payload")
+        .collect().sortBy(_.getInt(0))
+      assert(out.length == payloads.length, s"seed $seed: ${out.length}")
+      out.zip(payloads).zipWithIndex.foreach { case ((r, pl), i) =>
+        assert(r.getString(1) == s"http://p/$i", s"seed $seed rec $i uri")
+        assert(new String(r.getAs[Array[Byte]]("payload"), latin1) == pl,
+          s"seed $seed rec $i payload")
+      }
+    }
+  }
 }
