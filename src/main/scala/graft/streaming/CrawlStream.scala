@@ -826,16 +826,40 @@ object CrawlStream {
     q.awaitTermination()
     val drained = spark.table(name) // resolve before publish (race note above)
     superseded(spark, queryName, name)
-    // ONE delta for both kinds: fetched pages AND scheduled frontier
-    // URLs are equally "seen" to every later drain
-    val delta = drained.select(md5(col("url")).as("url_digest")).distinct()
-    ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
-      publishVersion)
+    publishCycleDeltas(drained, root, corpusKey, publishVersion)
     drained
   }
 
+  /** The cycle loop's per-drain publishes: fetched digests →
+    * `fetched_seen` (the re-ship gate); ALL emitted digests →
+    * `frontier_seen` (nothing scheduled twice, nothing fetched ever
+    * re-scheduled). */
+  private def publishCycleDeltas(drained: DataFrame, root: String,
+                                 corpusKey: String,
+                                 publishVersion: String): Unit = {
+    import graft.sources.ArtifactStore
+    ArtifactStore.save(
+      drained.filter(col("kind") === "fetched")
+        .select(md5(col("url")).as("url_digest")).distinct(),
+      root, "fetched_seen", corpusKey, publishVersion)
+    ArtifactStore.save(
+      drained.select(md5(col("url")).as("url_digest")).distinct(),
+      root, "frontier_seen", corpusKey, publishVersion)
+  }
+
   /** The cycle loop's unsunk plan (the [[drainCrawlLoopExpand]]
-    * pipeline up to the sink). */
+    * pipeline up to the sink).
+    *
+    * TWO state kinds, because "scheduled" and "fetched" are different
+    * facts (the convergence spec found the conflation: a single
+    * shared state dropped the loop's OWN scheduled pages when the
+    * fetcher shipped them back):
+    *  - `fetched_seen` (fetched pages only) gates the FETCHED branch —
+    *    a re-shipped segment is a repeat; a scheduled page arriving
+    *    for the first time is the crawl working as designed;
+    *  - `frontier_seen` (scheduled OR fetched) gates the FRONTIER
+    *    branch — nothing is ever scheduled twice, and nothing already
+    *    fetched is re-scheduled. */
   private def cycleLoopPlan(spark: SparkSession, warcDir: String,
                             robots: DataFrame, blocklist: DataFrame,
                             delays: DataFrame,
@@ -850,24 +874,26 @@ object CrawlStream {
         s"one (got load=$loadVersion publish=$publishVersion)")
     val policy = UrlNormalize
       .robotsPolicy(robots, "domain", "robots_txt", agent).localCheckpoint()
-    val seen = ArtifactStore
-      .loadUpTo(spark, root, "frontier_seen", corpusKey, loadVersion)
+    def loadSeen(kind: String): DataFrame = ArtifactStore
+      .loadUpTo(spark, root, kind, corpusKey, loadVersion)
       .map(_.select(col("url_digest")))
       .getOrElse(spark.range(0).select(lit("").as("url_digest")))
+    val seenFetched = loadSeen("fetched_seen")
+    val seenFrontier = loadSeen("frontier_seen")
     val reader = spark.readStream.schema("file_id BIGINT, content BINARY")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val pages = gatedPages(reader.parquet(warcDir), policy, blocklist,
       gz = true)
     val fetched = pages
       .withColumn("url_digest", md5(col("url")))
-      .join(seen, Seq("url_digest"), "left_anti") // recrawl gate
+      .join(seenFetched, Seq("url_digest"), "left_anti") // re-ship gate
       .dropDuplicates("url_digest")               // within-drain repeats
       .select(lit("fetched").as("kind"), col("url"),
         UrlNormalize.hostOf(col("url")).as("host"),
         lit(null).cast("long").as("indegree"),
         lit(null).cast("int").as("slot_idx"),
         lit(null).cast("double").as("fetch_at_s"))
-    val frontier = expandFrontierStream(pages, "url", "html", seen,
+    val frontier = expandFrontierStream(pages, "url", "html", seenFrontier,
         delays, defaultDelaySecs = defaultDelaySecs)
       .select(lit("frontier").as("kind"), col("url"), col("host"),
         col("indegree"), col("slot_idx"), col("fetch_at_s"))
@@ -908,12 +934,9 @@ object CrawlStream {
     q.awaitTermination()
     val after = committedSinkFiles(spark, sinkDir)
     val newFiles = (after -- before).toSeq.sorted
-    if (newFiles.nonEmpty) {
-      val delta = spark.read.parquet(newFiles: _*)
-        .select(md5(col("url")).as("url_digest")).distinct()
-      ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
-        publishVersion)
-    }
+    if (newFiles.nonEmpty)
+      publishCycleDeltas(spark.read.parquet(newFiles: _*), root,
+        corpusKey, publishVersion)
     if (after.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         out.schema)

@@ -679,6 +679,86 @@ class StreamingSinkSpec extends SparkTestBase {
       .count() == 2, "delta = page 21 + t.example/c only")
   }
 
+  test("the cycle CONVERGES: a finite planted site is crawled to exhaustion " +
+      "through repeated drains — every reachable page fetched exactly once, " +
+      "the final wave quiescent") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.Warc
+    val root = Files.createTempDirectory("conv_store").toString
+    val base = Files.createTempDirectory("conv")
+    val (warcDir, sinkDir, ckpt) = (s"$base/in", s"$base/sink", s"$base/ckpt")
+    val robots = Seq(("site0.example",
+      "User-agent: *\nDisallow: /private\n")).toDF("domain", "robots_txt")
+    val blocklist = Seq(("none.example", "ads")).toDF("domain", "category")
+    val delays = spark.emptyDataset[(String, Double)]
+      .toDF("domain", "crawl_delay")
+    // a finite 3-level site on site0.example (synthesizeWarcGz keys
+    // URI by doc_id: page/{id}; ids ≡ 0 mod 7 stay on site0 — id 0
+    // itself avoided: it always trips the id%corruptEvery==0 CRC
+    // plant): back- and cross-links must all die at the anti gate
+    // once their targets are fetched
+    //   page/7  -> page/14, page/21
+    //   page/14 -> page/28, page/7  (backlink)
+    //   page/21 -> page/28, page/14 (cross)
+    //   page/28 -> page/7           (leaf pointing at the root)
+    val site: Map[Long, Seq[Long]] = Map(
+      7L -> Seq(14L, 21L), 14L -> Seq(28L, 7L), 21L -> Seq(28L, 14L),
+      28L -> Seq(7L))
+    def body(id: Long): String =
+      "<html><body>" + site(id).map(t =>
+        s"""<a href="http://site0.example/page/$t">t</a>""").mkString +
+        "</body></html>"
+    def ship(ids: Seq[Long]): Unit =
+      Warc.synthesizeWarcGz(
+          ids.map(i => (i, body(i))).toDF("doc_id", "text"),
+          corruptEvery = 1000000)
+        .coalesce(1).write.mode("append").parquet(warcDir)
+    var v = 1
+    def drain(): Array[org.apache.spark.sql.Row] = {
+      val out = CrawlStream.drainCrawlLoopExpandDurable(spark, warcDir,
+        robots, blocklist, delays, root, "conv",
+        f"v$v%04d", f"v${v + 1}%04d", sinkDir, ckpt).collect()
+      v += 1
+      out
+    }
+    def urlOf(id: Long) = s"http://site0.example/page/$id"
+    // the crawl: each wave fetches exactly what the previous wave's
+    // frontier scheduled, starting from the seed page 7
+    var toFetch = Seq(7L)
+    var fetchedEver = Set.empty[Long]
+    var waves = 0
+    while (toFetch.nonEmpty && waves < 10) {
+      ship(toFetch)
+      fetchedEver ++= toFetch
+      val out = drain() // the ACCUMULATED sink: history + this wave
+      val frontierRows = out.filter(_.getString(0) == "frontier")
+        .map(_.getString(1))
+      val fetched = out.filter(_.getString(0) == "fetched")
+        .map(_.getString(1)).toSet
+      assert(fetched == fetchedEver.map(urlOf),
+        s"wave $waves: sink must hold every fetched page exactly once")
+      // no URL is ever SCHEDULED twice across the whole crawl — the
+      // discovery state + seen deltas close every re-discovery path
+      assert(frontierRows.length == frontierRows.distinct.length,
+        s"wave $waves: a url was scheduled twice: ${frontierRows.toSeq}")
+      // next wave = scheduled targets not yet fetched
+      toFetch = site.keys.toSeq.sorted
+        .filter(id => frontierRows.contains(urlOf(id)) && !fetchedEver(id))
+      waves += 1
+    }
+    assert(fetchedEver == site.keySet,
+      s"the crawl must reach every page: $fetchedEver")
+    assert(waves == 3, s"7 -> {14,21} -> {28} is a 3-wave crawl: $waves")
+    // the quiescent wave: nothing new arrives, nothing emits — the
+    // accumulated sink is exactly 4 fetched + 3 frontier rows
+    // (14, 21, 28 were each scheduled once; 7 was the seed)
+    val stable = drain()
+    assert(stable.length == 7,
+      s"quiescent drain must not grow the sink: ${stable.toSeq}")
+  }
+
   test("durable cycle loop: resume processes only new segments; discovery " +
       "state and politeness counters survive; per-call delta ∝ this drain") {
     import spark.implicits._
