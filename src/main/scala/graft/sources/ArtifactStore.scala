@@ -196,31 +196,31 @@ object ArtifactStore {
     * are listed or read). This is the accumulating-state counterpart
     * of [[load]]: a kind whose publishers append per-run DELTAS
     * (e.g. a crawl frontier's newly-seen digests) reads its full
-    * state without any run ever rewriting history. None ONLY when the
-    * corpus has never published at all (the legitimate first run). A
-    * corpus that HAS versions but none ≤ `upTo` is a reader pinned
-    * below compacted/retired state — e.g. a drain still passing its
-    * last publish after a compact folded it away — and returning None
-    * there would silently read the state as empty and re-emit the
-    * whole frontier; it fails loudly instead (the [[compact]]
-    * stale-pin contract). */
+    * state without any run ever rewriting history. None when no
+    * version sorts ≤ `upTo` — the state AS OF the pin is legitimately
+    * empty (a first run, or an idempotent re-run pinned before its
+    * own later publishes). The ONE case that must not read as empty:
+    * a pin below a COMPACTION floor — the versions it names were
+    * folded into a later snapshot, and a frontier drain silently
+    * reading that as first-run state would re-emit everything; it
+    * fails loudly instead (the permanent `_compact_into_` marker is
+    * the durable history record that makes the two cases
+    * distinguishable). */
   def loadUpTo(spark: SparkSession, root: String, kind: String,
                corpusKey: String, upTo: String): Option[DataFrame] = {
     requireVersion(upTo)
     val k = normKey(corpusKey)
+    val floor = compactFloor(spark, root, kind, corpusKey)
+    floor.foreach(f => require(upTo >= f,
+      s"pin upTo=$upTo predates the compaction floor $f of kind=$kind " +
+        s"corpus_key=$k — the state it names was folded into $f; " +
+        "re-pin at a live version"))
     val vs = listVersions(spark, root, kind, corpusKey)
-    if (vs.isEmpty) None
+    if (!vs.exists(_ <= upTo)) None
     else {
-      require(vs.exists(_ <= upTo),
-        s"pin upTo=$upTo predates the earliest live version ${vs.head} of " +
-          s"kind=$kind corpus_key=$k — the state it names was retired " +
-          "(compacted or pruned); re-pin at a live version")
       // the floor also excludes retired directories a crashed compact
       // left behind: without it the union would double-count them
-      val floored = compactFloor(spark, root, kind, corpusKey) match {
-        case Some(f) => col("version") >= f
-        case None => lit(true)
-      }
+      val floored = floor.map(f => col("version") >= f).getOrElse(lit(true))
       Some(spark.read.parquet(kindPath(root, kind))
         .filter(col("corpus_key") === k && col("version") <= upTo && floored)
         .drop("corpus_key", "version"))
@@ -276,7 +276,12 @@ object ArtifactStore {
       val p = partitionPath(root, kind, corpusKey, v)
       fsOf(spark, p).delete(p, true)
     }
-    fs.delete(marker, false)
+    // the marker is PERMANENT — it is the durable record that versions
+    // below `into` once existed and were folded away, which is what
+    // lets loadUpTo fail loudly on a compaction-retired pin while
+    // still returning empty-as-of-pin for pins that simply predate a
+    // corpus's publishes (idempotent re-runs). One empty file per
+    // compaction; a later compact's higher marker supersedes it.
     retired
   }
 

@@ -280,12 +280,18 @@ class ArtifactStoreSpec extends SparkTestBase {
     val ex = intercept[IllegalArgumentException] {
       ArtifactStore.loadUpTo(spark, root, "deltas", "c", "v0002")
     }
-    assert(ex.getMessage.contains("retired"))
+    assert(ex.getMessage.contains("folded into"))
     // live pin still reads the full state; never-published corpus is
     // still the legitimate first-run None
     assert(ArtifactStore.loadUpTo(spark, root, "deltas", "c", "v0003").get
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
     assert(ArtifactStore.loadUpTo(spark, root, "deltas", "never", "v9").isEmpty)
+    // a pin below a corpus's publishes WITHOUT compaction history is
+    // the legitimate empty-as-of-pin case (idempotent re-runs pin
+    // their own first version before their own later publishes)
+    ArtifactStore.save(Seq(9).toDF("x"), root, "deltas", "fresh", "v0005")
+    assert(ArtifactStore.loadUpTo(spark, root, "deltas", "fresh", "v0004")
+      .isEmpty)
   }
 
   test("compact crash mid-delete: readers never double-count; re-run resumes") {
@@ -314,7 +320,9 @@ class ArtifactStoreSpec extends SparkTestBase {
     // deletes, removes the marker, returns the retired versions
     assert(ArtifactStore.compact(spark, root, "deltas", "c", "v0003")
       == Seq("v0001", "v0002"))
-    assert(!java.nio.file.Files.exists(marker))
+    // the marker is PERMANENT: it is the durable floor record that
+    // lets a compaction-retired pin fail loudly forever after
+    assert(java.nio.file.Files.exists(marker))
     assert(!java.nio.file.Files.exists(corpusDir.resolve("version=v0001")))
     assert(ArtifactStore.loadUpTo(spark, root, "deltas", "c", "v0003").get
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
