@@ -297,14 +297,37 @@ object Dedup {
     * broadcast anti, where the window form shuffled AND SORTED the
     * full banded row stream before the self-join re-used the
     * exchange. Kept rows are EXACTLY those in buckets with count ≤
-    * maxBucket — the oracles' HAVING replay is untouched. */
+    * maxBucket — the oracles' HAVING replay is untouched.
+    *
+    * The anti side is broadcast ONLY while it is broadcast-SIZED: the
+    * over-cap list is bounded by rows/maxBucket, which on a
+    * flood-heavy corpus (1e10 banded rows / cap 1e3 = 1e7+ keys) can
+    * blow the 8 GB broadcast hard limit — and an explicit hint
+    * bypasses the planner's own size check, so the hinted form FAILS
+    * a job the shuffled anti handles gracefully. The census is
+    * materialized first (it feeds the count AND the probe — one
+    * aggregate, not two), the count picks the strategy, and past
+    * [[CapBroadcastMaxKeys]] keys the join falls back to a plain
+    * shuffled left_anti (both sides hash-partition on the bucket key;
+    * the probe side re-shuffles rows it would have streamed, the
+    * price of not dying). */
   private[operators] def capBuckets(df: DataFrame, keys: Seq[String],
                                     maxBucket: Int): DataFrame = {
     val over = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
       .select(keys.map(col): _*)
-    df.join(broadcast(over), keys, "left_anti")
+      .localCheckpoint(true)
+    val anti =
+      if (over.count() <= CapBroadcastMaxKeys) broadcast(over) else over
+    df.join(anti, keys, "left_anti")
   }
+
+  /** Over-cap key-list size above which [[capBuckets]] stops hinting a
+    * broadcast anti: ~1e6 keys of (band, 32-char sig) build a
+    * hashed relation in the low hundreds of MB — comfortably inside
+    * the driver and the 8 GB broadcast ceiling; an order of magnitude
+    * more is not. */
+  private[operators] val CapBroadcastMaxKeys = 1000000L
 
   /** SimHash signature width and banding. 60 bits is the widest
     * signature the portable hash backend supports ([[hash60]] — a

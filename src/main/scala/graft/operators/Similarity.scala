@@ -773,10 +773,14 @@ object Similarity {
           (id, t, bucket)
         }
       }).toDF("__ids", "t", "bucket")
-    // capped frame materialized once: both self-join sides consume
-    // it, and each would otherwise re-run the bucket kernel + census
-    // (the Dedup.minhashCandidatePairs duplicated-census lesson)
-    val kept = graft.operators.Dedup.capBuckets(wb, Seq("t", "bucket"),
+    // the bucket frame is materialized BEFORE capBuckets — its census
+    // and its anti probe both consume wb, and unmaterialized the
+    // typed kernel above runs twice (the duplicated-census cost the
+    // Dedup.minhashCandidatePairs call sites checkpoint `banded` to
+    // avoid); the capped frame is then materialized too, for the two
+    // self-join sides below
+    val kept = graft.operators.Dedup.capBuckets(
+        wb.localCheckpoint(true), Seq("t", "bucket"),
       maxBucket).localCheckpoint(true)
     val a = kept.select(col("t"), col("bucket"), col("__ids").as("id_a"))
     val bb = kept.select(col("t"), col("bucket"), col("__ids").as("id_b"))

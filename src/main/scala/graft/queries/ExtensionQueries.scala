@@ -572,16 +572,21 @@ object ExtensionQueries {
     }),
 
     // the cycle's STREAMING twin: the same wave-1 pages arrive as a
-    // pinned-order file stream in FOUR blocks at any sf (block size
-    // B = 40·ceil(N/160) — a multiple of both link-group sizes, so
-    // every target's sources share one batch and the per-URL
-    // discovery state emits each target exactly once at its full
-    // indegree; a FIXED doc-count block was measured drain-latency-
-    // bound at sf0.1 — 25 triggers × ~1.2 s = a 31.7 s bench cell for
-    // a 2 s computation); per-host slots CONTINUE across batches, so
-    // the closed form is the batch window refined by arrival block:
-    // (block, indegree DESC, hash, url), with B replayed by the
-    // oracle as a CTE off count(*).
+    // pinned-order file stream in FOUR blocks at any sf. Blocks are
+    // cut on the DENSE RANK of doc_id, not doc_id itself — scaled
+    // fixture dirs stride ids ≥1e6 apart per copy, so `doc_id / B`
+    // degrades to ~one block per copy (~100 triggers at 100×, the
+    // drain-latency-bound shape the sizing exists to cap); rank/B is
+    // 4 blocks at ANY id spacing. Block size B = 40·ceil(N/160) — a
+    // multiple of both link-group sizes, and copies stride in
+    // 40-multiples, so every target's sources still share one batch
+    // and the per-URL discovery state emits each target exactly once
+    // at its full indegree (a FIXED doc-count block was measured
+    // drain-latency-bound at sf0.1 — 25 triggers × ~1.2 s = a 31.7 s
+    // bench cell for a 2 s computation); per-host slots CONTINUE
+    // across batches, so the closed form is the batch window refined
+    // by arrival block: (block, indegree DESC, hash, url), with B and
+    // the rank replayed by the oracle as CTEs.
     "q191_frontier_expand_stream" -> ((s, dir) => {
       import graft.sources.ArtifactStore
       val d = Tables.load(s, dir, "documents")
@@ -591,9 +596,11 @@ object ExtensionQueries {
       // the same pinned arrival blocks instead of re-writing them
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesDir))) {
         val bsz = 40L * math.max(1L, math.ceil(d.count() / 160.0).toLong)
+        val rk = row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))) - 1 // fixture-sized single-window write
         graft.streaming.CrawlStream.writeArrivalBatches(
           d.select(cycleSrcUrl.as("url"), cyclePageHtml.as("html"),
-            (col("doc_id") / bsz).cast("long").as("bseq")),
+            (rk / bsz).cast("long").as("bseq")),
           "bseq", pagesDir)
       }
       val key = dir + "#cycles"
@@ -1205,26 +1212,33 @@ object ExtensionQueries {
          |FROM r""".stripMargin
     },
     // streaming twin: the batch window refined by arrival block —
-    // four blocks of B = 40*ceil(N/160) docs, so item t arrives in
-    // block (4t)//B and hub g in block (40g)//B; slots continue
-    // across blocks per host
+    // four blocks of B = 40*ceil(N/160) docs cut on the DENSE RANK of
+    // doc_id (id-stride-proof; at dense ids rank = doc_id and this is
+    // the old (4t)//B / (40g)//B form), so a target arrives in the
+    // block of its first source, min(rk)//B; slots continue across
+    // blocks per host
     "q191_frontier_expand_stream" -> {
       val order = graft.functions.PortableHash.hash60Sql("url")
       s"""WITH c AS (SELECT 40 * CAST(ceil(count(*) / 160.0) AS BIGINT)
          |    AS bsz FROM documents),
+         |d AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY doc_id) - 1 AS rk
+         |  FROM documents),
          |items AS (
-         |  SELECT doc_id // 4 AS t, count(*) AS indegree
-         |  FROM documents GROUP BY 1),
+         |  SELECT doc_id // 4 AS t, count(*) AS indegree,
+         |    min(rk) AS rk0
+         |  FROM d GROUP BY 1),
          |hubs AS (
-         |  SELECT doc_id // 40 AS g, count(*) AS indegree
-         |  FROM documents GROUP BY 1),
+         |  SELECT doc_id // 40 AS g, count(*) AS indegree,
+         |    min(rk) AS rk0
+         |  FROM d GROUP BY 1),
          |u AS (
          |  SELECT 'http://news' || (t % 5) || '.example/item/' || t AS url,
          |    'news' || (t % 5) || '.example' AS host,
-         |    t % 5 AS k, (4 * t) // bsz AS b, indegree FROM items, c
+         |    t % 5 AS k, rk0 // bsz AS b, indegree FROM items, c
          |  UNION ALL
          |  SELECT 'http://news' || (g % 5) || '.example/hub/' || g,
-         |    'news' || (g % 5) || '.example', g % 5, (40 * g) // bsz,
+         |    'news' || (g % 5) || '.example', g % 5, rk0 // bsz,
          |    indegree
          |  FROM hubs, c),
          |r AS (SELECT *, row_number() OVER (PARTITION BY host

@@ -512,6 +512,51 @@ object CrawlStream {
       metaDir.toString).allFiles().map(_.path).toSet
   }
 
+  /** Artifact kind recording WHICH sink files each publish covered —
+    * the durable watermark the per-call delta diffs against. An
+    * in-memory pre-drain snapshot of the manifest is NOT that
+    * watermark: a crash in the window between the sink's batch commit
+    * and the `ArtifactStore.save` leaves the committed files in the
+    * manifest but their digests unpublished, and the retry's snapshot
+    * would already contain them — `newFiles` comes back empty and
+    * those URLs never reach the seen state under ANY version (only
+    * the checkpoint's discovery state masked it; rebuild the
+    * checkpoint and the pages re-fetch and re-schedule). Diffing
+    * against the files recorded WITH the publishes makes the retry
+    * self-healing: unrecorded committed files are re-diffed as new,
+    * and the worst case of a crash between the digest save and the
+    * file-watermark save is a RE-publish of the same digests —
+    * absorbed by the seen state's set semantics (the anti gate, and
+    * [[ArtifactStore.save]]'s idempotent same-version overwrite). */
+  private val PublishedFilesKind = "published_sink_files"
+
+  /** Sink files already covered by a publish ≤ `upTo` — rows of the
+    * [[PublishedFilesKind]] artifact, collected driver-side (path
+    * strings, file-count-sized: the same order as the manifest parse
+    * in [[committedSinkFiles]]). */
+  private def publishedSinkFiles(spark: SparkSession, root: String,
+                                 corpusKey: String,
+                                 upTo: String): Set[String] = {
+    import graft.sources.ArtifactStore
+    ArtifactStore.loadUpTo(spark, root, PublishedFilesKind, corpusKey, upTo)
+      .map(_.select(col("path")).as[String](
+        org.apache.spark.sql.Encoders.STRING).collect().toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** Record `files` as covered by the publish at `version` — saved
+    * AFTER the digest deltas (see [[PublishedFilesKind]]'s crash
+    * ordering argument). */
+  private def recordPublishedFiles(spark: SparkSession, files: Seq[String],
+                                   root: String, corpusKey: String,
+                                   version: String): Unit = {
+    import graft.sources.ArtifactStore
+    ArtifactStore.save(
+      spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("path"),
+      root, PublishedFilesKind, corpusKey, version)
+  }
+
   /** DURABLE form of [[drainCrawlLoop]]: parquet sink + explicit
     * checkpoint, the shape a real crawl RUNS AS (a memory sink cannot
     * recover, so the plain drains start every call from scratch). A
@@ -521,10 +566,15 @@ object CrawlStream {
     * issued slots never renumber, the contract a fetcher fleet
     * holding last drain's slots depends on.
     *
-    * The seen-state delta for THIS call is derived from ONLY the sink
-    * files this drain committed (manifest diff around the drain —
-    * [[committedSinkFiles]]): per-call publish cost is ∝ new pages,
-    * never the accumulated sink. The previous design re-read and
+    * The seen-state delta for THIS call is the manifest's committed
+    * files MINUS the files already covered by a recorded publish
+    * ([[PublishedFilesKind]] — the durable watermark, loaded at
+    * `loadVersion` and re-recorded at `publishVersion` with each
+    * publish): per-call publish cost is ∝ new pages, never the
+    * accumulated sink, and a crash anywhere between the sink commit
+    * and the publishes heals on retry (the in-memory pre-drain
+    * snapshot this replaces silently dropped those digests — see the
+    * kind's scaladoc). The original design re-read and
     * distinct-digested the FULL sink every call — the same
     * O(total-ever) per-call shape the delta protocol exists to
     * remove, reintroduced at the sink — and threw outright on a
@@ -546,7 +596,7 @@ object CrawlStream {
     val out = crawlLoopPlan(spark, reader.parquet(warcDir), robots,
       blocklist, priorities, root, corpusKey, loadVersion, publishVersion,
       agent, defaultDelaySecs)
-    val before = committedSinkFiles(spark, sinkDir)
+    val before = publishedSinkFiles(spark, root, corpusKey, loadVersion)
     val q = out.writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", checkpointDir)
@@ -563,6 +613,7 @@ object CrawlStream {
         .select(md5(col("url")).as("url_digest")).distinct()
       ArtifactStore.save(delta, root, "frontier_seen", corpusKey,
         publishVersion)
+      recordPublishedFiles(spark, newFiles, root, corpusKey, publishVersion)
     }
     if (after.isEmpty) // zero batches ever committed: nothing to read
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -909,8 +960,10 @@ object CrawlStream {
     * and the per-URL discovery state SURVIVE the restart (issued
     * slots never renumber; a target discovered last month is never
     * re-scheduled), and the per-call seen-delta is derived from ONLY
-    * this drain's committed files (the [[drainCrawlLoopDurable]]
-    * manifest-diff discipline — publish cost ∝ this drain's rows,
+    * the committed sink files no recorded publish covers yet (the
+    * [[drainCrawlLoopDurable]] watermark-diff discipline, crash-
+    * healing per [[PublishedFilesKind]] — publish cost ∝ this drain's
+    * rows,
     * zero-admission drains publish nothing and return the sink's
     * accumulated contents, possibly empty). */
   def drainCrawlLoopExpandDurable(spark: SparkSession, warcDir: String,
@@ -926,7 +979,7 @@ object CrawlStream {
     val out = cycleLoopPlan(spark, warcDir, robots, blocklist, delays,
       root, corpusKey, loadVersion, publishVersion, agent,
       maxFilesPerTrigger, defaultDelaySecs)
-    val before = committedSinkFiles(spark, sinkDir)
+    val before = publishedSinkFiles(spark, root, corpusKey, loadVersion)
     val q = out.writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", checkpointDir)
@@ -934,9 +987,11 @@ object CrawlStream {
     q.awaitTermination()
     val after = committedSinkFiles(spark, sinkDir)
     val newFiles = (after -- before).toSeq.sorted
-    if (newFiles.nonEmpty)
+    if (newFiles.nonEmpty) {
       publishCycleDeltas(spark.read.parquet(newFiles: _*), root,
         corpusKey, publishVersion)
+      recordPublishedFiles(spark, newFiles, root, corpusKey, publishVersion)
+    }
     if (after.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         out.schema)

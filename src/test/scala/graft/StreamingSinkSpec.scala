@@ -868,6 +868,63 @@ class StreamingSinkSpec extends SparkTestBase {
       .get.collect().map(_.getString(0)).toSet == dig(7L, 14L, 21L, 28L, 35L))
   }
 
+  test("durable loop crash window: a drain that commits its sink but dies " +
+      "before publishing heals on retry (watermark diff, not an in-memory " +
+      "manifest snapshot)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.CrawlStream
+    import graft.sources.{ArtifactStore, Warc}
+    val root = Files.createTempDirectory("crash_store").toString
+    val base = Files.createTempDirectory("crash")
+    val (warcDir, sinkDir, ckpt) = (s"$base/in", s"$base/sink", s"$base/ckpt")
+    val robots = Seq(("site0.example",
+      "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"))
+      .toDF("domain", "robots_txt")
+    val blocklist = Seq(("none.example", "ads")).toDF("domain", "category")
+    val prios = spark.emptyDataset[(String, Double)].toDF("url", "priority")
+    def drain(lo: String, hi: String) =
+      CrawlStream.drainCrawlLoopDurable(spark, warcDir, robots, blocklist,
+        prios, root, "crashk", lo, hi, sinkDir, ckpt)
+    def ship(ids: Long*): Unit =
+      Warc.synthesizeWarcGz(
+          ids.toDF("doc_id").select(col("doc_id"),
+            concat(lit("<html><body><p>page "), col("doc_id").cast("string"),
+              lit("</p></body></html>")).as("text")),
+          corruptEvery = 1000000)
+        .coalesce(1).write.mode("append").parquet(warcDir)
+    ship(7L, 14L)
+    assert(drain("v0001", "v0002").count() == 2)
+    // simulate the crash WINDOW: the sink batch committed (manifest +
+    // checkpoint intact) but the process died before either publish
+    // landed — erase exactly what the publish step wrote
+    for (kind <- Seq("frontier_seen", "published_sink_files")) {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$root/$kind/corpus_key=${ArtifactStore.normKey("crashk")}" +
+          "/version=v0002")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(p, true), s"fixture must have existed: $p")
+    }
+    // the RETRY: same versions, no new input. The stream is a
+    // checkpointed no-op (no new sink files), so a diff against a
+    // pre-drain manifest snapshot comes back empty and the digests
+    // are lost under every version; the durable watermark diff
+    // re-covers the orphaned files and re-publishes
+    val w = drain("v0001", "v0002")
+    assert(w.count() == 2, "retry must return the committed sink")
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "crashk", "v0002")
+        .collect().map(_.getString(0)).toSet ==
+      Seq(7L, 14L).map(i => s"http://site${i % 7}.example/page/$i").toDF("u")
+        .select(md5(col("u"))).collect().map(_.getString(0)).toSet,
+      "the crashed drain's digests must be published on retry")
+    // and the heal is not an over-publish treadmill: the next wave's
+    // delta still carries only its own new page
+    ship(21L)
+    assert(drain("v0002", "v0003").count() == 3)
+    assert(ArtifactStore.load(spark, root, "frontier_seen", "crashk", "v0003")
+      .count() == 1, "post-heal delta must hold only the new page")
+  }
+
   test("frontier recrawl gate: a drained URL is never re-emitted across " +
       "drains; the published state accumulates both waves") {
     import spark.implicits._
