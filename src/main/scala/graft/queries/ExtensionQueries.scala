@@ -202,6 +202,86 @@ object ExtensionQueries {
           col("target_uri"), col("warc_date"), col("content_length"),
           decode(col("payload"), "ISO-8859-1").as("payload_text"))),
 
+    // HTTP ENVELOPE split (Warc.httpResponses) over segments whose
+    // response records carry the payload layer real Common Crawl
+    // ships (`application/http; msgtype=response`): status line
+    // parsed, the HTTP Content-Type split into media type + charset
+    // param, body = the entity bytes after the blank line — WITHOUT
+    // this rung the status line and headers enter text extraction as
+    // prose and 301/404/503 stubs pass as documents (the round-16
+    // verdict's first fidelity gap). Status/mime/charset/body are
+    // closed forms of doc_id (synthesizeWarcGzHttpSegment's
+    // planting), so the oracle replays the planting.
+    "q197_http_envelope" -> ((s, dir) =>
+      graft.sources.Warc.httpResponses(
+          graft.sources.Warc.gzRecords(
+            graft.sources.Warc.synthesizeWarcGzHttpSegment(
+              Tables.load(s, dir, "documents"), recordsPerFile = 100)))
+        .filter(col("rec_type") === "response")
+        .select(col("target_uri").as("url"), col("http_status"),
+          col("mime"), col("http_charset").as("charset"),
+          decode(col("body"), "ISO-8859-1").as("body_text"))),
+
+    // the q149/q173 crawl gate over ENVELOPED segments end-to-end:
+    // member walk → envelope split → status-200 + html-mime gate →
+    // robots gate → category gate → charset-decoded text extraction
+    // → delay join. The q149 survivor set shrinks by the envelope
+    // plants (404/301/503 by doc_id%10; text/plain by doc_id%11) and
+    // the clean-text closed form carries over — redirects and error
+    // stubs die BEFORE any broadcast join runs.
+    "q198_http_gate" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val policy = graft.operators.UrlNormalize
+        .robotsPolicy(crawlRobots(d), "domain", "robots_txt", "graftbot")
+        .localCheckpoint()
+      graft.streaming.CrawlStream.gatedRecords(
+        graft.sources.Warc.synthesizeWarcGzHttpSegment(
+          d.select(col("doc_id"), crawlPageHtml.as("text")),
+          recordsPerFile = 100),
+        policy, crawlBlocklist(s), gz = true)
+    }),
+
+    // CHARSET sniff + per-row decode (operators/Charsets +
+    // graftext.CharsetDecode): a fifth of the corpus each in
+    // windows-1251 / Shift_JIS / GBK / windows-1252-bytes-labeled-
+    // latin1 / UTF-8, declared through the three real channels (HTTP
+    // `charset=` param, `<meta charset>`, `<meta http-equiv>`) or not
+    // at all — the engine sniffs the label (WHATWG priority:
+    // transport, then the 1024-byte meta prescan, then UTF-8) and
+    // decodes the BYTES to identical UTF-8 text; the oracle replays
+    // the planted phrases as UTF-8 literals. A UTF-8-assuming reader
+    // mojibakes 3 of the 5 bands; a true-latin-1 reader gets the
+    // windows-1252 band's em dash wrong (the WHATWG remap is pinned
+    // in WarcSpec).
+    "q199_charset_decode" -> ((s, dir) => {
+      import s.implicits._
+      val enc = Tables.load(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val (cs, httpCs, phrase) = (id % 5) match {
+            case 0 => ("windows-1251", "windows-1251", s"Привет мир $id")
+            case 1 => ("Shift_JIS", "", s"こんにちは $id")
+            case 2 => ("GBK", "", s"你好世界 $id")
+            case 3 => ("windows-1252", "iso-8859-1", s"café señor $id")
+            case _ => ("UTF-8", "", s"naïve résumé $id")
+          }
+          val html = (id % 5) match {
+            case 1 => "<html><head><meta charset=\"shift_jis\"></head>" +
+              s"<body>$phrase</body></html>"
+            case 2 => "<html><head><meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=gbk\"></head>" +
+              s"<body>$phrase</body></html>"
+            case _ => s"<html><body>$phrase</body></html>"
+          }
+          (id, html.getBytes(java.nio.charset.Charset.forName(cs)), httpCs)
+        }.toDF("doc_id", "body", "http_cs")
+      val label = graft.operators.Charsets.sniff(col("http_cs"), col("body"))
+      enc.select(col("doc_id"), label.as("charset"),
+        graft.operators.Html.extractText(
+          graft.operators.Charsets.decodeCharset(col("body"), label))
+          .as("text"))
+    }),
+
     // the REAL-FILE path end-to-end: the q183 segment planting written
     // as ACTUAL .warc.gz files on disk (one file per segment, written
     // from the executors via java.nio — sound ONLY because this
@@ -1046,6 +1126,51 @@ object ExtensionQueries {
         |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id,
         |  wdate, CAST(length(text) AS BIGINT), text
         |FROM clean""".stripMargin,
+    // replays the enveloped-segment planting: status/mime/charset by
+    // doc_id band, body the constant stub or the doc text
+    "q197_http_envelope" ->
+      """SELECT
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+        |    AS url,
+        |  CAST(CASE doc_id % 10 WHEN 3 THEN 404 WHEN 7 THEN 301
+        |    WHEN 9 THEN 503 ELSE 200 END AS INTEGER) AS http_status,
+        |  CASE WHEN doc_id % 10 NOT IN (3, 7, 9) AND doc_id % 11 = 5
+        |    THEN 'text/plain' ELSE 'text/html' END AS mime,
+        |  CASE WHEN doc_id % 10 NOT IN (3, 7, 9) AND doc_id % 11 = 5
+        |    THEN '' ELSE 'utf-8' END AS charset,
+        |  CASE doc_id % 10
+        |    WHEN 3 THEN '<html><body>Not Found</body></html>'
+        |    WHEN 7 THEN '<html><body>Moved</body></html>'
+        |    WHEN 9 THEN '<html><body>Busy</body></html>'
+        |    ELSE text END AS body_text
+        |FROM documents""".stripMargin,
+    // the q173 gate form restricted by the envelope plants: non-200
+    // statuses (doc_id%10 in 3,7,9) and the text/plain band
+    // (doc_id%11=5) die at the envelope rung; robots kills site3,
+    // the blocklist site5 (doc_id%7)
+    "q198_http_gate" ->
+      """SELECT doc_id // 100 AS file_id,
+        |  'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+        |    AS url,
+        |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+        |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
+        |  ' tail <' || doc_id || '>' AS clean_text,
+        |  CASE WHEN (doc_id % 7) % 2 = 0
+        |    THEN CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay
+        |FROM documents
+        |WHERE doc_id % 10 NOT IN (3, 7, 9) AND doc_id % 11 <> 5
+        |  AND doc_id % 7 NOT IN (3, 5)""".stripMargin,
+    // replays the five-band charset planting as UTF-8 literals
+    "q199_charset_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'windows-1251'
+        |    WHEN 1 THEN 'shift_jis' WHEN 2 THEN 'gbk'
+        |    WHEN 3 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+        |  CASE doc_id % 5 WHEN 0 THEN 'Привет мир '
+        |    WHEN 1 THEN 'こんにちは ' WHEN 2 THEN '你好世界 '
+        |    WHEN 3 THEN 'café señor ' ELSE 'naïve résumé ' END
+        |    || doc_id AS text
+        |FROM documents""".stripMargin,
     "q185_warc_files" ->
       """WITH clean AS (SELECT doc_id, text, doc_id // 100 AS fid,
         |    CAST(row_number() OVER (PARTITION BY doc_id // 100

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** WARC (ISO 28500) record reader — Common Crawl's container format,
@@ -70,7 +70,7 @@ object Warc {
     * emission — pass 2). */
   private[graft] final case class RecMeta(recType: String, targetUri: String,
                                           warcDate: String, contentLength: Long,
-                                          off: Int)
+                                          contentType: String, off: Int)
 
   private val ClenRe =
     java.util.regex.Pattern.compile("(?im)^Content-Length: ([0-9]+)")
@@ -80,6 +80,9 @@ object Warc {
     java.util.regex.Pattern.compile("(?im)^WARC-Target-URI: ([^\r\n]*)")
   private val DateRe =
     java.util.regex.Pattern.compile("(?im)^WARC-Date: ([^\r\n]*)")
+  private val CtypeRe = // the WARC header's Content-Type, NOT HTTP's:
+    // `application/http; msgtype=response` marks an enveloped payload
+    java.util.regex.Pattern.compile("(?im)^Content-Type: ([^\r\n]*)")
 
   private def firstGroup(p: java.util.regex.Pattern, s: String): String = {
     val m = p.matcher(s)
@@ -135,7 +138,7 @@ object Warc {
       if (b(term) != '\r' || b(term + 1) != '\n' ||
         b(term + 2) != '\r' || b(term + 3) != '\n') return None
       recs += RecMeta(firstGroup(TypeRe, hdr), firstGroup(UriRe, hdr),
-        firstGroup(DateRe, hdr), clen, hend + 4)
+        firstGroup(DateRe, hdr), clen, firstGroup(CtypeRe, hdr), hend + 4)
       pos = term + 4
     }
     Some(recs.toIndexedSeq) // pos == b.length: exact tiling
@@ -164,6 +167,7 @@ object Warc {
       StructField("target_uri", StringType, nullable = true),
       StructField("warc_date", StringType, nullable = true),
       StructField("content_length", LongType, nullable = true),
+      StructField("content_type", StringType, nullable = true),
       StructField("payload", BinaryType, nullable = true)))
     files.mapPartitions { it =>
       it.flatMap { row =>
@@ -175,7 +179,7 @@ object Warc {
             val pass = passIdx.map(row.get)
             recs.iterator.zipWithIndex.map { case (r, i) =>
               Row.fromSeq((pass :+ i :+ r.recType :+ r.targetUri :+
-                r.warcDate :+ r.contentLength :+
+                r.warcDate :+ r.contentLength :+ r.contentType :+
                 java.util.Arrays.copyOfRange(bytes, r.off,
                   r.off + r.contentLength.toInt)).toSeq)
             }
@@ -392,7 +396,7 @@ object Warc {
       .drop("rec_idx")
       .select(col(idCol), col("member_idx").as("rec_idx"), col("rec_type"),
         col("target_uri"), col("warc_date"), col("content_length"),
-        col("payload"))
+        col("content_type"), col("payload"))
   }
 
   /** Gzip one member (RFC 1952; minimal header, FLG=0, zero MTIME so
@@ -576,5 +580,136 @@ object Warc {
       lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
     docs.select(col("doc_id").as("file_id"),
       encode(file, "ISO-8859-1").as("content"))
+  }
+
+  // ---------------------------------------------------------------
+  // HTTP response envelope (the payload layer INSIDE a response
+  // record)
+  // ---------------------------------------------------------------
+
+  /** True iff a record's WARC `Content-Type` declares an HTTP-message
+    * payload (`application/http; msgtype=response` — what every real
+    * Common Crawl response record carries). Bare-payload records (the
+    * synthetic plantings, WET-style conversions) read false and skip
+    * the envelope layer entirely. */
+  def isHttpPayload(warcContentType: Column): Column =
+    lower(warcContentType).startsWith("application/http")
+
+  /** Split an `application/http; msgtype=response` payload into its
+    * HTTP layers — the rung a real `.warc.gz` from the wild needs
+    * before ANY text extraction (without it the status line and
+    * response headers enter the corpus as prose, and 301/404/503
+    * bodies pass as documents):
+    *
+    * {{{ HTTP/1.1 200 OK\r\n <headers> \r\n\r\n <body bytes> }}}
+    *
+    * Appends to `recs` (any frame with `payloadCol` binary +
+    * `warcCtypeCol` string — [[records]]/[[gzRecords]] output):
+    *  - `http_status` INT — the status line's code; NULL when the
+    *    record is not enveloped OR the envelope is malformed (no
+    *    status line / no header terminator), so a status filter
+    *    (`http_status === 200`) kills broken envelopes with the
+    *    non-200s — the malformed-record contract at the HTTP layer;
+    *  - `mime` STRING — the media type of the HTTP `Content-Type`
+    *    header, lowercased, parameters stripped (`text/html`); NULL
+    *    for non-enveloped records, '' when the header is absent;
+    *  - `http_charset` STRING — the `charset=` parameter verbatim
+    *    (lowercased, quotes stripped), '' when absent, NULL for
+    *    non-enveloped records;
+    *  - `body` BINARY — the entity bytes after the blank line; for a
+    *    NON-enveloped record, the payload unchanged (so downstream
+    *    text extraction reads `body` regardless of transport era).
+    *
+    * All scalar codegen'd string ops riding the scan (the envelope
+    * header is decoded via the byte-transparent latin-1 map, the body
+    * re-encoded the same way — byte-lossless both directions, the
+    * [[records]] header discipline); no shuffle, no driver work. */
+  def httpResponses(recs: DataFrame, payloadCol: String = "payload",
+                    warcCtypeCol: String = "content_type"): DataFrame = {
+    val isHttp = isHttpPayload(col(warcCtypeCol))
+    val s = decode(col(payloadCol), "ISO-8859-1")
+    val sep = locate("\r\n\r\n", s) // 1-based; 0 = no header terminator
+    val statusStr =
+      regexp_extract(s, "^HTTP/1\\.[01] ([0-9]{3})", 1)
+    val status = when(sep > 0, nullif(statusStr, lit(""))).cast("int")
+    val headers = s.substr(lit(1), sep - 1)
+    val ctRaw = regexp_extract(headers,
+      "(?im)^Content-Type:[ \\t]*([^\r\n]*)", 1)
+    val mime = lower(trim(regexp_extract(ctRaw, "^([^;]*)", 1)))
+    val charset = lower(
+      regexp_extract(ctRaw, "(?i)charset[ \\t]*=[ \\t]*\"?([A-Za-z0-9._-]+)", 1))
+    val bodyHttp = encode(s.substr(sep + 4, lit(Int.MaxValue)),
+      "ISO-8859-1")
+    recs
+      .withColumn("http_status", when(isHttp, status))
+      .withColumn("mime", when(isHttp, mime))
+      .withColumn("http_charset", when(isHttp, charset))
+      .withColumn("body",
+        when(isHttp && col("http_status").isNotNull, bodyHttp)
+          .when(!isHttp, col(payloadCol)))
+  }
+
+  /** Synthetic SEGMENT-shaped `.warc.gz` files whose response records
+    * carry REAL HTTP envelopes — [[synthesizeWarcGzSegment]] with the
+    * payload layer Common Crawl actually ships
+    * (`Content-Type: application/http; msgtype=response` in the WARC
+    * header; status line + response headers + CRLF CRLF + entity in
+    * the payload). Closed-form status planting, all of `doc_id`:
+    *  - `doc_id % 10 == 3` → 404 with a constant not-found page;
+    *  - `doc_id % 10 == 7` → 301 with a `Location:` header to the
+    *    successor page and a constant moved stub;
+    *  - `doc_id % 10 == 9` → 503 with a constant busy page;
+    *  - otherwise 200 — body = the doc's `text`, and
+    *    `doc_id % 11 == 5` serves it as `text/plain` (the mime-gate
+    *    plant), else `text/html; charset=utf-8`.
+    * An html-document gate must therefore keep exactly
+    * `doc_id % 10 NOT IN (3,7,9) AND doc_id % 11 != 5`. */
+  def synthesizeWarcGzHttpSegment(docs: DataFrame,
+                                  recordsPerFile: Int): DataFrame = {
+    require(recordsPerFile >= 1, "a segment holds at least one record")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select((col("doc_id") / recordsPerFile).cast("long").as("fid"),
+        col("doc_id"), col("text"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (fid, it) =>
+        val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+        val docs = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        val info = s"software: graft-$fid\r\n"
+        out.write(gzipMember(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: " +
+          info.length + "\r\n\r\n" + info + "\r\n\r\n").getBytes(latin1)))
+        docs.foreach { case (id, text) =>
+          val date = f"2026-01-${id % 9 + 1}%02dT00:00:00Z"
+          val (status, reason, extra, bodyStr) = (id % 10) match {
+            case 3 => (404, "Not Found", "",
+              "<html><body>Not Found</body></html>")
+            case 7 => (301, "Moved Permanently",
+              s"Location: http://site${(id + 1) % 7}.example/page/${id + 1}\r\n",
+              "<html><body>Moved</body></html>")
+            case 9 => (503, "Service Unavailable", "",
+              "<html><body>Busy</body></html>")
+            case _ => (200, "OK", "", text)
+          }
+          val ctype =
+            if (status == 200 && id % 11 == 5) "text/plain"
+            else "text/html; charset=utf-8"
+          val body = bodyStr.getBytes(latin1)
+          val http = (s"HTTP/1.1 $status $reason\r\n" +
+            s"Content-Type: $ctype\r\n" + extra +
+            s"Content-Length: ${body.length}\r\nServer: graft\r\n\r\n")
+            .getBytes(latin1) ++ body
+          out.write(gzipMember((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://site${id % 7}.example/page/$id\r\n" +
+            s"WARC-Date: $date\r\n" +
+            "Content-Type: application/http; msgtype=response\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n")
+            .getBytes(latin1) ++ http ++ "\r\n\r\n".getBytes(latin1)))
+        }
+        (fid, out.toByteArray)
+      }
+      .toDF("file_id", "content")
   }
 }

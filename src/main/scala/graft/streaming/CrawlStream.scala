@@ -85,20 +85,48 @@ object CrawlStream {
   /** [[gatedRecords]] stopping BEFORE text extraction: the gated
     * records with their RAW page html — the form the link-extraction
     * rung of the composed cycle loop needs (extractText destroys the
-    * anchors). Output: (file_id, url, html, crawl_delay). */
+    * anchors). Output: (file_id, url, html, crawl_delay).
+    *
+    * TRANSPORT-FIDELITY rung (the envelope layer): a response record
+    * whose WARC `Content-Type` declares `application/http` — every
+    * real Common Crawl segment — is split by [[Warc.httpResponses]]
+    * BEFORE any gate: only `200` responses whose HTTP `Content-Type`
+    * is an html type (or absent) survive (redirects, errors, and
+    * `text/plain`/image/… payloads never reach text extraction — nor
+    * the broadcast joins: the status gate is the first filter on the
+    * scan), and the surviving entity bytes are decoded under the
+    * SNIFFED charset ([[Charsets.sniff]]: HTTP `charset=` param, then
+    * the in-document `<meta>` prescan, then UTF-8) — a windows-1251
+    * or Shift_JIS page yields real text, not mojibake. Bare-payload
+    * records (the synthetic plantings' transport) keep the historical
+    * byte-transparent latin-1 decode. */
   def gatedPages(files: DataFrame, policy: DataFrame,
                  blocklist: DataFrame,
                  maxSuffixDepth: Int = 6,
                  gz: Boolean = false): DataFrame = {
+    import graft.operators.Charsets
     // gz: the strict per-member walk runs as a typed map per file —
     // stateless, so it composes onto the streaming frame unchanged;
     // one row per member means micro-batch task memory is one
     // decompressed RECORD, not a whole segment (a broken member
     // erases its file from the micro-batch, the batch contract
     // carried onto the stream)
-    val recs = (if (gz) Warc.gzRecords(files) else Warc.records(files))
-      .filter(col("rec_type") === "response")
-      .select(col("file_id"), col("target_uri").as("url"), col("payload"))
+    val env = Warc.httpResponses(
+      (if (gz) Warc.gzRecords(files) else Warc.records(files))
+        .filter(col("rec_type") === "response"))
+    val isHttp = Warc.isHttpPayload(col("content_type"))
+    // malformed envelopes carry a NULL http_status, so the === 200
+    // comparison kills them with the non-200s (the broken-record
+    // contract at the HTTP layer)
+    val keepDoc = !isHttp ||
+      (col("http_status") === 200 &&
+        col("mime").isin("text/html", "application/xhtml+xml", ""))
+    val html = when(isHttp,
+        Charsets.decodeCharset(col("body"),
+          Charsets.sniff(col("http_charset"), col("body"))))
+      .otherwise(decode(col("payload"), "ISO-8859-1"))
+    val recs = env.filter(keepDoc)
+      .select(col("file_id"), col("target_uri").as("url"), html.as("html"))
       .withColumn("__dom", UrlNormalize.hostOf(col("url")))
       .withColumn("__path", UrlNormalize.pathOf(col("url")))
     val pol = broadcast(policy.select(col("domain").as("__dom"),
@@ -119,8 +147,7 @@ object CrawlStream {
         try_element_at(col("__sufs"), lit(i)) === col(s"__bld_$i"), "left")
     }.filter((1 to maxSuffixDepth).map(i => col(s"__bld_$i").isNull)
       .reduce(_ && _))
-    gated.select(col("file_id"), col("url"),
-      decode(col("payload"), "ISO-8859-1").as("html"),
+    gated.select(col("file_id"), col("url"), col("html"),
       col("crawl_delay"))
   }
 

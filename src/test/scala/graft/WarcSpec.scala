@@ -303,4 +303,145 @@ class WarcSpec extends SparkTestBase {
     assert(gzOut.select("file_id").distinct().collect().map(_.getLong(0)).toSet
       == Set(1L, 2L)) // 0 is the planted corrupt member
   }
+
+  // -- HTTP response envelope ------------------------------------
+
+  /** One single-record WARC file whose response payload is `http`
+    * (raw envelope bytes), WARC Content-Type `application/http;
+    * msgtype=response`. */
+  private def envFile(http: Array[Byte],
+                      uri: String = "http://e.example/p"): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(latin1) ++
+      http ++ "\r\n\r\n".getBytes(latin1)
+  }
+
+  private def httpBytes(status: String, headers: String,
+                        body: Array[Byte]): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    (status + "\r\n" + headers + "\r\n").getBytes(latin1) ++ body
+  }
+
+  test("http envelope: status/mime/charset split; body excludes the headers") {
+    import spark.implicits._
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val body = "<html><body>ok</body></html>".getBytes(latin1)
+    val f = envFile(httpBytes("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=UTF-8\r\nServer: x\r\n", body))
+    val out = Warc.httpResponses(
+        Warc.records(Seq((1L, f)).toDF("file_id", "content")))
+      .select(col("http_status"), col("mime"), col("http_charset"),
+        decode(col("body"), "ISO-8859-1").as("b")).collect()
+    assert(out.length == 1)
+    assert(out(0).getInt(0) == 200 && out(0).getString(1) == "text/html" &&
+      out(0).getString(2) == "utf-8" &&
+      out(0).getString(3) == "<html><body>ok</body></html>", s"${out(0)}")
+  }
+
+  test("http envelope: non-200, absent Content-Type, malformed status line, " +
+      "missing header terminator, bare payload passthrough") {
+    import spark.implicits._
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val rows = Seq(
+      1L -> envFile(httpBytes("HTTP/1.1 301 Moved Permanently",
+        "Location: http://e.example/q\r\n", "moved".getBytes(latin1))),
+      2L -> envFile(httpBytes("HTTP/1.0 200 OK", "", "noct".getBytes(latin1))),
+      3L -> envFile("NOT-HTTP garbage\r\n\r\nx".getBytes(latin1)),
+      4L -> envFile("HTTP/1.1 200 OK\r\nno terminator ever".getBytes(latin1)))
+    val out = Warc.httpResponses(
+        Warc.records(rows.toDF("file_id", "content")))
+      .select(col("file_id"), col("http_status"), col("mime"),
+        decode(col("body"), "ISO-8859-1").as("b"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)), r.getString(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(out(1L) == ((301, "", "moved"))) // Location-only: mime absent = ''
+    assert(out(2L) == ((200, "", "noct")))
+    assert(out(3L)._1 == -1 && out(3L)._3 == null) // malformed: null status+body
+    assert(out(4L)._1 == -1 && out(4L)._3 == null)
+    // a BARE payload (no application/http WARC type) passes through
+    val bare = Warc.httpResponses(
+        Warc.records(Warc.synthesizeWarc(
+          Seq((1L, "plain body")).toDF("doc_id", "text"))))
+      .filter(col("rec_type") === "response")
+      .select(col("http_status"), col("mime"),
+        decode(col("body"), "ISO-8859-1").as("b")).collect()
+    assert(bare.length == 1 && bare(0).isNullAt(0) && bare(0).isNullAt(1) &&
+      bare(0).getString(2) == "plain body")
+  }
+
+  test("gatedPages over enveloped segments: only 200 html survives; entity " +
+      "bytes decode under the sniffed charset") {
+    import spark.implicits._
+    // doc_id 0..19 (+ a text/plain 200 at id 5 via %11): statuses by
+    // %10 → 3,13 are 404; 7,17 are 301; 9,19 are 503
+    val docs = spark.range(20).select(col("id").as("doc_id"),
+      concat(lit("<html><body>D"), col("id").cast("string"),
+        lit("</body></html>")).as("text"))
+    val policy = graft.operators.UrlNormalize.robotsPolicy(
+      Seq(("none.example", "User-agent: *\nDisallow: /x\n"))
+        .toDF("domain", "robots_txt"),
+      "domain", "robots_txt", "graftbot")
+    val bl = Seq(("blocked.example", "ads")).toDF("domain", "category")
+    val out = graft.streaming.CrawlStream.gatedRecords(
+        Warc.synthesizeWarcGzHttpSegment(docs, recordsPerFile = 10),
+        policy, bl, gz = true)
+      .select(col("url"), col("clean_text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val survivors = (0L until 20L)
+      .filterNot(i => Seq(3L, 7L, 9L).contains(i % 10)).filterNot(_ % 11 == 5)
+    assert(out.keySet ==
+      survivors.map(i => s"http://site${i % 7}.example/page/$i").toSet,
+      s"got ${out.keySet}")
+    assert(out(s"http://site1.example/page/1") == "D1")
+    // charset rung: a windows-1251 body declared via the HTTP header
+    // param decodes to real Cyrillic, not mojibake
+    val win1251 = java.nio.charset.Charset.forName("windows-1251")
+    val f = envFile(httpBytes("HTTP/1.1 200 OK",
+      "Content-Type: text/html; charset=windows-1251\r\n",
+      "<html><body>Привет мир</body></html>".getBytes(win1251)))
+    val cy = graft.streaming.CrawlStream.gatedRecords(
+        Seq((1L, f)).toDF("file_id", "content"), policy, bl)
+      .select(col("clean_text")).collect()
+    assert(cy.map(_.getString(0)).toSeq == Seq("Привет мир"))
+  }
+
+  test("charset decode: per-row labels, WHATWG remaps, meta prescan, " +
+      "unknown-label fallback") {
+    import spark.implicits._
+    import graft.operators.Charsets
+    def enc(s: String, cs: String) =
+      s.getBytes(java.nio.charset.Charset.forName(cs))
+    val rows = Seq(
+      ("winr", enc("Привет", "windows-1251"), "windows-1251"),
+      ("sjis", enc("こんにちは", "Shift_JIS"), "shift_jis"),
+      ("gbk", enc("你好世界", "GBK"), "gbk"),
+      // latin1 label remaps to windows-1252: byte 0x97 (em dash there,
+      // a control char in true latin-1) must decode as U+2014
+      ("l1", Array(0x63, 0x97, 0x64).map(_.toByte), "iso-8859-1"),
+      ("bad", enc("plain", "UTF-8"), "utf8mb4-nonsense"),
+      ("utf", enc("naïve", "UTF-8"), "utf-8"))
+    val out = rows.toDF("k", "b", "cs")
+      .select(col("k"), Charsets.decodeCharset(col("b"), col("cs")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("winr") == "Привет" && out("sjis") == "こんにちは" &&
+      out("gbk") == "你好世界" && out("l1") == "c—d" &&
+      out("bad") == "plain" && out("utf") == "naïve", s"$out")
+    // sniff priority: HTTP param > meta > utf-8 default; meta wins
+    // only when the param is absent
+    val metaDoc = enc("<html><head><meta charset=\"windows-1251\"></head>" +
+      "<body>x</body></html>", "UTF-8")
+    val sniffed = Seq(
+      ("hdr", metaDoc, "shift_jis"),
+      ("meta", metaDoc, ""),
+      ("none", enc("<html><body>plain</body></html>", "UTF-8"), ""))
+      .toDF("k", "b", "hc")
+      .select(col("k"), Charsets.sniff(col("hc"), col("b")).as("cs"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sniffed == Map("hdr" -> "shift_jis", "meta" -> "windows-1251",
+      "none" -> "utf-8"), s"$sniffed")
+  }
 }
