@@ -98,6 +98,65 @@ object ExtensionQueries {
       lit("</script></body></html>"))
   }
 
+  /** All-kinds media planting for q200: one reference per media kind
+    * in closed form, plus the decoys the extractor contract must
+    * skip — a `data-src` (attribute-name boundary), a single-quoted
+    * src (documented skip), a commented-out img, a script-string
+    * img. */
+  private def mediaAllKindsHtml: org.apache.spark.sql.Column = {
+    val ids = col("doc_id").cast("string")
+    val h = pmod(col("doc_id"), lit(5)).cast("string")
+    concat(
+      lit("<html><body>"),
+      lit("<img class=\"x\" src=\"http://img"), h, lit(".example/i/"),
+      ids, lit(".jpg\">"),
+      lit("<img srcset=\"http://img"), h, lit(".example/i/"), ids,
+      lit("-1x.jpg 1x,\n  http://img"), h, lit(".example/i/"), ids,
+      lit("-2x.jpg 2x\">"),
+      lit("<source src=\"http://v.example/s/"), ids,
+      lit(".webm\" type=\"video/webm\">"),
+      lit("<video controls src=\"http://v.example/v/"), ids,
+      lit(".mp4\" poster=\"http://img"), h, lit(".example/p/"), ids,
+      lit(".jpg\"></video>"),
+      lit("<audio src=\"http://a.example/a/"), ids, lit(".ogg\"></audio>"),
+      lit("<img data-src=\"http://lazy.example/l/"), ids, lit(".jpg\">"),
+      lit("<img src='http://sq.example/q.jpg'>"),
+      lit("<!-- <img src=\"http://c.example/c.jpg\"> -->"),
+      lit("<script>var i = '<img src=\"http://evil.example/e.jpg\">';"),
+      lit("</script></body></html>"))
+  }
+
+  /** Media-frontier planting for q201 (the cycle fixture's shape, on
+    * media references): a per-4-doc-run image (clean + a canonical
+    * variant that must FOLD), a per-40-doc-run poster (indegree
+    * 40 ≫ 4), a relative src (unfetchable, dropped), a script
+    * decoy. */
+  private def mediaPageHtml: org.apache.spark.sql.Column = {
+    val t = (col("doc_id") / 4).cast("long")
+    val g = (col("doc_id") / 40).cast("long")
+    val th = pmod(t, lit(5)).cast("string")
+    val gh = pmod(g, lit(5)).cast("string")
+    concat(
+      lit("<html><body><img src=\"http://img"), th, lit(".example/i/"),
+      t.cast("string"), lit(".jpg\" alt=\"a\">\n"),
+      lit("<img src=\"HTTP://IMG"), th, lit(".EXAMPLE:80/i/"),
+      t.cast("string"), lit(".jpg#f\">\n"),
+      lit("<video poster=\"http://img"), gh, lit(".example/p/"),
+      g.cast("string"), lit(".jpg\"></video>\n"),
+      lit("<img src=\"/rel/img.png\">"),
+      lit("<script>var x = '<img src=\"http://evil.example/x.jpg\">';"),
+      lit("</script></body></html>"))
+  }
+
+  /** Politeness delays for the q201 media hosts: even-numbered hosts
+    * publish k+1 seconds, odd ones ride the 1.0 default. */
+  private def mediaDelays(s: SparkSession): DataFrame =
+    s.range(5).select(
+      concat(lit("img"), col("id").cast("string"), lit(".example"))
+        .as("domain"),
+      when(col("id") % 2 === 0, (col("id") + 1).cast("double"))
+        .as("crawl_delay"))
+
   /** Politeness delays for the wave-2 news hosts: even-numbered hosts
     * publish k+1 seconds, odd ones ride the 1.0 default. */
   private def cycleDelays(s: SparkSession): DataFrame =
@@ -280,6 +339,39 @@ object ExtensionQueries {
         graft.operators.Html.extractText(
           graft.operators.Charsets.decodeCharset(col("body"), label))
           .as("text"))
+    }),
+
+    // MEDIA-link extraction (Html.extractMediaLinks): one row per
+    // <img src> / srcset candidate / <source> / <video> / <audio> /
+    // poster reference, kind-major media_no, entity-decoded raw
+    // targets — the discovery rung the multimodal decode/dedup
+    // family consumes (the round-16 verdict's media-link gap). The
+    // planting carries every kind plus the contract decoys (data-src,
+    // single-quoted, commented-out, script-string), so the oracle is
+    // a 7-way union of closed forms.
+    "q200_media_links" -> ((s, dir) =>
+      graft.operators.Html.extractMediaLinks(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), mediaAllKindsHtml.as("html")),
+        "doc_id", "html")),
+
+    // the media FRONTIER (q190's shape on media references): fetched
+    // pages' image/poster targets canonicalized (the uppercase-host
+    // /:80/#fragment variant folds), indegree-counted by distinct
+    // source page (posters shared by 40-doc runs outrank per-4-run
+    // images), anti-gated against the seen-media digests (every
+    // t%7==0 image already fetched), and politeness-scheduled per
+    // img host (indegree DESC, hash, url; even hosts publish k+1s).
+    "q201_media_frontier" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val seen = d.select((col("doc_id") / 4).cast("long").as("t")).distinct()
+        .filter(pmod(col("t"), lit(7)) === 0)
+        .select(md5(concat(lit("http://img"),
+          pmod(col("t"), lit(5)).cast("string"), lit(".example/i/"),
+          col("t").cast("string"), lit(".jpg"))).as("url_digest"))
+      graft.streaming.CrawlStream.expandMediaFrontier(
+        d.select(cycleSrcUrl.as("url"), mediaPageHtml.as("html")),
+        "url", "html", seen, mediaDelays(s))
     }),
 
     // the REAL-FILE path end-to-end: the q183 segment planting written
@@ -1171,6 +1263,56 @@ object ExtensionQueries {
         |    WHEN 3 THEN 'café señor ' ELSE 'naïve résumé ' END
         |    || doc_id AS text
         |FROM documents""".stripMargin,
+    // 7-way union of the all-kinds planting's closed forms, media_no
+    // kind-major (img 0; srcset 1,2; source 3; video 4; audio 5;
+    // poster 6); the four decoys never extract
+    "q200_media_links" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS h FROM documents)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS media_no, 'img' AS tag,
+        |  'http://img' || h || '.example/i/' || doc_id || '.jpg' AS src
+        |FROM d
+        |UNION ALL SELECT doc_id, 1, 'img_srcset',
+        |  'http://img' || h || '.example/i/' || doc_id || '-1x.jpg' FROM d
+        |UNION ALL SELECT doc_id, 2, 'img_srcset',
+        |  'http://img' || h || '.example/i/' || doc_id || '-2x.jpg' FROM d
+        |UNION ALL SELECT doc_id, 3, 'source',
+        |  'http://v.example/s/' || doc_id || '.webm' FROM d
+        |UNION ALL SELECT doc_id, 4, 'video',
+        |  'http://v.example/v/' || doc_id || '.mp4' FROM d
+        |UNION ALL SELECT doc_id, 5, 'audio',
+        |  'http://a.example/a/' || doc_id || '.ogg' FROM d
+        |UNION ALL SELECT doc_id, 6, 'poster',
+        |  'http://img' || h || '.example/p/' || doc_id || '.jpg'
+        |FROM d""".stripMargin,
+    // q190's closed form on the media planting: images per 4-doc run
+    // (variant folds; t%7==0 already seen), posters per 40-doc run,
+    // windows per img host (indegree DESC, hash, url), delays from
+    // the even-host k+1 planting
+    "q201_media_frontier" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH items AS (
+         |  SELECT doc_id // 4 AS t, count(*) AS indegree
+         |  FROM documents GROUP BY 1),
+         |posters AS (
+         |  SELECT doc_id // 40 AS g, count(*) AS indegree
+         |  FROM documents GROUP BY 1),
+         |u AS (
+         |  SELECT 'http://img' || (t % 5) || '.example/i/' || t || '.jpg'
+         |      AS url,
+         |    'img' || (t % 5) || '.example' AS host,
+         |    t % 5 AS k, indegree FROM items
+         |  WHERE t % 7 <> 0
+         |  UNION ALL
+         |  SELECT 'http://img' || (g % 5) || '.example/p/' || g || '.jpg',
+         |    'img' || (g % 5) || '.example', g % 5, indegree FROM posters),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY indegree DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, indegree, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
     "q185_warc_files" ->
       """WITH clean AS (SELECT doc_id, text, doc_id // 100 AS fid,
         |    CAST(row_number() OVER (PARTITION BY doc_id // 100

@@ -778,10 +778,49 @@ object CrawlStream {
                      domainCol: String = "domain",
                      delayCol: String = "crawl_delay",
                      defaultDelaySecs: Double = 1.0,
-                     policy: Option[DataFrame] = None): DataFrame = {
-    val targets = linkTargets(pages, urlCol, htmlCol)
-      .groupBy(col("url"))
-      .agg(countDistinct(col("__src")).as("indegree"))
+                     policy: Option[DataFrame] = None): DataFrame =
+    scheduleFrontier(
+      linkTargets(pages, urlCol, htmlCol)
+        .groupBy(col("url"))
+        .agg(countDistinct(col("__src")).as("indegree")),
+      seen, delays, domainCol, delayCol, defaultDelaySecs, policy)
+
+  /** [[expandFrontier]] over MEDIA references instead of hyperlinks —
+    * the multimodal corpus's discovery wave: fetched pages'
+    * `<img>`/`srcset`/`<video>`/`<audio>`/`<source>`/`poster` targets
+    * ([[Html.extractMediaLinks]]) are canonicalized, indegree-counted
+    * (distinct source pages — a hero image referenced by every page
+    * of a site outranks a one-off), anti-gated against the seen-media
+    * digest state, optionally robots-gated, and politeness-scheduled
+    * per host. Output matches [[expandFrontier]]: (url, host,
+    * indegree, slot_idx, fetch_at_s) — the fetch list the
+    * [[graft.sources.Multimodal]] decode/dedup family consumes once a
+    * fetcher retires it. Same plan shape: scalar extraction on the
+    * scan, ONE corpus-sized aggregate exchange, digest-keyed anti,
+    * one schedule shuffle by host. */
+  def expandMediaFrontier(pages: DataFrame, urlCol: String, htmlCol: String,
+                          seen: DataFrame, delays: DataFrame,
+                          domainCol: String = "domain",
+                          delayCol: String = "crawl_delay",
+                          defaultDelaySecs: Double = 1.0,
+                          policy: Option[DataFrame] = None): DataFrame =
+    scheduleFrontier(
+      Html.extractMediaLinks(pages.select(col(urlCol), col(htmlCol)),
+          urlCol, htmlCol)
+        .select(col(urlCol).as("__src"),
+          UrlNormalize.canonicalize(col("src")).as("url"))
+        .filter(col("url").rlike("^https?://"))
+        .groupBy(col("url"))
+        .agg(countDistinct(col("__src")).as("indegree")),
+      seen, delays, domainCol, delayCol, defaultDelaySecs, policy)
+
+  /** Shared back half of the frontier expansions: recrawl ANTI on the
+    * seen digests, optional robots gate, per-host priority schedule
+    * (indegree DESC, hash, url). */
+  private def scheduleFrontier(targets: DataFrame, seen: DataFrame,
+                               delays: DataFrame, domainCol: String,
+                               delayCol: String, defaultDelaySecs: Double,
+                               policy: Option[DataFrame]): DataFrame = {
     val fresh = targets
       .withColumn("url_digest", md5(col("url")))
       .join(seen.select(col("url_digest")), Seq("url_digest"), "left_anti")

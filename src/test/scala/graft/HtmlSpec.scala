@@ -198,4 +198,45 @@ class HtmlSpec extends SparkTestBase {
     assert(!out.contains(4L), "zero surviving lines -> page absent")
     assert(out(5L) == (("Tiny page here.\nWith some blanks?", 2L, 2L)))
   }
+
+  test("extractMediaLinks: every kind, kind-major numbering, decoys skipped, " +
+      "srcset descriptors dropped, entities decoded") {
+    import spark.implicits._
+    def media(html: String): Seq[(Int, String, String)] =
+      graft.operators.Html.extractMediaLinks(
+          Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+        .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    val page =
+      """<img class="a" src="http://i.example/a.jpg">""" +
+      "<img srcset=\"http://i.example/b-1x.jpg 1x,\n" +
+      """  http://i.example/b-2x.jpg 2x">""" +
+      """<source src="http://v.example/c.webm" type="video/webm">""" +
+      """<video controls src="http://v.example/d.mp4"""" +
+      """ poster="http://i.example/e.jpg"></video>""" +
+      """<audio src="http://a.example/f.ogg"></audio>"""
+    assert(media(page) == Seq(
+      (0, "img", "http://i.example/a.jpg"),
+      (1, "img_srcset", "http://i.example/b-1x.jpg"),
+      (2, "img_srcset", "http://i.example/b-2x.jpg"),
+      (3, "source", "http://v.example/c.webm"),
+      (4, "video", "http://v.example/d.mp4"),
+      (5, "audio", "http://a.example/f.ogg"),
+      (6, "poster", "http://i.example/e.jpg")), s"${media(page)}")
+    // decoys: data-src can't bind src (attr-name boundary), single-
+    // quoted skipped, comments/scripts stripped, imgx not an img; an
+    // src inside ANOTHER attribute's quotes can't match
+    assert(media("""<img data-src="http://l.example/x.jpg">""" +
+      """<img src='http://sq.example/q.jpg'>""" +
+      """<!-- <img src="http://c.example/c.jpg"> -->""" +
+      """<script>var i = '<img src="http://s.example/s.jpg">';</script>""" +
+      """<imgx src="http://n.example/n.jpg">""" +
+      """<img alt="src=&quot;nope&quot;">""").isEmpty)
+    // entity-decoded target; empty src dropped without breaking the
+    // numbering of later kinds
+    assert(media("""<img src=""><img src="http://i.example/p?a=1&amp;b=2">""" +
+      """<audio src="http://a.example/g.ogg"></audio>""") == Seq(
+      (0, "img", "http://i.example/p?a=1&b=2"),
+      (1, "audio", "http://a.example/g.ogg")))
+  }
 }
