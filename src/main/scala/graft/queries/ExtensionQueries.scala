@@ -355,6 +355,44 @@ object ExtensionQueries {
           .select(col("doc_id"), mediaAllKindsHtml.as("html")),
         "doc_id", "html")),
 
+    // REDIRECT-target frontier (the envelope's Location rung
+    // composed): 3xx records' Location headers are discoveries, not
+    // documents — canonicalized, indegree-counted, anti-gated against
+    // the drain's own FETCHED pages (most redirects point at pages
+    // the crawl already has: every planted 301 targets the successor
+    // page, which is itself fetched unless it sits in the text/plain
+    // band — the only survivors), and politeness-scheduled per site
+    // host. One record walk feeds both branches (localCheckpoint —
+    // the q149 barrier discipline).
+    "q202_redirect_frontier" -> ((s, dir) => {
+      val recs = graft.sources.Warc.httpResponses(
+          graft.sources.Warc.gzRecords(
+            graft.sources.Warc.synthesizeWarcGzHttpSegment(
+              Tables.load(s, dir, "documents"), recordsPerFile = 100)))
+        .filter(col("rec_type") === "response")
+        .select(col("target_uri"), col("http_status"), col("mime"),
+          col("http_location"))
+        .localCheckpoint()
+      val seen = recs
+        .filter(col("http_status") === 200 && col("mime") === "text/html")
+        .select(md5(col("target_uri")).as("url_digest"))
+      val targets = recs
+        .filter(col("http_status").isin(301, 302, 307, 308) &&
+          col("http_location") =!= "")
+        .select(col("target_uri").as("__src"),
+          graft.operators.UrlNormalize.canonicalize(col("http_location"))
+            .as("url"))
+        .filter(col("url").rlike("^https?://"))
+        .groupBy(col("url"))
+        .agg(countDistinct(col("__src")).as("indegree"))
+      val delays = s.range(7).select(
+        concat(lit("site"), col("id").cast("string"), lit(".example"))
+          .as("domain"),
+        when(col("id") % 2 === 0, (col("id") + 1).cast("double"))
+          .as("crawl_delay"))
+      graft.streaming.CrawlStream.scheduleFrontier(targets, seen, delays)
+    }),
+
     // the media FRONTIER (q190's shape on media references): fetched
     // pages' image/poster targets canonicalized (the uppercase-host
     // /:80/#fragment variant folds), indegree-counted by distinct
@@ -1284,6 +1322,30 @@ object ExtensionQueries {
         |UNION ALL SELECT doc_id, 6, 'poster',
         |  'http://img' || h || '.example/p/' || doc_id || '.jpg'
         |FROM d""".stripMargin,
+    // redirect targets are the 301 band's successor pages; the anti
+    // against the fetched set leaves only successors in the
+    // text/plain band ((id+1)%11=5 — every other successor was
+    // fetched as a 200-html document; id+1 ≡ 8 mod 10 can never be
+    // non-200). indegree 1 (unique successor per source)
+    "q202_redirect_frontier" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH t AS (
+         |  SELECT doc_id + 1 AS tid FROM documents
+         |  WHERE doc_id % 10 = 7 AND (doc_id + 1) % 11 = 5),
+         |u AS (
+         |  SELECT 'http://site' || (tid % 7) || '.example/page/' || tid
+         |      AS url,
+         |    'site' || (tid % 7) || '.example' AS host,
+         |    tid % 7 AS k, CAST(1 AS BIGINT) AS indegree
+         |  FROM t),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY indegree DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, host, indegree, CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s
+         |FROM r""".stripMargin
+    },
     // q190's closed form on the media planting: images per 4-doc run
     // (variant folds; t%7==0 already seen), posters per 40-doc run,
     // windows per img host (indegree DESC, hash, url), delays from

@@ -616,6 +616,11 @@ object Warc {
     *  - `http_charset` STRING — the `charset=` parameter verbatim
     *    (lowercased, quotes stripped), '' when absent, NULL for
     *    non-enveloped records;
+    *  - `http_location` STRING — the `Location` header verbatim
+    *    ('' when absent, NULL for non-enveloped records): a 3xx
+    *    record's body is a stub, but its Location is a DISCOVERY —
+    *    real crawls route it into the frontier with the extracted
+    *    links (the q202 composition);
     *  - `body` BINARY — the entity bytes after the blank line; for a
     *    NON-enveloped record, the payload unchanged (so downstream
     *    text extraction reads `body` regardless of transport era).
@@ -638,12 +643,15 @@ object Warc {
     val mime = lower(trim(regexp_extract(ctRaw, "^([^;]*)", 1)))
     val charset = lower(
       regexp_extract(ctRaw, "(?i)charset[ \\t]*=[ \\t]*\"?([A-Za-z0-9._-]+)", 1))
+    val location = trim(regexp_extract(headers,
+      "(?im)^Location:[ \\t]*([^\r\n]*)", 1))
     val bodyHttp = encode(s.substr(sep + 4, lit(Int.MaxValue)),
       "ISO-8859-1")
     recs
       .withColumn("http_status", when(isHttp, status))
       .withColumn("mime", when(isHttp, mime))
       .withColumn("http_charset", when(isHttp, charset))
+      .withColumn("http_location", when(isHttp, location))
       .withColumn("body",
         when(isHttp && col("http_status").isNotNull, bodyHttp)
           .when(!isHttp, col(payloadCol)))

@@ -814,13 +814,18 @@ object CrawlStream {
         .agg(countDistinct(col("__src")).as("indegree")),
       seen, delays, domainCol, delayCol, defaultDelaySecs, policy)
 
-  /** Shared back half of the frontier expansions: recrawl ANTI on the
-    * seen digests, optional robots gate, per-host priority schedule
-    * (indegree DESC, hash, url). */
-  private def scheduleFrontier(targets: DataFrame, seen: DataFrame,
-                               delays: DataFrame, domainCol: String,
-                               delayCol: String, defaultDelaySecs: Double,
-                               policy: Option[DataFrame]): DataFrame = {
+  /** Shared back half of the frontier expansions — public because it
+    * is the composition point for ANY discovery source (hyperlinks,
+    * media references, sitemap entries, redirect `Location` targets —
+    * the q202 rung): takes `(url, indegree)` discovery candidates and
+    * applies recrawl ANTI on the seen digests, the optional robots
+    * gate, and the per-host priority schedule (indegree DESC, hash,
+    * url). Output: (url, host, indegree, slot_idx, fetch_at_s). */
+  def scheduleFrontier(targets: DataFrame, seen: DataFrame,
+                       delays: DataFrame, domainCol: String = "domain",
+                       delayCol: String = "crawl_delay",
+                       defaultDelaySecs: Double = 1.0,
+                       policy: Option[DataFrame] = None): DataFrame = {
     val fresh = targets
       .withColumn("url_digest", md5(col("url")))
       .join(seen.select(col("url_digest")), Seq("url_digest"), "left_anti")

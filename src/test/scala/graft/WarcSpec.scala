@@ -360,6 +360,11 @@ class WarcSpec extends SparkTestBase {
           if (r.isNullAt(3)) null else r.getString(3))).toMap
     assert(out(1L) == ((301, "", "moved"))) // Location-only: mime absent = ''
     assert(out(2L) == ((200, "", "noct")))
+    val loc = Warc.httpResponses(Warc.records(rows.toDF("file_id", "content")))
+      .select(col("file_id"), col("http_location")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(loc(1L) == "http://e.example/q" && loc(2L) == "")
     assert(out(3L)._1 == -1 && out(3L)._3 == null) // malformed: null status+body
     assert(out(4L)._1 == -1 && out(4L)._3 == null)
     // a BARE payload (no application/http WARC type) passes through
