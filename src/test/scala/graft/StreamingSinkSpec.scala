@@ -897,13 +897,19 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(drain("v0001", "v0002").count() == 2)
     // simulate the crash WINDOW: the sink batch committed (manifest +
     // checkpoint intact) but the process died before either publish
-    // landed — erase exactly what the publish step wrote
+    // landed — erase exactly what the publish step wrote (including
+    // the fast-path marker, which a pre-publish crash never writes)
     for (kind <- Seq("frontier_seen", "published_sink_files")) {
       val p = new org.apache.hadoop.fs.Path(
         s"$root/$kind/corpus_key=${ArtifactStore.normKey("crashk")}" +
           "/version=v0002")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       assert(fs.delete(p, true), s"fixture must have existed: $p")
+    }
+    locally {
+      val m = new org.apache.hadoop.fs.Path(sinkDir, "_graft_published")
+      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(m, false), "marker must have existed")
     }
     // the RETRY: same versions, no new input. The stream is a
     // checkpointed no-op (no new sink files), so a diff against a
