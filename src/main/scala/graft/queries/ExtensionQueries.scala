@@ -355,6 +355,33 @@ object ExtensionQueries {
           .select(col("doc_id"), mediaAllKindsHtml.as("html")),
         "doc_id", "html")),
 
+    // the ENVELOPE composed into the PRODUCTION LOOP (q184 × q198):
+    // one streaming drain over enveloped .warc.gz segments — member
+    // walk → envelope split (status-200 + html-mime gate, charset
+    // decode) → robots gate → category gate → recrawl anti →
+    // priority politeness schedule — proving the transport-fidelity
+    // rung rides the micro-batch frame unchanged (it is scan-side
+    // scalar work, like the member walk). Survivors: the q184 set
+    // minus the envelope's status/mime bands.
+    "q203_http_loop" -> ((s, dir) => {
+      import graft.sources.ArtifactStore
+      val d = Tables.load(s, dir, "documents")
+      val ids = col("doc_id").cast("string")
+      val dn = pmod(col("doc_id"), lit(7)).cast("string")
+      val url = concat(lit("http://site"), dn, lit(".example/page/"), ids)
+      val warcDir = Scratch.fixtureDir("graft_http_loop_warc", dir)
+      graft.sources.Warc.synthesizeWarcGzHttpSegment(
+          d.select(col("doc_id"), crawlPageHtml.as("text")),
+          recordsPerFile = 100)
+        .write.mode("overwrite").parquet(warcDir)
+      val priorities = d.select(url.as("url"),
+        when(pmod(col("doc_id"), lit(4)) =!= 1,
+          pmod(col("doc_id"), lit(10)).cast("double") / 10.0).as("priority"))
+      graft.streaming.CrawlStream.drainCrawlLoop(s, warcDir,
+        crawlRobots(d), crawlBlocklist(s), priorities,
+        Scratch.artifactRoot, dir + "#httploop", "v0001", "v0002")
+    }),
+
     // REDIRECT-target frontier (the envelope's Location rung
     // composed): 3xx records' Location headers are discoveries, not
     // documents — canonicalized, indegree-counted, anti-gated against
@@ -1322,6 +1349,33 @@ object ExtensionQueries {
         |UNION ALL SELECT doc_id, 6, 'poster',
         |  'http://img' || h || '.example/p/' || doc_id || '.jpg'
         |FROM d""".stripMargin,
+    // the q184/q186 loop form with the envelope exclusions composed
+    // in: non-200 statuses (doc_id%10 in 3,7,9) and the text/plain
+    // band (doc_id%11=5) die at the envelope rung before robots
+    // (site3) and the blocklist (site5)
+    "q203_http_loop" -> {
+      val order = graft.functions.PortableHash.hash60Sql("url")
+      s"""WITH u AS (SELECT doc_id, text, doc_id % 7 AS h,
+         |    'http://site' || (doc_id % 7) || '.example/page/' || doc_id
+         |      AS url,
+         |    CASE WHEN doc_id % 4 <> 1
+         |      THEN CAST(doc_id % 10 AS DOUBLE) / 10.0
+         |      ELSE 0.5 END AS prio
+         |  FROM documents
+         |  WHERE doc_id % 10 NOT IN (3, 7, 9) AND doc_id % 11 <> 5
+         |    AND doc_id % 7 NOT IN (3, 5)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY h
+         |    ORDER BY prio DESC, ($order) % 1000000, url) - 1 AS slot
+         |  FROM u)
+         |SELECT url, 'site' || h || '.example' AS host,
+         |  CAST(slot AS INTEGER) AS slot_idx,
+         |  round(slot * (CASE WHEN h % 2 = 0 THEN CAST(h + 1 AS DOUBLE)
+         |    ELSE 1.0 END), 6) AS fetch_at_s,
+         |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text ||
+         |  ' don' || chr(8217) || 't' || chr(8212) || 'ok &#39;' ||
+         |  ' tail <' || doc_id || '>' AS clean_text
+         |FROM r""".stripMargin
+    },
     // redirect targets are the 301 band's successor pages; the anti
     // against the fetched set leaves only successors in the
     // text/plain band ((id+1)%11=5 — every other successor was

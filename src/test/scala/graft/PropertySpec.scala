@@ -506,4 +506,98 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("HTTP envelope split round-trips arbitrary status/headers/bodies, " +
+      "including header-shaped body decoys") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val statusGen = Gen.oneOf(200, 204, 301, 302, 404, 500, 503)
+    // bodies drawn to maximize split hazards: CRLF runs, a fake
+    // nested envelope, header-shaped lines
+    val bodyGen = Gen.frequency(
+      (3, Gen.listOfN(24, Gen.asciiPrintableChar).map(_.mkString)),
+      (2, Gen.const("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nfake")),
+      (2, Gen.const("Content-Type: text/plain\r\nX: y")),
+      (1, Gen.const("")),
+      (1, Gen.const("\r\n\r\n")))
+    val mimeGen = Gen.oneOf("text/html", "text/plain", "image/png", "")
+    val csGen = Gen.oneOf("", "utf-8", "windows-1251", "shift_jis")
+    (1L to 5L).foreach { seed =>
+      val rows = Gen.listOfN(10, Gen.zip(statusGen, mimeGen, csGen, bodyGen))
+        .pureApply(params, Seed(seed))
+      val files = rows.zipWithIndex.map { case ((st, mime, cs, body), i) =>
+        val ct =
+          if (mime.isEmpty) ""
+          else if (cs.isEmpty) s"Content-Type: $mime\r\n"
+          else s"Content-Type: $mime; charset=$cs\r\n"
+        val http = (s"HTTP/1.1 $st X\r\n" + ct + "X-Pad: z\r\n\r\n")
+          .getBytes(latin1) ++ body.getBytes(latin1)
+        val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://p/$i\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes(latin1) ++
+          http ++ "\r\n\r\n".getBytes(latin1)
+        (i.toLong, rec)
+      }
+      val out = Warc.httpResponses(
+          Warc.records(files.toDF("file_id", "content"),
+            maxRecords = rows.length))
+        .select(col("file_id"), col("http_status"), col("mime"),
+          col("http_charset"), col("body"))
+        .collect().sortBy(_.getLong(0))
+      out.zip(rows).zipWithIndex.foreach { case ((r, (st, mime, cs, body)), i) =>
+        // no media type ⇒ no Content-Type header was written at all,
+        // so the charset param cannot surface either
+        val ecs = if (mime.isEmpty) "" else cs
+        assert(r.getInt(1) == st, s"seed $seed rec $i status")
+        assert(r.getString(2) == mime, s"seed $seed rec $i mime")
+        assert(r.getString(3) == ecs, s"seed $seed rec $i charset")
+        assert(new String(r.getAs[Array[Byte]]("body"), latin1) == body,
+          s"seed $seed rec $i body")
+      }
+    }
+  }
+
+  test("CharsetDecode is byte-exact inverse of getBytes for every label it " +
+      "maps, and identity on ASCII for all ASCII-compatible labels") {
+    import spark.implicits._
+    import graft.operators.Charsets
+    val phrases = Map(
+      "windows-1251" -> "Привет мир — тест",
+      "shift_jis" -> "こんにちは世界",
+      "gbk" -> "你好，世界",
+      "windows-1252" -> "café — naïve résumé",
+      "utf-8" -> "mixed Привет café 你好")
+    // label → the charset the engine actually decodes it as (WHATWG)
+    val encodeAs = Map("iso-8859-1" -> "windows-1252",
+      "latin1" -> "windows-1252", "gb2312" -> "GBK")
+    val labels = phrases.keys.toSeq ++ encodeAs.keys.toSeq
+    val rows = labels.map { l =>
+      val cs = encodeAs.getOrElse(l, l)
+      val phrase = phrases.getOrElse(l,
+        phrases(if (cs == "GBK") "gbk" else "windows-1252"))
+      (l, phrase.getBytes(java.nio.charset.Charset.forName(cs)), phrase)
+    }
+    val out = rows.map { case (l, b, _) => (l, b) }.toDF("l", "b")
+      .select(col("l"), Charsets.decodeCharset(col("b"), col("l")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach { case (l, _, phrase) =>
+      assert(out(l) == phrase, s"label $l: ${out(l)}")
+    }
+    // ASCII is invariant under every ASCII-compatible label (the
+    // property that makes the latin-1 meta prescan sound)
+    val ascii = (1L to 3L).map(s => Gen.listOfN(40, Gen.asciiPrintableChar)
+      .map(_.mkString).pureApply(params, Seed(s)))
+    val asciiOut = (for (a <- ascii; l <- labels)
+        yield (a, l, a.getBytes("US-ASCII")))
+      .toDF("a", "l", "b")
+      .select(col("a"), col("l"),
+        Charsets.decodeCharset(col("b"), col("l")).as("t"))
+      .collect()
+    asciiOut.foreach { r =>
+      assert(r.getString(2) == r.getString(0),
+        s"ascii not invariant under ${r.getString(1)}")
+    }
+  }
 }
