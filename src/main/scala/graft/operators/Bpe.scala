@@ -48,13 +48,38 @@ object Bpe {
       org.apache.spark.sql.functions.encode(word, "UTF-8"))),
       "(..)", "$1 "), lit("_"))
 
-  /** One word per row: (word, seq, wcount) under the given seeding. */
-  private def wordSeqsWith(df: DataFrame, textCol: String,
-                           seedOf: Column => Column): DataFrame =
+  /** One corpus pass: (word, wcount). Every tokenizer family's train
+    * and encode starts from exactly this aggregate (the families
+    * differ only in seeding, a projection of `word`), so a caller
+    * composing SEVERAL families over one corpus — q167's fertility
+    * comparison — computes it once (localCheckpoint) and feeds the
+    * `FromCounts` entry points instead of paying one corpus scan +
+    * shuffle per family (guide §2.4: shared exchange). */
+  private[graft] def wordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
-      .select(col("word"), seedOf(col("word")).as("seq"), col("wcount"))
+
+  /** Per-document word multiplicities: (idCol, word, __c) — the
+    * shared DOC side of encoding several families over one corpus
+    * (each family's encode re-joined the raw exploded corpus; the
+    * multiplicity-compacted form is the same aggregate rows-wise:
+    * count(*) over instances ≡ sum(__c) over (doc, word) groups). */
+  private[graft] def docWordCounts(df: DataFrame, idCol: String,
+                                   textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__c"))
+
+  /** Seed a precomputed (word, wcount) frame: (word, seq, wcount). */
+  private[operators] def seqsOfCounts(wc: DataFrame,
+                                      seedOf: Column => Column): DataFrame =
+    wc.select(col("word"), seedOf(col("word")).as("seq"), col("wcount"))
+
+  /** One word per row: (word, seq, wcount) under the given seeding. */
+  private def wordSeqsWith(df: DataFrame, textCol: String,
+                           seedOf: Column => Column): DataFrame =
+    seqsOfCounts(wordCounts(df, textCol), seedOf)
 
   /** One word per row: (word, seq = "c h a r s _", wcount). */
   private[graft] def wordSeqs(df: DataFrame, textCol: String): DataFrame =
@@ -107,31 +132,69 @@ object Bpe {
                  minPairCount: Long = 2L): DataFrame =
     trainLoop(wordSeqsWith(df, textCol, byteSeqOf), merges, minPairCount)
 
+  /** [[train]] from a precomputed [[wordCounts]] frame (multi-family
+    * callers share the one corpus aggregate). */
+  private[graft] def trainFromCounts(wc: DataFrame, merges: Int,
+                                     minPairCount: Long): DataFrame =
+    trainLoop(seqsOfCounts(wc, charSeqOf), merges, minPairCount)
+
+  /** [[trainBytes]] from a precomputed [[wordCounts]] frame. */
+  private[graft] def trainBytesFromCounts(wc: DataFrame, merges: Int,
+                                          minPairCount: Long): DataFrame =
+    trainLoop(seqsOfCounts(wc, byteSeqOf), merges, minPairCount)
+
+  /** Re-materialize the lazily-chained rewrite every this many rounds:
+    * keeps the per-round plan depth bounded in the merge count without
+    * paying a vocab-sized materialization EVERY round. */
+  private[operators] val TrainRechainEvery = 6
+
   private def trainLoop(words0: DataFrame, merges: Int,
                         minPairCount: Long): DataFrame = {
     require(merges >= 1, "at least one merge")
+    val spark = words0.sparkSession
     var words = words0.localCheckpoint(true)
-    val picked = Seq.newBuilder[DataFrame]
-    for (i <- 1 to merges) {
+    // The chosen pair is MODEL-sized (1 row) — fetch it and fold the
+    // rewrite in as literal expressions: the next round's aggregate
+    // applies the pending replaces on the fly over the checkpointed
+    // vocabulary instead of re-materializing the vocabulary per round
+    // (round-17 guide-§2.4 rework; the replace-with-literals rewrite
+    // is the broadcast-crossJoin rewrite with the join folded out, so
+    // picks and counts are bit-identical). Once no pair reaches
+    // minPairCount the vocabulary is a fixpoint — later rounds could
+    // never pick again — so the loop stops early; both engines' rank
+    // rows past that point vanish identically (the oracle's empty
+    // b_i CTEs leave w_i = w_{i-1}).
+    val picked = Seq.newBuilder[(Int, String, String, Long)]
+    var chained = 0
+    var i = 1
+    var exhausted = false
+    while (i <= merges && !exhausted) {
       val best = pairCounts(words)
         .filter(col("cnt") >= minPairCount)
         .orderBy(col("cnt").desc, col("pair").asc).limit(1)
         .select(col("pair"),
           call_function("replace", col("pair"), lit(" "), lit("")).as("merged"),
           col("cnt"))
-        .localCheckpoint(true) // 1 row, eager: one tiny job per merge
-      picked += best.select(lit(i).as("merge_rank"),
-        col("pair"), col("merged"), col("cnt"))
-      words = words
-        .crossJoin(broadcast(best.select(
-          col("pair").as("__p"), col("merged").as("__m"))))
-        .select(col("word"),
-          applyMerge(col("seq"), col("__p"), col("__m")).as("seq"),
-          col("wcount"))
-        .localCheckpoint(true) // vocab-sized; truncates the lineage
+        .collect() // <= 1 row; the merge table is a driver-held MODEL anyway
+      if (best.isEmpty) exhausted = true
+      else {
+        val r = best(0)
+        val (p, m) = (r.getString(0), r.getString(1))
+        picked += ((i, p, m, r.getLong(2)))
+        words = words.select(col("word"),
+          applyMerge(col("seq"), lit(p), lit(m)).as("seq"), col("wcount"))
+        chained += 1
+        if (chained >= TrainRechainEvery && i < merges) {
+          words = words.localCheckpoint(true) // bound the replace-chain depth
+          chained = 0
+        }
+      }
+      i += 1
     }
-    picked.result().reduce(_ union _)
+    import spark.implicits._
+    picked.result().toDF("merge_rank", "pair", "merged", "cnt")
   }
+
 
   /** Cross-session form of [[train]]: load the published merge table
     * for `(corpusKey, version)` if it exists, else train and publish.
@@ -199,6 +262,19 @@ object Bpe {
   private def encodeLoop(df: DataFrame, idCol: String, textCol: String,
                          mergeTable: DataFrame,
                          seedOf: Column => Column): DataFrame = {
+    val perWord = encodePerWord(wordCounts(df, textCol), mergeTable, seedOf)
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(perWord, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__ntok")).as("n_tokens"))
+  }
+
+  /** (word, __ntok) under the collected merge table: the replace
+    * chain folded over the seed as literal expressions. */
+  private def encodePerWord(wc: DataFrame, mergeTable: DataFrame,
+                            seedOf: Column => Column): DataFrame = {
     val ms = mergeTable.orderBy(col("merge_rank")).collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged")))
     val padded = ms.foldLeft(
@@ -207,15 +283,31 @@ object Bpe {
         call_function("replace", s,
           lit(" " + p + " "), lit(" " + m + " "))
     }
-    val perWord = wordSeqsWith(df, textCol, seedOf)
-      .select(col("word"), size(split(trim(padded), " ")).as("__ntok"))
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .join(perWord, Seq("word"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("__ntok")).as("n_tokens"))
+    wc.select(col("word"), size(split(trim(padded), " ")).as("__ntok"))
   }
+
+  /** Shared-frame encode: per-doc token counts from a precomputed
+    * [[docWordCounts]] frame and its word totals — multi-family
+    * callers (q167) pay the corpus explode once for all families.
+    * Row-identical to [[encode]]: count(*) over word instances ≡
+    * sum(__c) over (doc, word) multiplicities, and
+    * sum(__ntok) over instances ≡ sum(__ntok × __c). */
+  private[graft] def encodeFromShared(docWords: DataFrame, idCol: String,
+                                      wc: DataFrame, mergeTable: DataFrame,
+                                      bytes: Boolean = false): DataFrame = {
+    val perWord = encodePerWord(wc, mergeTable,
+      if (bytes) byteSeqOf else charSeqOf)
+    encodeSharedAgg(docWords, idCol, perWord)
+  }
+
+  /** The shared final aggregate: join per-word token counts back to
+    * the (doc, word, __c) multiplicities. */
+  private[graft] def encodeSharedAgg(docWords: DataFrame, idCol: String,
+                                     perWord: DataFrame): DataFrame =
+    docWords.join(perWord, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_words"),
+        sum(col("__ntok") * col("__c")).as("n_tokens"))
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins. MATERIALIZED CTEs are load-bearing: the merge

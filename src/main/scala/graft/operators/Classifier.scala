@@ -63,12 +63,24 @@ object Classifier {
     val bucketed = grams
       .withColumn("__b", pmod(PortableHash.hash60(col("bg")), lit(buckets)).cast("int"))
       .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
-    val feats = bucketed
-      .select(col("__id"), col("__b"), col("__cnt").cast("double").as("__x"))
-      .union(perDoc.select(col("__id"), lit(buckets).as("__b"),
-        lit(1.0).as("__x")))
-      .localCheckpoint(true)
-    (feats, perDoc.localCheckpoint(true))
+    // The statics are checkpointed PRE-PARTITIONED on __id (the
+    // [[Graph.pageRank]] statics discipline, via the AQE-scoped
+    // [[GraftCheckpoint.partitionedBarrier]] — a plain localCheckpoint
+    // records UnknownPartitioning under AQE): every per-iteration pass
+    // over the corpus-sized feature matrix is keyed by __id — the
+    // margin aggregate, the error join, the gradient's probe side —
+    // so hash-partitioning it once here removes the per-iteration
+    // __id exchanges; only the bucket-keyed gradient aggregate still
+    // shuffles, and that one carries `buckets` rows per map task
+    // after partial aggregation, not the corpus (round-17 plan diff:
+    // the margin aggregate's Exchange is gone from the scoring plan).
+    val feats = GraftCheckpoint.partitionedBarrier(
+      bucketed
+        .select(col("__id"), col("__b"), col("__cnt").cast("double").as("__x"))
+        .union(perDoc.select(col("__id"), lit(buckets).as("__b"),
+          lit(1.0).as("__x"))),
+      Seq("__id"))
+    (feats, GraftCheckpoint.partitionedBarrier(perDoc, Seq("__id")))
   }
 
   private def marginsOf(feats: DataFrame, w: DataFrame): DataFrame =

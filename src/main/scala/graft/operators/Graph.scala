@@ -63,16 +63,24 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct())
-    val nodes = barrier(e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node")))
-      .distinct()
-      .repartition(col("node")))
+    // partitionedBarrier (round 17): Dataset.localCheckpoint under AQE
+    // records UnknownPartitioning, so the plain repartition+barrier
+    // form silently re-exchanged BOTH statics every round on Spark 4 —
+    // the AQE-scoped barrier restores the recorded HashPartitioning
+    // this loop's shape was measured on (round 9)
+    val nodes = GraftCheckpoint.partitionedBarrier(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node")))
+        .distinct(),
+      Seq("node"), reliable = checkpointDir.isDefined)
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // out-degree folded onto the edge list ONCE: the per-round plan
     // then joins ranks only, one join instead of two per iteration
     // (the division stays per-row — rank / deg, bit-identical to the
     // unfolded form and to the oracle's)
-    val e = barrier(e0.join(deg, Seq("src")).repartition(col("src")))
+    val e = GraftCheckpoint.partitionedBarrier(
+      e0.join(deg, Seq("src")), Seq("src"),
+      reliable = checkpointDir.isDefined)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
       val contribs = e
@@ -140,12 +148,18 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct())
-    val nodes = barrier(e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node")))
-      .distinct()
-      .repartition(col("node")))
-    val eBySrc = barrier(e0.repartition(col("src")))
-    val eByDst = barrier(e0.repartition(col("dst")))
+    // partitionedBarrier (round 17): see [[pageRank]] — the plain
+    // repartition+localCheckpoint form lost its recorded partitioning
+    // under AQE and re-exchanged both edge copies every round
+    val nodes = GraftCheckpoint.partitionedBarrier(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node")))
+        .distinct(),
+      Seq("node"), reliable = checkpointDir.isDefined)
+    val eBySrc = GraftCheckpoint.partitionedBarrier(e0, Seq("src"),
+      reliable = checkpointDir.isDefined)
+    val eByDst = GraftCheckpoint.partitionedBarrier(e0, Seq("dst"),
+      reliable = checkpointDir.isDefined)
     var hubs = nodes.withColumn("hub", lit(1.0))
     var aRaw: DataFrame = null
     for (i <- 1 to iters) {

@@ -139,11 +139,24 @@ object UnigramLm {
     * output shape, so the artifact drops into the same consumers. */
   def train(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
             seedTop: Int = 40, keepMulti: Int = 16,
-            iters: Int = 2): DataFrame = {
+            iters: Int = 2): DataFrame =
+    trainOnCounts(wordCounts(df, textCol), maxPieceLen, seedTop,
+      keepMulti, iters)
+
+  /** [[train]] from a precomputed [[Bpe.wordCounts]] frame
+    * (multi-family callers share the one corpus aggregate). */
+  private[graft] def trainFromCounts(wc: DataFrame, maxPieceLen: Int,
+                                     seedTop: Int, keepMulti: Int,
+                                     iters: Int): DataFrame =
+    trainOnCounts(wc, maxPieceLen, seedTop, keepMulti, iters)
+
+  private def trainOnCounts(wc: DataFrame, maxPieceLen: Int,
+                            seedTop: Int, keepMulti: Int,
+                            iters: Int): DataFrame = {
     require(maxPieceLen >= 2 && seedTop >= 1 && keepMulti >= 0 && iters >= 1)
-    val spark = df.sparkSession
+    val spark = wc.sparkSession
     import spark.implicits._
-    val words = wordCounts(df, textCol)
+    val words = wc.select(col("word"), col("wcount"))
       .as[(String, Long)].localCheckpoint(true) // vocab-sized, reused every iteration
     // the alphabet: tiny by construction, the one driver-side constant
     val singles: Array[String] = words
@@ -400,6 +413,26 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("__ntok")).as("n_tokens"))
+  }
+
+  /** Shared-frame encode ([[Bpe.encodeFromShared]]'s contract): the
+    * corpus explode and word totals are precomputed once by a
+    * multi-family caller. Row-identical to [[encode]]. */
+  private[graft] def encodeFromShared(docWords: DataFrame, idCol: String,
+                                      wc: DataFrame, vocab: DataFrame,
+                                      maxPieceLen: Int = 4): DataFrame = {
+    val spark = docWords.sparkSession
+    import spark.implicits._
+    val rows = vocab.select(col("piece"), col("cnt"))
+      .as[(String, Long)].collect() // model-sized by the train contract
+    val (scores, _) = scoreTables(rows)
+    val bc = spark.sparkContext.broadcast(scores)
+    val p = maxPieceLen
+    val perWord = wc.select(col("word")).as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, viterbi(w, bc.value, p).length))
+      }.toDF("word", "__ntok")
+    Bpe.encodeSharedAgg(docWords, idCol, perWord)
   }
 
   /** Cross-session form of [[train]]: load the published vocabulary

@@ -57,11 +57,25 @@ object WordPiece {
     * vanishing-rank contract). `score` is the raw likelihood-gain
     * double (exact across engines, see the determinism contract). */
   def train(df: DataFrame, textCol: String, merges: Int,
-            minPairCount: Long = 2L): DataFrame = {
+            minPairCount: Long = 2L): DataFrame =
+    trainOnSeqs(Bpe.wordSeqs(df, textCol), merges, minPairCount)
+
+  private def trainOnSeqs(words0: DataFrame, merges: Int,
+                          minPairCount: Long): DataFrame = {
     require(merges >= 1, "at least one merge")
-    var words = Bpe.wordSeqs(df, textCol).localCheckpoint(true)
-    val picked = Seq.newBuilder[DataFrame]
-    for (i <- 1 to merges) {
+    val spark = words0.sparkSession
+    var words = words0.localCheckpoint(true)
+    // [[Bpe.train]]'s round-17 loop shape: the 1-row pick is fetched
+    // (the merge table is a driver-held MODEL) and the rewrite chains
+    // as literal expressions over the checkpointed vocabulary instead
+    // of re-materializing it per round; early exit on an empty pick
+    // (fixpoint — the likelihood criterion prices the SAME empty pair
+    // set, so later ranks vanish identically on both engines).
+    val picked = Seq.newBuilder[(Int, String, String, Long, Double)]
+    var chained = 0
+    var i = 1
+    var exhausted = false
+    while (i <= merges && !exhausted) {
       val toks = tokenCounts(words)
       val best = Bpe.pairCounts(words)
         .filter(col("cnt") >= minPairCount)
@@ -76,18 +90,25 @@ object WordPiece {
             (col("__lc").cast("double") * col("__rc").cast("double")))
             .as("score"))
         .orderBy(col("score").desc, col("pair").asc).limit(1)
-        .localCheckpoint(true) // 1 row, eager: one tiny job per merge
-      picked += best.select(lit(i).as("merge_rank"),
-        col("pair"), col("merged"), col("cnt"), col("score"))
-      words = words
-        .crossJoin(broadcast(best.select(
-          col("pair").as("__p"), col("merged").as("__m"))))
-        .select(col("word"),
-          Bpe.applyMerge(col("seq"), col("__p"), col("__m")).as("seq"),
+        .collect() // <= 1 row; model-sized
+      if (best.isEmpty) exhausted = true
+      else {
+        val r = best(0)
+        val (p, m) = (r.getString(0), r.getString(1))
+        picked += ((i, p, m, r.getLong(2), r.getDouble(3)))
+        words = words.select(col("word"),
+          Bpe.applyMerge(col("seq"), lit(p), lit(m)).as("seq"),
           col("wcount"))
-        .localCheckpoint(true) // vocab-sized; truncates the lineage
+        chained += 1
+        if (chained >= Bpe.TrainRechainEvery && i < merges) {
+          words = words.localCheckpoint(true) // bound the replace-chain depth
+          chained = 0
+        }
+      }
+      i += 1
     }
-    picked.result().reduce(_ union _)
+    import spark.implicits._
+    picked.result().toDF("merge_rank", "pair", "merged", "cnt", "score")
   }
 
   /** Cross-session form of [[train]]: load the published merge table
@@ -142,18 +163,8 @@ object WordPiece {
     * (idCol, n_words, n_tokens). */
   def encode(df: DataFrame, idCol: String, textCol: String,
              mergeTable: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val pieces = mergeTable.select(col("merged")).distinct()
-      .as[String].collect().filter(_.length >= 2) // model-sized by the merges contract
-    val maxLen = if (pieces.isEmpty) 2 else pieces.map(_.length).max
-    val bc = spark.sparkContext.broadcast(pieces.toSet)
-    val perWord = Bpe.wordSeqs(df, textCol)
-      .select(col("word")).as[String]
-      .mapPartitions { it =>
-        val v = bc.value
-        it.map(w => (w, greedyCount(w + "_", v, maxLen)))
-      }.toDF("word", "__ntok")
+    val perWord = encodePerWord(df.sparkSession,
+      Bpe.wordCounts(df, textCol), mergeTable)
     df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .join(perWord, Seq("word"))
@@ -161,6 +172,35 @@ object WordPiece {
       .agg(count(lit(1)).as("n_words"),
         sum(col("__ntok")).as("n_tokens"))
   }
+
+  /** (word, __ntok) under the collected vocabulary set. */
+  private def encodePerWord(spark: org.apache.spark.sql.SparkSession,
+                            wc: DataFrame, mergeTable: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pieces = mergeTable.select(col("merged")).distinct()
+      .as[String].collect().filter(_.length >= 2) // model-sized by the merges contract
+    val maxLen = if (pieces.isEmpty) 2 else pieces.map(_.length).max
+    val bc = spark.sparkContext.broadcast(pieces.toSet)
+    wc.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map(w => (w, greedyCount(w + "_", v, maxLen)))
+      }.toDF("word", "__ntok")
+  }
+
+  /** Shared-frame encode ([[Bpe.encodeFromShared]]'s contract): the
+    * corpus explode and word totals are precomputed once by a
+    * multi-family caller. Row-identical to [[encode]]. */
+  private[graft] def encodeFromShared(docWords: DataFrame, idCol: String,
+                                      wc: DataFrame,
+                                      mergeTable: DataFrame): DataFrame =
+    Bpe.encodeSharedAgg(docWords, idCol,
+      encodePerWord(docWords.sparkSession, wc, mergeTable))
+
+  /** [[train]] from a precomputed [[Bpe.wordCounts]] frame. */
+  private[graft] def trainFromCounts(wc: DataFrame, merges: Int,
+                                     minPairCount: Long): DataFrame =
+    trainOnSeqs(Bpe.seqsOfCounts(wc, Bpe.charSeqOf), merges, minPairCount)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins. The merge chain is Bpe's with the pair

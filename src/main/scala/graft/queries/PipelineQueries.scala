@@ -1778,6 +1778,7 @@ object PipelineQueries {
     // aggregate per family; the three 5-row aggregates union. The
     // oracle composes the three families' full DP chains as subqueries
     "q167_tokenizer_fertility" -> ((s, dir) => {
+      import graft.operators.{Bpe, UnigramLm, WordPiece}
       val d = docs(s, dir)
       val enc = d.withColumn("text", concat(col("text"), lit(OovPlant)))
       def fert(df: org.apache.spark.sql.DataFrame, fam: String) =
@@ -1788,16 +1789,50 @@ object PipelineQueries {
             col("total_words"), col("total_tokens"),
             round(col("total_tokens").cast("double") / col("total_words"), 6)
               .as("fertility"))
-      val bpe = graft.operators.Bpe.encode(enc, "doc_id", "text",
-        graft.operators.Bpe.train(d, "text", BpeMerges, BpeMinPair))
-      val bbpe = graft.operators.Bpe.encodeBytes(enc, "doc_id", "text",
-        graft.operators.Bpe.trainBytes(d, "text", BpeMerges, BpeMinPair))
-      val uni = graft.operators.UnigramLm.encode(enc, "doc_id", "text",
-        graft.operators.UnigramLm.train(d, "text", maxPieceLen = 4,
-          seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
-          iters = UnigramIters), maxPieceLen = 4)
-      val wp = graft.operators.WordPiece.encode(enc, "doc_id", "text",
-        graft.operators.WordPiece.train(d, "text", BpeMerges, BpeMinPair))
+      // All four families start from the SAME two corpus aggregates —
+      // the train-side word counts and the encode-side (doc, word)
+      // multiplicities (guide §2.4: shared exchange). Computed once,
+      // checkpointed, fed to the FromCounts/FromShared entry points:
+      // round 17 collapsed 8 corpus scans + 8 word shuffles into 2,
+      // with row-identical output (encode's count-over-instances ≡
+      // sum-over-multiplicities; trains are projections of the shared
+      // counts). The encode word totals derive from the doc frame
+      // (vocab-sized aggregate), not a third corpus pass.
+      val wc = Bpe.wordCounts(d, "text").localCheckpoint(true)
+      val dw = Bpe.docWordCounts(enc, "doc_id", "text").localCheckpoint(true)
+      val wcE = dw.groupBy(col("word")).agg(sum(col("__c")).as("wcount"))
+        .localCheckpoint(true)
+      // The four trainings are INDEPENDENT chains of small driver-
+      // round-trip jobs (8 merge rounds / 2 EM sweeps each) over the
+      // shared checkpointed counts — run them from a driver thread
+      // pool (guide §2.6: overlap independent jobs) so one family's
+      // per-round scheduling latency back-fills the others'. Each
+      // train is deterministic in isolation (no shared mutable state;
+      // the session is thread-safe for job submission), so the merge
+      // tables — and the query's rows — are identical to the serial
+      // form. The four encodes stay lazy: they fuse into the one
+      // consumer action, which Spark already runs as one job.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val (mBpe, mBbpe, vUni, mWp) =
+        try {
+          val f1 = Future(Bpe.trainFromCounts(wc, BpeMerges, BpeMinPair))
+          val f2 = Future(Bpe.trainBytesFromCounts(wc, BpeMerges, BpeMinPair))
+          val f3 = Future(UnigramLm.trainFromCounts(wc, maxPieceLen = 4,
+            seedTop = UnigramSeedTop, keepMulti = UnigramKeepMulti,
+            iters = UnigramIters))
+          val f4 = Future(WordPiece.trainFromCounts(wc, BpeMerges, BpeMinPair))
+          (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf),
+            Await.result(f3, Duration.Inf), Await.result(f4, Duration.Inf))
+        } finally pool.shutdown()
+      val bpe = Bpe.encodeFromShared(dw, "doc_id", wcE, mBpe)
+      val bbpe = Bpe.encodeFromShared(dw, "doc_id", wcE, mBbpe, bytes = true)
+      val uni = UnigramLm.encodeFromShared(dw, "doc_id", wcE, vUni,
+        maxPieceLen = 4)
+      val wp = WordPiece.encodeFromShared(dw, "doc_id", wcE, mWp)
       fert(bpe, "bpe").unionByName(fert(bbpe, "byte_bpe"))
         .unionByName(fert(uni, "unigram"))
         .unionByName(fert(wp, "wordpiece"))

@@ -122,4 +122,81 @@ class BpeSpec extends SparkTestBase {
     assert(enc(2L) == (1L, 6L), s"$enc") // 3 ascii + 2 bytes of é + _
     assert(enc(3L) == (1L, 4L), s"$enc") // 3 bytes + _
   }
+
+  /** Naive driver-side BPE: the spec the distributed trainer must
+    * match — char seeding, (count DESC, pair ASC) pick, left-to-right
+    * non-overlapping single-pass replace (the engine's applyMerge). */
+  private def naiveBpe(texts: Seq[String], merges: Int,
+                       minPair: Long): Seq[(Int, String, String, Long)] = {
+    var words: Map[String, Long] = texts.flatMap(_.split(" "))
+      .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap.map { case (w, c) => (w.map(_ + " ").mkString + "_", c) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var i = 1
+    var done = false
+    while (i <= merges && !done) {
+      val pairs = words.toSeq.flatMap { case (seq, c) =>
+        val ts = seq.split(" ")
+        ts.sliding(2).filter(_.length == 2).map(p => (p.mkString(" "), c))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .filter(_._2 >= minPair)
+      if (pairs.isEmpty) done = true
+      else {
+        val (p, c) = pairs.toSeq.minBy { case (pr, ct) => (-ct, pr) }
+        val m = p.replace(" ", "")
+        out += ((i, p, m, c))
+        words = words.map { case (seq, ct) =>
+          ((" " + seq + " ").replace(" " + p + " ", " " + m + " ").trim, ct)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  test("train matches the naive driver-side BPE past the rechain barrier") {
+    // merges = 9 > TrainRechainEvery = 6: exercises the lazily-chained
+    // literal rewrite AND the mid-loop re-materialization barrier the
+    // round-17 loop rework introduced (the old per-round broadcast
+    // crossJoin form is the naive spec here, computed on the driver)
+    import spark.implicits._
+    val texts = (0 until 60).map(i =>
+      Seq.fill(2 + i % 4)(Seq("lowest", "slower", "glowing", "stow",
+        "low")(i % 5)).mkString(" "))
+    val got = Bpe.train(texts.toDF("text"), "text",
+        merges = 9, minPairCount = 2L)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == naiveBpe(texts, 9, 2L), "distributed != naive spec")
+  }
+
+  test("shared-frame encode is row-identical to encode (all seedings)") {
+    import spark.implicits._
+    val train = (0 until 30).map(i =>
+      Seq.fill(1 + i % 3)(Seq("low", "lower", "west")(i % 3)).mkString(" "))
+      .toDF("text")
+    val docsDf = (0 until 25)
+      .map(i => (i.toLong, s"low lower west word$i"))
+      .toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(train, "text").localCheckpoint(true)
+    val dw = Bpe.docWordCounts(docsDf, "doc_id", "text").localCheckpoint(true)
+    val wcE = dw.groupBy(org.apache.spark.sql.functions.col("word"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("__c")).as("wcount"))
+    val mt = Bpe.trainFromCounts(wc, 4, 2L)
+    assert(mt.collect().toSeq ==
+      Bpe.train(train, "text", 4, 2L).collect().toSeq,
+      "trainFromCounts != train")
+    val a = Bpe.encode(docsDf, "doc_id", "text", mt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = Bpe.encodeFromShared(dw, "doc_id", wcE, mt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq, "encodeFromShared != encode (char)")
+    val mtB = Bpe.trainBytesFromCounts(wc, 4, 2L)
+    val ab = Bpe.encodeBytes(docsDf, "doc_id", "text", mtB)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val bb = Bpe.encodeFromShared(dw, "doc_id", wcE, mtB, bytes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(ab.toSeq == bb.toSeq, "encodeFromShared != encodeBytes")
+  }
 }

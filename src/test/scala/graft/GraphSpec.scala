@@ -100,4 +100,52 @@ class GraphSpec extends SparkTestBase {
     assert(out(3L) == ((0.0, 1.0)))
     assert(out(4L) == ((0.0, 0.6)))
   }
+
+  test("partitionedBarrier: downstream keyed aggregate reuses the layout (0 Exchange)") {
+    // Dataset.localCheckpoint under AQE records UnknownPartitioning in
+    // the LogicalRDD, so the iterative operators' "pre-partitioned
+    // statics" silently re-exchanged every round on Spark 4 — the
+    // round-17 AQE-scoped barrier restores the recorded layout. This
+    // pins the contract the loops lean on: a same-key aggregate over
+    // the barriered frame plans ZERO exchanges (and a plain
+    // localCheckpoint of the same frame plans one).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val df = (1 to 500).map(i => (i.toLong % 37, i.toLong)).toDF("k", "v")
+    val pinned = graft.operators.GraftCheckpoint
+      .partitionedBarrier(df, Seq("k"), pinMin = 1) // force the pin path
+    val agg = pinned.groupBy("k").agg(sum("v"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"barriered agg re-exchanged:\n$plan")
+    // control: a plain localCheckpoint of a MULTI-partition hash
+    // layout loses the partitioning (UnknownPartitioning under AQE)
+    // and the same aggregate re-exchanges — the round-17 finding this
+    // helper exists for (if Spark ever fixes it, retire the helper)
+    val plain = df.repartition(3, col("k")).localCheckpoint(true)
+      .groupBy("k").agg(sum("v"))
+    plain.collect()
+    assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
+      "control: plain localCheckpoint unexpectedly preserved partitioning " +
+        "(if Spark fixed this, partitionedBarrier can be retired)")
+    // the size gate: below pinMin the helper skips the pin entirely —
+    // re-exchanging a small static per round is local-block cheap and
+    // the pin would cost an extra materialization. The skipped frame
+    // keeps no recorded layout, so its keyed aggregate re-exchanges
+    // (multi-partition input makes that observable).
+    val skipped = graft.operators.GraftCheckpoint
+      .partitionedBarrier(df, Seq("k"), pinMin = 99)
+    val aggS = skipped.groupBy("k").agg(sum("v"))
+    aggS.collect()
+    if (skipped.rdd.getNumPartitions > 1)
+      assert(aggS.queryExecution.executedPlan.toString.contains("Exchange"),
+        "size gate: below pinMin the layout must not have been pinned")
+    // values unchanged by the barrier on both paths
+    val expect = df.groupBy("k").agg(sum("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == expect)
+    assert(aggS.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == expect)
+  }
 }

@@ -165,4 +165,26 @@ class UnigramLmSpec extends SparkTestBase {
     assert(UnigramLm.viterbi("azb", scores, 2) == Seq("a", "z", "b"))
     assert(UnigramLm.viterbi("ab", scores, 2) == Seq("ab"))
   }
+
+  test("trainFromCounts/encodeFromShared are row-identical to train/encode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val train = (0 until 30).map(i =>
+      Seq.fill(1 + i % 3)(Seq("low", "lower", "west")(i % 3)).mkString(" "))
+      .toDF("text")
+    val docs = (0 until 25).map(i => (i.toLong, s"low lower west word$i"))
+      .toDF("doc_id", "text")
+    val wc = graft.operators.Bpe.wordCounts(train, "text").localCheckpoint(true)
+    val dw = graft.operators.Bpe.docWordCounts(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val wcE = dw.groupBy(col("word")).agg(sum(col("__c")).as("wcount"))
+    val v = UnigramLm.trainFromCounts(wc, 4, 10, 4, 2)
+    assert(v.collect().toSeq ==
+      UnigramLm.train(train, "text", 4, 10, 4, 2).collect().toSeq)
+    val a = UnigramLm.encode(docs, "doc_id", "text", v, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = UnigramLm.encodeFromShared(dw, "doc_id", wcE, v, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq, "encodeFromShared != encode")
+  }
 }

@@ -129,4 +129,26 @@ class WordPieceSpec extends SparkTestBase {
       assert(nTok >= ws.length, s"doc $id")
     }
   }
+
+  test("trainFromCounts/encodeFromShared are row-identical to train/encode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val train = (0 until 30).map(i =>
+      Seq.fill(1 + i % 3)(Seq("low", "lower", "west")(i % 3)).mkString(" "))
+      .toDF("text")
+    val docs = (0 until 25).map(i => (i.toLong, s"low lower west word$i"))
+      .toDF("doc_id", "text")
+    val wc = graft.operators.Bpe.wordCounts(train, "text").localCheckpoint(true)
+    val dw = graft.operators.Bpe.docWordCounts(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    val wcE = dw.groupBy(col("word")).agg(sum(col("__c")).as("wcount"))
+    val mt = WordPiece.trainFromCounts(wc, 5, 2L)
+    assert(mt.collect().toSeq ==
+      WordPiece.train(train, "text", 5, 2L).collect().toSeq)
+    val a = WordPiece.encode(docs, "doc_id", "text", mt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = WordPiece.encodeFromShared(dw, "doc_id", wcE, mt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq, "encodeFromShared != encode")
+  }
 }
