@@ -48,7 +48,12 @@ object Classifier {
     * checkpointed (the ONE corpus-sized artifact — every later pass
     * is a keyed aggregate over it, never a re-tokenize), and the
     * per-doc (id, y, n) frame. */
-  private def featurize(df: DataFrame, idCol: String, textCol: String,
+  /** Package-visible for the train+score roundtrip (q170): the feature
+    * matrix is label-INDEPENDENT (`__y` lives only in `perDoc`, and the
+    * scorer never reads it), so one featurize pass serves both the
+    * training loop and the post-roundtrip scoring of the same corpus —
+    * the [[Bpe.trainFromCounts]] shared-exchange discipline. */
+  private[graft] def featurize(df: DataFrame, idCol: String, textCol: String,
                         label: Column, buckets: Int)
       : (DataFrame, DataFrame) = {
     val grams = df.select(col(idCol).as("__id"),
@@ -132,9 +137,17 @@ object Classifier {
                    label: Column, buckets: Int = 64, iters: Int = 3,
                    learnRate: Double = 0.5): DataFrame = {
     val (feats, perDoc) = featurize(df, idCol, textCol, label, buckets)
+    trainWeightsFeats(feats, perDoc, buckets, iters, learnRate)
+  }
+
+  /** [[trainWeights]] from a pre-built [[featurize]] frame — the
+    * shared-featurize entry for pipelines that also score the same
+    * corpus (one explode + two corpus aggregates instead of two). */
+  private[graft] def trainWeightsFeats(feats: DataFrame, perDoc: DataFrame,
+                                       buckets: Int, iters: Int,
+                                       learnRate: Double): DataFrame =
     gdLoop(feats, perDoc, buckets, iters, learnRate)
       .select(col("__b").as("bucket"), col("__w").as("weight"))
-  }
 
   /** Cross-session form of [[trainWeights]] ([[Bpe.trainPublished]]'s
     * lifecycle, kind `clf_weights`). */
@@ -162,6 +175,14 @@ object Classifier {
   def scoreWith(df: DataFrame, idCol: String, textCol: String,
                 weights: DataFrame, buckets: Int): DataFrame = {
     val (feats, perDoc) = featurize(df, idCol, textCol, lit(false), buckets)
+    scoreWithFeats(feats, perDoc, idCol, weights)
+  }
+
+  /** [[scoreWith]] from a pre-built [[featurize]] frame (see
+    * [[trainWeightsFeats]]). */
+  private[graft] def scoreWithFeats(feats: DataFrame, perDoc: DataFrame,
+                                    idCol: String,
+                                    weights: DataFrame): DataFrame = {
     val w = weights.select(col("bucket").as("__b"), col("weight").as("__w"))
     marginsOf(feats, w).join(perDoc, Seq("__id"))
       .select(col("__id").as(idCol), col("__n").as("n_grams"),

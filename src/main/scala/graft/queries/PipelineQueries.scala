@@ -445,12 +445,18 @@ object PipelineQueries {
       import graft.sources.ArtifactStore
       val d = docs(s, dir)
       val root = artifactRoot
-      val w = graft.operators.Classifier.trainWeights(d, "doc_id", "text",
-        col("text").contains("spark"), ClfBuckets, ClfIters, ClfLearnRate)
+      // ONE featurize pass serves train AND score: the feature matrix
+      // is label-independent (Classifier.featurize scaladoc), so the
+      // roundtrip no longer re-explodes + re-aggregates the corpus for
+      // inference — the weights still travel through the versioned store
+      val (feats, perDoc) = graft.operators.Classifier.featurize(d,
+        "doc_id", "text", col("text").contains("spark"), ClfBuckets)
+      val w = graft.operators.Classifier.trainWeightsFeats(feats, perDoc,
+        ClfBuckets, ClfIters, ClfLearnRate)
       ArtifactStore.save(w, root, "clf_weights", dir, "v0001")
       val loaded = ArtifactStore.load(s, root, "clf_weights", dir, "v0001")
-      graft.operators.Classifier.scoreWith(d, "doc_id", "text",
-        loaded, ClfBuckets)
+      graft.operators.Classifier.scoreWithFeats(feats, perDoc, "doc_id",
+        loaded)
     }),
 
     // URL canonicalization + URL-level dedup — the first gate of a

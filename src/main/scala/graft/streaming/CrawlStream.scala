@@ -52,6 +52,24 @@ object CrawlStream {
   private def uniqueName(prefix: String): String =
     s"${prefix}_${drainSeq.incrementAndGet()}"
 
+  /** Start a drain under the engine's state-partition sizing rule
+    * ([[EventStream.StatePartitions]]): stateful operators pin their
+    * store count from `spark.sql.shuffle.partitions` at query start
+    * (captured into the checkpoint's offset metadata — AQE never
+    * coalesces state stores or streaming shuffles), so the right
+    * number tracks STATE SIZE, not core count. These drains ran at
+    * the session default (one per core, 32 on the bench host): every
+    * micro-batch committed 32 store files PER stateful operator —
+    * the cycle loop has three (dropDuplicates, discovery state, the
+    * politeness counter) — for state that is a few thousand 16-byte
+    * digests. `GRAFT_STATE_PARTITIONS` scales it to state volume at
+    * 100 TB, exactly as EventStream already documents; resuming
+    * checkpoints keep their recorded width (the conf is only read on
+    * first start). */
+  private def startScoped(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery) =
+    EventStream.withStatePartitions(spark, EventStream.StatePartitions)(start)
+
   /** Last drain view per prefix. A unique view per drain fixes the
     * name-collision race, but a repeated-drain harness (bench warmup +
     * timed passes) would otherwise pin one full result copy per drain
@@ -167,8 +185,10 @@ object CrawlStream {
     val files = reader.parquet(warcDir)
     val out = gatedRecords(files, policy, blocklist, gz = gz)
     val name = uniqueName(queryName)
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = startScoped(spark) {
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     // resolve BEFORE publishing the name for supersession: our view
     // can only be dropped by a later same-prefix drain once it is in
@@ -366,8 +386,10 @@ object CrawlStream {
         defaultDelaySecs = defaultDelaySecs)
       .select(col("url"), col("host"), col("slot_idx"), col("fetch_at_s"))
     val name = uniqueName(queryName)
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = startScoped(spark) {
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     // resolve BEFORE publishing the name for supersession: our view
     // can only be dropped by a later same-prefix drain once it is in
@@ -438,8 +460,10 @@ object CrawlStream {
         defaultDelaySecs = defaultDelaySecs)
       .select(col("url"), col("host"), col("slot_idx"), col("fetch_at_s"))
     val name = uniqueName(queryName)
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = startScoped(spark) {
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     val drained = spark.table(name) // resolve before publish (race note above)
     superseded(spark, queryName, name)
@@ -672,10 +696,12 @@ object CrawlStream {
     val out = crawlLoopPlan(spark, reader.parquet(warcDir), robots,
       blocklist, priorities, root, corpusKey, loadVersion, publishVersion,
       agent, defaultDelaySecs)
-    val q = out.writeStream.format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = startScoped(spark) {
+      out.writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     // every row in this drain's files passed the anti gate against
     // state ≤ loadVersion, and the caller publishes each drain under
@@ -753,8 +779,10 @@ object CrawlStream {
       priorities, root, corpusKey, loadVersion, publishVersion, agent,
       defaultDelaySecs)
     val name = uniqueName(queryName)
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = startScoped(spark) {
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     val drained = spark.table(name) // resolve before publish (race note above)
     superseded(spark, queryName, name)
@@ -988,8 +1016,10 @@ object CrawlStream {
       root, corpusKey, loadVersion, publishVersion, agent,
       maxFilesPerTrigger, defaultDelaySecs)
     val name = uniqueName(queryName)
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = startScoped(spark) {
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     val drained = spark.table(name) // resolve before publish (race note above)
     superseded(spark, queryName, name)
@@ -1095,10 +1125,12 @@ object CrawlStream {
     val out = cycleLoopPlan(spark, warcDir, robots, blocklist, delays,
       root, corpusKey, loadVersion, publishVersion, agent,
       maxFilesPerTrigger, defaultDelaySecs)
-    val q = out.writeStream.format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = startScoped(spark) {
+      out.writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     publishSinkDelta(spark, sinkDir, root, corpusKey, loadVersion,
         publishVersion) { newRows =>
@@ -1123,8 +1155,10 @@ object CrawlStream {
     val out = expandFrontierStream(in, "url", "html", seen, delays,
       defaultDelaySecs = defaultDelaySecs)
     val name = uniqueName(queryName)
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = startScoped(spark) {
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     val drained = spark.table(name) // resolve before publish (race note above)
     superseded(spark, queryName, name)
@@ -1143,8 +1177,10 @@ object CrawlStream {
         defaultDelaySecs = defaultDelaySecs)
       .withColumn("doc_id", col("doc_id").cast("long")) // numeric ids back
     val name = uniqueName(queryName)
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = startScoped(spark) {
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     // resolve BEFORE publishing the name for supersession: our view
     // can only be dropped by a later same-prefix drain once it is in

@@ -39,11 +39,13 @@ object IncrementalAlerts {
     val original = spark.table(streamView)
     stream.createOrReplaceTempView(streamView)
     try {
-      val q = alert.build(spark)
-        .writeStream.format("memory").queryName(queryName)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = EventStream.withStatePartitions(spark, EventStream.StatePartitions) {
+        alert.build(spark)
+          .writeStream.format("memory").queryName(queryName)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       spark.table(queryName)
     } finally original.createOrReplaceTempView(streamView)
@@ -59,11 +61,13 @@ object IncrementalAlerts {
                  queryName: String = "graft_incr_vadf"): DataFrame = {
     val schema = spark.read.parquet(vistaDir).schema
     val vista = spark.readStream.schema(schema).parquet(vistaDir)
-    val q = graft.harness.VadfAlert.detect(broadcast(documento), vista)
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = EventStream.withStatePartitions(spark, EventStream.StatePartitions) {
+      graft.harness.VadfAlert.detect(broadcast(documento), vista)
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(queryName)
   }
@@ -141,14 +145,16 @@ object IncrementalAlerts {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     basePath.foreach(p => reader.option("basePath", p))
     val docs = reader.parquet(docsPath)
-    val q = docs.withColumn("content_hash", md5(col("text")))
-      .dropDuplicates("content_hash")
-      .join(broadcast(seenDigests), Seq("content_hash"), "left_anti")
-      .drop("content_hash")
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = EventStream.withStatePartitions(spark, EventStream.StatePartitions) {
+      docs.withColumn("content_hash", md5(col("text")))
+        .dropDuplicates("content_hash")
+        .join(broadcast(seenDigests), Seq("content_hash"), "left_anti")
+        .drop("content_hash")
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(queryName)
   }
@@ -207,7 +213,7 @@ object IncrementalAlerts {
       .groupBy(col("vist_docu_dk"))
       .agg(max(col("vist_dt_abertura_vista")).as("dt_max_vista"))
 
-    val q = vistaMax.writeStream
+    val q = EventStream.withStatePartitions(spark, EventStream.StatePartitions) { vistaMax.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -232,6 +238,7 @@ object IncrementalAlerts {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    }
     q.awaitTermination()
     candidates.unpersist()
     spark.table(resultTable)
@@ -347,7 +354,7 @@ object IncrementalAlerts {
         max(when(col("stao_tppr_dk").isin(nf.conversao: _*), 1)
           .otherwise(0)).as("flag_conversao_max"))
 
-    val q = aggStream.writeStream
+    val q = EventStream.withStatePartitions(spark, EventStream.StatePartitions) { aggStream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -371,6 +378,7 @@ object IncrementalAlerts {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    }
     q.awaitTermination()
     docs.unpersist()
     spark.table(resultTable)

@@ -52,10 +52,16 @@ object UpsertSink {
     * current backlog then stops (the batch-catchup trigger). */
   def run(stream: DataFrame, table: String, key: String, ord: String,
           checkpoint: String, tieBreak: Seq[String] = Nil): StreamingQuery =
-    stream.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
-        upsertBatch(b, table, key, ord, tieBreak))
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // state-partition sizing rule (EventStream.StatePartitions): the
+    // captured conf also scopes the foreachBatch merge's window shuffle
+    // to the micro-batch's actual volume
+    EventStream.withStatePartitions(stream.sparkSession,
+        EventStream.StatePartitions) {
+      stream.writeStream
+        .foreachBatch((b: DataFrame, _: Long) =>
+          upsertBatch(b, table, key, ord, tieBreak))
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
 }
