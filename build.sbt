@@ -15,6 +15,11 @@ run / fork := true
 // output: the bench harness parses the final stdout line, and sbt's
 // "[success] Total time: …" trailer otherwise lands after it.
 Global / showSuccess := false
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the logger prefixes every line with "[info] ", which made the bench
+// driver's JSON-line parse fail every round since r15 (PERF_rNN came
+// back with parsed=null — the round-17 verdict's first repo-side fix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

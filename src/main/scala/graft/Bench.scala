@@ -130,9 +130,16 @@ object Bench {
     // Full per-query JSON to a file as well: the driver keeps only the
     // last 2000 chars of stdout, which truncates ~25 of the 110+ query
     // timings — the file makes round-over-round comparison possible on
-    // the complete registry.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")), line)
+    // the complete registry. The default name carries the core count
+    // (bench_full_c32.json / bench_full_c8.json): the driver runs the
+    // bench twice for its scaling measurement, and a shared name let
+    // the second (low-core) run clobber the canonical 32-core record
+    // (the round-17 adjudication had to reconstruct it from truncated
+    // stdout tails).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_full_c${graft.core.GraftSession.envCores}.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), line)
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing so no shutdown logging lands after the
     // JSON line — the harness parses the final line of output, and
@@ -146,7 +153,7 @@ object Bench {
     // null (seen in BENCH_r07). Print a short summary line LAST — it
     // always fits the tail, and carries every headline field; the
     // complete per-query record lives in bench_full.json above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"value_norm":$totalNorm,"n_failed":${failed.size},"failed":$failedJson,"n_queries":${results.size},"sf":"$sfDir","queries_in":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_s":$calib,"value_norm":$totalNorm,"n_failed":${failed.size},"failed":$failedJson,"n_queries":${results.size},"sf":"$sfDir","queries_in":"$outFile"}""")
     // forked JVM: exit deterministically once the JSON line is out —
     // leftover non-daemon threads from streaming drains otherwise keep
     // the process alive long after the harness has its result

@@ -70,7 +70,15 @@ object GraftCheckpoint {
     val once = df.localCheckpoint(true)
     val n = math.max(1, once.rdd.getNumPartitions)
     if (n < pinMin) once
-    else {
+    else confScopeLock.synchronized {
+      // serialized flip: the AQE toggle is SESSION-global, so two
+      // concurrent barriers could interleave set/restore and one of
+      // them would checkpoint under AQE — recording
+      // UnknownPartitioning, the exact wrong-plan failure this helper
+      // exists to prevent (latent until a caller pools barriered
+      // trains on driver threads — the q167 shape; GraphSpec pins the
+      // concurrent case). The lock covers flip → materialize →
+      // restore; the pre-gate materialization above stays unlocked.
       val key = "spark.sql.adaptive.enabled"
       val old = spark.conf.get(key)
       spark.conf.set(key, "false")
@@ -79,6 +87,13 @@ object GraftCheckpoint {
       finally spark.conf.set(key, old)
     }
   }
+
+  /** JVM-wide monitor serializing session-conf scope flips (the AQE
+    * toggle above, [[graft.streaming.EventStream.withStatePartitions]]'
+    * shuffle-partition scope): session confs are process-global per
+    * session, so scoped set/restore pairs from concurrent driver
+    * threads must not interleave. Reentrant (Java monitor). */
+  private[graft] object confScopeLock
 
   /** Pin the layout once the AQE-coalesced static spans this many
     * partitions (~4 × advisoryPartitionSizeInBytes ≈ a quarter GB by

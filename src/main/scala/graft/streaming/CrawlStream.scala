@@ -152,19 +152,28 @@ object CrawlStream {
     val (allowed, _) =
       UrlNormalize.robotsVerdictCols(col("__path"), col("rules"))
     val afterRobots = recs.join(pol, Seq("__dom"), "left").filter(allowed)
-    // one (domain, category) row per domain keeps the per-level joins
-    // fan-out-free; min(category) is the batch gate's tie rule
-    val bl = blocklist.groupBy(col("domain"))
-      .agg(min(col("category")).as("category"))
+    // one row per blocked domain — the gate never reads `category`, so
+    // the dedup is a distinct on the join key. Checkpointed ONCE: the
+    // per-level broadcast builds scan a materialized block instead of
+    // re-running the dedup per build per micro-batch, and because all
+    // levels broadcast the IDENTICAL frame (no per-level rename inside
+    // the build subtree, unlike the former `__bld_i` projections) the
+    // planner reuses ONE BroadcastExchange across the levels
+    // (ReusedExchange) — 1 broadcast build per trigger instead of 6
+    // (guide §2.4: shared exchange).
+    val bl = blocklist.select(col("domain")).distinct().localCheckpoint()
     val withSufs = afterRobots
       .withColumn("__sufs", UrlNormalize.hostSuffixes(col("__dom")))
     // try_element_at: suffix levels beyond the host's label count
-    // read NULL (ANSI-safe) and the join condition matches nothing
+    // read NULL (ANSI-safe) and the anti condition matches nothing.
+    // LEFT ANTI per level ≡ the former left join + all-levels-NULL
+    // filter (the build side is deduped, so the left join was
+    // fan-out-free), with no per-level null-marker columns widening
+    // the stream between the joins.
     val gated = (1 to maxSuffixDepth).foldLeft(withSufs) { (df, i) =>
-      df.join(broadcast(bl.select(col("domain").as(s"__bld_$i"))),
-        try_element_at(col("__sufs"), lit(i)) === col(s"__bld_$i"), "left")
-    }.filter((1 to maxSuffixDepth).map(i => col(s"__bld_$i").isNull)
-      .reduce(_ && _))
+      df.join(broadcast(bl),
+        try_element_at(col("__sufs"), lit(i)) === bl("domain"), "left_anti")
+    }
     gated.select(col("file_id"), col("url"), col("html"),
       col("crawl_delay"))
   }

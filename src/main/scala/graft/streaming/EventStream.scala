@@ -27,12 +27,19 @@ object EventStream {
     * coalesce state stores), so the right number tracks STATE SIZE,
     * not core count: a handful here, scaled up with key cardinality
     * at 100 TB. Scopes the conf to one query start and restores it. */
-  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, old)
-  }
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T =
+    // the shared conf-scope lock: the conf is session-global, so two
+    // concurrent scoped starts (or a start racing a partitionedBarrier
+    // flip) must not interleave their set/restore pairs — a drain
+    // would otherwise pin the WRONG state-store width for its whole
+    // checkpoint lifetime. The stream captures the value at .start(),
+    // which the lock covers.
+    graft.operators.GraftCheckpoint.confScopeLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, old)
+    }
 
   /** State-store partition count for these micro-batch drains.
     * Default 8 tracks the tiny test-SF state; `GRAFT_STATE_PARTITIONS`

@@ -148,4 +148,45 @@ class GraphSpec extends SparkTestBase {
     assert(aggS.collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == expect)
   }
+
+  test("partitionedBarrier: concurrent barriers both keep their layouts") {
+    // The AQE scope-off is a SESSION-global conf flip; unserialized,
+    // two concurrent barriers can interleave (A restores AQE while B's
+    // checkpoint is still materializing) and one frame records
+    // UnknownPartitioning — a silent wrong-plan (every downstream
+    // iteration re-exchanges). The round-18 confScopeLock serializes
+    // the flip window; this drives many barrier pairs from concurrent
+    // threads and asserts EVERY result kept its layout (0 Exchange on
+    // the same-key aggregate). Before the lock, this failed within a
+    // few dozen rounds.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      (1 to 12).foreach { round =>
+        val fs = (0 until 2).map { t =>
+          Future {
+            val df = (1 to 400).map(i => ((i + t).toLong % 31, i.toLong))
+              .toDF("k", "v")
+            val agg = graft.operators.GraftCheckpoint
+              .partitionedBarrier(df, Seq("k"), pinMin = 1)
+              .groupBy("k").agg(sum("v"))
+            agg.collect()
+            agg.queryExecution.executedPlan.toString
+          }
+        }
+        fs.map(Await.result(_, Duration.Inf)).zipWithIndex.foreach {
+          case (plan, t) =>
+            assert(!plan.contains("Exchange"),
+              s"round $round thread $t lost its pinned layout:\n$plan")
+        }
+      }
+      // the scoped conf is restored after the last barrier
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    } finally pool.shutdown()
+  }
 }

@@ -142,6 +142,34 @@ class WarcSpec extends SparkTestBase {
     assert(out.toSet == Set(8L), s"only the control may survive: ${out.toSeq}")
   }
 
+  test("gz fused walk ≡ two-pass walk: kept members are byte-identical, budget overflow falls back") {
+    // round 18: walkMembers inflates once and KEEPS the members under
+    // the retention budget (pass 2 never re-inflates). The fused and
+    // strict paths must produce identical members, and a budget
+    // overflow must drop the kept prefix (two-pass takes over) without
+    // changing verification outcomes.
+    val r1 = rec("response", Some("http://g/1"), "alpha " * 50).getBytes("ISO-8859-1")
+    val r2 = rec("response", Some("http://g/2"), "beta " * 80).getBytes("ISO-8859-1")
+    val file = gz(r1) ++ gz(r2)
+    val Some((offsA, Some(kept))) = Warc.walkMembers(file, 1L << 20)
+    val Some((offsB, none)) = Warc.walkMembers(file, 0L)
+    assert(none.isEmpty, "budget 0 must force the two-pass path")
+    assert(offsA == offsB)
+    val twoPass = offsB.map { case (p, l) => Warc.inflateMember(file, p, l) }
+    assert(kept.length == 2 && twoPass.length == 2)
+    kept.zip(twoPass).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "fused member differs from two-pass")
+    }
+    assert(java.util.Arrays.equals(kept(0), r1))
+    // budget smaller than the decompressed total: overflow mid-walk →
+    // offsets still complete, members dropped
+    val Some((offsC, keptC)) = Warc.walkMembers(file, r1.length + 3L)
+    assert(offsC == offsA && keptC.isEmpty)
+    // corruption outcomes are unchanged on the fused path
+    val bad = file.clone(); bad(bad.length - 10) = (bad(bad.length - 10) ^ 1).toByte
+    assert(Warc.walkMembers(bad, 1L << 20).isEmpty)
+  }
+
   test("gz payload desync still caught one layer up: framing lie inside a valid member") {
     // members verify (CRC fine) but the DECOMPRESSED framing lies —
     // the record fold's contract must still reject the file
