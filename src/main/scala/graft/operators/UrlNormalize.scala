@@ -154,14 +154,33 @@ object UrlNormalize {
     * longest-match precedence key.
     *
     * Output: (domain, allow, rule_path, specificity, rule_regex). */
-  /** Shared robots.txt group machinery: lines → (grouped directives,
-    * per-group agent sets). Recognized keys only (user-agent, allow,
-    * disallow, crawl-delay); a crawl-delay line ends a User-agent run
-    * exactly as a rule does (the original REP treats it as part of
-    * the group record). */
-  private def robotsGroups(robots: DataFrame, domainCol: String,
-                           robotsCol: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  /** ONE-EXCHANGE robots parse core (round 18, guide §2.4): the
+    * former shape ran the group-id window, two tier-selection
+    * windows, two agent joins, two aggregates and a full-outer join —
+    * ~8 exchanges of a domain-sized frame, and ~0.7-1.3 s of pure
+    * stage overhead per parse at ANY corpus size (measured on a
+    * 7-row robots frame; every crawl-loop query pays a parse per
+    * run). A robots FILE is small by spec (parsers cap at ~500 KB),
+    * so all per-domain logic — group ids, per-group agent sets,
+    * exact-beats-star tier selection, rule compilation, delay max —
+    * folds into SCALAR array expressions over one
+    * `collect_list(line)` per domain: one exchange total, the rest
+    * rides the scan as codegen'd projections. Group semantics are
+    * bit-identical to the windowed form (UrlNormalizeSpec pins them;
+    * the oracle replays every consumer): a UA line starts a new group
+    * unless the previous kept line was also UA (consecutive UA lines
+    * share a group, so a group's agent set is complete before its
+    * first directive — which is what lets the fold carry the CURRENT
+    * group's agents), directives before any UA line match no agent
+    * and drop, tier presence (exact-beats-star) is evaluated per
+    * directive type over the kept rows, exactly as the two standalone
+    * selectTier calls did.
+    *
+    * Output: one row per domain publishing ≥1 applicable rule or
+    * delay — (__dom, rules: sorted array<struct<allow, rule_path,
+    * specificity, rule_regex>>, crawl_delay: double|NULL). */
+  private def policyCore(robots: DataFrame, domainCol: String,
+                         robotsCol: String, agent: String): DataFrame = {
     val lined = robots.select(col(domainCol).as("__dom"),
         posexplode(split(col(robotsCol), "\n")).as(Seq("__pos", "__raw")))
       .withColumn("__line", trim(regexp_replace(col("__raw"), "#.*$", "")))
@@ -172,71 +191,88 @@ object UrlNormalize {
         trim(regexp_extract(col("__line"), "^[^:]*:(.*)$", 1)))
       .filter(col("__key").isin("user-agent", "allow", "disallow",
         "crawl-delay"))
-    val byPos = Window.partitionBy(col("__dom")).orderBy(col("__pos"))
-    val grouped = lined
-      .withColumn("__ua", col("__key") === "user-agent")
-      // a UA line starts a new group unless the previous kept line
-      // was also a UA line (consecutive UA lines share one group)
-      .withColumn("__start",
-        (col("__ua") && !coalesce(lag(col("__ua"), 1).over(byPos),
-          lit(false))).cast("int"))
-      .withColumn("__gid", sum(col("__start")).over(byPos))
-    val agents = grouped.filter(col("__ua"))
-      .groupBy(col("__dom"), col("__gid"))
-      .agg(collect_set(lower(col("__val"))).as("__agents"))
-    (grouped, agents)
-  }
-
-  /** The exact-beats-star tier selection shared by every directive
-    * consumer: keep a domain's exact-`agent` groups when any exist,
-    * else its `*` groups. */
-  private def selectTier(directives: DataFrame, agents: DataFrame,
-                         agent: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tiered = directives.join(agents, Seq("__dom", "__gid"))
-      .withColumn("__exact", array_contains(col("__agents"),
-        lit(agent.toLowerCase)))
-      .withColumn("__star", array_contains(col("__agents"), lit("*")))
-      .filter(col("__exact") || col("__star"))
-    val byDom = Window.partitionBy(col("__dom"))
-    tiered.withColumn("__hasExact", max(col("__exact")).over(byDom))
-      .filter((col("__hasExact") && col("__exact")) ||
-        (!col("__hasExact") && col("__star")))
-  }
-
-  /** Tier-selected, regex-compiled rule rows from an already-grouped
-    * parse: (__dom, allow, rule_path, specificity, rule_regex).
-    * Rule → anchored regex: escape specials, '*' → '.*', trailing
-    * '$' anchors; specificity = OCTET length of the published rule
-    * (RFC 9309 longest-match precedence is by octets — a non-ASCII
-    * rule path has more octets than chars). */
-  private def compiledRules(grouped: DataFrame, agents: DataFrame,
-                            agent: String): DataFrame = {
-    val rules = grouped
-      .filter(col("__key").isin("allow", "disallow") &&
-        col("__val") =!= "")
-      .select(col("__dom"), col("__gid"),
-        (col("__key") === "allow").as("allow"),
-        col("__val").as("rule_path"))
-    val anchored = col("rule_path").endsWith("$")
-    val body = when(anchored, expr(
-        "substring(rule_path, 1, length(rule_path) - 1)"))
-      .otherwise(col("rule_path"))
-    val escaped = regexp_replace(body,
-      "([.?+^$(){}\\[\\]|\\\\])", "\\\\$1")
-    selectTier(rules, agents, agent)
-      .select(col("__dom"), col("allow"), col("rule_path"),
-        octet_length(col("rule_path")).as("specificity"),
+    val perDom = lined.groupBy(col("__dom"))
+      .agg(array_sort(collect_list(
+        struct(col("__pos"), col("__key"), col("__val")))).as("__ls"))
+    val agentLit = lit(agent.toLowerCase)
+    val dirsType = "array<struct<isrule:boolean,allow:boolean," +
+      "v:string,exact:boolean,star:boolean>>"
+    // the fold: walk the domain's kept lines in order, carrying
+    // (was-the-previous-line-UA, current group's agent set) and
+    // appending each applicable directive tagged with its group's
+    // exact/star flags. Directive lines of groups naming neither the
+    // agent nor '*' are dropped here (they could never survive tier
+    // selection). Work is linear in lines except the appends' array
+    // copies — quadratic only past thousands of APPLICABLE directives
+    // in one file, beyond the spec's practical size cap.
+    val folded = aggregate(
+      col("__ls"),
+      struct(lit(false).as("prevUa"),
+        array().cast("array<string>").as("ags"),
+        array().cast(dirsType).as("dirs")),
+      (acc, x) => {
+        val k = x.getField("__key")
+        val v = x.getField("__val")
+        val isUa = k === "user-agent"
+        val ags = acc.getField("ags")
+        val newAgs = when(isUa && acc.getField("prevUa"),
+            array_append(ags, lower(v)))
+          .when(isUa, array(lower(v)))
+          .otherwise(ags)
+        val exact = array_contains(ags, agentLit)
+        val star = array_contains(ags, lit("*"))
+        val isRule = k.isin("allow", "disallow") && v =!= ""
+        val isDelay = k === "crawl-delay" &&
+          v.rlike("^[0-9]+(\\.[0-9]+)?$")
+        val entry = struct(isRule.as("isrule"),
+          (k === "allow").as("allow"), v.as("v"),
+          exact.as("exact"), star.as("star"))
+        val newDirs = when((isRule || isDelay) && (exact || star),
+            array_append(acc.getField("dirs"), entry))
+          .otherwise(acc.getField("dirs"))
+        struct(isUa.as("prevUa"), newAgs.as("ags"), newDirs.as("dirs"))
+      },
+      acc => acc.getField("dirs"))
+    // per-type tier selection: exact groups win when any exist for
+    // that type, else the star groups (the former selectTier, per
+    // directive type)
+    def tier(rows: Column): Column = {
+      val hasExact = exists(rows, e => e.getField("exact"))
+      filter(rows, e =>
+        when(hasExact, e.getField("exact")).otherwise(e.getField("star")))
+    }
+    val ruleRows = tier(filter(folded, e => e.getField("isrule")))
+    // rule → anchored regex: escape specials, '*' → '.*', trailing
+    // '$' anchors; specificity = OCTET length (RFC 9309 longest-match
+    // precedence is by octets)
+    val rules = array_sort(transform(ruleRows, e => {
+      val rp = e.getField("v")
+      val anchored = rp.endsWith("$")
+      val body = when(anchored, rp.substr(lit(1), length(rp) - 1))
+        .otherwise(rp)
+      val escaped = regexp_replace(body,
+        "([.?+^$(){}\\[\\]|\\\\])", "\\\\$1")
+      struct(e.getField("allow").as("allow"), rp.as("rule_path"),
+        octet_length(rp).as("specificity"),
         concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
           when(anchored, lit("$")).otherwise(lit(""))).as("rule_regex"))
+    }))
+    val delay = array_max(transform(
+      tier(filter(folded, e => !e.getField("isrule"))),
+      e => e.getField("v").cast("double")))
+    perDom.select(col("__dom"), rules.as("rules"),
+        delay.as("crawl_delay"))
+      .filter(size(col("rules")) > 0 || col("crawl_delay").isNotNull)
   }
 
   def parseRobots(robots: DataFrame, domainCol: String,
-                  robotsCol: String, agent: String): DataFrame = {
-    val (grouped, agents) = robotsGroups(robots, domainCol, robotsCol)
-    compiledRules(grouped, agents, agent)
-      .withColumnRenamed("__dom", domainCol)
-  }
+                  robotsCol: String, agent: String): DataFrame =
+    policyCore(robots, domainCol, robotsCol, agent)
+      .select(col("__dom").as(domainCol), explode(col("rules")).as("__r"))
+      .select(col(domainCol), col("__r.allow").as("allow"),
+        col("__r.rule_path").as("rule_path"),
+        col("__r.specificity").as("specificity"),
+        col("__r.rule_regex").as("rule_regex"))
 
   /** Per-domain Crawl-delay under `agent` (original REP extension —
     * the politeness interval a crawl SCHEDULER feeds its per-host
@@ -249,16 +285,10 @@ object UrlNormalize {
     * applies its own default politeness. Output: (domainCol,
     * crawl_delay: double seconds). */
   def crawlDelay(robots: DataFrame, domainCol: String,
-                 robotsCol: String, agent: String): DataFrame = {
-    val (grouped, agents) = robotsGroups(robots, domainCol, robotsCol)
-    val ds = grouped
-      .filter(col("__key") === "crawl-delay" &&
-        col("__val").rlike("^[0-9]+(\\.[0-9]+)?$"))
-      .select(col("__dom"), col("__gid"), col("__val"))
-    selectTier(ds, agents, agent)
-      .groupBy(col("__dom").as(domainCol))
-      .agg(max(col("__val").cast("double")).as("crawl_delay"))
-  }
+                 robotsCol: String, agent: String): DataFrame =
+    policyCore(robots, domainCol, robotsCol, agent)
+      .filter(col("crawl_delay").isNotNull)
+      .select(col("__dom").as(domainCol), col("crawl_delay"))
 
   /** One-parse robots POLICY: the verdict rules AND the Crawl-delay
     * per domain from a SINGLE parse of the robots corpus — the
@@ -283,27 +313,10 @@ object UrlNormalize {
     * corpus) — checkpoint or broadcast it once and feed every
     * consumer, e.g. [[robotsGateFromPolicy]]. */
   def robotsPolicy(robots: DataFrame, domainCol: String,
-                   robotsCol: String, agent: String): DataFrame = {
-    val (grouped, agents) = robotsGroups(robots, domainCol, robotsCol)
-    val rules = compiledRules(grouped, agents, agent)
-      .select(col("__dom"), struct(col("allow"), col("rule_path"),
-        col("specificity"), col("rule_regex")).as("__r"))
-      .groupBy(col("__dom"))
-      .agg(array_sort(collect_list(col("__r"))).as("rules"))
-    val delayRows = grouped
-      .filter(col("__key") === "crawl-delay" &&
-        col("__val").rlike("^[0-9]+(\\.[0-9]+)?$"))
-      .select(col("__dom"), col("__gid"), col("__val"))
-    val delays = selectTier(delayRows, agents, agent)
-      .groupBy(col("__dom"))
-      .agg(max(col("__val").cast("double")).as("crawl_delay"))
-    rules.join(delays, Seq("__dom"), "full_outer")
-      .select(col("__dom").as(domainCol),
-        coalesce(col("rules"),
-          array().cast("array<struct<allow:boolean,rule_path:string," +
-            "specificity:int,rule_regex:string>>")).as("rules"),
+                   robotsCol: String, agent: String): DataFrame =
+    policyCore(robots, domainCol, robotsCol, agent)
+      .select(col("__dom").as(domainCol), col("rules"),
         col("crawl_delay"))
-  }
 
   /** `Sitemap:` directives from a robots corpus — the discovery
     * BOOTSTRAP rung: a crawl that knows only domains learns its
