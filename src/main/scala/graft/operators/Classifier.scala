@@ -63,11 +63,23 @@ object Classifier {
         """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
           |  (w, i) -> concat(w, ' ', element_at(ws, i + 2)))""".stripMargin))
         .as("bg"))
-    val perDoc = grams.groupBy(col("__id"), col("__y"))
-      .agg(count(lit(1)).as("__n"))
-    val bucketed = grams
-      .withColumn("__b", pmod(PortableHash.hash60(col("bg")), lit(buckets)).cast("int"))
-      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__cnt"))
+    // ONE corpus explode (round 18, guide §2.4): the former shape ran
+    // the bigram explode twice — once into the per-doc count, once
+    // into the bucketed matrix. The matrix is materialized first
+    // (carrying __y, constant per doc, through its grouping key) and
+    // the per-doc frame DERIVES from it: count-over-instances ≡
+    // sum-over-bucket-multiplicities, the Bpe.docWordCounts identity.
+    val bucketed = GraftCheckpoint.partitionedBarrier(
+      grams
+        .withColumn("__b",
+          pmod(PortableHash.hash60(col("bg")), lit(buckets)).cast("int"))
+        .groupBy(col("__id"), col("__y"), col("__b"))
+        .agg(count(lit(1)).as("__cnt")),
+      Seq("__id"))
+    val perDoc = GraftCheckpoint.partitionedBarrier(
+      bucketed.groupBy(col("__id"), col("__y"))
+        .agg(sum(col("__cnt")).as("__n")),
+      Seq("__id"))
     // The statics are checkpointed PRE-PARTITIONED on __id (the
     // [[Graph.pageRank]] statics discipline, via the AQE-scoped
     // [[GraftCheckpoint.partitionedBarrier]] — a plain localCheckpoint
@@ -79,13 +91,15 @@ object Classifier {
     // shuffles, and that one carries `buckets` rows per map task
     // after partial aggregation, not the corpus (round-17 plan diff:
     // the margin aggregate's Exchange is gone from the scoring plan).
+    // The union loses any recorded layout, so feats re-pins; its
+    // input is the already-materialized matrix, never the corpus.
     val feats = GraftCheckpoint.partitionedBarrier(
       bucketed
         .select(col("__id"), col("__b"), col("__cnt").cast("double").as("__x"))
         .union(perDoc.select(col("__id"), lit(buckets).as("__b"),
           lit(1.0).as("__x"))),
       Seq("__id"))
-    (feats, GraftCheckpoint.partitionedBarrier(perDoc, Seq("__id")))
+    (feats, perDoc)
   }
 
   private def marginsOf(feats: DataFrame, w: DataFrame): DataFrame =

@@ -67,7 +67,14 @@ object GraftCheckpoint {
     //    under AQE the checkpoint records UnknownPartitioning and the
     //    layout is lost, the round-17 finding) pays for itself in the
     //    first iteration.
-    val once = df.localCheckpoint(true)
+    // A frame that IS already a bare checkpoint (LogicalRDD — e.g.
+    // HITS passing its shared edge checkpoint in twice for two
+    // layouts) needs no pre-gate materialization: localCheckpoint on
+    // it would copy every block just to read the partition count.
+    // Below the gate the caller then shares ONE copy instead of
+    // paying a redundant copy per requested layout (round 18).
+    val bare = df.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD"
+    val once = if (bare) df else df.localCheckpoint(true)
     val n = math.max(1, once.rdd.getNumPartitions)
     if (n < pinMin) once
     else confScopeLock.synchronized {
