@@ -117,11 +117,16 @@ object Classifier {
     val nDocs = broadcast(labels.agg(count(lit(1)).as("__nd")))
     var w: DataFrame = spark.range(buckets + 1)
       .select(col("id").cast("int").as("__b"), lit(0.0).as("__w"))
+    // shuffled-hash hints (round 18, guide §3.1 — the Graph loop
+    // finding): the default SortMergeJoin re-SORTS the pinned feature
+    // matrix every iteration; hinting the doc-sized side as the build
+    // side streams the matrix sort-free on its recorded layout
     for (_ <- 1 to iters) {
-      val err = marginsOf(feats, w).join(labels, Seq("__id"))
+      val err = marginsOf(feats, w).hint("shuffle_hash")
+        .join(labels, Seq("__id"))
         .select(col("__id"),
           (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y")).as("__e"))
-      val grad = feats.join(err, Seq("__id"))
+      val grad = feats.join(err.hint("shuffle_hash"), Seq("__id"))
         .groupBy(col("__b")).agg(sum(col("__e") * col("__x")).as("__g"))
       w = w.join(grad, Seq("__b"), "left").crossJoin(nDocs)
         .select(col("__b"),
@@ -137,7 +142,7 @@ object Classifier {
                       learnRate: Double = 0.5): DataFrame = {
     val (feats, perDoc) = featurize(df, idCol, textCol, label, buckets)
     val w = gdLoop(feats, perDoc, buckets, iters, learnRate)
-    marginsOf(feats, w).join(perDoc, Seq("__id"))
+    marginsOf(feats, w).hint("shuffle_hash").join(perDoc, Seq("__id"))
       .select(col("__id").as(idCol), col("__n").as("n_grams"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
   }
@@ -198,7 +203,7 @@ object Classifier {
                                     idCol: String,
                                     weights: DataFrame): DataFrame = {
     val w = weights.select(col("bucket").as("__b"), col("weight").as("__w"))
-    marginsOf(feats, w).join(perDoc, Seq("__id"))
+    marginsOf(feats, w).hint("shuffle_hash").join(perDoc, Seq("__id"))
       .select(col("__id").as(idCol), col("__n").as("n_grams"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("score"))
   }

@@ -81,13 +81,25 @@ object Graph {
     val e = GraftCheckpoint.partitionedBarrier(
       e0.join(deg, Seq("src")), Seq("src"),
       reliable = checkpointDir.isDefined)
+    // Deliberate SHUFFLED-HASH joins in the loop (round 18, guide
+    // §3.1): with the statics pinned, the planner's default
+    // SortMergeJoin satisfies its distribution from the recorded
+    // layout but still SORTS the edge list EVERY iteration (measured
+    // at 100×: 204 s pinned/SMJ vs 100 s unpinned — the sort, not the
+    // exchange, was the iteration cost). Hinting the rank-sized side
+    // as the shuffled-hash BUILD side makes the static STREAM with
+    // zero sort and zero exchange; only the nodes-sized rank vector
+    // moves per iteration. The build side is one row per node,
+    // sliced across the static's width — the "moderately small per
+    // partition" case shuffled-hash exists for.
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iters) {
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           round(lit(1.0 - damping) +
             lit(damping) * coalesce(col("__in"), lit(0.0)), 6).as("rank"))
@@ -162,9 +174,12 @@ object Graph {
       reliable = checkpointDir.isDefined)
     var hubs = nodes.withColumn("hub", lit(1.0))
     var aRaw: DataFrame = null
+    // shuffled-hash hints: see [[pageRank]]'s loop note — the score
+    // vector builds, the pinned edge copies stream sort-free
     for (i <- 1 to iters) {
       aRaw = eBySrc
-        .join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        .join(hubs.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(round(sum(col("hub")), 6).as("__ar"))
       // the final round's aggregate has TWO consumers (the hub sum
@@ -173,7 +188,8 @@ object Graph {
       // and rides the barriered hubs' short lineage
       if (i == iters) aRaw = barrier(aRaw)
       val hRaw = eByDst
-        .join(aRaw.withColumnRenamed("node", "dst"), Seq("dst"))
+        .join(aRaw.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+          Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(round(sum(col("__ar")), 6).as("__hr"))
       val mH = hRaw.agg(max(col("__hr")).as("__m"))

@@ -1814,7 +1814,15 @@ object PipelineQueries {
       // counts). The encode word totals derive from the doc frame
       // (vocab-sized aggregate), not a third corpus pass.
       val wc = Bpe.wordCounts(d, "text").localCheckpoint(true)
-      val dw = Bpe.docWordCounts(enc, "doc_id", "text").localCheckpoint(true)
+      // the shared encode frame is WORD-keyed everywhere it is read —
+      // the four per-family encode joins and the word-totals aggregate
+      // below — so it checkpoints through the size-gated
+      // partitionedBarrier on `word` (round 18, guide §2.4): at real
+      // scale the four joins and the aggregate reuse one recorded
+      // layout instead of re-exchanging dw per family; below the pin
+      // gate (sf0.1) this is exactly the former localCheckpoint
+      val dw = graft.operators.GraftCheckpoint.partitionedBarrier(
+        Bpe.docWordCounts(enc, "doc_id", "text"), Seq("word"))
       val wcE = dw.groupBy(col("word")).agg(sum(col("__c")).as("wcount"))
         .localCheckpoint(true)
       // The four trainings are INDEPENDENT chains of small driver-
