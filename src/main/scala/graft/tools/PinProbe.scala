@@ -23,14 +23,23 @@ object PinProbe {
         (col("l_partkey").cast("long") + lit(10000000L)).as("pn"))
     val edges = li.select(col("sn").as("src"), col("pn").as("dst"))
       .union(li.select(col("pn").as("src"), col("sn").as("dst")))
-    val t0 = System.nanoTime()
-    val ranks = graft.operators.Graph.pageRank(edges, "src", "dst",
-      iters, 0.85)
-    val n = ranks.count()
-    val t = (System.nanoTime() - t0) / 1e9
-    println(f"PROBE pageRank dir=$dir iters=$iters rows=$n wall=$t%.1f s " +
-      s"pinMin=${graft.operators.GraftCheckpoint.PinMinPartitions}")
-    println(ranks.queryExecution.executedPlan.toString)
+    // statics-only baseline: iters=1 call covers statics + 1 round
+    val tS0 = System.nanoTime()
+    graft.operators.Graph.pageRank(edges, "src", "dst", 1, 0.85).count()
+    val tS = (System.nanoTime() - tS0) / 1e9
+    println(f"PROBE statics+1round wall=$tS%.1f s")
+    (1 to 2).foreach { rep =>
+      val t0 = System.nanoTime()
+      val ranks = graft.operators.Graph.pageRank(edges, "src", "dst",
+        iters, 0.85)
+      val t1 = (System.nanoTime() - t0) / 1e9
+      val n = ranks.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE pageRank rep$rep dir=$dir iters=$iters rows=$n " +
+        f"call=$t1%.1f wall=$t%.1f s " +
+        s"pinMin=${graft.operators.GraftCheckpoint.PinMinPartitions}")
+      if (rep == 1) println(ranks.queryExecution.executedPlan.toString)
+    }
     spark.stop()
     sys.exit(0)
   }
